@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Drive the driver contract end-to-end (see .claude/skills/verify/SKILL.md).
+
+Imports ``__spark_entry__`` the way the round driver does, smoke-checks
+``entry()``, then runs every ``queries()[name]`` against ``oracle_sql()[name]``
+via DuckDB with an order-insensitive value hash.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import importlib
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def value_hash(rows) -> str:
+    h = hashlib.sha256()
+    for r in sorted(repr(tuple(_norm(x) for x in r)) for r in rows):
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", action="append", default=None)
+    args = ap.parse_args()
+
+    mod = importlib.import_module("__spark_entry__")
+    from stock_crypto_data_pipeline_public_spark.session import get_spark
+
+    spark = get_spark("verify-contract", cpus=16, shuffle_partitions=16)
+
+    edf = mod.entry(spark)
+    n = edf.count()
+    print(f"entry(): {n} rows, cols={edf.columns}")
+    assert n > 0, "entry() returned no rows"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    names = args.only or sorted(qs)
+    fails = []
+    for name in names:
+        t0 = time.time()
+        sdf = qs[name](spark, args.sf_dir)
+        scols = sorted(sdf.columns)
+        srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"{name}: rows-only, {len(srows)} rows [{dt:.1f}s]")
+            continue
+        cur = con.execute(oracles[name])
+        dnames = [d[0] for d in cur.description]
+        order = sorted(range(len(dnames)), key=lambda i: dnames[i])
+        dcols = [dnames[i] for i in order]
+        drows = [tuple(r[i] for i in order) for r in cur.fetchall()]
+        if scols != dcols:
+            print(f"{name}: COLUMN MISMATCH spark={scols} duck={dcols}")
+            fails.append(name)
+            continue
+        hs, hd = value_hash(srows), value_hash(drows)
+        ok = hs == hd
+        print(
+            f"{name}: spark={len(srows)} duck={len(drows)} "
+            f"{'MATCH' if ok else f'MISMATCH {hs}!={hd}'} [{dt:.1f}s]"
+        )
+        if not ok:
+            fails.append(name)
+    print("FAILS:", fails if fails else "none")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

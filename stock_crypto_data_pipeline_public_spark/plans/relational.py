@@ -1,0 +1,649 @@
+"""Core relational operators (SURVEY.md §2.2-§2.7) over the test tables.
+
+Each query re-expresses a reference operator pattern idiomatically on Spark
+DataFrames, with a DuckDB oracle proving identical semantics. Reference
+citations point at the dbt model / script whose operator shape the query
+exercises (see SURVEY.md §2 operator IDs in each docstring).
+
+Scale notes (100 TB design):
+- Dim joins (`nation`, `region`, `part`, `supplier`) are explicitly
+  broadcast — at any scale factor these stay tiny relative to facts.
+- Aggregations are expressed as groupBy so Catalyst emits partial (map-side)
+  aggregation before the shuffle.
+- Windows are always partitioned (never a global ORDER BY window) — SURVEY.md
+  §4 flags the reference's global-order window (W5) as a single-partition trap.
+- Filters are plain column predicates on scan columns → parquet pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary: multi-agg groupBy (A1/A3/P14; TPC-H Q1 shape).
+# Reference shape: fct_asset_price_comparison.sql:9-21 daily mean per group;
+# semantic_customer_overview.sql:9-19 KPI block.
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — top-revenue orders: multi-way join + top-k (J3/O1).
+# Reference shape: fct_transactions.sql:32-42 multi-join;
+# warehouse_tools.py:206-207 ORDER BY ... LIMIT n.
+# Deterministic top-k: sort key is the ROUNDED revenue plus the unique
+# orderkey tiebreak, so float summation-order noise can't flip membership.
+# --------------------------------------------------------------------------
+@query(
+    "q02_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey, c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS order_date,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderkey, c.c_mktsegment, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "c_mktsegment", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — dim-chain rollup with broadcast joins (J1).
+# Reference shape: link/sat joins against small hubs (link_customer_company
+# .sql:35-39) — hubs/dims are broadcast-sized at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "q03_region_nation_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*)                     AS n_customers,
+           round(sum(c.c_acctbal), 2)   AS total_acctbal,
+           round(avg(c.c_acctbal), 4)   AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — left join + coalesce'd aggregates (J4/P5).
+# Reference shape: dim_asset.sql:103-105 left-join latest prices onto hub;
+# coalesce fallback ephemeral_asset.sql:38.
+# --------------------------------------------------------------------------
+@query(
+    "q04_customer_order_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(o.o_orderkey)                         AS n_orders,
+           coalesce(round(sum(o.o_totalprice), 2), 0)  AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q04_customer_order_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — anti join (J5): customers with no orders.
+# Reference shape: incremental NOT-IN / NOT-EXISTS guards (hub_asset.sql:40-43,
+# sat_customer_profile.sql:67-74). SURVEY §4: deliberate left_anti, never
+# NOT IN (null-hostile).
+# --------------------------------------------------------------------------
+@query(
+    "q05_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+    )
+    """,
+)
+def q05_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — semi join (EXISTS): customers having a high-value order.
+# --------------------------------------------------------------------------
+@query(
+    "q06_customers_high_value_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q06_customers_high_value_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — union all + distinct + agg (U1/U2/A7/A8).
+# Reference shape: ephemeral_asset.sql:14-56 6-way union all;
+# ephemeral_sat_transaction_full.sql:4-6 union distinct.
+# unionByName (not positional union) — reference unions always list columns.
+# --------------------------------------------------------------------------
+@query(
+    "q07_union_distinct_keys",
+    oracle="""
+    SELECT src, count(*) AS n_keys
+    FROM (
+        SELECT DISTINCT l_orderkey AS order_key, 'returned_line' AS src
+        FROM lineitem WHERE l_returnflag = 'R'
+        UNION
+        SELECT DISTINCT o_orderkey AS order_key, 'open_order' AS src
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    GROUP BY src
+    """,
+)
+def q07_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    a = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("order_key"), F.lit("returned_line").alias("src"))
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("order_key"), F.lit("open_order").alias("src"))
+    )
+    return a.unionByName(b).distinct().groupBy("src").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+# --------------------------------------------------------------------------
+# q08 — pivot via conditional aggregation (A2).
+# Reference shape: fct_asset_price_comparison.sql:27-32
+# (max(case when price_source='BINANCE' ...) per source column).
+# Conditional agg (not .pivot()) keeps output column names explicit → oracle
+# parity; Catalyst compiles both to the same single-shuffle agg.
+# --------------------------------------------------------------------------
+@query(
+    "q08_priority_pivot_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)                                   AS order_year,
+           sum(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS n_urgent,
+           sum(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS n_high,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS n_medium,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
+           sum(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS n_low
+    FROM orders
+    GROUP BY CAST(year(o_orderdate) AS INT)
+    """,
+)
+def q08_priority_pivot_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def n(p, alias):
+        return F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0)).alias(alias)
+
+    return orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        n("1-URGENT", "n_urgent"),
+        n("2-HIGH", "n_high"),
+        n("3-MEDIUM", "n_medium"),
+        n("4-NOT SPECIFIED", "n_notspec"),
+        n("5-LOW", "n_low"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — groupBy max + HAVING (A6): stale suppliers freshness check.
+# Reference shape: tests/test_price_data_freshness.sql:4-11.
+# --------------------------------------------------------------------------
+@query(
+    "q09_supplier_staleness",
+    oracle="""
+    SELECT l_suppkey, l_partkey, CAST(max(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    GROUP BY l_suppkey, l_partkey
+    HAVING max(l_shipdate) < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q09_supplier_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+        .filter(F.col("_max_ship") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("l_suppkey", "l_partkey", F.col("_max_ship").cast("date").alias("last_ship"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — CASE WHEN LIKE categorizer (P6) + agg.
+# Reference shape: macros/categorize_news.sql:1-8 keyword categorizer.
+# --------------------------------------------------------------------------
+@query(
+    "q10_part_type_categorizer",
+    oracle="""
+    SELECT CASE
+             WHEN lower(p_type) LIKE '%economy%'  THEN 'Budget'
+             WHEN lower(p_type) LIKE '%standard%' THEN 'Mainstream'
+             WHEN lower(p_type) LIKE '%promo%'    THEN 'Promotional'
+             ELSE 'General'
+           END                              AS category,
+           count(*)                          AS n_parts,
+           round(avg(p_retailprice), 4)      AS avg_price,
+           round(max(p_retailprice), 2)      AS max_price
+    FROM part
+    GROUP BY 1
+    """,
+)
+def q10_part_type_categorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    lt = F.lower(F.col("p_type"))
+    cat = (
+        F.when(lt.like("%economy%"), "Budget")
+        .when(lt.like("%standard%"), "Mainstream")
+        .when(lt.like("%promo%"), "Promotional")
+        .otherwise("General")
+    )
+    return part.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — date-offset self-joins building an event-window grid (J6/P11/P13).
+# Reference shape: fct_asset_news_impact.sql:55-88 — daily aggregate joined to
+# itself at +1/+3/+7 day offsets, then guarded pct-change.
+# The offset joins are equi-joins on (day + INTERVAL n) → shuffle-free after
+# the first daily agg when Spark reuses the partitioning; all three joins are
+# on the same key domain.
+# --------------------------------------------------------------------------
+@query(
+    "q11_event_impact_grid",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1
+    )
+    SELECT d0.day,
+           d0.avg_value                                                       AS v0,
+           d1.avg_value                                                       AS v1,
+           d3.avg_value                                                       AS v3,
+           d7.avg_value                                                       AS v7,
+           round((d1.avg_value - d0.avg_value) / nullif(d0.avg_value, 0), 4)  AS chg_1d,
+           round((d7.avg_value - d0.avg_value) / nullif(d0.avg_value, 0), 4)  AS chg_7d
+    FROM daily d0
+    LEFT JOIN daily d1 ON d1.day = CAST(d0.day + INTERVAL 1 DAY AS DATE)
+    LEFT JOIN daily d3 ON d3.day = CAST(d0.day + INTERVAL 3 DAY AS DATE)
+    LEFT JOIN daily d7 ON d7.day = CAST(d0.day + INTERVAL 7 DAY AS DATE)
+    """,
+)
+def q11_event_impact_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    d0 = daily.alias("d0")
+    d1 = daily.alias("d1")
+    d3 = daily.alias("d3")
+    d7 = daily.alias("d7")
+    guard = F.nullif(F.col("d0.avg_value"), F.lit(0.0))
+    return (
+        d0.join(d1, F.col("d1.day") == F.date_add(F.col("d0.day"), 1), "left")
+        .join(d3, F.col("d3.day") == F.date_add(F.col("d0.day"), 3), "left")
+        .join(d7, F.col("d7.day") == F.date_add(F.col("d0.day"), 7), "left")
+        .select(
+            F.col("d0.day").alias("day"),
+            F.col("d0.avg_value").alias("v0"),
+            F.col("d1.avg_value").alias("v1"),
+            F.col("d3.avg_value").alias("v3"),
+            F.col("d7.avg_value").alias("v7"),
+            F.round((F.col("d1.avg_value") - F.col("d0.avg_value")) / guard, 4).alias("chg_1d"),
+            F.round((F.col("d7.avg_value") - F.col("d0.avg_value")) / guard, 4).alias("chg_7d"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — dedup-keep-first window (W1).
+# Reference shape: hub_customer.sql:16-32 row_number ... where rn = 1.
+# Deterministic tiebreak on event_id (SURVEY §7 flags the reference's
+# tie-prone load_timestamp-only ordering).
+# --------------------------------------------------------------------------
+@query(
+    "q12_dedup_keep_first",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+    ) = 1
+    """,
+)
+def q12_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — latest-record-wins window (W2).
+# Reference shape: dim_asset.sql:36-39 row_number ... order by observed_at
+# desc, load_timestamp desc.
+# --------------------------------------------------------------------------
+@query(
+    "q13_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
+           round(value, 2) AS latest_value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def q13_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_type"),
+            F.round("value", 2).alias("latest_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — SCD2 effective ranges via lead() (W3/W4).
+# Reference shape: dim_customer_history.sql:28-31,70-73 — effective_to =
+# coalesce(lead(load_timestamp), '9999-12-31'), is_current flag.
+# --------------------------------------------------------------------------
+@query(
+    "q14_scd2_user_state",
+    oracle="""
+    SELECT user_id, event_type AS state,
+           ts AS effective_from,
+           coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS effective_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END        AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q14_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — lag deltas / pct change (W5), partitioned (never global-order).
+# Reference shape: warehouse_tools.py:337-339 LAG(price) OVER (ORDER BY
+# observed_at) — SURVEY §4 requires the partition key here.
+# --------------------------------------------------------------------------
+@query(
+    "q15_event_value_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 4) AS delta,
+           round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0), 4) AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q15_event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - prev, 4).alias("delta"),
+        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0.0)), 4).alias("pct_change"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — top-k per group (O1/O3 generalized; reference tail(1) per ticker
+# a3_1_stock_yfinance.py:67 is the k=1 case).
+# --------------------------------------------------------------------------
+@query(
+    "q16_topk_events_per_type",
+    oracle="""
+    SELECT event_type, event_id, user_id, round(value, 2) AS value, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY value DESC, event_id ASC
+        ) AS rk
+        FROM events
+    )
+    WHERE rk <= 3
+    """,
+)
+def q16_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "event_id", "user_id", F.round("value", 2).alias("value"), "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — incremental high-water-mark filter via scalar aggregate (P2/A5).
+# Reference shape: raw_corporates.sql:23-27 `where load_timestamp >
+# (select coalesce(max(load_timestamp),...) from {{ this }})`.
+# Expressed as a broadcast cross-join of the 1-row max — fully lazy, no
+# driver collect; Catalyst plans it as a broadcast nested loop over 1 row.
+# --------------------------------------------------------------------------
+@query(
+    "q17_incremental_hwm",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                       AS n_new_orders,
+           round(sum(o_totalprice), 2)    AS new_total
+    FROM orders
+    WHERE o_orderdate > (SELECT max(o_orderdate) - INTERVAL 180 DAY FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def q17_incremental_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    hwm = orders.agg((F.max("o_orderdate") - F.expr("INTERVAL 180 DAY")).alias("_hwm"))
+    return (
+        orders.crossJoin(F.broadcast(hwm))
+        .filter(F.col("o_orderdate") > F.col("_hwm"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("new_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — string sanitize / concat / length / like (P4/P7/P15/P17).
+# Reference shape: a1_2_news_data_scrapper.py:25-44 sanitizer (lowercase,
+# strip markup/quotes); semantic_customer_overview.sql:34-37 name concat.
+# --------------------------------------------------------------------------
+@query(
+    "q18_name_sanitize",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(lower(c_name), '[^a-z0-9 ]', ' ', 'g')   AS clean_name,
+           length(c_name)                                          AS name_len,
+           concat_ws(' | ', upper(c_mktsegment),
+                     regexp_replace(lower(c_name), '[^a-z0-9 ]', ' ', 'g')) AS tagged
+    FROM customer
+    WHERE c_name LIKE 'Customer%' AND length(c_name) >= 10
+    """,
+)
+def q18_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    clean = F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9 ]", " ")
+    return cust.filter(
+        F.col("c_name").like("Customer%") & (F.length("c_name") >= 10)
+    ).select(
+        "c_custkey",
+        clean.alias("clean_name"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws(" | ", F.upper(F.col("c_mktsegment")), clean).alias("tagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — JSON extraction + safe cast (P18/S13 try-cast semantics).
+# Reference shape: a1_4_batch_s3_to_snowflake.py:388-397 TRY_TO_NUMBER etc.;
+# events.props carries the flat JSON payload like the Kafka messages
+# (kafka_producer.py:287-301).
+# --------------------------------------------------------------------------
+@query(
+    "q19_json_extract_cast",
+    oracle="""
+    SELECT try_cast(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*)              AS n,
+           round(avg(value), 4)  AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q19_json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — count distinct + exact/approx pairing (A4).
+# Reference shape: warehouse_tools.py:296 count(distinct customer_hk).
+# The oracle checks the exact countDistinct; the approx variant (the 100 TB
+# path) is exercised in tests (approx_count_distinct has no cross-engine
+# oracle).
+# --------------------------------------------------------------------------
+@query(
+    "q20_distinct_customers_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q20_distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1,0 +1,64 @@
+"""Parquet table loaders for the driver-generated test datasets.
+
+The reference stages CSV in MinIO and loads into Postgres/Snowflake with
+per-column safe casts (reference a1_4_batch_s3_to_snowflake.py:372-467,
+a2_0_crypto_common.py:198-226). Here the storage layer is columnar Parquet,
+read declaratively so Catalyst gets predicate pushdown + column pruning for
+free: every query should show ``PushedFilters`` / a narrow ``ReadSchema`` in
+``.explain("formatted")``.
+
+At 100 TB, these tables would be date-partitioned directories
+(``.../lineitem/l_shipdate_month=.../part-*.parquet``); the loader takes any
+directory or file path, so the same code serves both layouts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: every table the driver generates (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any realistic scale factor
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Plain ``spark.read.parquet`` — no inference, no
+    collect; pushdown-capable scan.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    (set in session.py) it arrives as nanos-since-epoch and is normalized here
+    to a microsecond TimestampType (the driver's data is μs-grained, so the
+    truncation is lossless — verified in tests).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if name == "events" and field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            # integer division (ts div 1000): truncation matches DuckDB's
+            # ns→μs read; float division would lose precision at 1e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register temp views so plans can also be expressed via ``spark.sql``."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,35 @@
+"""t2-style correctness: every registered query vs its DuckDB oracle.
+
+This mirrors the driver's gate (CORRECTNESS_r{N}.json) at sf0.001 so it runs
+fast in CI; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 to reproduce the
+driver's exact dataset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_crypto_data_pipeline_public_spark.plans import registry
+
+from .oracle_harness import compare, duck_connection
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    df = registry.QUERIES[name](spark, sf_dir)
+    if name not in registry.ORACLES:
+        # rows-only check, like the driver's weaker gate
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
+        return
+    errs = compare(name, df, duck, registry.ORACLES[name])
+    assert not errs, "\n".join(errs)
