@@ -1,1 +1,234 @@
-"""Event-stream batch analytics (SURVEY.md §2.9). Filled in next."""
+"""Event-stream analytics, batch-expressed (SURVEY.md §2.9 + extensions).
+
+The reference's streaming path has no event-time windows or stateful ops —
+late data is absorbed by re-running incremental models every 5 minutes
+(reference prefect.yaml:39-40). These queries add the event-time semantics a
+Spark-native engine should have (tumbling windows, sessionization, funnels,
+retention), expressed so the identical logic runs in Structured Streaming
+(streaming/pipeline.py reuses the same builders with watermarks).
+
+Scale notes: every window is partitioned by user/day — no global sorts; the
+retention self-join is an equi-join on (user_id, day) after a distinct
+projection, which AQE shuffles once on a skew-free compound key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..functions.numeric import rnd
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# e01 — sessionization: 30-minute inactivity gap → session ids → per-user
+# session stats. The batch expression of `session_window(ts, '30 minutes')`;
+# lag + cumulative sum, both windows partitioned by user.
+# --------------------------------------------------------------------------
+@query(
+    "e01_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           count(DISTINCT session_id)                            AS n_sessions,
+           count(*)                                              AS n_events,
+           floor((count(*) * 1.0 / count(DISTINCT session_id)) * 10000 + 0.5) / 10000.0 AS events_per_session
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0)
+    )
+    sessions = ev.withColumn("new_session", new_sess).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.count(F.lit(1)) * 1.0 / F.countDistinct("session_id"), 4).alias(
+            "events_per_session"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# e02 — tumbling daily windows per event type (A1 + event-time window).
+# Uses Spark's window() operator (the Structured Streaming primitive) so the
+# same expression works under a watermark in streaming mode.
+# --------------------------------------------------------------------------
+@query(
+    "e02_daily_type_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*)              AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100.0  AS total_value,
+           floor((floor((sum(value)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0  AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e02_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+            rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# e03 — conversion funnel: users whose first view < first click < first
+# purchase, with view→purchase latency. Conditional min aggregation — one
+# shuffle on user_id, no joins.
+# --------------------------------------------------------------------------
+@query(
+    "e03_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'     THEN epoch_us(ts) END) AS t_view,
+               min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT count(*) AS n_converted,
+           floor((sum(t_purchase - t_view) / count(*) / 3600000000.0) * 10000 + 0.5) / 10000.0 AS avg_hours_to_convert
+    FROM firsts
+    WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+      AND t_view < t_click AND t_click < t_purchase
+    """,
+)
+def e03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(kind):
+        return F.min(F.when(F.col("event_type") == kind, F.unix_micros("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    converted = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase"))
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        # exact integer sum of μs diffs, then one deterministic division —
+        # avg() over per-row float divisions would be summation-order noisy
+        rnd(F.sum(F.col("t_purchase") - F.col("t_view")) / F.count(F.lit(1)) / 3600000000.0, 4).alias("avg_hours_to_convert"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e04 — hour-of-day load profile (P12 date-part extraction + A1).
+# --------------------------------------------------------------------------
+@query(
+    "e04_hourly_profile",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+           event_type,
+           count(*)             AS n_events,
+           floor((floor((sum(value)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e04_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e05 — D7 retention: distinct user-days self-joined at +7 days (J6 on the
+# events table). The join key is the compound (user_id, day+7) equi-key.
+# --------------------------------------------------------------------------
+@query(
+    "e05_d7_retention",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    )
+    SELECT a.day AS cohort_day,
+           count(*)                                       AS n_active,
+           count(b.user_id)                               AS n_retained,
+           floor((count(b.user_id) * 1.0 / count(*)) * 10000 + 0.5) / 10000.0    AS d7_retention
+    FROM user_days a
+    LEFT JOIN user_days b
+      ON a.user_id = b.user_id AND b.day = CAST(a.day + INTERVAL 7 DAY AS DATE)
+    GROUP BY a.day
+    """,
+)
+def e05_d7_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    a = user_days.alias("a")
+    b = user_days.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), 7)),
+            "left",
+        )
+        .groupBy(F.col("a.day").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("b.user_id").alias("n_retained"),
+            rnd(F.count("b.user_id") * 1.0 / F.count(F.lit(1)), 4).alias("d7_retention"),
+        )
+    )

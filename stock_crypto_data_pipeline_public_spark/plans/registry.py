@@ -10,8 +10,11 @@ Oracle-parity rules (applied by every query in this package):
 
 1. Column names must match exactly — alias every computed column identically
    on both sides (driver sorts columns by name before hashing).
-2. Every floating-point output column is wrapped in ``round(x, N)`` on BOTH
-   sides, so cross-engine summation-order noise can't flip the hash.
+2. Every floating-point output column is wrapped in the deterministic
+   floor-based rounding of functions/numeric.py (``rnd`` / ``oracle_rnd``) on
+   BOTH sides — native ``round`` disagrees between Spark (decimal-string
+   HALF_UP) and DuckDB (binary nearest) on exact-tie quotients, and raw
+   unrounded floats carry summation-order noise.
 3. Spark's ``date_trunc`` returns timestamp while DuckDB's returns date for
    day/month/year — cast to date explicitly on the Spark side.
 4. DuckDB ``regexp_replace`` replaces the first match unless given the ``'g'``

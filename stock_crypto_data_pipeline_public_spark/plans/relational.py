@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.numeric import rnd
 from .registry import query
 
 
@@ -37,13 +38,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           floor((sum(l_quantity)) * 100 + 0.5) / 100.0                                        AS sum_qty,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0                                   AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0                AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100.0  AS sum_charge,
+           floor((floor((sum(l_quantity)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0                   AS avg_qty,
+           floor((floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0              AS avg_price,
+           floor((floor((sum(l_discount)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0                   AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -57,13 +58,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(rnd(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            rnd(rnd(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4).alias("avg_price"),
+            rnd(rnd(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -80,7 +81,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_top_revenue_orders",
     oracle="""
     SELECT o.o_orderkey, c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS order_date,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -97,7 +98,7 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "c_mktsegment", F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(20)
     )
@@ -113,8 +114,8 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name, n.n_name,
            count(*)                     AS n_customers,
-           round(sum(c.c_acctbal), 2)   AS total_acctbal,
-           round(avg(c.c_acctbal), 4)   AS avg_acctbal
+           floor((sum(c.c_acctbal)) * 100 + 0.5) / 100.0   AS total_acctbal,
+           floor((floor((sum(c.c_acctbal)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -131,8 +132,8 @@ def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            rnd(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            rnd(rnd(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 4).alias("avg_acctbal"),
         )
     )
 
@@ -147,7 +148,7 @@ def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name,
            count(o.o_orderkey)                         AS n_orders,
-           coalesce(round(sum(o.o_totalprice), 2), 0)  AS total_spent
+           coalesce(floor((sum(o.o_totalprice)) * 100 + 0.5) / 100.0, 0)  AS total_spent
     FROM customer c
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -161,7 +162,7 @@ def q04_customer_order_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
+            F.coalesce(rnd(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
         )
     )
 
@@ -319,8 +320,8 @@ def q09_supplier_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 'General'
            END                              AS category,
            count(*)                          AS n_parts,
-           round(avg(p_retailprice), 4)      AS avg_price,
-           round(max(p_retailprice), 2)      AS max_price
+           floor((floor((sum(p_retailprice)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_price,
+           floor((max(p_retailprice)) * 100 + 0.5) / 100.0      AS max_price
     FROM part
     GROUP BY 1
     """,
@@ -336,8 +337,8 @@ def q10_part_type_categorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return part.groupBy(cat.alias("category")).agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
-        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        rnd(rnd(F.sum("p_retailprice"), 2) / F.count(F.lit(1)), 4).alias("avg_price"),
+        rnd(F.max("p_retailprice"), 2).alias("max_price"),
     )
 
 
@@ -354,7 +355,7 @@ def q10_part_type_categorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-               round(avg(value), 4) AS avg_value
+               floor((floor((sum(value)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
         FROM events GROUP BY 1
     )
     SELECT d0.day,
@@ -362,8 +363,8 @@ def q10_part_type_categorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
            d1.avg_value                                                       AS v1,
            d3.avg_value                                                       AS v3,
            d7.avg_value                                                       AS v7,
-           round((d1.avg_value - d0.avg_value) / nullif(d0.avg_value, 0), 4)  AS chg_1d,
-           round((d7.avg_value - d0.avg_value) / nullif(d0.avg_value, 0), 4)  AS chg_7d
+           floor(((d1.avg_value - d0.avg_value) / nullif(d0.avg_value, 0)) * 10000 + 0.5) / 10000.0  AS chg_1d,
+           floor(((d7.avg_value - d0.avg_value) / nullif(d0.avg_value, 0)) * 10000 + 0.5) / 10000.0  AS chg_7d
     FROM daily d0
     LEFT JOIN daily d1 ON d1.day = CAST(d0.day + INTERVAL 1 DAY AS DATE)
     LEFT JOIN daily d3 ON d3.day = CAST(d0.day + INTERVAL 3 DAY AS DATE)
@@ -374,7 +375,7 @@ def q11_event_impact_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"))
     )
     d0 = daily.alias("d0")
     d1 = daily.alias("d1")
@@ -391,8 +392,8 @@ def q11_event_impact_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d1.avg_value").alias("v1"),
             F.col("d3.avg_value").alias("v3"),
             F.col("d7.avg_value").alias("v7"),
-            F.round((F.col("d1.avg_value") - F.col("d0.avg_value")) / guard, 4).alias("chg_1d"),
-            F.round((F.col("d7.avg_value") - F.col("d0.avg_value")) / guard, 4).alias("chg_7d"),
+            rnd((F.col("d1.avg_value") - F.col("d0.avg_value")) / guard, 4).alias("chg_1d"),
+            rnd((F.col("d7.avg_value") - F.col("d0.avg_value")) / guard, 4).alias("chg_7d"),
         )
     )
 
@@ -406,7 +407,7 @@ def q11_event_impact_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q12_dedup_keep_first",
     oracle="""
-    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    SELECT event_id, user_id, event_type, floor((value) * 100 + 0.5) / 100.0 AS value
     FROM events
     QUALIFY row_number() OVER (
         PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
@@ -419,7 +420,7 @@ def q12_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+        .select("event_id", "user_id", "event_type", rnd("value", 2).alias("value"))
     )
 
 
@@ -432,7 +433,7 @@ def q12_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_latest_event_per_user",
     oracle="""
     SELECT user_id, event_id AS latest_event_id, event_type AS latest_type,
-           round(value, 2) AS latest_value
+           floor((value) * 100 + 0.5) / 100.0 AS latest_value
     FROM events
     QUALIFY row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC
@@ -449,7 +450,7 @@ def q13_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_id").alias("latest_event_id"),
             F.col("event_type").alias("latest_type"),
-            F.round("value", 2).alias("latest_value"),
+            rnd("value", 2).alias("latest_value"),
         )
     )
 
@@ -492,8 +493,8 @@ def q14_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_event_value_delta",
     oracle="""
     SELECT event_id, user_id,
-           round(value - lag(value) OVER w, 4) AS delta,
-           round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0), 4) AS pct_change
+           floor((value - lag(value) OVER w) * 10000 + 0.5) / 10000.0 AS delta,
+           floor(((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0)) * 10000 + 0.5) / 10000.0 AS pct_change
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
@@ -505,8 +506,8 @@ def q15_event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - prev, 4).alias("delta"),
-        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0.0)), 4).alias("pct_change"),
+        rnd(F.col("value") - prev, 4).alias("delta"),
+        rnd((F.col("value") - prev) / F.nullif(prev, F.lit(0.0)), 4).alias("pct_change"),
     )
 
 
@@ -517,7 +518,7 @@ def q15_event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q16_topk_events_per_type",
     oracle="""
-    SELECT event_type, event_id, user_id, round(value, 2) AS value, rk
+    SELECT event_type, event_id, user_id, floor((value) * 100 + 0.5) / 100.0 AS value, rk
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY event_type ORDER BY value DESC, event_id ASC
@@ -533,7 +534,7 @@ def q16_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("event_type", "event_id", "user_id", F.round("value", 2).alias("value"), "rk")
+        .select("event_type", "event_id", "user_id", rnd("value", 2).alias("value"), "rk")
     )
 
 
@@ -549,7 +550,7 @@ def q16_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*)                       AS n_new_orders,
-           round(sum(o_totalprice), 2)    AS new_total
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0    AS new_total
     FROM orders
     WHERE o_orderdate > (SELECT max(o_orderdate) - INTERVAL 180 DAY FROM orders)
     GROUP BY o_orderstatus
@@ -564,7 +565,7 @@ def q17_incremental_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_new_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("new_total"),
+            rnd(F.sum("o_totalprice"), 2).alias("new_total"),
         )
     )
 
@@ -610,7 +611,7 @@ def q18_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT try_cast(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
            count(*)              AS n,
-           round(avg(value), 4)  AS avg_value
+           floor((floor((sum(value)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0  AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -620,7 +621,7 @@ def q19_json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.groupBy((k % 10).alias("k_bucket")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
     )
 
 

@@ -1,1 +1,360 @@
-"""Data Vault 2.0 / mart layer queries (SURVEY.md §2.1, §2.8). Filled in next."""
+"""Data Vault 2.0 + marts layer (SURVEY.md §1.1, §2.1, §2.8).
+
+The reference organizes everything as Raw → hubs/links/satellites → marts →
+semantic views (reference dbt_project.yml:25-42, README.md:72-131). These
+queries re-express that layer's operator shapes over the test tables:
+hash-keyed hubs with dedup-keep-first, links with compound SHA-256 keys,
+insert-only satellites with hashdiff change detection, merge/last-wins upsert
+emulation, incremental anti-join appends, and the semantic KPI rollup.
+
+Scale notes: hub/link key joins are on md5/sha2 strings — high-cardinality,
+uniformly distributed, skew-free by construction (that's *why* DV2 hashes its
+keys); satellites dedup with partitioned windows, never global sorts; the
+merge emulation is the row_number-over-union pattern, which AQE executes as a
+single shuffle on the merge key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.keys import (
+    hash_key,
+    oracle_hash_key,
+    oracle_surrogate_key,
+    surrogate_key,
+)
+from ..sources.tables import load_table
+from ..functions.numeric import rnd
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# v01 — hub_customer: union of two delivery batches → dedup-keep-first →
+# hashed business key (P8/P9/W1/U1).
+# Reference shape: hub_customer.sql:16-36 (row_number dedup over raw union,
+# md5 surrogate key via dbt_utils.generate_surrogate_key).
+# --------------------------------------------------------------------------
+@query(
+    "v01_hub_customer",
+    oracle=f"""
+    WITH raw AS (
+        SELECT c_custkey, 'batch_1' AS record_source, 1 AS load_seq FROM customer
+        UNION ALL
+        SELECT c_custkey, 'batch_2' AS record_source, 2 AS load_seq FROM customer
+    ),
+    dedup AS (
+        SELECT c_custkey, record_source FROM raw
+        QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY load_seq ASC) = 1
+    )
+    SELECT {oracle_surrogate_key('c_custkey')} AS hk_customer,
+           {oracle_hash_key('c_custkey')}      AS customer_hash_key,
+           c_custkey                           AS customer_bk,
+           record_source
+    FROM dedup
+    """,
+)
+def v01_hub_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    b1 = cust.select("c_custkey", F.lit("batch_1").alias("record_source"), F.lit(1).alias("load_seq"))
+    b2 = cust.select("c_custkey", F.lit("batch_2").alias("record_source"), F.lit(2).alias("load_seq"))
+    raw = b1.unionByName(b2)
+    w = W.partitionBy("c_custkey").orderBy(F.asc("load_seq"))
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            surrogate_key("c_custkey").alias("hk_customer"),
+            hash_key("c_custkey").alias("customer_hash_key"),
+            F.col("c_custkey").alias("customer_bk"),
+            "record_source",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# v02 — link_order_customer: compound SHA-256 link key over both business
+# keys + md5 hub keys, deduped (J1/P8/P9).
+# Reference shape: link_customer_transaction.sql:43-47,63-79.
+# --------------------------------------------------------------------------
+@query(
+    "v02_link_order_customer",
+    oracle=f"""
+    SELECT DISTINCT
+           {oracle_hash_key('o_orderkey', 'o_custkey')}  AS lk_order_customer,
+           {oracle_surrogate_key('o_orderkey')}          AS hk_order,
+           {oracle_surrogate_key('o_custkey')}           AS hk_customer,
+           o_orderkey                                    AS order_bk,
+           o_custkey                                     AS customer_bk
+    FROM orders
+    """,
+)
+def v02_link_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        hash_key("o_orderkey", "o_custkey").alias("lk_order_customer"),
+        surrogate_key("o_orderkey").alias("hk_order"),
+        surrogate_key("o_custkey").alias("hk_customer"),
+        F.col("o_orderkey").alias("order_bk"),
+        F.col("o_custkey").alias("customer_bk"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# v03 — satellite with hashdiff change detection (insert-only SCD).
+# Reference shape: sat_customer_profile.sql:8-13,48-57 — "Change detection
+# via hashdiff": a new satellite version is emitted only when the attribute
+# hashdiff differs from the previous version.
+# Here: events are the attribute feed per user; hashdiff = md5(event_type);
+# keep only rows where the state actually changed.
+# --------------------------------------------------------------------------
+@query(
+    "v03_sat_user_activity",
+    oracle=f"""
+    WITH versions AS (
+        SELECT {oracle_surrogate_key('user_id')} AS hk_user,
+               user_id,
+               {oracle_surrogate_key('event_type')} AS hashdiff,
+               event_type,
+               ts AS load_ts,
+               lag({oracle_surrogate_key('event_type')}) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_hashdiff
+        FROM events
+    )
+    SELECT hk_user, user_id, hashdiff, event_type, load_ts
+    FROM versions
+    WHERE prev_hashdiff IS NULL OR hashdiff <> prev_hashdiff
+    """,
+)
+def v03_sat_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    hd = surrogate_key("event_type")
+    return (
+        ev.select(
+            surrogate_key("user_id").alias("hk_user"),
+            "user_id",
+            hd.alias("hashdiff"),
+            "event_type",
+            F.col("ts").alias("load_ts"),
+            F.lag(hd).over(w).alias("prev_hashdiff"),
+        )
+        .filter(F.col("prev_hashdiff").isNull() | (F.col("hashdiff") != F.col("prev_hashdiff")))
+        .drop("prev_hashdiff")
+    )
+
+
+# --------------------------------------------------------------------------
+# v04 — fact table resolved through the vault (J3 multi-way join).
+# Reference shape: fct_transactions.sql:32-42 (hub ⋈ link ⋈ hub ⋈ sat).
+# Dims (nation) broadcast; the orders⋈customer join shuffles on the key both
+# sides are already hashed on.
+# --------------------------------------------------------------------------
+@query(
+    "v04_fct_orders_vault",
+    oracle=f"""
+    SELECT {oracle_hash_key('o.o_orderkey', 'o.o_custkey')} AS lk_order_customer,
+           {oracle_surrogate_key('o.o_custkey')}            AS hk_customer,
+           CAST(o.o_orderdate AS DATE)                      AS order_date,
+           o.o_orderstatus                                  AS order_status,
+           n.n_name                                         AS nation,
+           floor((o.o_totalprice) * 100 + 0.5) / 100.0                         AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def v04_fct_orders_vault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").alias("o")
+    cust = _t(spark, sf_dir, "customer").alias("c")
+    nation = _t(spark, sf_dir, "nation").alias("n")
+    return (
+        orders.join(cust, F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(nation), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+        .select(
+            hash_key("o.o_orderkey", "o.o_custkey").alias("lk_order_customer"),
+            surrogate_key("o.o_custkey").alias("hk_customer"),
+            F.col("o.o_orderdate").cast("date").alias("order_date"),
+            F.col("o.o_orderstatus").alias("order_status"),
+            F.col("n.n_name").alias("nation"),
+            rnd("o.o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# v05 — dim with latest-wins enrichment (W2 + J4).
+# Reference shape: dim_asset.sql:36-39,103-105 — latest record per key
+# left-joined onto the hub, with coalesce defaults.
+# --------------------------------------------------------------------------
+@query(
+    "v05_dim_customer_latest_activity",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, floor((value) * 100 + 0.5) / 100.0 AS last_value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           coalesce(l.event_type, 'NO_ACTIVITY') AS last_event_type,
+           coalesce(l.last_value, 0.0)           AS last_value
+    FROM customer c
+    LEFT JOIN latest l ON c.c_custkey = l.user_id
+    """,
+)
+def v05_dim_customer_latest_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", rnd("value", 2).alias("last_value"))
+    )
+    return cust.join(latest, cust.c_custkey == latest.user_id, "left").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.coalesce(F.col("event_type"), F.lit("NO_ACTIVITY")).alias("last_event_type"),
+        F.coalesce(F.col("last_value"), F.lit(0.0)).alias("last_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# v06 — semantic customer overview (A3/A4/P7).
+# Reference shape: semantic_customer_overview.sql:9-19,34-37 — per-customer
+# KPI block (count/sum/max) + display-name concat.
+# --------------------------------------------------------------------------
+@query(
+    "v06_semantic_customer_overview",
+    oracle="""
+    SELECT c.c_custkey,
+           concat_ws(' - ', c.c_name, c.c_mktsegment)   AS display_name,
+           count(o.o_orderkey)                          AS n_orders,
+           coalesce(floor((sum(o.o_totalprice)) * 100 + 0.5) / 100.0, 0)   AS lifetime_value,
+           count(DISTINCT o.o_orderpriority)            AS n_priorities,
+           CAST(max(o.o_orderdate) AS DATE)             AS last_order_date
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    """,
+)
+def v06_semantic_customer_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(rnd(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("lifetime_value"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.max("o_orderdate").cast("date").alias("last_order_date"),
+        )
+        .select(
+            "c_custkey",
+            F.concat_ws(" - ", F.col("c_name"), F.col("c_mktsegment")).alias("display_name"),
+            "n_orders",
+            "lifetime_value",
+            "n_priorities",
+            "last_order_date",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# v07 — MERGE upsert emulation: last-wins by key over staged batches (M1).
+# Reference shape: a1_4_batch_s3_to_snowflake.py:470-557 (MERGE INTO target
+# USING temp ON keys WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT).
+# Pure-Parquet emulation per SURVEY §2.8: row_number over the union of
+# (target, staged) ordered by batch desc — one shuffle on the merge key.
+# --------------------------------------------------------------------------
+@query(
+    "v07_merge_last_wins",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS batch FROM orders
+    ),
+    staged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice, 2 AS batch
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+        SELECT * FROM (SELECT * FROM target UNION ALL SELECT * FROM staged)
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY batch DESC) = 1
+    )
+    SELECT o_orderstatus,
+           count(*)                     AS n_rows,
+           sum(batch - 1)               AS n_updated,
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0  AS total_after_merge
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+)
+def v07_merge_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.select("o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("batch"))
+    staged = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit(2).alias("batch"),
+        )
+    )
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("batch"))
+    merged = (
+        target.unionByName(staged)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("batch") - 1).alias("n_updated"),
+        rnd(F.sum("o_totalprice"), 2).alias("total_after_merge"),
+    )
+
+
+# --------------------------------------------------------------------------
+# v08 — idempotent incremental append: anti-join new rows against target
+# keys (M2/M3/J5).
+# Reference shape: kafka_consumer.py:294-303 ON CONFLICT DO NOTHING;
+# hub/link incremental blocks `hk not in (select hk from {{ this }})`.
+# Target = orders before the cutoff; source = all orders; appended = source
+# keys not in target (left_anti — never NOT IN, SURVEY §4).
+# --------------------------------------------------------------------------
+@query(
+    "v08_incremental_append",
+    oracle="""
+    WITH target AS (
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    ),
+    appended AS (
+        SELECT s.* FROM orders s
+        WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           count(*)                        AS n_appended,
+           CAST(min(o_orderdate) AS DATE)  AS first_new_date,
+           CAST(max(o_orderdate) AS DATE)  AS last_new_date
+    FROM appended
+    GROUP BY o_orderstatus
+    """,
+)
+def v08_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    target = orders.filter(F.col("o_orderdate") < cutoff)
+    appended = orders.join(target.select("o_orderkey"), "o_orderkey", "left_anti")
+    return appended.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_appended"),
+        F.min("o_orderdate").cast("date").alias("first_new_date"),
+        F.max("o_orderdate").cast("date").alias("last_new_date"),
+    )
