@@ -1,0 +1,131 @@
+"""Large-scale deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard.
+
+These extend the reference surface (its only dedup is key-based row_number /
+anti-join — SURVEY.md §2.8) with the content-level dedup a training-data
+pipeline needs. Everything is built from JVM-side built-in expressions — no
+Python UDFs anywhere — so whole-stage codegen applies and the same logic is
+portable to any SQL oracle:
+
+- tokens/shingles: split + transform/sequence (array lambdas)
+- hashes: md5 hex (engine-portable); a hex-string *minimum* is a valid
+  uniform minhash because lexicographic order on fixed-width hex == numeric
+  order on the underlying 128-bit value
+- SimHash: 16-bit signature from md5 nibbles — bit b of a token's hash is
+  ``(instr('0123456789abcdef', hex_char) - 1) >> (b % 4) & 1``, computed with
+  floor-division so the identical arithmetic runs on Spark and DuckDB.
+
+Scale design: shingle explosion multiplies rows by ~doc length, but every
+downstream agg groups by doc_id — partial aggregation keeps the shuffle at
+one row per (doc, agg) pair. LSH banding turns the O(n²) all-pairs problem
+into an equi-join on band values; the all-pairs SimHash comparison is kept
+only as the verification baseline (and flagged as the non-scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: number of minhash permutations and LSH band layout
+MINHASH_K = 8
+BAND_SIZE = 2
+
+SIMHASH_BITS = 16
+
+NORMALIZE_SQL = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + whitespace-collapse + trim (reference sanitizer shape,
+    a1_2_news_data_scrapper.py:25-44)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(tok_col: str, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column (empty if doc too short)."""
+    lam = "i -> concat_ws(' ', " + ", ".join(f"{tok_col}[i+{j}]" for j in range(n)) + ")"
+    return F.when(
+        F.size(F.col(tok_col)) >= n,
+        F.array_distinct(
+            F.expr(f"transform(sequence(0, size({tok_col}) - {n}), {lam})")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def oracle_shingles(text_expr: str, n: int = 3) -> str:
+    """DuckDB fragment producing the same distinct n-gram list (1-indexed)."""
+    toks = f"string_split_regex(trim({text_expr}), '\\s+')"
+    parts = ", ".join(f"__t[i+{j+1}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(len({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
+    ).replace("__t", toks)
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows, distinct per doc."""
+    return (
+        df.select(id_col, tokens(text_col).alias("_toks"))
+        .select(id_col, F.explode(word_shingles("_toks", n)).alias("shingle"))
+    )
+
+
+def minhash_aggs(k: int = MINHASH_K) -> list[Column]:
+    """k min-md5 aggregate expressions over a `shingle` column."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def oracle_minhash_aggs(k: int = MINHASH_K) -> str:
+    return ",\n           ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(k)
+    )
+
+
+def band_cols(k: int = MINHASH_K, band_size: int = BAND_SIZE) -> list[Column]:
+    """Hash each band of `band_size` consecutive minhashes into one value."""
+    out = []
+    for b in range(k // band_size):
+        parts = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        out.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    return out
+
+
+def oracle_band_cols(k: int = MINHASH_K, band_size: int = BAND_SIZE) -> str:
+    outs = []
+    for b in range(k // band_size):
+        parts = " || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size))
+        outs.append(f"md5({parts}) AS band{b}")
+    return ",\n           ".join(outs)
+
+
+def _bit_expr(tok: str, b: int) -> str:
+    """Portable SQL for bit b (0..15) of a token's md5-nibble hash.
+
+    Works verbatim on Spark SQL and DuckDB: instr/substr/md5/floor are
+    identical; avoids `div` vs `//` by flooring a float division.
+    """
+    pos = b // 4 + 1  # which hex nibble
+    p = 2 ** (b % 4)  # bit within nibble
+    nib = f"(instr('0123456789abcdef', substr(md5({tok}), {pos}, 1)) - 1)"
+    return f"(CAST(floor({nib} / {p}) AS INT) % 2)"
+
+
+def simhash_contrib_exprs(tok: str = "token", bits: int = SIMHASH_BITS) -> list[str]:
+    """Per-token ±1 contribution expressions for every SimHash bit."""
+    return [f"(2 * {_bit_expr(tok, b)} - 1) AS c{b}" for b in range(bits)]
+
+
+def simhash_from_sums(bits: int = SIMHASH_BITS) -> str:
+    """Combine summed contributions (columns s0..s{bits-1}) into the SimHash
+    integer: bit b set iff the weighted sum is non-negative."""
+    return " + ".join(f"(CASE WHEN s{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(bits))

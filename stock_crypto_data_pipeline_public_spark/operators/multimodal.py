@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design per the north star: image/audio/video travel as ``binary`` columns
+with typed metadata alongside; decode / feature-extraction runs as
+Arrow-batched pandas transforms via ``mapInPandas`` (the only place Python
+touches the data — everything else stays JVM-side).
+
+The actual media *decode* is STUBBED: the container has no image/audio
+libraries, so :func:`decode_features` raises ``NotImplementedError`` unless
+``fake=True``, which derives deterministic pseudo-features (dimensions,
+sample-rate) from the payload bytes. The Spark-side plumbing — schema,
+binary handling, Arrow batch iteration, partition-preserving mapInPandas —
+is real and tested.
+
+Scale notes: binary payloads dominate row size; at 100 TB the media table
+partitions by (media_type, date) and feature extraction is a map-only stage
+(no shuffle) whose output is a narrow feature table — join features back by
+id instead of carrying payloads through analytic plans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of the feature extractor (mapInPandas contract)
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, "
+    "sample_rate int, checksum string"
+)
+
+
+def attach_media(docs: DataFrame, media_type: str = "image/png") -> DataFrame:
+    """Simulate a media table: utf-8 payload bytes + typed metadata columns.
+
+    In production this is the parquet/iceberg table the ingestion wrote;
+    the binary column is opaque to the engine either way.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+
+
+def _fake_decode(media: bytes) -> tuple[int, int, int]:
+    """Deterministic pseudo-decode: width/height/sample_rate from the
+    payload digest. Placeholder for a real PIL/libav decode."""
+    d = hashlib.md5(media).digest()
+    width = 64 + d[0] % 192          # 64..255
+    height = 64 + d[1] % 192
+    sample_rate = 8000 + (d[2] % 5) * 8000
+    return width, height, sample_rate
+
+
+def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``fake=False`` raises NotImplementedError inside the batch fn (no media
+    libs in this environment) — the plumbing is exercised with fake=True.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/libav (not in container); "
+                    "run with fake=True for deterministic pseudo-features"
+                )
+            feats = pdf["media"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["media"].map(len).astype("int32"),
+                    "width": feats.map(lambda t: t[0]).astype("int32"),
+                    "height": feats.map(lambda t: t[1]).astype("int32"),
+                    "sample_rate": feats.map(lambda t: t[2]).astype("int32"),
+                    "checksum": pdf["media"].map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=FEATURE_SCHEMA)

@@ -1,0 +1,75 @@
+"""Embedding similarity-search operators (brute-force + LSH-bucketed ANN).
+
+Beyond-the-reference surface (BASELINE.json north star). The embedding column
+is ``array<float>``; all math casts to double element-wise and folds
+SEQUENTIALLY (left fold over the list) so Spark's ``aggregate`` and DuckDB's
+``list_sum(list_transform(...))`` produce bit-identical doubles.
+
+No UDFs: ``zip_with``/``aggregate`` are Catalyst expressions inside
+whole-stage codegen. For 100 TB the layout is: normalize + bucket (sign-bit
+LSH or IVF centroid id) at write time, partition by bucket, then ANN is a
+per-bucket equi-join instead of the O(n²) cross join — x02 demonstrates the
+bucketing; the brute-force path is retained as the exactness baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential-fold dot product of two array<float> columns, in double."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def oracle_dot(a: str, b: str) -> str:
+    """DuckDB fragment: same sequential fold (list_sum is a left fold),
+    1-indexed."""
+    return (
+        f"list_sum(list_transform(range(len({a})), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+    )
+
+
+def oracle_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def oracle_cosine(a: str, b: str) -> str:
+    return f"({oracle_dot(a, b)} / nullif({oracle_norm(a)} * {oracle_norm(b)}, 0))"
+
+
+def sign_bucket(col: str, dims: tuple[int, ...] = (0, 8, 16, 24)) -> Column:
+    """Axis-aligned random-hyperplane LSH: concat of sign bits at fixed dims.
+
+    0-based dims (Spark arrays are 0-indexed)."""
+    bits = [
+        F.when(F.col(col).getItem(d) >= 0, F.lit("1")).otherwise(F.lit("0")) for d in dims
+    ]
+    return F.concat(*bits)
+
+
+def oracle_sign_bucket(col: str, dims: tuple[int, ...] = (0, 8, 16, 24)) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {col}[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in dims
+    )
+    return f"({bits})"

@@ -1,1 +1,392 @@
-"""Text analysis / dedup operators over documents. Filled in next."""
+"""Text analysis + content dedup over the documents table.
+
+Beyond-the-reference operators (BASELINE.json north star): exact/near dedup,
+MinHash-LSH, SimHash, n-gram Jaccard, language-ID, quality scoring, token
+statistics. All JVM-side built-in expressions (no UDFs) — see
+operators/dedup.py for the shared builders and the scale rationale.
+
+The only reference-relatable piece is the text sanitizer (reference
+a1_2_news_data_scrapper.py:25-44: lowercase + strip + collapse), which is the
+normalization step of t01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import oracle_rnd, rnd
+from ..operators import dedup as D
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------------
+# t01 — exact dedup after normalization. A re-crawled copy (upper-cased,
+# re-keyed) of every doc is unioned in; normalization + md5 fingerprint must
+# collapse each pair. groupBy(fingerprint) — one shuffle, map-side partials.
+# --------------------------------------------------------------------------
+@query(
+    "t01_exact_dedup",
+    oracle="""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, upper(text) AS text FROM documents
+    )
+    SELECT md5({NORMALIZE}) AS fingerprint,
+           count(*)         AS n_copies,
+           min(doc_id)      AS keep_doc_id
+    FROM all_docs
+    GROUP BY 1
+    """.replace("{NORMALIZE}", D.NORMALIZE_SQL.format(col="text")),
+)
+def t01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    recrawl = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(recrawl)
+    return all_docs.groupBy(
+        F.md5(D.normalize_text("text")).alias("fingerprint")
+    ).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t02 — token statistics: whitespace tokens, BPE-ish regex tokens, token
+# chars. Pure per-row expressions → narrow scan, whole-stage codegen.
+# --------------------------------------------------------------------------
+@query(
+    "t02_token_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text)                                         AS n_chars,
+           len(regexp_extract_all(text, '[a-z0-9]+'))           AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_ish,
+           coalesce(list_sum(list_transform(
+               regexp_extract_all(text, '[a-z0-9]+'), x -> length(x))), 0) AS n_token_chars
+    FROM documents
+    """,
+)
+def t02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe_ish"
+        ),
+        F.coalesce(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)), F.lit(0)
+        ).alias("n_token_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t03 — quality scoring: stopword ratio, length saturation, alpha ratio →
+# weighted score. Integer counts + one guarded division chain, so the score
+# is bit-identical across engines.
+# --------------------------------------------------------------------------
+_STOP_RE = r"\b(the|a|of|to|and|in|is)\b"
+
+
+@query(
+    "t03_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[a-z0-9]+'))    AS n_tokens,
+               len(regexp_extract_all(text, '{_STOP_RE}'))   AS stop_hits,
+               len(regexp_extract_all(text, '[a-z]'))        AS alpha_chars
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, stop_hits,
+           {oracle_rnd(
+               "0.5 * (stop_hits * 1.0 / nullif(n_tokens, 0))"
+               " + 0.3 * (least(n_tokens, 100) / 100.0)"
+               " + 0.2 * (alpha_chars * 1.0 / nullif(n_chars, 0))", 4)} AS quality_score
+    FROM feats
+    """,
+)
+def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_STOP_RE), 0)).alias("stop_hits"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]"), 0)).alias("alpha_chars"),
+    )
+    score = (
+        0.5 * (F.col("stop_hits") * 1.0 / F.nullif(F.col("n_tokens"), F.lit(0)))
+        + 0.3 * (F.least(F.col("n_tokens"), F.lit(100)) / 100.0)
+        + 0.2 * (F.col("alpha_chars") * 1.0 / F.nullif(F.col("n_chars"), F.lit(0)))
+    )
+    return feats.select("doc_id", "n_tokens", "stop_hits", rnd(score, 4).alias("quality_score"))
+
+
+# --------------------------------------------------------------------------
+# t04 — language ID: marker-word scoring with deterministic argmax, reported
+# as a lang × predicted confusion matrix. An honest n-gram-style heuristic:
+# scores are marker-hit counts; ties resolve in a fixed priority order.
+# --------------------------------------------------------------------------
+_LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|a)\b",
+    "de": r"\b(der|die|das|und|nicht|ist)\b",
+    "es": r"\b(el|los|las|es|y|que)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+}
+
+
+def _oracle_lang_pred() -> str:
+    hits = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{lang}"
+        for lang, pat in _LANG_MARKERS.items()
+    )
+    m = "greatest(c_en, c_de, c_es, c_fr)"
+    pred = (
+        f"CASE WHEN {m} = 0 THEN 'unknown' "
+        "WHEN c_en = " + m + " THEN 'en' "
+        "WHEN c_de = " + m + " THEN 'de' "
+        "WHEN c_es = " + m + " THEN 'es' "
+        "ELSE 'fr' END"
+    )
+    return f"""
+    WITH scored AS (
+        SELECT lang,
+               {hits}
+        FROM documents
+    )
+    SELECT lang, {pred} AS predicted_lang, count(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """
+
+
+@query("t04_lang_id", oracle=_oracle_lang_pred())
+def t04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "lang",
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(f"c_{lang}")
+            for lang, pat in _LANG_MARKERS.items()
+        ],
+    )
+    m = F.greatest("c_en", "c_de", "c_es", "c_fr")
+    pred = (
+        F.when(m == 0, "unknown")
+        .when(F.col("c_en") == m, "en")
+        .when(F.col("c_de") == m, "de")
+        .when(F.col("c_es") == m, "es")
+        .otherwise("fr")
+    )
+    return scored.groupBy("lang", pred.alias("predicted_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# t05 — n-gram Jaccard near-dup pairs: word-trigram shingles, candidate
+# pairs via shingle equi-join (never a cross join), exact Jaccard, top-20.
+# The shingle join is the scale-path: work is proportional to shared
+# shingles, not to n². Top-k is deterministic (exact integer ratio + id
+# tiebreaks).
+# --------------------------------------------------------------------------
+@query(
+    "t05_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           {oracle_rnd('p.n_common * 1.0 / (ca.n + cb.n - p.n_common)', 4)} AS jaccard
+    FROM pairs p
+    JOIN counts ca ON p.doc_a = ca.doc_id
+    JOIN counts cb ON p.doc_b = cb.doc_id
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", rnd(jac, 4).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# t06 — MinHash signatures + LSH bands per document. k=8 permutations
+# emulated as salted md5 mins (a hex min is a uniform 128-bit min); bands of
+# 2 hashed to one value each. One groupBy over the exploded shingles.
+# --------------------------------------------------------------------------
+@query(
+    "t06_minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+           {D.oracle_minhash_aggs()}
+        FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {D.oracle_band_cols()}
+    FROM sig
+    """,
+)
+def t06_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    sig = sh.groupBy("doc_id").agg(*D.minhash_aggs())
+    return sig.select("doc_id", *D.band_cols())
+
+
+# --------------------------------------------------------------------------
+# t07 — LSH bucket statistics: per band, bucket count / max bucket size /
+# candidate-pair count Σ c·(c−1)/2. This is the planning view of the LSH
+# join: candidate pairs vs the n·(n−1)/2 brute-force pairs.
+# --------------------------------------------------------------------------
+@query(
+    "t07_lsh_candidate_stats",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+           {D.oracle_minhash_aggs()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+           {D.oracle_band_cols()}
+        FROM sig
+    ),
+    long AS (
+        SELECT 0 AS band_idx, band0 AS band FROM bands
+        UNION ALL SELECT 1, band1 FROM bands
+        UNION ALL SELECT 2, band2 FROM bands
+        UNION ALL SELECT 3, band3 FROM bands
+    ),
+    buckets AS (
+        SELECT band_idx, band, count(*) AS c FROM long GROUP BY 1, 2
+    )
+    SELECT band_idx,
+           count(*)                    AS n_buckets,
+           max(c)                      AS max_bucket,
+           sum(c * (c - 1) // 2)       AS n_candidate_pairs
+    FROM buckets
+    GROUP BY band_idx
+    """,
+)
+def t07_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    sig = sh.groupBy("doc_id").agg(*D.minhash_aggs())
+    bands = sig.select("doc_id", *D.band_cols())
+    long = bands.selectExpr(
+        "doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, band)",
+    )
+    buckets = long.groupBy("band_idx", "band").agg(F.count(F.lit(1)).alias("c"))
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("n_candidate_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t08 — SimHash-16 + Hamming-distance histogram over all doc pairs.
+# Signature: md5-nibble bits of distinct tokens, ±1 weighted, sign per bit
+# (operators/dedup.py builders run verbatim on both engines). The all-pairs
+# Hamming comparison is the *verification baseline* — O(n²), kept because
+# the output (a 17-row histogram) validates the signature quality; the scale
+# path for retrieval is bucketing by simhash prefix (cf. t07 LSH).
+# --------------------------------------------------------------------------
+def _oracle_simhash() -> str:
+    contribs = ",\n               ".join(D.simhash_contrib_exprs("token"))
+    sums = ", ".join(f"sum(c{b}) AS s{b}" for b in range(D.SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    contrib AS (
+        SELECT doc_id,
+               {contribs}
+        FROM toks
+    ),
+    sums AS (SELECT doc_id, {sums} FROM contrib GROUP BY doc_id),
+    sh AS (SELECT doc_id, {D.simhash_from_sums()} AS simhash FROM sums)
+    SELECT bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming,
+           count(*) AS n_pairs
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    GROUP BY 1
+    """
+
+
+@query("t08_simhash_hamming", oracle=_oracle_simhash())
+def t08_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(D.tokens("text"))).alias("token")
+    )
+    contrib = toks.selectExpr("doc_id", *D.simhash_contrib_exprs("token"))
+    sums = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"c{b}").alias(f"s{b}") for b in range(D.SIMHASH_BITS)]
+    )
+    sh = sums.selectExpr("doc_id", f"{D.simhash_from_sums()} AS simhash")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.expr("bit_count(CAST(a.simhash AS BIGINT) ^ CAST(b.simhash AS BIGINT))").alias(
+                "hamming"
+            )
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

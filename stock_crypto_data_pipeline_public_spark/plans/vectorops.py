@@ -1,1 +1,151 @@
-"""Embedding similarity operators. Filled in next."""
+"""Similarity search over the embeddings table (array<float> 64-dim).
+
+x01 brute-force top-k cosine (exactness baseline), x02 sign-bit LSH buckets
+(the ANN scale path), x03 per-label centroids (array aggregation), x04
+pairwise similarity histogram (distribution check). See
+operators/similarity.py for the cross-engine math contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import oracle_rnd, rnd
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# x01 — brute-force k-NN: 10 query vectors vs the full table, cosine top-5
+# each. The broadcast of the tiny query side makes this a map-only pass over
+# the corpus — the right plan at any corpus size (queries are always small).
+# --------------------------------------------------------------------------
+@query(
+    "x01_knn_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               {oracle_rnd(S.oracle_cosine('q.qe', 'e.embedding'), 4)} AS cosine_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    """,
+)
+def x01_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            rnd(S.cosine("qe", "embedding"), 4).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+# --------------------------------------------------------------------------
+# x02 — sign-bit LSH bucketing: 4 axis-aligned hyperplanes → 16 buckets;
+# per-bucket sizes and candidate-pair counts. At scale this bucket id is the
+# write-time partition key, turning ANN into per-partition local joins.
+# --------------------------------------------------------------------------
+@query(
+    "x02_lsh_ann_buckets",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, {S.oracle_sign_bucket('embedding')} AS bucket FROM embeddings
+    )
+    SELECT bucket,
+           count(*)                       AS n_vecs,
+           count(*) * (count(*) - 1) // 2 AS n_candidate_pairs
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def x02_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    b = emb.select("vec_id", S.sign_bucket("embedding").alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr("count(1) * (count(1) - 1) div 2").alias("n_candidate_pairs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x03 — per-label centroids in long form (label, dim, value): posexplode +
+# groupBy — the distributed way to average vectors (never collect arrays to
+# the driver). Output 0-based dims.
+# --------------------------------------------------------------------------
+@query(
+    "x03_label_centroids",
+    oracle=f"""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, dim,
+           {oracle_rnd('sum(CAST(v AS DOUBLE)) / count(*)', 4)} AS centroid_val,
+           count(*) AS n_vecs
+    FROM flat
+    GROUP BY label, dim
+    """,
+)
+def x03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    flat = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return flat.groupBy("label", "dim").agg(
+        rnd(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 4).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x04 — pairwise cosine histogram (0.1-wide buckets over all pairs).
+# O(n²) — the exactness/distribution baseline that LSH (x02) approximates;
+# at corpus scale this runs per-bucket, never globally (docstring contract).
+# --------------------------------------------------------------------------
+@query(
+    "x04_cosine_pair_histogram",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT CAST(floor({S.oracle_cosine('a.embedding', 'b.embedding')} * 10) AS INT) AS sim_bucket
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT sim_bucket, count(*) AS n_pairs
+    FROM pairs
+    GROUP BY sim_bucket
+    """,
+)
+def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = S.cosine("a.embedding", "b.embedding")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.floor(sim * 10).cast("int").alias("sim_bucket"))
+        .groupBy("sim_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
