@@ -1,0 +1,110 @@
+"""Structured Streaming path (SURVEY.md §2.9, §3.2).
+
+The reference's stream is: Kafka JSON → consumer micro-batches →
+``INSERT ... ON CONFLICT DO NOTHING`` into raw tables → 5-minute incremental
+dbt run (reference kafka_consumer.py:447-563, prefect.yaml:39-40). On Spark
+that collapses to one engine:
+
+    readStream (kafka | files) → from_json(explicit schema)
+        → foreachBatch(incremental vault append)     # exactly-once + dedup
+        → downstream marts recompute or stream aggs with watermarks
+
+Kafka needs the spark-sql-kafka package on the classpath (not in this
+container) — :func:`kafka_stream` builds the reader and raises a clear error
+if the package is missing. File streams exercise the identical pipeline in
+tests (same DataFrame ops; only the source format differs).
+
+Delivery semantics: the reference is at-least-once with ON CONFLICT dedup
+(consumer auto-commit, reference kafka_consumer.py:466-494); here
+checkpointing gives exactly-once into files, and the per-batch key dedup is
+kept anyway so replays stay idempotent (same belt-and-suspenders as M2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..operators.incremental import idempotent_append
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topics: Sequence[str],
+    schema: StructType,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka JSON topic(s) → typed columns (S8/S9 shape: flat JSON payloads,
+    reference kafka_producer.py:287-301)."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", ",".join(topics))
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "kafka source unavailable: add org.apache.spark:spark-sql-kafka-0-10 "
+            "to spark.jars.packages"
+        ) from e
+    return raw.select(
+        F.col("topic"),
+        F.from_json(F.col("value").cast("string"), schema).alias("payload"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("topic", "payload.*", "kafka_ts")
+
+
+def file_stream(spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet") -> DataFrame:
+    """File-based stream with explicit schema — the test/local stand-in for
+    the Kafka source; identical downstream pipeline."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def run_incremental_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    partition_by: Sequence[str] = (),
+):
+    """writeStream → foreachBatch(idempotent vault append).
+
+    Mirrors the reference's consumer flush loop (≥100 records or 30 s,
+    reference kafka_consumer.py:51-52) — in production use
+    ``trigger(processingTime='30 seconds')``; tests use availableNow to
+    drain synchronously.
+    """
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        df = transform(batch) if transform else batch
+        idempotent_append(batch.sparkSession, df, target_path, keys, partition_by)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(stream: DataFrame, ts_col: str, window: str, watermark: str) -> DataFrame:
+    """Event-time tumbling aggregation with late-data watermark — the
+    streaming twin of plans/eventops.e02 (same expression shape)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
