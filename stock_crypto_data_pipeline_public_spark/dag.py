@@ -1,0 +1,111 @@
+"""Model DAG registry: tag-selected, dependency-ordered materialization.
+
+The engine-level replacement for dbt's ref() graph + selectors (SURVEY.md §4
+"Selective DAG execution by tag/selector"; reference selectors.yml:1-28,
+b1_1_trino_incremental_dbt.py:87-113). Models are plain functions from a
+context of already-built DataFrames to a new DataFrame; execution is
+topological; `select` takes model names (with `+` suffix for descendants,
+dbt-style) and/or tags.
+
+Spark runs each materialization lazily — "materialize" here just registers
+the DataFrame in the context (ephemeral/view semantics, the default for
+marts in the reference dbt_project.yml:30-42); callers persist what they
+want (write.parquet / cache) at the edges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+class ModelRegistry:
+    def __init__(self) -> None:
+        self._fns: dict[str, Callable[[dict[str, DataFrame]], DataFrame]] = {}
+        self._deps: dict[str, tuple[str, ...]] = {}
+        self._tags: dict[str, frozenset[str]] = {}
+
+    def model(self, name: str, deps: Sequence[str] = (), tags: Sequence[str] = ()):
+        def deco(fn):
+            if name in self._fns:
+                raise ValueError(f"duplicate model {name!r}")
+            self._fns[name] = fn
+            self._deps[name] = tuple(deps)
+            self._tags[name] = frozenset(tags)
+            return fn
+
+        return deco
+
+    def models(self) -> list[str]:
+        return list(self._fns)
+
+    def _descendants(self, roots: set[str]) -> set[str]:
+        out = set(roots)
+        changed = True
+        while changed:
+            changed = False
+            for m, deps in self._deps.items():
+                if m not in out and any(d in out for d in deps):
+                    out.add(m)
+                    changed = True
+        return out
+
+    def _closure(self, wanted: set[str]) -> set[str]:
+        """wanted + all upstream deps (sources excluded — they come from ctx)."""
+        out: set[str] = set()
+        stack = list(wanted)
+        while stack:
+            m = stack.pop()
+            if m in out or m not in self._fns:
+                continue
+            out.add(m)
+            stack.extend(self._deps[m])
+        return out
+
+    def resolve(self, select: Iterable[str] | None = None, tags: Iterable[str] | None = None) -> list[str]:
+        """Topologically ordered model list for a dbt-style selection."""
+        if select is None and tags is None:
+            wanted = set(self._fns)
+        else:
+            wanted = set()
+            for s in select or ():
+                if s.endswith("+"):
+                    wanted |= self._descendants({s[:-1]})
+                else:
+                    wanted.add(s)
+            for t in tags or ():
+                wanted |= {m for m, mt in self._tags.items() if t in mt}
+        wanted = self._closure(wanted)
+        ordered: list[str] = []
+        seen: set[str] = set()
+
+        def visit(m: str, path: tuple[str, ...]) -> None:
+            if m in seen or m not in wanted:
+                return
+            if m in path:
+                raise ValueError(f"cycle: {' -> '.join(path + (m,))}")
+            for d in self._deps[m]:
+                if d in self._fns:
+                    visit(d, path + (m,))
+            seen.add(m)
+            ordered.append(m)
+
+        for m in sorted(wanted):
+            visit(m, ())
+        return ordered
+
+    def run(
+        self,
+        ctx: dict[str, DataFrame],
+        select: Iterable[str] | None = None,
+        tags: Iterable[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build the selected models into (a copy of) the context."""
+        ctx = dict(ctx)
+        for name in self.resolve(select, tags):
+            missing = [d for d in self._deps[name] if d not in ctx]
+            if missing:
+                raise KeyError(f"model {name!r} missing inputs {missing}")
+            ctx[name] = self._fns[name](ctx)
+        return ctx

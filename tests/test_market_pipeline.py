@@ -1,0 +1,152 @@
+"""End-to-end test of the market-data DAG: Raw → Vault → Marts → Semantic.
+
+Builds the nine raw tables with the deterministic faker (sources/faker.py),
+runs the full model DAG (plans/market.py), and applies the ported
+data-quality suite (quality.py) — the Spark equivalent of the reference's
+`dbt build` over its 21 singular tests + schema tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.plans.market import registry
+from stock_crypto_data_pipeline_public_spark.quality import run_market_quality_suite
+from stock_crypto_data_pipeline_public_spark.sources.faker import MarketDataFaker
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    raw = MarketDataFaker(seed=42).generate(spark)
+    built = registry.run(raw)
+    # cache the hot mid-DAG tables once: every mart/semantic/quality check
+    # re-reads them, and without caching each count re-runs the whole vault
+    for name in ("fct_transactions", "fct_asset_prices", "dim_customer_history"):
+        built[name] = built[name].cache()
+    return built
+
+
+def test_dag_builds_all_models(ctx):
+    for name in registry.models():
+        assert name in ctx, name
+
+
+def test_hub_uniqueness_and_dedup(ctx):
+    # duplicate business keys across batches (faker idempotence hook) must
+    # collapse to one hub row per key
+    hub = ctx["hub_customer"]
+    assert hub.count() == hub.select("customer_bk").distinct().count()
+    total_raw = ctx["raw_customers"].select("customer_id").distinct().count()
+    assert hub.count() == total_raw
+
+    hub_t = ctx["hub_transaction"]
+    assert hub_t.count() == hub_t.select("transaction_bk").distinct().count()
+
+
+def test_hub_dedup_keeps_earliest_load(ctx):
+    earliest = (
+        ctx["raw_corporates"]
+        .groupBy("company_id")
+        .agg(F.min("load_timestamp").alias("load_timestamp"))
+    )
+    joined = ctx["hub_company"].join(
+        earliest.withColumnRenamed("company_id", "company_bk"),
+        ["company_bk", "load_timestamp"],
+    )
+    assert joined.count() == ctx["hub_company"].count()
+
+
+def test_cross_feed_duplicate_collapses(ctx):
+    # faker re-delivers one personal txn in the corporate feed; the sat and
+    # fact must still be unique per transaction
+    fct = ctx["fct_transactions"]
+    assert fct.count() == fct.select("hk_transaction").distinct().count()
+
+
+def test_satellite_changes_only(ctx):
+    # unchanged re-emits (hashdiff hook) are dropped: per customer, version
+    # count == distinct hashdiff count over time
+    sat = ctx["sat_customer_profile"]
+    per_key = sat.groupBy("hk_customer").agg(
+        F.count(F.lit(1)).alias("versions"),
+        F.countDistinct("hashdiff").alias("distinct_diffs"),
+    )
+    assert per_key.filter(F.col("versions") != F.col("distinct_diffs")).count() == 0
+
+
+def test_scd2_history_shape(ctx):
+    hist = ctx["dim_customer_history"]
+    # every customer has exactly one open (is_current) version
+    bad = (
+        hist.groupBy("hk_customer")
+        .agg(F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n"))
+        .filter(F.col("n") != 1)
+    )
+    assert bad.count() == 0
+    # SCD2 hook produced at least one multi-version customer
+    multi = hist.groupBy("hk_customer").count().filter(F.col("count") > 1)
+    assert multi.count() > 0
+
+
+def test_fact_referential_integrity(ctx):
+    fct = ctx["fct_transactions"]
+    orphans = fct.join(ctx["hub_customer"], "hk_customer", "left_anti")
+    assert orphans.count() == 0
+    orphans = fct.join(ctx["hub_asset"], "hk_asset", "left_anti")
+    assert orphans.count() == 0
+
+
+def test_price_comparison_has_all_sources(ctx):
+    cmp_df = ctx["fct_asset_price_comparison"]
+    crypto_rows = cmp_df.filter(
+        F.col("binance_price").isNotNull()
+        & F.col("coingecko_price").isNotNull()
+        & F.col("yfinance_price").isNotNull()
+    )
+    # every crypto (asset, day) has all 3 sources in the fixtures
+    assert crypto_rows.count() > 0
+    # stock rows only ever have yfinance
+    stock = cmp_df.filter(F.col("binance_price").isNull() & F.col("yfinance_price").isNotNull())
+    assert stock.count() > 0
+
+
+def test_news_impact_returns(ctx):
+    impact = ctx["fct_asset_news_impact"]
+    some = impact.filter(F.col("return_1d").isNotNull())
+    assert some.count() > 0
+    # return_1d recomputes exactly (same expression both ways)
+    p0 = F.col("price_t0").cast("double")
+    bad = some.filter(
+        F.abs(F.col("return_1d") - (F.col("price_t1").cast("double") - p0) / F.nullif(p0, F.lit(0.0)))
+        > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_semantic_customer_overview(ctx):
+    sem = ctx["semantic_customer_overview"]
+    assert sem.count() == ctx["dim_customer"].count()
+    # KPI cross-check against a direct aggregate
+    direct = ctx["fct_transactions"].groupBy("hk_customer").agg(
+        F.count(F.lit(1)).alias("expect_n")
+    )
+    joined = sem.join(direct, "hk_customer")
+    assert joined.filter(F.col("n_transactions") != F.col("expect_n")).count() == 0
+
+
+def test_dag_tag_selection():
+    hubs = registry.resolve(tags=["hub"])
+    assert "hub_customer" in hubs and "fct_transactions" not in hubs
+    # descendant selection: everything downstream of raw_customers' consumers
+    down = registry.resolve(select=["hub_customer+"])
+    assert "dim_customer" in down and "semantic_customer_overview" in down
+    # closure pulls upstream deps in topological order
+    order = registry.resolve(select=["fct_transactions"])
+    assert order.index("hub_transaction") < order.index("fct_transactions")
+
+
+def test_quality_suite_green(ctx):
+    results = run_market_quality_suite(ctx, as_of="2024-03-01")
+    failures = {k: v for k, v in results.items() if v != 0}
+    assert failures == {}, failures
