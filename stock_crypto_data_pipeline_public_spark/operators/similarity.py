@@ -18,8 +18,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: str, b: str) -> Column:
-    """Sequential-fold dot product of two array<float> columns, in double."""
+def dot(a: str, b: str, dim: int | None = None) -> Column:
+    """Sequential-fold dot product of two array<float> columns, in double.
+
+    With ``dim`` given (fixed-width embeddings), emits a flat 64-term sum
+    chain — plain codegen arithmetic, no lambda interpretation and no
+    intermediate array allocation — in the SAME left-to-right IEEE order as
+    the fold, so results are bit-identical to the HOF path and the oracle.
+    """
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.col(a).getItem(i).cast("double") * F.col(b).getItem(i).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -27,7 +38,13 @@ def dot(a: str, b: str) -> Column:
     )
 
 
-def norm(a: str) -> Column:
+def norm(a: str, dim: int | None = None) -> Column:
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            x = F.col(a).getItem(i).cast("double")
+            acc = acc + x * x
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(
             F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
@@ -37,8 +54,8 @@ def norm(a: str) -> Column:
     )
 
 
-def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+def cosine(a: str, b: str, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / F.nullif(norm(a, dim) * norm(b, dim), F.lit(0.0))
 
 
 def oracle_dot(a: str, b: str) -> str:
