@@ -66,7 +66,9 @@ def read_landing_csv(
     if on_error not in ("continue", "abort"):
         raise ValueError("on_error must be 'continue' or 'abort'")
     if on_error == "abort":
-        return spark.read.csv(path, header=True, schema=schema, mode="FAILFAST")
+        return spark.read.csv(
+            path, header=True, schema=schema, mode="FAILFAST", recursiveFileLookup=True
+        )
     with_corrupt = T.StructType(
         schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
     )
@@ -76,6 +78,7 @@ def read_landing_csv(
         schema=with_corrupt,
         mode="PERMISSIVE",
         columnNameOfCorruptRecord="_corrupt_record",
+        recursiveFileLookup=True,
     )
 
 
