@@ -33,6 +33,7 @@ from .plans.market import registry as market_registry
 from .quality import run_market_quality_suite
 from .schemas import SCHEMAS
 from .sources import ingest
+from .streaming.pipeline import file_stream, run_incremental_sink
 
 #: business key(s) used for idempotent raw-table appends, per table
 #: (reference merge/conflict keys, a1_4_batch_s3_to_snowflake.py:138-144 +
@@ -69,6 +70,41 @@ def _cast_map(schema: T.StructType, exclude: tuple[str, ...]) -> dict[str, str]:
 #: stripped from landing CSVs and re-derived at load time; ``source`` stays a
 #: data column (for prices it names the feed, for batches the delivery kind)
 LINEAGE = ("load_timestamp",)
+
+#: mid-DAG models every mart/semantic/quality consumer re-reads; caching
+#: them turns N downstream actions into one vault build (the Spark analogue
+#: of dbt's table-materialized warehouse layer)
+HOT_MODELS = ("fct_transactions", "fct_asset_prices", "dim_customer",
+              "dim_customer_history", "sat_asset_price_stock")
+
+
+def load_raw_tables(spark: SparkSession, warehouse_dir: str) -> dict[str, DataFrame]:
+    """Read whichever raw tables exist in the warehouse directory."""
+    out: dict[str, DataFrame] = {}
+    for name in SCHEMAS:
+        path = os.path.join(warehouse_dir, name)
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def transform_warehouse(
+    spark: SparkSession, warehouse_dir: str, select=None, tags=None, persist: bool = False
+) -> dict[str, DataFrame]:
+    """dbt-build equivalent: run the vault/mart DAG over the raw tables
+    (reference a1_6:50-90; tag selection ≡ selectors.yml). ``persist``
+    caches the hot mid-DAG models — use when many downstream consumers
+    (the quality suite, the analyst API) will act on the same context.
+
+    Shared by the batch and streaming flows — the raw Parquet tables are the
+    meeting point, so ONE transform code path serves both (the reference
+    needs two dbt targets + Trino federation for this, b1_1:87-113)."""
+    ctx = market_registry.run(load_raw_tables(spark, warehouse_dir), select=select, tags=tags)
+    if persist:
+        for name in HOT_MODELS:
+            if name in ctx:
+                ctx[name] = ctx[name].cache()
+    return ctx
 
 
 @dataclass
@@ -128,30 +164,10 @@ class BatchFlow:
         return appended
 
     def raw_tables(self, spark: SparkSession) -> dict[str, DataFrame]:
-        out: dict[str, DataFrame] = {}
-        for name in SCHEMAS:
-            path = os.path.join(self.warehouse_dir, name)
-            if os.path.exists(path):
-                out[name] = spark.read.parquet(path)
-        return out
-
-    #: mid-DAG models every mart/semantic/quality consumer re-reads; caching
-    #: them turns N downstream actions into one vault build (the Spark
-    #: analogue of dbt's table-materialized warehouse layer)
-    HOT_MODELS = ("fct_transactions", "fct_asset_prices", "dim_customer",
-                  "dim_customer_history", "sat_asset_price_stock")
+        return load_raw_tables(spark, self.warehouse_dir)
 
     def transform(self, spark: SparkSession, select=None, tags=None, persist: bool = False) -> dict[str, DataFrame]:
-        """dbt-build equivalent: run the vault/mart DAG over the raw tables
-        (reference a1_6:50-90; tag selection ≡ selectors.yml). ``persist``
-        caches the hot mid-DAG models — use when many downstream consumers
-        (the quality suite, the analyst API) will act on the same context."""
-        ctx = market_registry.run(self.raw_tables(spark), select=select, tags=tags)
-        if persist:
-            for name in self.HOT_MODELS:
-                if name in ctx:
-                    ctx[name] = ctx[name].cache()
-        return ctx
+        return transform_warehouse(spark, self.warehouse_dir, select=select, tags=tags, persist=persist)
 
     def test(self, ctx: dict[str, DataFrame], as_of=None) -> dict[str, int]:
         """dbt-test equivalent: the ported quality suite."""
@@ -162,3 +178,36 @@ class BatchFlow:
         self.land(raw, run_ts)
         self.ingest_raw(spark)
         return self.transform(spark)
+
+
+@dataclass
+class StreamingFlow:
+    """Kafka/file topics → idempotent raw-table sinks → the SAME transform
+    (SURVEY.md §3.2). The reference routes this through a Kafka consumer,
+    Postgres, Trino federation and a second dbt target; here the streaming
+    sink appends into the very tables the batch flow owns, and
+    :func:`transform_warehouse` is the one transform path for both.
+    """
+
+    warehouse_dir: str
+    checkpoint_dir: str
+
+    def consume(self, spark: SparkSession, topic_path: str, table: str, fmt: str = "parquet"):
+        """One topic → one raw table. File-based stream locally (the Kafka
+        reader in streaming/pipeline.py is a drop-in at deploy time); the
+        sink is the keyed anti-join append — at-least-once replays land
+        zero duplicate rows (M2 parity). Returns the StreamingQuery."""
+        if table not in SCHEMAS:
+            raise KeyError(f"unknown raw table {table!r}")
+        stream = file_stream(spark, topic_path, SCHEMAS[table], fmt)
+        return run_incremental_sink(
+            stream,
+            os.path.join(self.warehouse_dir, table),
+            keys=RAW_KEYS[table],
+            checkpoint=os.path.join(self.checkpoint_dir, table),
+        )
+
+    def transform(self, spark: SparkSession, select=None, tags=None, persist: bool = False) -> dict[str, DataFrame]:
+        """The 5-minute incremental transform (reference prefect.yaml:39-40)
+        — identical code path to the batch flow's."""
+        return transform_warehouse(spark, self.warehouse_dir, select=select, tags=tags, persist=persist)
