@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Plan-health audit: `.explain("formatted")` every registered query and
+check the physical plan for the properties the engine promises at scale.
+
+Checks per query:
+- scan health: parquet scans carry PushedFilters / a pruned ReadSchema
+- join strategy: counts broadcast / sort-merge / nested-loop joins;
+  nested-loop joins are only expected for the deliberate pair-generation
+  queries (brute-force similarity baselines)
+- codegen: whole-stage codegen spans exist; NO row-at-a-time Python UDF
+  (BatchEvalPython) anywhere — Arrow-batched (ArrowEvalPython / MapInPandas)
+  is the only sanctioned Python boundary
+- no accidental CartesianProduct
+
+Exit 1 if a hard rule is violated (row-at-a-time UDF, cartesian product,
+or an unexpected nested-loop join).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from stock_crypto_data_pipeline_public_spark.plans import registry
+from stock_crypto_data_pipeline_public_spark.session import get_spark
+
+#: queries whose plans legitimately contain a broadcast nested-loop join
+EXPECTED_NESTED_LOOP = {
+    # brute-force pair baselines: non-equi (id < id) pair generation with a
+    # broadcast corpus — the deliberate exactness/distribution baselines the
+    # LSH-bucketed variants (x02/t07) approximate
+    "x01_knn_cosine",
+    "x04_cosine_pair_histogram",
+    "t08_simhash_hamming",
+    # scalar-subquery high-water mark: the "join" side is a broadcast 1-row
+    # aggregate (max(ts)), i.e. a map-only pass — the canonical incremental
+    # filter shape at any scale
+    "q17_incremental_hwm",
+}
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def codegen_subtrees(df) -> int:
+    """AQE hides codegen ids in the formatted pre-execution plan; the
+    codegen explain mode reports 'Found N WholeStageCodegen subtrees'."""
+    import re
+
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan_text(df, "codegen"))
+    return int(m.group(1)) if m else 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    registry.load_all()
+    # AQE off for the audit: it wraps plans in AdaptiveSparkPlan, hiding
+    # codegen subtrees and join strategies until execution. The static plan
+    # is what we audit; AQE only improves on it at runtime.
+    spark = get_spark(
+        "scdp-explain", cpus=8, shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+
+    hard_fails: list[str] = []
+    print(f"{'query':38s} {'scans':>5s} {'pushed':>6s} {'bhj':>4s} {'smj':>4s} {'bnlj':>4s} {'wsc':>4s} notes")
+    for name in sorted(registry.QUERIES):
+        df = registry.QUERIES[name](spark, sf_dir)
+        text = plan_text(df)
+        scans = text.count("Scan parquet")
+        pushed = text.count("PushedFilters: [") - text.count("PushedFilters: []")
+        bhj = text.count("BroadcastHashJoin")
+        smj = text.count("SortMergeJoin")
+        bnlj = text.count("BroadcastNestedLoopJoin")
+        wsc = codegen_subtrees(df)
+        notes = []
+        if "CartesianProduct" in text:
+            notes.append("CARTESIAN")
+            hard_fails.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in text:
+            notes.append("PY-UDF")
+            hard_fails.append(f"{name}: row-at-a-time Python UDF")
+        if bnlj and name not in EXPECTED_NESTED_LOOP:
+            notes.append("UNEXPECTED-BNLJ")
+            hard_fails.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if "ArrowEvalPython" in text or "MapInPandas" in text:
+            notes.append("arrow-udf")
+        print(f"{name:38s} {scans:5d} {pushed:6d} {bhj:4d} {smj:4d} {bnlj:4d} {wsc:4d} {','.join(notes)}")
+
+    if hard_fails:
+        print("\nHARD FAILS:")
+        for f in hard_fails:
+            print(" -", f)
+        return 1
+    print("\nall plans healthy")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
