@@ -232,3 +232,41 @@ def e05_d7_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.count("b.user_id") * 1.0 / F.count(F.lit(1)), 4).alias("d7_retention"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e06 — timezone conversion to exchange wall clock (P16). The reference pins
+# Asia/Bangkok (UTC+7) wall time in every layer (reference
+# kafka_producer.py:21-22, kafka_consumer.py:210-245, a3_0:273-274); the
+# engine stores UTC and converts at the edge. Thailand has no DST, so the
+# oracle's +7h interval is exactly from_utc_timestamp's result for all dates.
+# --------------------------------------------------------------------------
+@query(
+    "e06_bangkok_wall_clock",
+    oracle="""
+    WITH local_ts AS (
+        SELECT ts + INTERVAL 7 HOUR AS local_time, value FROM events
+    )
+    SELECT CAST(date_trunc('day', local_time) AS DATE)  AS local_date,
+           CAST(hour(local_time) AS INT)                AS local_hour,
+           count(*)                                     AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100.0      AS total_value
+    FROM local_ts
+    GROUP BY 1, 2
+    """,
+)
+def e06_bangkok_wall_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    local = ev.select(
+        F.from_utc_timestamp("ts", "Asia/Bangkok").alias("local_time"), "value"
+    )
+    return (
+        local.groupBy(
+            F.date_trunc("day", "local_time").cast("date").alias("local_date"),
+            F.hour("local_time").cast("int").alias("local_hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -135,6 +135,122 @@ def x03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x05 — IVF coarse quantization: K seed centroids (the first K vectors),
+# every vector assigned to its max-cosine centroid. At write time this
+# assignment is the partition key — ANN probes only the query's nearest
+# cluster(s) instead of the corpus (the IVF counterpart to x02's LSH).
+# --------------------------------------------------------------------------
+IVF_K = 8
+
+
+@query(
+    "x05_ivf_assign",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, s.centroid_id,
+               {S.oracle_cosine('e.embedding', 's.ce')} AS sim
+        FROM embeddings e JOIN seeds s ON true
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id, sim FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC
+        ) = 1
+    )
+    SELECT centroid_id,
+           count(*)                         AS n_vecs,
+           {oracle_rnd('avg(sim)', 4)}      AS avg_sim
+    FROM assigned
+    GROUP BY centroid_id
+    """,
+)
+def x05_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    seeds = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    sim = S.dot("embedding", "ce", EMB_DIM) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "centroid_id", sim.alias("sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.avg("sim"), 4).alias("avg_sim"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x06 — embedding-cosine near-dup via LSH candidate buckets: pairs share a
+# sign bucket (equi-join, work ∝ bucket sizes, never n²), exact cosine on
+# candidates, keep pairs above threshold. The scale-path dedup join — x04 is
+# its exactness baseline (LSH trades recall for the equi-join).
+# --------------------------------------------------------------------------
+NEARDUP_THRESHOLD = 0.35
+
+
+@query(
+    "x06_bucketed_cosine_neardup",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding,
+               {S.oracle_sign_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               (a.label = b2.label) AS same_label,
+               {oracle_rnd(S.oracle_cosine('a.embedding', 'b2.embedding'), 4)} AS cosine_sim
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_a, vec_b, same_label, cosine_sim
+    FROM pairs
+    WHERE cosine_sim >= {NEARDUP_THRESHOLD}
+    ORDER BY cosine_sim DESC, vec_a ASC, vec_b ASC
+    LIMIT 50
+    """,
+)
+def x06_bucketed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", "embedding",
+        S.sign_bucket("embedding").alias("bucket"),
+        S.norm("embedding", EMB_DIM).alias("nrm"),
+    )
+    a = emb.repartition(spark.sparkContext.defaultParallelism, "bucket").alias("a")
+    b = emb.alias("b")
+    sim = S.dot("a.embedding", "b.embedding", EMB_DIM) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+            rnd(sim, 4).alias("cosine_sim"),
+        )
+    )
+    return (
+        pairs.filter(F.col("cosine_sim") >= NEARDUP_THRESHOLD)
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
 # x04 — pairwise cosine histogram (0.1-wide buckets over all pairs).
 # O(n²) — the exactness/distribution baseline that LSH (x02) approximates;
 # at corpus scale this runs per-bucket, never globally (docstring contract).
