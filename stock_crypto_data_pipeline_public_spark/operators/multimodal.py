@@ -86,3 +86,78 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+#: resize output: payload replaced by the resized rendition + new dims
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, media binary, width int, height int"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Arrow-batched image resize: binary in → binary out, metadata updated.
+
+    Map-only (no shuffle); output rows are smaller than input, so at scale
+    this stage also repacks storage (write the rendition table partitioned
+    like the source). ``fake=True`` emits a deterministic pseudo-rendition
+    (digest-seeded bytes of size width*height//64) in place of a PIL resize.
+    """
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(1, width * height // 64)
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL (not in container); "
+                    "run with fake=True for deterministic pseudo-renditions"
+                )
+            def render(b: bytes) -> bytes:
+                seed = hashlib.md5(b).digest()
+                reps = target // len(seed) + 1
+                return (seed * reps)[:target]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "media": pdf["media"].map(render),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(shrink, schema=RESIZE_SCHEMA)
+
+
+#: frame sampling: ONE video row explodes into MANY frame rows
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame binary"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, fps: int = 30, fake: bool = False) -> DataFrame:
+    """Video → evenly-spaced frame rows (the row-expanding multimodal shape).
+
+    The output multiplies row count by ``n_frames`` — at scale, size input
+    partitions so the *output* fits executor memory (maxPartitionBytes ÷
+    n_frames), and write frames partitioned by (doc date, frame bucket).
+    ``fake=True`` slices the payload into n_frames deterministic chunks in
+    place of a libav keyframe decode.
+    """
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires libav/ffmpeg (not in "
+                    "container); run with fake=True for deterministic chunks"
+                )
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                step = max(1, len(media) // n_frames)
+                for i in range(n_frames):
+                    chunk = media[i * step : (i + 1) * step] or media[-step:]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(int(i * (1000 / fps) * (len(media) // step or 1)))
+                    out["frame"].append(chunk)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(split, schema=FRAME_SCHEMA)

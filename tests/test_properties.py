@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) for the engine's core operators — the
+testing mode SURVEY.md §5 notes the reference lacks entirely.
+
+Each property drives randomized inputs through the REAL Spark operators and
+asserts the algebraic invariant the pipeline depends on. Example counts are
+small (Spark round-trip per example) but shrinkable.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.functions.keys import surrogate_key
+from stock_crypto_data_pipeline_public_spark.operators.incremental import (
+    idempotent_append,
+    merge_upsert,
+)
+from stock_crypto_data_pipeline_public_spark.operators.scd import (
+    dedup_keep_first,
+    latest_wins,
+    scd2,
+)
+
+BASE = datetime(2024, 1, 1)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+#: (key, ts_offset_minutes, payload) — ts offsets unique per draw so version
+#: order is total (the engine demands an explicit tiebreaker otherwise)
+versions = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+def _df(spark, rows):
+    data = [(k, BASE + timedelta(minutes=m), str(p)) for k, m, p in rows]
+    return spark.createDataFrame(data, "key int, ts timestamp, payload string")
+
+
+@SETTINGS
+@given(rows=versions)
+def test_scd2_ranges_tile_and_one_current(spark, rows):
+    hist = scd2(_df(spark, rows), ["key"], "ts", "payload").collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.key, []).append(r)
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r.effective_from)
+        # exactly one open version, and it is the last
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current
+        # ranges tile: each version ends where the next starts; all closed
+        # ranges are non-empty
+        for a, b in zip(rs, rs[1:]):
+            assert a.effective_to == b.effective_from
+            assert a.effective_from < a.effective_to
+        assert rs[-1].effective_to == datetime(9999, 12, 31)
+
+
+@SETTINGS
+@given(rows=versions)
+def test_dedup_keep_first_picks_global_min(spark, rows):
+    out = dedup_keep_first(_df(spark, rows), ["key"], [F.asc("ts"), F.asc("payload")]).collect()
+    expect = {}
+    for k, m, p in rows:
+        cur = expect.get(k)
+        if cur is None or (m, str(p)) < cur:
+            expect[k] = (m, str(p))
+    assert {r.key: (int((r.ts - BASE).total_seconds() // 60), r.payload) for r in out} == expect
+
+
+@SETTINGS
+@given(rows=versions)
+def test_latest_wins_is_dedup_dual(spark, rows):
+    df = _df(spark, rows)
+    latest = {r.key: r.ts for r in latest_wins(df, ["key"], "ts", "payload").collect()}
+    expect = {}
+    for k, m, p in rows:
+        expect[k] = max(expect.get(k, BASE - timedelta(1)), BASE + timedelta(minutes=m))
+    assert latest == expect
+
+
+@SETTINGS
+@given(
+    batch1=versions,
+    batch2=versions,
+)
+def test_idempotent_append_never_duplicates_keys(spark, tmp_path_factory, batch1, batch2):
+    target = str(tmp_path_factory.mktemp("prop") / "t")
+    df1, df2 = _df(spark, batch1), _df(spark, batch2)
+    idempotent_append(spark, df1, target, ["key", "ts"])
+    idempotent_append(spark, df2, target, ["key", "ts"])
+    # replay both in reverse order: nothing new
+    n3 = idempotent_append(spark, df2, target, ["key", "ts"])
+    n4 = idempotent_append(spark, df1, target, ["key", "ts"])
+    assert n3 == 0 and n4 == 0
+    final = spark.read.parquet(target)
+    keys = {(k, m) for k, m, _ in batch1} | {(k, m) for k, m, _ in batch2}
+    assert final.count() == len(keys)
+    assert final.select("key", "ts").distinct().count() == len(keys)
+
+
+@SETTINGS
+@given(target_rows=versions, source_rows=versions)
+def test_merge_upsert_last_wins(spark, tmp_path_factory, target_rows, source_rows):
+    path = str(tmp_path_factory.mktemp("prop") / "m")
+    _df(spark, target_rows).write.parquet(path)
+    merge_upsert(spark, _df(spark, source_rows), path, ["key"], "ts")
+    out = {r.key: r for r in spark.read.parquet(path).collect()}
+    # one row per key; the winner has the max ts across both sides, with the
+    # source preferred on exact ties
+    all_rows: dict[int, tuple] = {}
+    for prio, rows in ((0, target_rows), (1, source_rows)):
+        for k, m, p in rows:
+            cur = all_rows.get(k)
+            if cur is None or (m, prio) > cur[:2]:
+                all_rows[k] = (m, prio, str(p))
+    assert set(out) == set(all_rows)
+    for k, (m, _prio, p) in all_rows.items():
+        assert out[k].ts == BASE + timedelta(minutes=m)
+        assert out[k].payload == p
+
+
+@SETTINGS
+@given(
+    a=st.one_of(st.none(), st.text(max_size=8)),
+    b=st.one_of(st.none(), st.text(max_size=8)),
+)
+def test_surrogate_key_null_coalesces_to_empty(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    got = df.select(surrogate_key("a", "b").alias("k")).first().k
+    want = df.selectExpr(
+        "md5(concat_ws('-', coalesce(a, ''), coalesce(b, ''))) AS k"
+    ).first().k
+    assert got == want
