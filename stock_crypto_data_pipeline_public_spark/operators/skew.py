@@ -1,0 +1,86 @@
+"""Skew-mitigation operators: salted aggregation and salted joins.
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime skew;
+these explicit operators cover the two cases AQE cannot: (a) a skewed
+``groupBy`` whose single hot key funnels into one reducer, and (b) a
+broadcast-averse skewed join where the build side is too big to broadcast
+but a few stream keys dominate.
+
+The patterns are standard Spark practice (two-phase aggregation, key
+replication) expressed as reusable builders. The reference never needed
+them — its hot keys live inside Snowflake — but a Data Vault at 100 TB does:
+e.g. a celebrity asset in ``fct_transactions`` or an empty-string business
+key that slipped through cleaning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: pre-aggregate on (keys, salt), then merge.
+
+    ``aggs`` maps output column → (input column, fn) with fn ∈
+    {sum, count, min, max}: the decomposable aggregates (avg = sum/count at
+    the call site). The first shuffle spreads a hot key over
+    ``salt_buckets`` reducers; the second shuffles only ``buckets`` rows per
+    key. For uniform keys this adds one cheap extra shuffle — use it when a
+    key histogram says so, not by default.
+    """
+    supported = {"sum", "count", "min", "max"}
+    for out, (_, fn) in aggs.items():
+        if fn not in supported:
+            raise ValueError(f"{out}: {fn!r} not decomposable (use {supported})")
+
+    salted = df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+
+    def phase1(out: str, col: str, fn: str) -> Column:
+        if fn == "count":
+            return F.count(F.lit(1) if col == "*" else F.col(col)).alias(out)
+        return getattr(F, fn)(col).alias(out)
+
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[phase1(out, col, fn) for out, (col, fn) in aggs.items()]
+    )
+
+    def phase2(out: str, fn: str) -> Column:
+        # counts merge by SUM of partial counts; min/max/sum merge by themselves
+        merge = "sum" if fn == "count" else fn
+        return getattr(F, merge)(out).alias(out)
+
+    return partial.groupBy(*keys).agg(
+        *[phase2(out, fn) for out, (_, fn) in aggs.items()]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join by key replication: the (large, skewed) ``left``
+    gets a random salt in [0, buckets); the (smaller, but not
+    broadcastable) ``right`` is replicated once per salt value. Each hot
+    left key now spreads across ``buckets`` reducers.
+
+    Cost: right side is materialized ``salt_buckets`` times — size the
+    bucket count from the skew ratio, and prefer plain broadcast when the
+    right side fits in memory.
+    """
+    on = list(on)
+    lsalt = left.withColumn("__salt", (F.rand(seed=11) * salt_buckets).cast("int"))
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return lsalt.join(rsalt, on + ["__salt"], how).drop("__salt")
