@@ -270,3 +270,51 @@ def e06_bangkok_wall_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e07 — as-of join: each order matched to the customer's LATEST event
+# at-or-before the order date ("the prevailing state at trade time").
+# Spark composition (operators/asof.py union+window) vs DuckDB's native
+# ASOF JOIN — the right side is deduped to one row per (user, ts) first
+# (both engines), which is the operator's determinism contract.
+# --------------------------------------------------------------------------
+@query(
+    "e07_asof_prior_activity",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT o.o_orderstatus                            AS order_status,
+           count(*)                                   AS n_orders,
+           count(e.ts)                                AS n_matched,
+           floor((avg(e.value)) * 10000 + 0.5) / 10000.0 AS avg_prior_value,
+           floor((sum(e.value)) * 100 + 0.5) / 100.0     AS total_prior_value
+    FROM orders o
+    ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    GROUP BY 1
+    """,
+)
+def e07_asof_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+    from ..operators.scd import dedup_keep_first
+
+    ev = dedup_keep_first(
+        _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value"),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", "ts", "value")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderstatus", "o_orderdate"
+    )
+    joined = asof_join_backward(
+        orders, ev, on=["user_id"], left_ts="o_orderdate", right_ts="ts",
+        payload=["value", "ts"],
+    )
+    return joined.groupBy(F.col("o_orderstatus").alias("order_status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("ts").alias("n_matched"),
+        rnd(F.avg("value"), 4).alias("avg_prior_value"),
+        rnd(F.sum("value"), 2).alias("total_prior_value"),
+    )
