@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator: cross-batch sessionization via
+``applyInPandasWithState`` (SURVEY.md §2.9 extension; the batch twin is
+plans/eventops.e01).
+
+The reference has no stateful streaming (late data is absorbed by 5-minute
+incremental re-runs); a Spark-native engine should carry per-key state
+across micro-batches. This operator tracks one OPEN session per user in the
+state store — (start, last_ts, n_events, session_no) — and emits a row for
+every session CLOSED by a later event arriving beyond the inactivity gap.
+
+Scale notes: state is one tiny fixed-width row per active user, partitioned
+by the grouping key across executors (RocksDB-backed state store in
+production); each micro-batch touches only the users present in the batch.
+Timeout-based eviction (``GroupStateTimeout.ProcessingTimeTimeout``) is the
+production path for abandoning idle users; the default here is NoTimeout so
+tests drain deterministically — open sessions simply remain in state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: emitted: one row per CLOSED session
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_no", IntegerType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+#: state: the single open session per user
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_no", IntegerType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """events(user_id, ts, …) stream → closed-session rows.
+
+    Within a batch AND across batches: an event more than ``gap_minutes``
+    after the open session's last event closes it (emitting the closed row)
+    and starts the next. Event-time ordering within a batch is restored by
+    sorting the batch's rows — micro-batch boundaries carry no ordering
+    guarantee of their own.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def track(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n_events, session_no = state.get
+        else:
+            start_us, last_us, n_events, session_no = None, None, 0, 0
+
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            # pandas datetime64[ns] → int64 is NANOseconds; state keeps µs
+            ts_us = (pdf["ts"].astype("int64") // 1000).sort_values()
+            for t in ts_us:
+                t = int(t)
+                if start_us is None:
+                    session_no += 1
+                    start_us, last_us, n_events = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((user_id, session_no, start_us, last_us, n_events))
+                    session_no += 1
+                    start_us, last_us, n_events = t, t, 1
+                else:
+                    last_us = max(last_us, t)
+                    n_events += 1
+
+        state.update((start_us, last_us, n_events, session_no))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_no", "session_start_us", "session_end_us", "n_events"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
