@@ -1,0 +1,63 @@
+"""Bucketed range join: point-in-interval matching without a nested loop.
+
+Spark plans a raw ``l.ts BETWEEN r.start AND r.end`` join as a broadcast
+nested loop (every point × every interval). This operator makes it an
+EQUI-join: points get a time-bucket key, intervals explode into the buckets
+they cover, and the join runs on (keys…, bucket) with the exact BETWEEN as
+a post-filter. Work scales with points-per-bucket × intervals-per-bucket —
+at 100 TB, pick ``bucket`` ≈ the typical interval length so each interval
+explodes into ~2 buckets.
+
+The reference's closest shape is the news date-offset grid (J6,
+fct_asset_news_impact.sql:55-73) — fixed offsets, so it could stay an
+equi-join; true variable-length intervals need this bucketing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "1 week",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row (same ``on`` keys) whose
+    ``[start_ts, end_ts]`` contains ``point_ts`` (inclusive both ends).
+
+    ``bucket`` is any Spark window duration ('1 week', '1 day', '6 hours').
+    Output = all point columns + all interval columns (names must not
+    collide except the ``on`` keys).
+    """
+    on = list(on)
+    overlap = (set(points.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(f"column collision outside join keys: {sorted(overlap)}")
+
+    secs = F.unix_timestamp  # bucket arithmetic in epoch seconds
+    dur = F.expr(f"INTERVAL {bucket}")
+    bucket_len = F.lit(0) + F.unix_timestamp(F.lit("1970-01-01 00:00:00").cast("timestamp") + dur)
+
+    p = points.withColumn("__bucket", F.floor(secs(F.col(point_ts)) / bucket_len))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(secs(F.col(start_ts)) / bucket_len),
+                F.floor(secs(F.col(end_ts)) / bucket_len),
+            )
+        ),
+    )
+    joined = p.join(iv, on + ["__bucket"], how).filter(
+        F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
+    )
+    return joined.drop("__bucket")

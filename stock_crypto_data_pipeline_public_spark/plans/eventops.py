@@ -318,3 +318,51 @@ def e07_asof_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("value"), 4).alias("avg_prior_value"),
         rnd(F.sum("value"), 2).alias("total_prior_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# e08 — range join: every event landing inside a same-user PURCHASE
+# attribution window ([purchase_ts, purchase_ts + 2 hours]). Spark side runs
+# the bucketed range join (operators/rangejoin.py — equi-join on
+# (user, time-bucket) + exact BETWEEN filter, never a nested loop); the
+# oracle states the plain inequality join.
+# --------------------------------------------------------------------------
+@query(
+    "e08_purchase_attribution_window",
+    oracle="""
+    WITH win AS (
+        SELECT event_id AS purchase_id, user_id,
+               ts AS win_start, ts + INTERVAL 2 HOUR AS win_end
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_type,
+           count(*)                         AS n_pairs,
+           count(DISTINCT w.purchase_id)    AS n_windows_hit,
+           floor((avg(e.value)) * 10000 + 0.5) / 10000.0 AS avg_window_value
+    FROM events e
+    JOIN win w
+      ON e.user_id = w.user_id
+     AND e.ts BETWEEN w.win_start AND w.win_end
+    GROUP BY 1
+    """,
+)
+def e08_purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("user_id", "ts", "event_type", "value")
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("win_end"),
+    )
+    pairs = bucketed_range_join(
+        points, windows, on=["user_id"], point_ts="ts",
+        start_ts="win_start", end_ts="win_end", bucket="6 hours",
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_windows_hit"),
+        rnd(F.avg("value"), 4).alias("avg_window_value"),
+    )

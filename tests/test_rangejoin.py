@@ -1,0 +1,72 @@
+"""Bucketed range join operator (operators/rangejoin.py): equivalence with
+the naive inequality join, boundary inclusivity, and validation."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.operators.rangejoin import bucketed_range_join
+
+BASE = datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    rng = random.Random(5)
+    points = spark.createDataFrame(
+        [(i, rng.randrange(3), BASE + timedelta(minutes=rng.randrange(10_000))) for i in range(400)],
+        "point_id int, k int, ts timestamp",
+    )
+    intervals = []
+    for j in range(60):
+        start = BASE + timedelta(minutes=rng.randrange(9_000))
+        intervals.append((j, rng.randrange(3), start, start + timedelta(minutes=rng.randrange(1, 600))))
+    ivs = spark.createDataFrame(intervals, "iv_id int, k int, start timestamp, end timestamp")
+    return points.cache(), ivs.cache()
+
+
+def test_matches_naive_inequality_join(sides):
+    points, ivs = sides
+    naive = points.join(
+        ivs, (points.k == ivs.k) & points.ts.between(ivs.start, ivs.end)
+    ).select("point_id", "iv_id")
+    bucketed = bucketed_range_join(
+        points, ivs, on=["k"], point_ts="ts", start_ts="start", end_ts="end", bucket="6 hours"
+    ).select("point_id", "iv_id")
+    assert {tuple(r) for r in naive.collect()} == {tuple(r) for r in bucketed.collect()}
+    # also with a bucket smaller than typical interval length (more explode)
+    fine = bucketed_range_join(
+        points, ivs, on=["k"], point_ts="ts", start_ts="start", end_ts="end", bucket="1 hour"
+    ).select("point_id", "iv_id")
+    assert {tuple(r) for r in naive.collect()} == {tuple(r) for r in fine.collect()}
+
+
+def test_boundaries_inclusive(spark):
+    t0 = BASE
+    points = spark.createDataFrame(
+        [(1, 1, t0), (2, 1, t0 + timedelta(hours=2)), (3, 1, t0 + timedelta(hours=2, seconds=1))],
+        "point_id int, k int, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(10, 1, t0, t0 + timedelta(hours=2))], "iv_id int, k int, start timestamp, end timestamp"
+    )
+    got = {
+        r.point_id
+        for r in bucketed_range_join(
+            points, ivs, on=["k"], point_ts="ts", start_ts="start", end_ts="end", bucket="1 hour"
+        ).collect()
+    }
+    assert got == {1, 2}  # start and end inclusive, 1s past end excluded
+
+
+def test_column_collision_rejected(sides):
+    points, ivs = sides
+    with pytest.raises(ValueError, match="collision"):
+        bucketed_range_join(
+            points.withColumnRenamed("point_id", "iv_id"), ivs,
+            on=["k"], point_ts="ts", start_ts="start", end_ts="end",
+        )
