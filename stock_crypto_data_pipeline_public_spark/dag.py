@@ -51,19 +51,25 @@ class ModelRegistry:
                     changed = True
         return out
 
-    def _closure(self, wanted: set[str]) -> set[str]:
-        """wanted + all upstream deps (sources excluded — they come from ctx)."""
+    def _closure(self, wanted: set[str], prebuilt: frozenset[str] = frozenset()) -> set[str]:
+        """wanted + all upstream deps (sources excluded — they come from ctx).
+        ``prebuilt`` models act as sources: not rebuilt, deps not walked."""
         out: set[str] = set()
-        stack = list(wanted)
+        stack = [m for m in wanted if m not in prebuilt]
         while stack:
             m = stack.pop()
             if m in out or m not in self._fns:
                 continue
             out.add(m)
-            stack.extend(self._deps[m])
+            stack.extend(d for d in self._deps[m] if d not in prebuilt)
         return out
 
-    def resolve(self, select: Iterable[str] | None = None, tags: Iterable[str] | None = None) -> list[str]:
+    def resolve(
+        self,
+        select: Iterable[str] | None = None,
+        tags: Iterable[str] | None = None,
+        prebuilt: frozenset[str] = frozenset(),
+    ) -> list[str]:
         """Topologically ordered model list for a dbt-style selection."""
         if select is None and tags is None:
             wanted = set(self._fns)
@@ -76,7 +82,7 @@ class ModelRegistry:
                     wanted.add(s)
             for t in tags or ():
                 wanted |= {m for m, mt in self._tags.items() if t in mt}
-        wanted = self._closure(wanted)
+        wanted = self._closure(wanted, prebuilt)
         ordered: list[str] = []
         seen: set[str] = set()
 
@@ -100,10 +106,18 @@ class ModelRegistry:
         ctx: dict[str, DataFrame],
         select: Iterable[str] | None = None,
         tags: Iterable[str] | None = None,
+        skip_existing: bool = False,
     ) -> dict[str, DataFrame]:
-        """Build the selected models into (a copy of) the context."""
+        """Build the selected models into (a copy of) the context.
+
+        ``skip_existing=True`` treats models already present in ``ctx`` as
+        sources (e.g. a materialized vault layer read from parquet) instead
+        of recomputing them — dbt's "prebuilt upstream state" semantics."""
         ctx = dict(ctx)
-        for name in self.resolve(select, tags):
+        prebuilt = frozenset(ctx) if skip_existing else frozenset()
+        for name in self.resolve(select, tags, prebuilt):
+            if skip_existing and name in ctx:
+                continue
             missing = [d for d in self._deps[name] if d not in ctx]
             if missing:
                 raise KeyError(f"model {name!r} missing inputs {missing}")

@@ -64,7 +64,7 @@ def test_transform_and_quality(spark, first_run, flow):
     assert failures == {}, failures
 
 
-def test_second_batch_increments(spark, flow):
+def test_second_batch_increments(spark, flow, first_run):
     # a later generator run lands new files; only new business keys append
     raw2 = MarketDataFaker(seed=99, n_corporates=3, n_customers=10, n_transactions=40,
                            n_price_days=8, n_news=5).generate(spark)
