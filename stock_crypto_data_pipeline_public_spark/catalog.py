@@ -81,3 +81,43 @@ def refresh(spark: SparkSession, name: str, database: str = "market") -> None:
     """Invalidate cached file listings after an external append (the
     catalog caches parquet file indexes per table)."""
     spark.sql(f"REFRESH TABLE {_q(database)}.{_q(name)}")
+
+
+def materialize_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    database: str = "market",
+) -> str:
+    """Save a DataFrame as a BUCKETED managed table: co-locating two tables
+    on the same (columns, bucket count) makes their join shuffle-free — the
+    hash-key join pattern SURVEY.md §4 calls out ("optionally bucket by
+    *_hk to avoid shuffles in repeated joins").
+
+    At 100 TB this is how fact⋈fact vault joins avoid re-shuffling the big
+    side every query: the shuffle is paid ONCE at write. Sorting within
+    buckets additionally removes the join's sort step.
+    """
+    ensure_database(spark, database)
+    fq = f"{database}.{table}"
+    for c in bucket_cols + (sort_cols or []):
+        _q(c)  # identifier validation
+    # a fresh (in-memory) catalog can inherit a stale location from an
+    # earlier session — drop both the entry and any orphaned directory
+    spark.sql(f"DROP TABLE IF EXISTS {_q(database)}.{_q(table)}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    stale = os.path.join(warehouse, f"{database}.db", table)
+    if warehouse and os.path.exists(stale):
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(f"{_q(database)}.{_q(table)}")
+    return fq

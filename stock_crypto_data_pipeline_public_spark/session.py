@@ -53,6 +53,11 @@ def get_spark(
         # class cache evicts mid-run and recompile storms hit late queries
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # managed-table root (bucketed vault tables); keep out of the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"),
+        )
     )
     if "SPARK_MASTER" not in os.environ and not os.environ.get("MASTER"):
         builder = builder.master(f"local[{cpus}]")
