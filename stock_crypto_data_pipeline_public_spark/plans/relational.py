@@ -94,11 +94,22 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # aggregate-below-join: revenue is per-order and needs only lineitem, so
+    # reduce 4 lineitems/order to 1 row BEFORE joining (Catalyst doesn't push
+    # aggregates through joins); the oracle's post-join GROUP BY is identical
+    # because segment/date are functionally dependent on the order key
+    rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, "o_orderkey")
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("o_orderkey", "c_mktsegment", F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "revenue",
+        )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(20)
     )
