@@ -72,10 +72,13 @@ def e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
+    # session_id is a contiguous per-user running count, so n_sessions =
+    # max(id) — equivalent to the oracle's count(DISTINCT) without paying a
+    # distinct aggregation (the expensive path at scale)
     return sessions.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
-        rnd(F.count(F.lit(1)) * 1.0 / F.countDistinct("session_id"), 4).alias(
+        rnd(F.count(F.lit(1)) * 1.0 / F.max("session_id"), 4).alias(
             "events_per_session"
         ),
     )
