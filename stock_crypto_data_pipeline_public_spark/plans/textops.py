@@ -12,7 +12,7 @@ normalization step of t01.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.numeric import oracle_rnd, rnd
@@ -389,4 +389,78 @@ def t08_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# t09 — winnowing fingerprints (document fingerprinting via rolling k-gram
+# hashes + window minima, the MOSS scheme): hash every k-char gram, take the
+# min hash in each sliding window of w starts, dedupe. Robust to insertions
+# — two documents sharing any w+k-1 char run share a fingerprint. The
+# fingerprint set is the join key for plagiarism/near-dup detection at
+# scale (equi-join on fingerprint, like t05's shingle join).
+# Hash = md5 hex: identical bytes and lexicographic MIN in both engines.
+# --------------------------------------------------------------------------
+FP_K = 8    # k-gram length (chars)
+FP_W = 16   # winnowing window (gram starts)
+
+
+@query(
+    "t09_winnowing_fingerprints",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i + 1 AS pos, md5(substr(t, i + 1, {FP_K})) AS h
+        FROM norm, unnest(range(greatest(length(t) - {FP_K} + 1, 0))) AS u(i)
+    ),
+    winmin AS (
+        SELECT doc_id, pos,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {FP_W - 1} FOLLOWING
+               ) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM grams
+        QUALIFY pos <= n_grams - {FP_W} + 1
+    )
+    SELECT doc_id,
+           count(*)           AS n_windows,
+           count(DISTINCT fp) AS n_fingerprints,
+           min(fp)            AS min_fingerprint
+    FROM winmin
+    GROUP BY doc_id
+    """,
+)
+def t09_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # single-file input = one scan task; spread the docs BEFORE the md5-heavy
+    # gram generation so it runs cluster-wide (the shuffle moves only the
+    # short raw texts). Also pre-partitions by the window key.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    norm = docs.select("doc_id", D.normalize_text("text").alias("t"))
+    grams = norm.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, greatest(length(t) - {FP_K} + 1, 0)), "
+                   f"p -> md5(substr(t, p, {FP_K})))")
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w_min = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, FP_W - 1)
+    w_all = W.partitionBy("doc_id")
+    winmin = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(w_min).alias("fp"),
+            F.count(F.lit(1)).over(w_all).alias("n_grams"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - FP_W + 1)
+    )
+    return winmin.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
     )
