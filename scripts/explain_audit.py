@@ -36,6 +36,9 @@ EXPECTED_NESTED_LOOP = {
     "x01_knn_cosine",
     "x04_cosine_pair_histogram",
     "t08_simhash_hamming",
+    # IVF assignment: every vector scores against K=8 broadcast centroids —
+    # a deliberate tiny-broadcast cross product (map-only, K rows)
+    "x05_ivf_assign",
     # scalar-subquery high-water mark: the "join" side is a broadcast 1-row
     # aggregate (max(ts)), i.e. a map-only pass — the canonical incremental
     # filter shape at any scale

@@ -158,14 +158,11 @@ class MarketQueryTools:
         if asset_symbol:
             df = df.filter(F.col("asset_symbol") == F.lit(asset_symbol))
         if asset_type:
-            hub = self.ctx["hub_asset"].select("hk_asset", "asset_type")
-            df = df.join(F.broadcast(hub), "hk_asset").filter(
-                F.col("asset_type") == F.lit(asset_type.upper())
-            )
-        cols = ["asset_symbol", "observed_at", "price", "volume", "price_source", "price_date"]
-        if asset_type:
-            cols.insert(1, "asset_type")
-        return df.select(*cols).orderBy(F.desc("observed_at")).limit(limit)
+            df = df.filter(F.col("asset_type") == F.lit(asset_type.upper()))
+        return df.select(
+            "asset_symbol", "asset_type", "observed_at", "price", "volume",
+            "price_source", "asset_class", "price_date",
+        ).orderBy(F.desc("observed_at")).limit(limit)
 
     # -- tool 3 (reference warehouse_tools.py:269-310) ----------------------
     VALID_GROUPS = ("asset_symbol", "customer_tier", "country", "transaction_type")
@@ -227,18 +224,8 @@ class MarketQueryTools:
     # -- tool 6 (reference warehouse_tools.py:394-438) ----------------------
     def query_customer_by_name(self, customer_name: str, limit: int = 10) -> DataFrame:
         dim = self.ctx["dim_customer"]
-        company = (
-            self.ctx["link_customer_company"]
-            .select("hk_customer", "hk_company")
-            .join(
-                F.broadcast(self.ctx["dim_company"].select("hk_company", "company_name")),
-                "hk_company",
-            )
-            .select("hk_customer", "company_name")
-        )
         return (
             dim.filter(_name_predicate(customer_name))
-            .join(F.broadcast(company), "hk_customer", "left")
             .select(
                 F.col("customer_bk").alias("customer_id"),
                 "first_name", "last_name", "email", "country",

@@ -450,16 +450,38 @@ def sat_news_detail(ctx) -> DataFrame:
 # =========================================================================
 # Marts
 # =========================================================================
-@model("dim_customer", deps=["hub_customer", "sat_customer_profile"], tags=["mart", "dim"])
+@model(
+    "dim_customer",
+    deps=["hub_customer", "sat_customer_profile", "link_customer_company", "dim_company"],
+    tags=["mart", "dim"],
+)
 def dim_customer(ctx) -> DataFrame:
-    """reference dim_customer.sql:3-26 — current profile per customer."""
+    """reference dim_customer.sql:3-30 — current profile per customer,
+    enriched with the linked company (company_hk/company_id/company_name)."""
     current = latest_wins(
         ctx["sat_customer_profile"], ["hk_customer"], "load_timestamp", "record_source"
     )
-    return ctx["hub_customer"].join(current.drop("record_source", "load_timestamp"), "hk_customer").select(
-        "hk_customer",
-        "customer_bk",
-        *_CUSTOMER_ATTRS,
+    company = (
+        ctx["link_customer_company"]
+        .select("hk_customer", "hk_company")
+        .join(
+            F.broadcast(ctx["dim_company"].select("hk_company", "company_bk", "company_name")),
+            "hk_company",
+        )
+        .select("hk_customer", "hk_company", F.col("company_bk").alias("company_id"), "company_name")
+    )
+    return (
+        ctx["hub_customer"]
+        .join(current.drop("record_source", "load_timestamp"), "hk_customer")
+        .join(F.broadcast(company), "hk_customer", "left")
+        .select(
+            "hk_customer",
+            "customer_bk",
+            "hk_company",
+            "company_id",
+            "company_name",
+            *_CUSTOMER_ATTRS,
+        )
     )
 
 
@@ -555,6 +577,7 @@ def fct_transactions(ctx) -> DataFrame:
         )
         .select(
             "hk_transaction",
+            "transaction_bk",
             "hk_customer",
             "hk_asset",
             "transaction_type",
@@ -564,6 +587,7 @@ def fct_transactions(ctx) -> DataFrame:
             "fee_amount",
             "transaction_timestamp",
             "data_date",
+            "record_source",
         )
     )
 
@@ -579,18 +603,22 @@ def fct_asset_prices(ctx) -> DataFrame:
     crypto = ctx["sat_asset_price_crypto"].select(
         "hk_asset",
         "asset_symbol",
+        F.lit("CRYPTO").alias("asset_type"),
         "price",
         "volume",
         "price_source",
+        F.lit("crypto").alias("asset_class"),
         F.to_date("observed_at").alias("price_date"),
         "observed_at",
     )
     stock = ctx["sat_asset_price_stock"].select(
         "hk_asset",
         "asset_symbol",
+        F.lit("STOCK").alias("asset_type"),
         F.col("close_price").alias("price"),
         "volume",
         "price_source",
+        F.lit("stock").alias("asset_class"),
         F.col("price_date"),
         "observed_at",
     )
@@ -698,11 +726,50 @@ def fct_asset_news_impact(ctx) -> DataFrame:
     tags=["semantic"],
 )
 def semantic_transactions(ctx) -> DataFrame:
-    """reference semantic_transactions.sql:3-45 — flat analyst view."""
+    """reference semantic_transactions.sql:3-45 — flat analyst view at
+    transaction grain: identity + company + asset + measures."""
+    cust = ctx["dim_customer"].select(
+        "hk_customer",
+        F.col("customer_bk").alias("customer_id"),
+        "first_name",
+        "last_name",
+        "company_name",
+        "email",
+        "country",
+        "customer_tier",
+        "risk_tolerance",
+        "customer_type",
+    )
+    asset = ctx["dim_asset"].select("hk_asset", "asset_symbol", "asset_type")
     return (
         ctx["fct_transactions"]
-        .join(F.broadcast(ctx["dim_customer"].select("hk_customer", "customer_tier", "customer_type", "country")), "hk_customer", "left")
-        .join(F.broadcast(ctx["dim_asset"].select("hk_asset", "asset_symbol", "asset_type")), "hk_asset", "left")
+        .join(F.broadcast(cust), "hk_customer", "left")
+        .join(F.broadcast(asset), "hk_asset", "left")
+        .select(
+            "hk_transaction",
+            F.col("transaction_bk").alias("transaction_id"),
+            "transaction_timestamp",
+            "data_date",
+            "hk_customer",
+            "customer_id",
+            "first_name",
+            "last_name",
+            "company_name",
+            "email",
+            "country",
+            "customer_tier",
+            "risk_tolerance",
+            "customer_type",
+            "hk_asset",
+            "asset_symbol",
+            "asset_type",
+            "transaction_type",
+            "quantity",
+            "price_per_unit",
+            "transaction_amount",
+            "fee_amount",
+            "record_source",
+        )
     )
 
 
@@ -737,15 +804,18 @@ def semantic_customer_overview(ctx) -> DataFrame:
 
 @model(
     "semantic_asset_performance",
-    deps=["dim_asset", "fct_asset_prices"],
+    deps=["fct_asset_prices"],
     tags=["semantic"],
 )
 def semantic_asset_performance(ctx) -> DataFrame:
-    """reference semantic_asset_performance.sql:3-21."""
-    stats = ctx["fct_asset_prices"].groupBy("hk_asset").agg(
-        F.count(F.lit(1)).alias("n_observations"),
-        F.min("price").alias("min_price"),
-        F.max("price").alias("max_price"),
-        F.max("price_date").alias("latest_price_date"),
+    """reference semantic_asset_performance.sql:3-21 — flat per-observation
+    view at (symbol, type, price_date, source) grain."""
+    return ctx["fct_asset_prices"].select(
+        "asset_symbol",
+        "asset_type",
+        "asset_class",
+        "price_date",
+        "price_source",
+        "price",
+        "volume",
     )
-    return ctx["dim_asset"].join(stats, "hk_asset", "left")
