@@ -39,6 +39,9 @@ EXPECTED_NESTED_LOOP = {
     # IVF assignment: every vector scores against K=8 broadcast centroids —
     # a deliberate tiny-broadcast cross product (map-only, K rows)
     "x05_ivf_assign",
+    # IVF probe search: same K-row broadcast scoring for assignment/probing;
+    # the candidate scan itself is a broadcast hash equi-join on centroid_id
+    "x07_ivf_probe_search",
     # scalar-subquery high-water mark: the "join" side is a broadcast 1-row
     # aggregate (max(ts)), i.e. a map-only pass — the canonical incremental
     # filter shape at any scale

@@ -190,6 +190,120 @@ def x05_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x07 — IVF probed top-k search: the full ANN path that x05's assignment
+# enables. Corpus vectors are assigned to their nearest of K=8 coarse
+# centroids (map-only broadcast scoring); each query probes its P=2 nearest
+# centroids and scores ONLY vectors assigned there, via a broadcast hash
+# equi-join on centroid_id — work ∝ probed clusters (~2/K of the corpus),
+# never the n² of x01's exact scan. At write time centroid_id is the
+# partition key, so the probe join prunes whole partitions.
+# --------------------------------------------------------------------------
+IVF_NPROBE = 2
+
+
+@query(
+    "x07_ivf_probe_search",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.label, e.embedding, s.centroid_id FROM embeddings e
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {S.oracle_cosine('e.embedding', 's.ce')} DESC, s.centroid_id ASC
+        ) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 110),
+    probes AS (
+        SELECT q.query_id, q.qe, s.centroid_id FROM q
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {S.oracle_cosine('q.qe', 's.ce')} DESC, s.centroid_id ASC
+        ) <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+               {oracle_rnd(S.oracle_cosine('p.qe', 'a.embedding'), 4)} AS cosine_sim
+        FROM probes p JOIN assigned a
+          ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    """,
+)
+def x07_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    seeds = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    # corpus → nearest centroid (same map-only broadcast scoring as x05)
+    a_sim = S.dot("embedding", "ce", EMB_DIM) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("a_sim"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "label", "embedding", "nrm", "centroid_id", a_sim.alias("a_sim"))
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .drop("a_sim", "rk")
+    )
+
+    # queries → top-P probe centroids (10 × 8 rows, driver-trivial)
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    p_sim = S.dot("qe", "ce", EMB_DIM) / F.nullif(
+        F.col("qnrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    pw = W.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("query_id", "qe", "qnrm", "centroid_id", p_sim.alias("p_sim"))
+        .withColumn("rk", F.row_number().over(pw))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .drop("p_sim", "rk")
+    )
+
+    # probe join: broadcast the tiny (query, centroid) side; equi-join on
+    # centroid_id keeps the scan limited to probed clusters
+    s_sim = S.dot("qe", "embedding", EMB_DIM) / F.nullif(
+        F.col("qnrm") * F.col("nrm"), F.lit(0.0)
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            ["centroid_id"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            rnd(s_sim, 4).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+# --------------------------------------------------------------------------
 # x06 — embedding-cosine near-dup via LSH candidate buckets: pairs share a
 # sign bucket (equi-join, work ∝ bucket sizes, never n²), exact cosine on
 # candidates, keep pairs above threshold. The scale-path dedup join — x04 is
