@@ -42,6 +42,9 @@ EXPECTED_NESTED_LOOP = {
     # IVF probe search: same K-row broadcast scoring for assignment/probing;
     # the candidate scan itself is a broadcast hash equi-join on centroid_id
     "x07_ivf_probe_search",
+    # TF-IDF corpus size: broadcast 1-row count(*) aggregate (map-only),
+    # the same scalar-subquery shape as the q17 high-water mark
+    "t10_tfidf_top_terms",
     # scalar-subquery high-water mark: the "join" side is a broadcast 1-row
     # aggregate (max(ts)), i.e. a map-only pass — the canonical incremental
     # filter shape at any scale

@@ -129,3 +129,44 @@ def simhash_from_sums(bits: int = SIMHASH_BITS) -> str:
     """Combine summed contributions (columns s0..s{bits-1}) into the SimHash
     integer: bit b set iff the weighted sum is non-negative."""
     return " + ".join(f"(CASE WHEN s{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(bits))
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Undirected connected components by iterative min-label propagation.
+
+    ``nodes`` has one column ``id``; ``edges`` has ``src``/``dst`` (one row
+    per undirected edge; both directions are derived here). Returns
+    ``(id, component_id)`` where ``component_id`` is the minimum node id
+    reachable from ``id``.
+
+    Each round every node takes the min of its own label and its neighbors'
+    labels — label sums decrease monotonically, so an unchanged sum is the
+    fixpoint. Rounds needed = graph diameter; near-dup clusters are shallow
+    (pairs/small chains), so this converges in a handful of rounds. Lineage
+    is truncated per round with ``localCheckpoint`` — without it the
+    iterated join plan grows superlinearly in analysis cost. At cluster
+    scale swap the propagation step for the large-star/small-star rounds of
+    Kiveris et al. (CC in MapReduce); the driver loop and convergence test
+    stay the same.
+    """
+    both = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("component_id"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component_id")).first()[0]
+    for _ in range(max_iter):
+        cand = both.join(labels, both["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "component_id"
+        )
+        labels = (
+            labels.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

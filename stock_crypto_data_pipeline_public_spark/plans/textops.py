@@ -464,3 +464,137 @@ def t09_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fp").alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# t10 — TF-IDF top terms per document: explode tokens → per-doc term counts
+# (one shuffle, map-side partials), document frequency over distinct
+# (doc, term), corpus size as a broadcast 1-row aggregate, top-3 terms per
+# doc by score. The tf⋈df join keys on term; AQE broadcasts the df side
+# when the vocabulary is small.
+# --------------------------------------------------------------------------
+@query(
+    "t10_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               {oracle_rnd('tf.tf * ln(n.n_docs * 1.0 / dfreq.df)', 4)} AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            rnd(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# t11 — duplicate clusters: connected components over the near-dup pair
+# graph (word-trigram Jaccard ≥ 1/2, tested as the exact integer predicate
+# 2·common ≥ na+nb−common so both engines agree bit-for-bit). Spark side
+# runs iterative min-label propagation (operators/dedup.connected_components);
+# the oracle walks the same graph with a recursive CTE. Every doc gets a
+# component; the canonical keeper is the min doc_id.
+# --------------------------------------------------------------------------
+@query(
+    "t11_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges0 AS (
+        SELECT p.doc_a AS src, p.doc_b AS dst
+        FROM pairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE 2 * p.n_common >= ca.n + cb.n - p.n_common
+    ),
+    edges AS (
+        SELECT src, dst FROM edges0
+        UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS comp FROM documents
+        UNION
+        SELECT e.dst AS doc_id, r.comp
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY 1)
+    SELECT c.doc_id, c.component_id, s.n_members
+    FROM comp c
+    JOIN (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1) s
+      ON c.component_id = s.component_id
+    """,
+)
+def t11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    edges = (
+        pairs.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(
+            2 * F.col("n_common") >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = D.connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    comp = comp.select(F.col("id").alias("doc_id"), "component_id")
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "component_id").select("doc_id", "component_id", "n_members")

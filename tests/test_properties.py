@@ -149,3 +149,53 @@ def test_surrogate_key_null_coalesces_to_empty(spark, a, b):
         "md5(concat_ws('-', coalesce(a, ''), coalesce(b, ''))) AS k"
     ).first().k
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# connected_components: agrees with a driver-side union-find on random graphs
+# --------------------------------------------------------------------------
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    max_size=20,
+)
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    comp: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for v in range(n_nodes):
+        r = find(v)
+        roots.setdefault(r, min(u for u in range(n_nodes) if find(u) == r))
+        comp[v] = roots[r]
+    return comp
+
+
+@SETTINGS
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    from stock_crypto_data_pipeline_public_spark.operators.dedup import connected_components
+
+    n = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    if edges:
+        edf = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == _uf_components(n, edges)
