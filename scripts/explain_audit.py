@@ -45,6 +45,8 @@ EXPECTED_NESTED_LOOP = {
     # TF-IDF corpus size: broadcast 1-row count(*) aggregate (map-only),
     # the same scalar-subquery shape as the q17 high-water mark
     "t10_tfidf_top_terms",
+    # bigram LM vocabulary size: identical broadcast 1-row scalar shape
+    "t12_bigram_lm_score",
     # scalar-subquery high-water mark: the "join" side is a broadcast 1-row
     # aggregate (max(ts)), i.e. a map-only pass — the canonical incremental
     # filter shape at any scale

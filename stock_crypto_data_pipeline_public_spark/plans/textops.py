@@ -598,3 +598,71 @@ def t11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = comp.select(F.col("id").alias("doc_id"), "component_id")
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
     return comp.join(sizes, "component_id").select("doc_id", "component_id", "n_members")
+
+
+# --------------------------------------------------------------------------
+# t12 — bigram language-model scoring (the KenLM-style quality filter):
+# corpus bigram/context counts by groupBy (map-side partials), vocabulary
+# size as a broadcast scalar, add-one smoothed P(w2|w1), per-doc mean log
+# probability. Integer counts make every per-bigram term engine-exact; only
+# the final mean is floating (rounded). The doc-bigram ⋈ count joins key on
+# the bigram string — uniform by construction, AQE broadcasts small counts.
+# --------------------------------------------------------------------------
+@query(
+    "t12_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM toks WHERE len(tk) >= 2
+    ),
+    c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(tk) AS tok FROM toks)),
+    scored AS (
+        SELECT bg.doc_id,
+               ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v)) AS logp
+        FROM bg
+        JOIN c12 USING (bigram)
+        JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams, {oracle_rnd('avg(logp)', 4)} AS avg_logp
+    FROM scored GROUP BY 1
+    """,
+)
+def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0).alias("tk")
+    )
+    bg = toks.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))")
+        ).alias("bigram"),
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy(F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = toks.select(F.explode("tk").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        bg.join(c12, "bigram")
+        .join(c1, F.split_part("bigram", F.lit(" "), F.lit(1)) == F.col("w1"))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1) * 1.0 / (F.col("c1") + F.col("v"))).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rnd(F.avg("logp"), 4).alias("avg_logp"),
+    )
