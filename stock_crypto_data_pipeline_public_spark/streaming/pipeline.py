@@ -108,3 +108,46 @@ def windowed_counts(stream: DataFrame, ts_col: str, window: str, watermark: str)
             "total_value",
         )
     )
+
+
+def dedup_stream(stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with BOUNDED state.
+
+    `dropDuplicatesWithinWatermark` stores one state entry per key and
+    evicts it once the watermark passes — replayed/redelivered events inside
+    the horizon collapse, and state size is proportional to the horizon, not
+    to history (plain `dropDuplicates` on a stream grows state forever).
+    This is the streaming twin of the batch ON-CONFLICT dedup (M2,
+    reference kafka_consumer.py:294-303).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    click_ts: str = "click_ts",
+    purchase_ts: str = "purchase_ts",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner equi-join with a time-range bound — the streaming
+    form of e08's purchase-attribution window.
+
+    Both sides carry watermarks and the join condition bounds
+    ``purchase_ts`` to [click_ts, click_ts + within], so each side buffers
+    only the watermark horizon of state. Column names must be disjoint
+    (rename before calling); the join key is the user column equality.
+    """
+    c = clicks.withWatermark(click_ts, watermark)
+    p = purchases.withWatermark(purchase_ts, watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"c_{user_col} = p_{user_col}"
+            f" AND {purchase_ts} >= {click_ts}"
+            f" AND {purchase_ts} <= {click_ts} + interval {within}"
+        ),
+        "inner",
+    )

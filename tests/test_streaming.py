@@ -69,3 +69,71 @@ def test_windowed_counts_with_watermark_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     spark.catalog.dropTempView("win_counts")
+
+
+def test_dedup_stream_collapses_redelivered_events(spark, sf_dir, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    staging = str(tmp_path / "dup_staging")
+    # at-least-once redelivery: every event lands twice across the files
+    ev.unionByName(ev).repartition(4).write.mode("overwrite").parquet(staging)
+    schema = spark.read.parquet(staging).schema
+
+    deduped = dedup_stream(file_stream(spark, staging, schema), ["event_id"], "ts", "2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM dedup_out").first()["c"] == ev.count()
+    spark.catalog.dropTempView("dedup_out")
+
+
+def test_attribution_join_matches_batch_equivalent(spark, sf_dir, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.mode("overwrite").parquet(c_dir)
+    purchases.write.mode("overwrite").parquet(p_dir)
+
+    joined = attribution_join(
+        file_stream(spark, c_dir, spark.read.parquet(c_dir).schema),
+        file_stream(spark, p_dir, spark.read.parquet(p_dir).schema),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expected = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id AND purchase_ts >= click_ts"
+            " AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    )
+    got = spark.sql("SELECT * FROM attr_out")
+    assert got.count() == expected.count()
+    assert got.select("click_id", "purchase_id").exceptAll(
+        expected.select("click_id", "purchase_id")
+    ).count() == 0
+    spark.catalog.dropTempView("attr_out")
