@@ -666,3 +666,43 @@ def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         rnd(F.avg("logp"), 4).alias("avg_logp"),
     )
+
+
+# --------------------------------------------------------------------------
+# t13 — deterministic train/valid/test split: two md5 nibbles of the doc id
+# give a uniform 0-255 bucket, thresholds carve 80/10/10. Pure per-row
+# expressions (no shuffle, no RNG) — the assignment is stable across runs,
+# engines, and cluster sizes, which is what makes a split reproducible at
+# 100 TB. Emitting (doc_id, bucket, split) hash-checks every assignment.
+# --------------------------------------------------------------------------
+_NIB = "(instr('0123456789abcdef', substr(md5(cast(doc_id AS {str_t})), {pos}, 1)) - 1)"
+
+
+def _split_bucket_sql(str_t: str) -> str:
+    n1 = _NIB.format(str_t=str_t, pos=1)
+    n2 = _NIB.format(str_t=str_t, pos=2)
+    return f"({n1} * 16 + {n2})"
+
+
+@query(
+    "t13_hash_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, {_split_bucket_sql('VARCHAR')} AS bucket FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 204 THEN 'train'
+                WHEN bucket < 230 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def t13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    b = docs.select("doc_id", "lang", F.expr(_split_bucket_sql("STRING")).alias("bucket"))
+    split = (
+        F.when(F.col("bucket") < 204, "train")
+        .when(F.col("bucket") < 230, "valid")
+        .otherwise("test")
+    )
+    return b.select("doc_id", "lang", "bucket", split.alias("split"))
