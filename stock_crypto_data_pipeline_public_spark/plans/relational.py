@@ -659,3 +659,40 @@ def q20_distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFr
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# q21 — ROLLUP grouping sets: per (year, priority) plus year subtotals plus
+# a grand total in ONE pass. The reference has no grouping sets (SURVEY
+# §2.4); at 100 TB this replaces three separate scans+aggregations with one
+# shuffle whose map-side partials are shared across grouping levels. NULL
+# group keys are projected to 'ALL' labels and disambiguated by explicit
+# grouping() flags (int-typed, hash-safe; avoids engine NULL-ordering skew).
+# --------------------------------------------------------------------------
+@query(
+    "q21_priority_rollup",
+    oracle="""
+    SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS grp_year,
+           coalesce(o_orderpriority, 'ALL')                    AS grp_priority,
+           CAST(GROUPING(year(o_orderdate)) AS INT)            AS is_year_total,
+           CAST(GROUPING(o_orderpriority) AS INT)              AS is_priority_total,
+           count(*)                                            AS n_orders,
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0      AS total_price
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+    """,
+)
+def q21_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"), "o_orderpriority", "o_totalprice"
+    )
+    return orders.rollup("o_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping("o_year").cast("int").alias("is_year_total"),
+        F.grouping("o_orderpriority").cast("int").alias("is_priority_total"),
+    ).select(
+        F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias("grp_year"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("grp_priority"),
+        "is_year_total", "is_priority_total", "n_orders", "total_price",
+    )

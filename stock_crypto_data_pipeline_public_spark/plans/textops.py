@@ -706,3 +706,59 @@ def t13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return b.select("doc_id", "lang", "bucket", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# t14 — blocked edit-distance near-dup: levenshtein over candidate pairs
+# restricted to (lang, source) blocks — the classic blocking pattern that
+# keeps pairwise comparison work proportional to block sizes, never global
+# n². The compared key is the first 80 chars of the ASCII projection of the
+# text: byte==char for ASCII, so Spark's and any oracle's levenshtein agree
+# regardless of how each engine counts multi-byte code points. JVM-side
+# built-in levenshtein — no Python in the pair loop.
+# --------------------------------------------------------------------------
+_ASCII_KEY_SQL = "substr(regexp_replace({col}, '[^ -~]', '', 'g'), 1, 80)"
+
+
+@query(
+    "t14_blocked_edit_distance",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id, lang, source,
+               {_ASCII_KEY_SQL.format(col='text')} AS key
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+           levenshtein(a.key, b.key) AS edit_dist
+    FROM k a JOIN k b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ORDER BY edit_dist ASC, doc_a ASC, doc_b ASC
+    LIMIT 50
+    """,
+)
+def t14_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    key = F.substring(
+        F.regexp_replace("text", "[^ -~]", ""), 1, 80
+    )
+    k = docs.select("doc_id", "lang", "source", key.alias("key"))
+    # block sizes are bounded (~corpus / |lang x source|); spread blocks
+    # across the cluster so the pair join parallelizes per block
+    a = k.repartition(spark.sparkContext.defaultParallelism, "lang", "source").alias("a")
+    b = k.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.levenshtein(F.col("a.key"), F.col("b.key")).alias("edit_dist"),
+        )
+        .orderBy(F.asc("edit_dist"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(50)
+    )
