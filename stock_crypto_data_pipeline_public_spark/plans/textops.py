@@ -720,6 +720,109 @@ def t13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASCII_KEY_SQL = "substr(regexp_replace({col}, '[^ -~]', '', 'g'), 1, 80)"
 
 
+# --------------------------------------------------------------------------
+# t15 — per-language quota sampling (data-mixing rebalance): keep at most Q
+# docs per language, chosen deterministically by md5-bucket order. The naive
+# plan is row_number() over (partition by lang) — a full sort of EVERY group,
+# which at 100 TB means sorting billions of rows per dominant language. This
+# plan instead aggregates a (lang, bucket) histogram (≤ 256·|langs| rows),
+# finds each language's cumulative-count boundary bucket, broadcasts the tiny
+# decision table back, and only rank-sorts the single boundary bucket
+# (~1/256th of one language). Whole buckets below the boundary pass with a
+# broadcast-hash semi join — no global sort anywhere. Result is provably
+# identical to the row_number() formulation the oracle runs.
+# --------------------------------------------------------------------------
+_Q15 = 100
+
+
+@query(
+    "t15_quota_sample",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, {_split_bucket_sql('VARCHAR')} AS bucket FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, bucket,
+               row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn
+        FROM b
+    )
+    SELECT doc_id, lang, bucket FROM r WHERE rn <= {_Q15}
+    """,
+)
+def t15_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    b = docs.select(
+        "doc_id", "lang", F.expr(_split_bucket_sql("STRING")).alias("bucket")
+    )
+    counts = b.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    wcum = W.partitionBy("lang").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        "lang",
+        "bucket",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+    ).withColumn("cum_before", F.col("cum") - F.col("n"))
+    # whole buckets that fit entirely under the quota: broadcast semi join
+    full = b.join(
+        F.broadcast(cum.filter(F.col("cum") <= _Q15).select("lang", "bucket")),
+        ["lang", "bucket"],
+        "left_semi",
+    )
+    # the one boundary bucket per language: rank only those rows
+    boundary = cum.filter(
+        (F.col("cum_before") < _Q15) & (F.col("cum") > _Q15)
+    ).select("lang", "bucket", (F.lit(_Q15) - F.col("cum_before")).alias("take"))
+    wb = W.partitionBy("lang", "bucket").orderBy("doc_id")
+    partial = (
+        b.join(F.broadcast(boundary), ["lang", "bucket"])
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= F.col("take"))
+        .drop("rn", "take")
+    )
+    return full.unionByName(partial).select("doc_id", "lang", "bucket")
+
+
+# --------------------------------------------------------------------------
+# t16 — source-mixture reweighting: per-source char mass, its share of the
+# corpus, and the multiplicative sampling weight that would equalize the
+# mixture across sources (weight = uniform_share / actual_share). One
+# groupBy shuffle to ~|sources| rows, then window totals over that tiny
+# aggregate — the 100 TB of text is touched exactly once. This is the
+# "compute the data-mixture table" step of a training-data pipeline.
+# --------------------------------------------------------------------------
+@query(
+    "t16_mixture_weights",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs, sum(n_chars) AS char_mass
+        FROM documents GROUP BY source
+    ), t AS (
+        SELECT sum(char_mass) AS total, count(*) AS n_sources FROM s
+    )
+    SELECT s.source, s.n_docs, s.char_mass,
+           {oracle_rnd('s.char_mass / t.total', 6)} AS actual_share,
+           {oracle_rnd('t.total / (t.n_sources * s.char_mass)', 6)} AS weight
+    FROM s, t
+    """,
+)
+def t16_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("char_mass"),
+    )
+    wall = W.partitionBy()  # |sources| rows — single tiny partition
+    total = F.sum("char_mass").over(wall)
+    n_sources = F.count(F.lit(1)).over(wall)
+    return s.select(
+        "source",
+        "n_docs",
+        "char_mass",
+        rnd(F.col("char_mass") / total, 6).alias("actual_share"),
+        rnd(total / (n_sources * F.col("char_mass")), 6).alias("weight"),
+    )
+
+
 @query(
     "t14_blocked_edit_distance",
     oracle=f"""
