@@ -783,6 +783,101 @@ def t15_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t17 — median-quality corpus filter: per language, compute the exact median
+# of the t03 quality score by rank (positions ⌊(n+1)/2⌋ and ⌊n/2⌋+1), then
+# count how many docs clear it — the "keep the better half" curation step.
+# The oracle gate forces the exact rank formulation (one per-lang sort); at
+# 100 TB the same query swaps the window for percentile_approx / a t-digest
+# sketch with no other plan change. Scores are coalesced to -1.0 before
+# ranking: Spark sorts NULLs first, DuckDB last, so NULL scores (docs with
+# zero ASCII tokens) would silently permute ranks between engines.
+# --------------------------------------------------------------------------
+@query(
+    "t17_quality_median_filter",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[a-z0-9]+'))    AS n_tokens,
+               len(regexp_extract_all(text, '{_STOP_RE}'))   AS stop_hits,
+               len(regexp_extract_all(text, '[a-z]'))        AS alpha_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               coalesce({oracle_rnd(
+                   "0.5 * (stop_hits * 1.0 / nullif(n_tokens, 0))"
+                   " + 0.3 * (least(n_tokens, 100) / 100.0)"
+                   " + 0.2 * (alpha_chars * 1.0 / nullif(n_chars, 0))", 4)},
+                   -1.0) AS q
+        FROM feats
+    ),
+    r AS (
+        SELECT lang, q,
+               row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+               count(*)    OVER (PARTITION BY lang)                     AS n
+        FROM scored
+    ),
+    med AS (
+        SELECT lang, avg(q) AS med FROM r
+        WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+           OR rn = CAST(floor(n / 2.0) AS BIGINT) + 1
+        GROUP BY lang
+    )
+    SELECT s.lang,
+           count(*)                                        AS n_docs,
+           sum(CASE WHEN s.q > m.med THEN 1 ELSE 0 END)    AS n_kept,
+           {oracle_rnd('max(m.med)', 4)}                   AS median_score
+    FROM scored s JOIN med m USING (lang)
+    GROUP BY s.lang
+    """,
+)
+def t17_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_STOP_RE), 0)).alias("stop_hits"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]"), 0)).alias("alpha_chars"),
+    )
+    score = (
+        0.5 * (F.col("stop_hits") * 1.0 / F.nullif(F.col("n_tokens"), F.lit(0)))
+        + 0.3 * (F.least(F.col("n_tokens"), F.lit(100)) / 100.0)
+        + 0.2 * (F.col("alpha_chars") * 1.0 / F.nullif(F.col("n_chars"), F.lit(0)))
+    )
+    scored = feats.select(
+        "doc_id", "lang", F.coalesce(rnd(score, 4), F.lit(-1.0)).alias("q")
+    )
+    wr = W.partitionBy("lang").orderBy("q", "doc_id")
+    wn = W.partitionBy("lang")
+    r = scored.select(
+        "lang",
+        "q",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2.0).cast("bigint"))
+            | (F.col("rn") == F.floor(F.col("n") / 2.0).cast("bigint") + 1)
+        )
+        .groupBy("lang")
+        .agg(F.avg("q").alias("med"))
+    )
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("q") > F.col("med"), 1).otherwise(0)).alias("n_kept"),
+            rnd(F.max("med"), 4).alias("median_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # t16 — source-mixture reweighting: per-source char mass, its share of the
 # corpus, and the multiplicative sampling weight that would equalize the
 # mixture across sources (weight = uniform_share / actual_share). One
