@@ -735,6 +735,42 @@ _ASCII_KEY_SQL = "substr(regexp_replace({col}, '[^ -~]', '', 'g'), 1, 80)"
 _Q15 = 100
 
 
+def quota_sample(b: DataFrame, quota: int) -> DataFrame:
+    """Exact per-``lang`` quota sample of a (doc_id, lang, bucket) frame.
+
+    Equivalent to ``row_number() over (partition by lang order by bucket,
+    doc_id) <= quota`` but computed without sorting whole groups: a tiny
+    (lang, bucket) histogram decides which whole buckets pass, and only the
+    single boundary bucket per language is rank-sorted.
+    """
+    counts = b.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    wcum = W.partitionBy("lang").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        "lang",
+        "bucket",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+    ).withColumn("cum_before", F.col("cum") - F.col("n"))
+    # whole buckets that fit entirely under the quota: broadcast semi join
+    full = b.join(
+        F.broadcast(cum.filter(F.col("cum") <= quota).select("lang", "bucket")),
+        ["lang", "bucket"],
+        "left_semi",
+    )
+    # the one boundary bucket per language: rank only those rows
+    boundary = cum.filter(
+        (F.col("cum_before") < quota) & (F.col("cum") > quota)
+    ).select("lang", "bucket", (F.lit(quota) - F.col("cum_before")).alias("take"))
+    wb = W.partitionBy("lang", "bucket").orderBy("doc_id")
+    partial = (
+        b.join(F.broadcast(boundary), ["lang", "bucket"])
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= F.col("take"))
+        .drop("rn", "take")
+    )
+    return full.unionByName(partial).select("doc_id", "lang", "bucket")
+
+
 @query(
     "t15_quota_sample",
     oracle=f"""
@@ -754,32 +790,7 @@ def t15_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         "doc_id", "lang", F.expr(_split_bucket_sql("STRING")).alias("bucket")
     )
-    counts = b.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    wcum = W.partitionBy("lang").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
-    cum = counts.select(
-        "lang",
-        "bucket",
-        "n",
-        F.sum("n").over(wcum).alias("cum"),
-    ).withColumn("cum_before", F.col("cum") - F.col("n"))
-    # whole buckets that fit entirely under the quota: broadcast semi join
-    full = b.join(
-        F.broadcast(cum.filter(F.col("cum") <= _Q15).select("lang", "bucket")),
-        ["lang", "bucket"],
-        "left_semi",
-    )
-    # the one boundary bucket per language: rank only those rows
-    boundary = cum.filter(
-        (F.col("cum_before") < _Q15) & (F.col("cum") > _Q15)
-    ).select("lang", "bucket", (F.lit(_Q15) - F.col("cum_before")).alias("take"))
-    wb = W.partitionBy("lang", "bucket").orderBy("doc_id")
-    partial = (
-        b.join(F.broadcast(boundary), ["lang", "bucket"])
-        .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= F.col("take"))
-        .drop("rn", "take")
-    )
-    return full.unionByName(partial).select("doc_id", "lang", "bucket")
+    return quota_sample(b, _Q15)
 
 
 # --------------------------------------------------------------------------

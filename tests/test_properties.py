@@ -199,3 +199,35 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes, edf).collect()
     }
     assert got == _uf_components(n, edges)
+
+
+# --------------------------------------------------------------------------
+# t15's two-phase quota sample must equal the naive row_number() formulation
+# for ANY quota — including quotas that land exactly on a bucket boundary,
+# quotas below the smallest group, and quotas above the largest group.
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("quota", [1, 3, 73, 100, 218, 10_000])
+def test_quota_sample_matches_rank_formulation(spark, sf_dir, quota):
+    from pyspark.sql import Window as W
+
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        _split_bucket_sql,
+        quota_sample,
+    )
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", "lang", F.expr(_split_bucket_sql("STRING")).alias("bucket")
+    )
+    naive = (
+        b.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("lang").orderBy("bucket", "doc_id")),
+        )
+        .filter(F.col("rn") <= quota)
+        .select("doc_id", "lang", "bucket")
+    )
+    got = sorted(map(tuple, quota_sample(b, quota).collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
