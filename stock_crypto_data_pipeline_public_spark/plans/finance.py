@@ -1,0 +1,271 @@
+"""Financial time-series analytics over the event tape (beyond-reference).
+
+The reference's domain is stock/crypto market data, but all of its price
+analytics stop at daily means and +N-day offsets (reference
+fct_asset_price_comparison.sql:9-32, fct_asset_news_impact.sql:55-88,
+warehouse_tools.py:337-339). These queries add the standard market-data
+operator set an analyst of that pipeline would reach for next — candlestick
+resampling, VWAP, rolling bands, drawdown, cross-asset correlation — each
+expressed as pure built-in DataFrame ops (no UDFs) so Catalyst/AQE plan them.
+
+The events table acts as the tick tape: ``event_type`` is the instrument,
+``value`` the trade price, ``props.$.k`` the trade size, ``ts`` the trade
+time. ``event_id`` is globally monotone in ``ts`` (verified on all SFs), so
+it is the deterministic tiebreak for open/close selection.
+
+Scale notes: every window partitions by instrument (never global); OHLCV and
+VWAP are single-shuffle hash aggregations with map-side partials; the
+correlation query joins two *daily-aggregated* series (rows ≈ days ×
+instruments, thousands at most even at 100 TB of raw ticks), so AQE
+broadcasts it regardless of raw input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import oracle_rnd, rnd
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# f01 — OHLCV candlestick resample: hourly bars per instrument. open/close
+# are min_by/max_by on the monotone event_id — a single hash aggregation
+# (one shuffle, map-side partial min/max), NOT a window + rn=1 pass. All
+# outputs are exact (no float arithmetic): open/high/low/close are selected
+# raw doubles, volume is an integer sum.
+# --------------------------------------------------------------------------
+@query(
+    "f01_ohlcv_candles",
+    oracle="""
+    SELECT event_type                                   AS symbol,
+           date_trunc('hour', ts)                       AS bar_hour,
+           arg_min(value, event_id)                     AS open,
+           max(value)                                   AS high,
+           min(value)                                   AS low,
+           arg_max(value, event_id)                     AS close,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS volume,
+           count(*)                                     AS n_trades
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def f01_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            "value",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("size"),
+        )
+        .groupBy("symbol", "bar_hour")
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.sum("size").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# f02 — daily VWAP per instrument: sum(price*size)/sum(size), size from the
+# props JSON payload (P15/q19-style extraction feeding a weighted mean).
+# Single shuffle; the weighted sum is rounded before the division so the
+# quotient is computed on an engine-identical numerator.
+# --------------------------------------------------------------------------
+@query(
+    "f02_daily_vwap",
+    oracle=f"""
+    WITH sized AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS trade_date,
+               value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS size
+        FROM events
+    )
+    SELECT event_type AS symbol, trade_date,
+           sum(size)  AS volume,
+           {oracle_rnd('sum(value * size)', 2)} AS notional,
+           {oracle_rnd(oracle_rnd('sum(value * size)', 2) + ' / sum(size)', 4)} AS vwap
+    FROM sized
+    GROUP BY 1, 2
+    """,
+)
+def f02_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sized = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("trade_date"),
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("size"),
+    )
+    notional = rnd(F.sum(F.col("value") * F.col("size")), 2)
+    return sized.groupBy("symbol", "trade_date").agg(
+        F.sum("size").alias("volume"),
+        notional.alias("notional"),
+        rnd(notional / F.sum("size"), 4).alias("vwap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# f03 — 20-tick rolling Bollinger bands per instrument: rolling mean and
+# sample stddev over ROWS 19 PRECEDING, bands at ±2σ (rounded to cents so
+# both engines compare against the identical band), breakout counts. The
+# window partitions by instrument — bounded state per partition, no global
+# sort (contrast reference warehouse_tools.py:337-339, whose LAG runs over
+# an unpartitioned ORDER BY).
+# --------------------------------------------------------------------------
+@query(
+    "f03_bollinger_breakouts",
+    oracle=f"""
+    WITH rolled AS (
+        SELECT event_type, value,
+               row_number()  OVER w AS rn,
+               avg(value)    OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS roll_avg,
+               stddev_samp(value) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS roll_std
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+    ),
+    banded AS (
+        SELECT event_type, value,
+               {oracle_rnd('roll_avg + 2 * roll_std', 2)} AS band_hi,
+               {oracle_rnd('roll_avg - 2 * roll_std', 2)} AS band_lo,
+               {oracle_rnd('roll_std', 4)}                AS roll_std_r
+        FROM rolled WHERE rn >= 20
+    )
+    SELECT event_type                                    AS symbol,
+           count(*)                                      AS n_windows,
+           count(*) FILTER (WHERE value > band_hi)       AS n_breakouts_hi,
+           count(*) FILTER (WHERE value < band_lo)       AS n_breakouts_lo,
+           {oracle_rnd('avg(roll_std_r)', 4)}            AS avg_roll_std
+    FROM banded
+    GROUP BY 1
+    """,
+)
+def f03_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    wf = w.rowsBetween(-19, W.currentRow)
+    rolled = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.avg("value").over(wf).alias("roll_avg"),
+        F.stddev_samp("value").over(wf).alias("roll_std"),
+    ).filter(F.col("rn") >= 20)
+    banded = rolled.select(
+        "event_type",
+        "value",
+        rnd(F.col("roll_avg") + 2 * F.col("roll_std"), 2).alias("band_hi"),
+        rnd(F.col("roll_avg") - 2 * F.col("roll_std"), 2).alias("band_lo"),
+        rnd("roll_std", 4).alias("roll_std_r"),
+    )
+    return banded.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count_if(F.col("value") > F.col("band_hi")).alias("n_breakouts_hi"),
+        F.count_if(F.col("value") < F.col("band_lo")).alias("n_breakouts_lo"),
+        rnd(F.avg("roll_std_r"), 4).alias("avg_roll_std"),
+    )
+
+
+# --------------------------------------------------------------------------
+# f04 — maximum drawdown per instrument: running peak (rows-unbounded max —
+# deterministic, no float summation) and the worst peak-to-trough ratio.
+# Every arithmetic step here is a single IEEE op on identical inputs, so the
+# unrounded drawdown is bit-identical across engines; rounding is belt and
+# braces.
+# --------------------------------------------------------------------------
+@query(
+    "f04_max_drawdown",
+    oracle=f"""
+    WITH peaks AS (
+        SELECT event_type, value,
+               max(value) OVER (
+                   PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_peak
+        FROM events
+    )
+    SELECT event_type                                        AS symbol,
+           max(value)                                        AS all_time_high,
+           {oracle_rnd('max((run_peak - value) / run_peak)', 6)} AS max_drawdown
+    FROM peaks
+    GROUP BY 1
+    """,
+)
+def f04_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    peaks = ev.select(
+        "event_type", "value", F.max("value").over(w).alias("run_peak")
+    )
+    dd = (F.col("run_peak") - F.col("value")) / F.col("run_peak")
+    return peaks.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.max("value").alias("all_time_high"),
+        rnd(F.max(dd), 6).alias("max_drawdown"),
+    )
+
+
+# --------------------------------------------------------------------------
+# f05 — cross-instrument correlation of daily mean prices: aggregate the
+# tape to (instrument, day) first — the pair join then runs on the *small*
+# aggregated series (days × instruments rows, broadcastable at any raw
+# scale), never on raw ticks. Pairs are ordered (a < b) to emit each pair
+# once. corr() is the built-in sample correlation on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "f05_daily_corr_pairs",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               {oracle_rnd('avg(value)', 4)} AS px
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT a.event_type AS symbol_a,
+           b.event_type AS symbol_b,
+           count(*)     AS n_days,
+           {oracle_rnd('corr(a.px, b.px)', 3)} AS corr_daily
+    FROM daily a
+    JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def f05_daily_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(rnd(F.avg("value"), 4).alias("px"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("symbol_a"),
+            F.col("b.event_type").alias("symbol_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            rnd(F.corr("a.px", "b.px"), 3).alias("corr_daily"),
+        )
+    )

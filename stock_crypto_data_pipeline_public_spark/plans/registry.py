@@ -58,6 +58,7 @@ def load_all() -> None:
         relational,
         vault,
         eventops,
+        finance,
         textops,
         vectorops,
         multimodal,
