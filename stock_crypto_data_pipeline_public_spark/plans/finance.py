@@ -220,6 +220,43 @@ def f04_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# f06 — exact interpolated price percentiles per instrument (the sort-based
+# aggregate the rest of the registry lacks — everything else is hash-agg or
+# window). Spark's percentile() and DuckDB's quantile_cont() share the
+# linear-interpolation definition, so outputs agree to rounding. At scale
+# this is a per-group sort of values only (not whole rows); for quantiles on
+# a 100 TB tape switch to percentile_approx with a fixed accuracy — kept
+# exact here because the gate hash-compares.
+# --------------------------------------------------------------------------
+@query(
+    "f06_price_percentiles",
+    oracle=f"""
+    SELECT event_type AS symbol,
+           count(*)   AS n_ticks,
+           {oracle_rnd('quantile_cont(value, 0.50)', 4)} AS p50,
+           {oracle_rnd('quantile_cont(value, 0.95)', 4)} AS p95,
+           {oracle_rnd('quantile_cont(value, 0.99)', 4)} AS p99,
+           {oracle_rnd('quantile_cont(value, 0.75) - quantile_cont(value, 0.25)', 4)} AS iqr
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f06_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def pct(p: float):
+        return F.percentile("value", F.lit(p))
+
+    return ev.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        rnd(pct(0.50), 4).alias("p50"),
+        rnd(pct(0.95), 4).alias("p95"),
+        rnd(pct(0.99), 4).alias("p99"),
+        rnd(pct(0.75) - pct(0.25), 4).alias("iqr"),
+    )
+
+
+# --------------------------------------------------------------------------
 # f05 — cross-instrument correlation of daily mean prices: aggregate the
 # tape to (instrument, day) first — the pair join then runs on the *small*
 # aggregated series (days × instruments rows, broadcastable at any raw

@@ -110,6 +110,49 @@ def windowed_counts(stream: DataFrame, ts_col: str, window: str, watermark: str)
     )
 
 
+def windowed_ohlcv(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Streaming candlestick bars — the streaming twin of plans/finance.f01.
+
+    Tumbling event-time windows per instrument with a late-data watermark;
+    open/close are ``min_by``/``max_by`` on the monotone sequence column, so
+    the bar state per (window, instrument) is O(1) — four scalars and two
+    counters — not a buffered row list. Late ticks inside the watermark
+    horizon update the bar; bars emit finalized once the watermark passes
+    (append mode).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.min_by("value", seq_col).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", seq_col).alias("close"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("win.start").alias("bar_start"),
+            "symbol",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )
+
+
 def dedup_stream(stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str) -> DataFrame:
     """Streaming exactly-once-per-key dedup with BOUNDED state.
 

@@ -231,3 +231,122 @@ def test_quota_sample_matches_rank_formulation(spark, sf_dir, quota):
     got = sorted(map(tuple, quota_sample(b, quota).collect()))
     want = sorted(map(tuple, naive.collect()))
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Finance-suite invariants on randomized tick tapes
+# --------------------------------------------------------------------------
+
+#: (symbol, seq, price, size) — seq unique per draw (the tape's monotone id)
+ticks = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=10_000),
+        st.floats(min_value=0.01, max_value=500.0, allow_nan=False),
+        st.integers(min_value=1, max_value=100),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[1],
+)
+
+
+def _tape(spark, rows):
+    data = [
+        (f"s{s}", q, BASE + timedelta(minutes=q), float(p), f'{{"k": {z}}}')
+        for s, q, p, z in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_type string, event_id long, ts timestamp, value double, props string"
+    )
+
+
+@SETTINGS
+@given(rows=ticks)
+def test_ohlcv_bar_invariants(spark, rows):
+    """low <= open/close <= high; volume = sum of sizes; OHLC values are
+    members of the bar's tick set (selection, not interpolation)."""
+    tape = _tape(spark, rows)
+    ticks_by_bar: dict[tuple, list] = {}
+    for r in tape.collect():
+        key = (r["ts"].replace(minute=0, second=0, microsecond=0), r["event_type"])
+        ticks_by_bar.setdefault(key, []).append(r)
+    got = (
+        tape.groupBy(
+            F.date_trunc("hour", "ts").alias("bar_start"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("volume"),
+        )
+        .collect()
+    )
+    assert len(got) == len(ticks_by_bar)
+    for bar in got:
+        members = ticks_by_bar[(bar["bar_start"], bar["symbol"])]
+        prices = [m["value"] for m in members]
+        by_seq = sorted(members, key=lambda m: m["event_id"])
+        assert bar["low"] == min(prices) and bar["high"] == max(prices)
+        assert bar["open"] == by_seq[0]["value"]
+        assert bar["close"] == by_seq[-1]["value"]
+        assert bar["low"] <= bar["open"] <= bar["high"]
+        assert bar["low"] <= bar["close"] <= bar["high"]
+        assert bar["volume"] == sum(int(m["props"].split(":")[1].rstrip("}")) for m in members)
+
+
+@SETTINGS
+@given(rows=ticks)
+def test_drawdown_bounded_and_zero_for_monotone_rises(spark, rows):
+    """0 <= max_drawdown < 1 always; exactly 0 iff the tape never trades
+    below its running peak."""
+    from pyspark.sql import Window as W
+
+    tape = _tape(spark, rows)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = (
+        tape.select("event_type", "value", F.max("value").over(w).alias("run_peak"))
+        .groupBy("event_type")
+        .agg(F.max((F.col("run_peak") - F.col("value")) / F.col("run_peak")).alias("mdd"))
+        .collect()
+    )
+    by_sym: dict[str, list] = {}
+    for r in sorted(rows, key=lambda t: t[1]):
+        by_sym.setdefault(f"s{r[0]}", []).append(float(r[2]))
+    for r in dd:
+        assert 0.0 <= r["mdd"] < 1.0
+        prices = by_sym[r["event_type"]]
+        peak, worst = prices[0], 0.0
+        for p in prices:
+            peak = max(peak, p)
+            worst = max(worst, (peak - p) / peak)
+        assert r["mdd"] == pytest.approx(worst, rel=1e-12)
+
+
+@SETTINGS
+@given(rows=ticks)
+def test_vwap_is_between_min_and_max_price(spark, rows):
+    tape = _tape(spark, rows)
+    got = (
+        tape.select(
+            "event_type",
+            "value",
+            F.get_json_object("props", "$.k").cast("long").alias("size"),
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.col("value") * F.col("size")) / F.sum("size")).alias("vwap"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r["lo"] - 1e-9 <= r["vwap"] <= r["hi"] + 1e-9

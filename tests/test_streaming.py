@@ -71,6 +71,32 @@ def test_windowed_counts_with_watermark_matches_batch(spark, sf_dir, tmp_path):
     spark.catalog.dropTempView("win_counts")
 
 
+def test_windowed_ohlcv_matches_batch_candles(spark, sf_dir, tmp_path):
+    """Streaming bars == batch f01 candles on the same tape (complete mode
+    drains everything, so the watermark never drops rows here)."""
+    from stock_crypto_data_pipeline_public_spark.plans.finance import f01_ohlcv_candles
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import windowed_ohlcv
+
+    _, staging, schema = _stage_events(spark, sf_dir, tmp_path, 3)
+    bars = windowed_ohlcv(file_stream(spark, staging, schema))
+    q = (
+        bars.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlcv_bars")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ohlcv_bars")
+    expected = f01_ohlcv_candles(spark, sf_dir).select(
+        F.col("bar_hour").alias("bar_start"), "symbol", "open", "high",
+        "low", "close", "volume", "n_trades",
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    spark.catalog.dropTempView("ohlcv_bars")
+
+
 def test_dedup_stream_collapses_redelivered_events(spark, sf_dir, tmp_path):
     from stock_crypto_data_pipeline_public_spark.streaming.pipeline import dedup_stream
 
