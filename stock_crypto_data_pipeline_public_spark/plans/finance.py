@@ -122,7 +122,10 @@ def f02_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines compare against the identical band), breakout counts. The
 # window partitions by instrument — bounded state per partition, no global
 # sort (contrast reference warehouse_tools.py:337-339, whose LAG runs over
-# an unpartitioned ORDER BY).
+# an unpartitioned ORDER BY). If one instrument's history outgrows an
+# executor (100 TB tape), pre-bucket the window by (symbol, month) and
+# stitch the 19-row seam between months — the frame is rows-bounded, so the
+# seam is exactly 19 carried rows.
 # --------------------------------------------------------------------------
 @query(
     "f03_bollinger_breakouts",
@@ -180,6 +183,9 @@ def f03_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # f04 — maximum drawdown per instrument: running peak (rows-unbounded max —
 # deterministic, no float summation) and the worst peak-to-trough ratio.
+# The unbounded running max is associative, so at 100 TB it splits into
+# per-chunk (symbol, month) maxima + a prefix-max over the tiny chunk
+# summary, then a second bounded pass — the same two-phase shape as t15.
 # Every arithmetic step here is a single IEEE op on identical inputs, so the
 # unrounded drawdown is bit-identical across engines; rounding is belt and
 # braces.

@@ -50,7 +50,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x01_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row norms are computed ONCE per side (n + 10 norms, not 2 per pair);
-    # the pair loop is a single flat dot product
+    # the pair loop is a single flat dot product. NOTE: do NOT flatten the
+    # embedding to 64 alias columns here (S.flatten) — re-aliasing 64 columns
+    # across this self-join makes Catalyst's constraint propagation explode
+    # (driver OOM); the single-expression getItem chain keeps the constraint
+    # set at one attribute. x04's pair join tolerates flattening because its
+    # sides project only (vec_id, flats) with no second alias layer.
     emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
     # single-file corpus = single partition; spread the streamed side so the
     # broadcast nested-loop scoring parallelizes
@@ -382,19 +387,17 @@ def x06_bucketed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # norms hoisted to one pass over the corpus (n, not n²); the O(n²) pair
-    # loop is a single flat-compiled dot product — same IEEE op order as the
-    # oracle's fold, ~6× less work per pair than naive cosine()
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", "embedding", S.norm("embedding", EMB_DIM).alias("nrm")
-    )
+    # array indexing + casts + norms hoisted to ONE flattening pass over the
+    # corpus (n rows); the O(n²) pair loop is then plain scalar multiply-adds
+    # over flat double columns — same IEEE op order as the oracle's fold
+    emb = S.flatten(_emb(spark, sf_dir), "embedding", EMB_DIM, keep=["vec_id"])
     # the corpus arrives as one parquet file = one partition; the nested-loop
     # pair join inherits the stream side's partitioning, so spread it across
     # the cluster — the broadcast side stays whole on every task
     par = spark.sparkContext.defaultParallelism
     a = emb.repartition(par, "vec_id").alias("a")
     b = emb.alias("b")
-    sim = S.dot("a.embedding", "b.embedding", EMB_DIM) / F.nullif(
+    sim = S.flat_dot("a", "b", EMB_DIM) / F.nullif(
         F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
     )
     return (
@@ -403,3 +406,75 @@ def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sim_bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# x08 — GEMM brute-force top-k: the THROUGHPUT path for exact k-NN. The
+# Catalyst fold (x01) is the bit-exact oracle baseline; for raw scoring
+# speed the right tool is BLAS — queries broadcast as a normalized numpy
+# matrix, the corpus streamed through mapInPandas in Arrow batches, each
+# batch scored with one matrix multiply (batch×dim @ dim×queries), local
+# top-k per batch, then a global top-k over the tiny candidate set
+# (≤ k·batches rows per query). This is the classic two-phase distributed
+# top-k: no all-pair shuffle, and the driver never sees raw scores.
+#
+# Registered WITHOUT an oracle (rows-only gate): GEMM accumulates in a
+# different order than the sequential fold, so values agree only to ~1e-12 —
+# tests/test_properties.py asserts x08 ≡ x01 after 4-dp rounding instead.
+# --------------------------------------------------------------------------
+@query("x08_gemm_topk", oracle=None)
+def x08_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    K = 5
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    qrows = emb.filter(F.col("vec_id") < 10).collect()  # queries: always tiny
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, Qn))
+
+    schema = "query_id long, neighbor_id long, neighbor_label int, cosine_sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids, q_mat = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = np.nan
+            sims = (M / nrm) @ q_mat.T  # batch × queries, one GEMM
+            # deterministic half-up 4-dp rounding — the same contract as rnd()
+            sims = np.floor(sims * 10000 + 0.5) / 10000.0
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # local top-k by (sim desc, id asc): lexsort keys reversed
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:K]
+                sel = cand_idx[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[sel],
+                            "neighbor_label": labels[sel],
+                            "cosine_sim": col[sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    par = spark.sparkContext.defaultParallelism
+    cand = emb.repartition(par, "vec_id").mapInPandas(score, schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)

@@ -350,3 +350,17 @@ def test_vwap_is_between_min_and_max_price(spark, rows):
     )
     for r in got:
         assert r["lo"] - 1e-9 <= r["vwap"] <= r["hi"] + 1e-9
+
+
+def test_gemm_topk_matches_catalyst_fold_knn(spark, sf_dir):
+    """x08 (numpy GEMM, Arrow-batched) selects the same neighbors with the
+    same 4-dp cosines as x01 (bit-exact Catalyst fold) — the two phases of
+    the engine's exact-kNN story agree after deterministic rounding."""
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    a = registry.QUERIES["x01_knn_cosine"](spark, sf_dir)
+    b = registry.QUERIES["x08_gemm_topk"](spark, sf_dir)
+    cols = ["query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rk"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
