@@ -508,7 +508,10 @@ def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # tf already holds one row per distinct (doc, term), so document
+    # frequency is a re-aggregation of tf — no second tokenize pass, and the
+    # (doc_id, term) exchange feeding tf is reused for the df branch
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
@@ -647,9 +650,11 @@ def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram"),
     )
     c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy(F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1")).agg(
-        F.count(F.lit(1)).alias("c1")
-    )
+    # context counts re-aggregate the bigram counts (sum of c12 per w1 ==
+    # count of bigrams per w1) — one fewer tokenize+explode+shuffle pass
+    c1 = c12.groupBy(
+        F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
     v = toks.select(F.explode("tk").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
