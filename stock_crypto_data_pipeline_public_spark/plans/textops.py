@@ -976,3 +976,31 @@ def t14_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("edit_dist"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# t18 — HLL approximate distinct-token counts per (lang, source): the
+# sketch path SCALE.md prescribes for dashboard-grade cardinalities at
+# 100 TB. approx_count_distinct is a single-pass HyperLogLog++ with fixed
+# (KB-sized) state per group and full map-side partial merging — contrast
+# the exact form, which must shuffle every distinct (group, token) pair.
+# Exact counts ride along so the output itself exhibits the error bound.
+#
+# Rows-only gate: HLL estimates are engine-specific (DuckDB's approx HLL
+# differs), so there is no cross-engine oracle; the error contract
+# |approx − exact| / exact ≤ 5% (rsd=0.02, well inside) is asserted by
+# tests/test_properties.py::test_hll_distinct_within_error_bound.
+# --------------------------------------------------------------------------
+@query("t18_hll_distinct_tokens", oracle=None)
+def t18_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        "source",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("tok"),
+    )
+    return toks.groupBy("lang", "source").agg(
+        F.approx_count_distinct("tok", rsd=0.02).alias("approx_distinct_tokens"),
+        F.countDistinct("tok").alias("exact_distinct_tokens"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

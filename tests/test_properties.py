@@ -364,3 +364,18 @@ def test_gemm_topk_matches_catalyst_fold_knn(spark, sf_dir):
     cols = ["query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rk"]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
     assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_hll_distinct_within_error_bound(spark, sf_dir):
+    """t18's HLL estimate stays within 5% of the exact distinct count for
+    every (lang, source) group — the error contract that justifies swapping
+    countDistinct for the sketch at 100 TB."""
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["t18_hll_distinct_tokens"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_distinct_tokens"]
+        assert exact > 0
+        assert abs(r["approx_distinct_tokens"] - exact) / exact <= 0.05, r
