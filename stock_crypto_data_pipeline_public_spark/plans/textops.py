@@ -1004,3 +1004,107 @@ def t18_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("exact_distinct_tokens"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# t19 — intra-document repetition (the Gopher-style quality signal): the
+# fraction of word trigrams that are repeats within the same document.
+# Entirely per-row array expressions — trigram construction, distinct, and
+# the ratio all happen inside whole-stage codegen with NO shuffle and NO
+# explode; the scan is the only cost, at any corpus size.
+# --------------------------------------------------------------------------
+@query(
+    "t19_intradoc_repetition",
+    oracle=f"""
+    WITH tri AS (
+        SELECT doc_id,
+               list_transform(
+                   range(len(string_split_regex(trim(text), '\\s+')) - 2),
+                   i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\\s+')[i+1],
+                        string_split_regex(trim(text), '\\s+')[i+2],
+                        string_split_regex(trim(text), '\\s+')[i+3])
+               ) AS t
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    )
+    SELECT doc_id,
+           len(t)                AS n_shingles,
+           len(list_distinct(t)) AS n_distinct,
+           {oracle_rnd('(len(t) - len(list_distinct(t))) * 1.0 / len(t)', 4)} AS dup_fraction
+    FROM tri
+    """,
+)
+def t19_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2), F.element_at(tk, i + 3)
+        ),
+    )
+    out = (
+        docs.select("doc_id", tri.alias("t"))
+        .filter(F.size("t") >= 1)
+        .select(
+            "doc_id",
+            F.size("t").alias("n_shingles"),
+            F.size(F.array_distinct("t")).alias("n_distinct"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        rnd(
+            (F.col("n_shingles") - F.col("n_distinct")) * 1.0 / F.col("n_shingles"), 4
+        ).alias("dup_fraction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t20 — benchmark decontamination: candidate documents sharing word 5-grams
+# with a held-out benchmark set (source = 'src0' stands in for the eval
+# corpus). The benchmark's distinct shingle set is SMALL at any corpus scale
+# (evals are thousands of docs, not billions) — so it broadcasts, and the
+# overlap check is a map-side hash-join over the candidates: no shuffle of
+# the big side until the tiny per-doc aggregation. The standard pipeline
+# step before training-set finalization.
+# --------------------------------------------------------------------------
+@query(
+    "t20_benchmark_contamination",
+    oracle=f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({D.oracle_shingles('text', 5)}) AS shingle
+        FROM documents WHERE source = 'src0'
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text', 5)}) AS shingle
+        FROM documents WHERE source <> 'src0'
+    )
+    SELECT c.doc_id,
+           count(*)          AS n_shared_shingles,
+           count(*) >= 3     AS contaminated
+    FROM cand c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY 1
+    """,
+)
+def t20_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = (
+        D.exploded_shingles(docs.filter(F.col("source") == "src0"), "doc_id", "text", 5)
+        .select("shingle")
+        .distinct()
+    )
+    cand = D.exploded_shingles(
+        docs.filter(F.col("source") != "src0"), "doc_id", "text", 5
+    )
+    return (
+        cand.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            (F.count(F.lit(1)) >= 3).alias("contaminated"),
+        )
+    )
