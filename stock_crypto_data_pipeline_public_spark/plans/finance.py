@@ -312,3 +312,99 @@ def f05_daily_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.corr("a.px", "b.px"), 3).alias("corr_daily"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# f07 — time-series pattern similarity search (EDBT'19 "Time Series
+# Similarity Search for Streaming Data" problem shape): take a 24-bar query
+# pattern (the first full day of hourly closes of one instrument) and rank
+# every sliding 24-bar window across all instruments by mean-centered
+# Euclidean distance. Windows come from ONE ordered pass per instrument
+# (collect_list over a rows-frame); distances are flat array folds in the
+# same sequential order as the oracle's list_sum. The query pattern is a
+# 1-row broadcast. At 100 TB the candidate windows are per-instrument and
+# day-bounded — the expensive part (windowing) partitions by symbol, and
+# the distance scan is map-only after the broadcast.
+# --------------------------------------------------------------------------
+_PAT_L = 24
+
+
+@query(
+    "f07_pattern_similarity",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type AS symbol, date_trunc('hour', ts) AS bar_hour,
+               arg_max(value, event_id) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    wins AS (
+        SELECT symbol, bar_hour,
+               list(close) OVER (
+                   PARTITION BY symbol ORDER BY bar_hour ASC
+                   ROWS BETWEEN CURRENT ROW AND {_PAT_L - 1} FOLLOWING
+               ) AS win
+        FROM bars
+    ),
+    w24 AS (SELECT * FROM wins WHERE len(win) = {_PAT_L}),
+    pat AS (
+        SELECT bar_hour AS pat_hour, win AS p FROM w24
+        WHERE symbol = 'purchase' ORDER BY bar_hour ASC LIMIT 1
+    ),
+    scored AS (
+        SELECT w.symbol, w.bar_hour,
+               list_sum(list_transform(range({_PAT_L}),
+                   i -> ((w.win[i+1] - list_sum(w.win) / {_PAT_L}.0)
+                       - (pat.p[i+1] - list_sum(pat.p) / {_PAT_L}.0))
+                      * ((w.win[i+1] - list_sum(w.win) / {_PAT_L}.0)
+                       - (pat.p[i+1] - list_sum(pat.p) / {_PAT_L}.0))
+               )) AS dist
+        FROM w24 w CROSS JOIN pat
+        WHERE NOT (w.symbol = 'purchase' AND w.bar_hour = pat.pat_hour)
+    )
+    SELECT symbol, bar_hour,
+           floor(dist * 100 + 0.5) / 100.0 AS sq_dist
+    FROM scored
+    ORDER BY sq_dist ASC, symbol ASC, bar_hour ASC
+    LIMIT 10
+    """,
+)
+def f07_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bars = (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+        )
+        .agg(F.max_by("value", "event_id").alias("close"))
+    )
+    w = (
+        W.partitionBy("symbol")
+        .orderBy(F.asc("bar_hour"))
+        .rowsBetween(W.currentRow, _PAT_L - 1)
+    )
+    w24 = (
+        bars.select("symbol", "bar_hour", F.collect_list("close").over(w).alias("win"))
+        .filter(F.size("win") == _PAT_L)
+    )
+    pat = (
+        w24.filter(F.col("symbol") == "purchase")
+        .orderBy(F.asc("bar_hour"))
+        .limit(1)
+        .select(F.col("bar_hour").alias("pat_hour"), F.col("win").alias("p"))
+    )
+
+    def _mean(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / float(_PAT_L)
+
+    ma = _mean(F.col("win"))
+    mb = _mean(F.col("p"))
+    diffs = F.zip_with(
+        F.col("win"), F.col("p"), lambda x, y: (x - ma) - (y - mb)
+    )
+    dist = F.aggregate(diffs, F.lit(0.0), lambda a, v: a + v * v)
+    scored = (
+        w24.crossJoin(F.broadcast(pat))
+        .filter(~((F.col("symbol") == "purchase") & (F.col("bar_hour") == F.col("pat_hour"))))
+        .select("symbol", "bar_hour", rnd(dist, 2).alias("sq_dist"))
+    )
+    return scored.orderBy(F.asc("sq_dist"), F.asc("symbol"), F.asc("bar_hour")).limit(10)
