@@ -51,6 +51,9 @@ EXPECTED_NESTED_LOOP = {
     # aggregate (max(ts)), i.e. a map-only pass — the canonical incremental
     # filter shape at any scale
     "q17_incremental_hwm",
+    # pattern-similarity search: the query pattern is a broadcast 1-ROW
+    # window (crossJoin) — map-only distance scan over the candidates
+    "f07_pattern_similarity",
 }
 
 
