@@ -1,0 +1,146 @@
+"""CLI — the engine's `dbt build` / Prefect-flow equivalent.
+
+The reference drives its pipeline with Prefect deployments + `dbt build
+--selector …` (reference prefect.yaml:11-40, a1_6_dbt_build.py:50-90,
+b1_1_trino_incremental_dbt.py:87-113). This module is the single-binary
+version of that surface:
+
+    python -m stock_crypto_data_pipeline_public_spark generate --landing /tmp/landing
+    python -m stock_crypto_data_pipeline_public_spark build --landing /tmp/landing \
+        --warehouse /tmp/wh --select fct_transactions+ --test
+    python -m stock_crypto_data_pipeline_public_spark models
+    python -m stock_crypto_data_pipeline_public_spark test --warehouse /tmp/wh
+
+`generate` writes timestamped landing CSVs (the faker batch, reference
+a1_1); `build` ingests the landing zone into typed raw Parquet tables and
+runs the tag/name-selected vault→mart DAG (writing selected marts to
+parquet with --write); `test` runs the ported dbt quality suite; `models`
+lists the registry with tags and deps (dbt ls).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+
+def _spark(cpus: int) -> SparkSession:
+    from .session import get_spark
+
+    return get_spark("scdp-cli", cpus=cpus, shuffle_partitions=cpus)
+
+
+def cmd_generate(args, spark: SparkSession) -> int:
+    from .flows import BatchFlow
+    from .sources.faker import MarketDataFaker
+
+    raw = MarketDataFaker(
+        seed=args.seed,
+        n_corporates=args.corporates,
+        n_customers=args.customers,
+        n_transactions=args.transactions,
+    ).generate(spark)
+    flow = BatchFlow(landing_dir=args.landing, warehouse_dir="")
+    run_ts = (
+        datetime.strptime(args.run_ts, "%Y%m%d_%H%M%S")
+        if args.run_ts
+        else datetime.now(timezone.utc)
+    )
+    flow.land(raw, run_ts)
+    for name, df in raw.items():
+        print(f"landed {name}: {df.count()} rows")
+    return 0
+
+
+def cmd_build(args, spark: SparkSession) -> int:
+    from .flows import BatchFlow
+
+    flow = BatchFlow(landing_dir=args.landing or "", warehouse_dir=args.warehouse)
+    if args.landing:
+        appended = flow.ingest_raw(spark)
+        for name, n in sorted(appended.items()):
+            print(f"ingested {name}: +{n} rows")
+    select = args.select or None
+    tags = args.tags or None
+    ctx = flow.transform(spark, select=select, tags=tags, persist=bool(args.test))
+    built = [m for m in ctx if not m.startswith("raw_")]
+    print(f"built {len(built)} models: {', '.join(sorted(built))}")
+    if args.write:
+        import os
+
+        for name in sorted(built):
+            out = os.path.join(args.write, name)
+            ctx[name].write.mode("overwrite").parquet(out)
+            print(f"wrote {name} -> {out}")
+    if args.test:
+        failures = _run_quality(ctx)
+        return 1 if failures else 0
+    return 0
+
+
+def cmd_test(args, spark: SparkSession) -> int:
+    from .flows import transform_warehouse
+
+    ctx = transform_warehouse(spark, args.warehouse, persist=True)
+    return 1 if _run_quality(ctx) else 0
+
+
+def _run_quality(ctx) -> list[str]:
+    from .quality import run_market_quality_suite
+
+    results = run_market_quality_suite(ctx)
+    failures = [name for name, n in results.items() if n > 0]
+    for name, n in sorted(results.items()):
+        print(f"{'FAIL' if n else 'pass'}  {name}" + (f"  ({n} bad rows)" if n else ""))
+    print(f"{len(results) - len(failures)}/{len(results)} quality checks passed")
+    return failures
+
+
+def cmd_models(args, spark: SparkSession | None = None) -> int:
+    from .plans.market import registry
+
+    for name in sorted(registry.models()):
+        deps = ", ".join(registry._deps[name]) or "-"
+        tags = ",".join(sorted(registry._tags[name])) or "-"
+        print(f"{name:32s} [{tags}]  <- {deps}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="stock_crypto_data_pipeline_public_spark")
+    p.add_argument("--cpus", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="faker batch -> timestamped landing CSVs")
+    g.add_argument("--landing", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--corporates", type=int, default=20)
+    g.add_argument("--customers", type=int, default=100)
+    g.add_argument("--transactions", type=int, default=500)
+    g.add_argument("--run-ts", default=None, help="YYYYMMDD_HHMMSS (default: now)")
+
+    b = sub.add_parser("build", help="ingest landing zone + run the model DAG")
+    b.add_argument("--warehouse", required=True)
+    b.add_argument("--landing", default=None)
+    b.add_argument("--select", nargs="*", help="model names, dbt-style `name+` for descendants")
+    b.add_argument("--tags", nargs="*", help="tag selection (hub/link/sat/mart/semantic)")
+    b.add_argument("--write", default=None, help="write built models to this parquet dir")
+    b.add_argument("--test", action="store_true", help="run the quality suite after building")
+
+    t = sub.add_parser("test", help="run the quality suite over a built warehouse")
+    t.add_argument("--warehouse", required=True)
+
+    sub.add_parser("models", help="list registered models (dbt ls)")
+
+    args = p.parse_args(argv)
+    if args.cmd == "models":
+        return cmd_models(args)
+    spark = _spark(args.cpus)
+    return {"generate": cmd_generate, "build": cmd_build, "test": cmd_test}[args.cmd](args, spark)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

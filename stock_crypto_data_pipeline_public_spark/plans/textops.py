@@ -1037,7 +1037,15 @@ def t18_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t19_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    tk = F.split(F.trim(F.col("text")), r"\s+")
+    # tokenization lands in its OWN projection so the lambda below indexes an
+    # attribute, not the split() expression — split referenced inside a
+    # higher-order function body would re-run the regex once per element
+    # (measured 14× slower), and CollapseProject leaves multi-referenced
+    # non-trivial aliases un-inlined, which keeps it one split per row
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+    )
+    tk = F.col("tk")
     tri = F.transform(
         F.sequence(F.lit(0), F.size(tk) - 3),
         lambda i: F.concat_ws(
@@ -1045,8 +1053,8 @@ def t19_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = (
-        docs.select("doc_id", tri.alias("t"))
-        .filter(F.size("t") >= 1)
+        toked.filter(F.size(tk) >= 3)
+        .select("doc_id", tri.alias("t"))
         .select(
             "doc_id",
             F.size("t").alias("n_shingles"),
