@@ -396,15 +396,19 @@ def f07_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _mean(arr):
         return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / float(_PAT_L)
 
-    ma = _mean(F.col("win"))
-    mb = _mean(F.col("p"))
-    diffs = F.zip_with(
-        F.col("win"), F.col("p"), lambda x, y: (x - ma) - (y - mb)
-    )
-    dist = F.aggregate(diffs, F.lit(0.0), lambda a, v: a + v * v)
-    scored = (
+    # the window means land in their own projection — referenced inside the
+    # zip_with lambda as expressions they would re-fold once per element
+    # (24× recompute; same trap t19 documents for split())
+    centered = (
         w24.crossJoin(F.broadcast(pat))
         .filter(~((F.col("symbol") == "purchase") & (F.col("bar_hour") == F.col("pat_hour"))))
-        .select("symbol", "bar_hour", rnd(dist, 2).alias("sq_dist"))
+        .withColumn("ma", _mean(F.col("win")))
+        .withColumn("mb", _mean(F.col("p")))
     )
+    diffs = F.zip_with(
+        F.col("win"), F.col("p"),
+        lambda x, y: (x - F.col("ma")) - (y - F.col("mb")),
+    )
+    dist = F.aggregate(diffs, F.lit(0.0), lambda a, v: a + v * v)
+    scored = centered.select("symbol", "bar_hour", rnd(dist, 2).alias("sq_dist"))
     return scored.orderBy(F.asc("sq_dist"), F.asc("symbol"), F.asc("bar_hour")).limit(10)
