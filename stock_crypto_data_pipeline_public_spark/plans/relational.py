@@ -696,3 +696,45 @@ def q21_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_orderpriority", F.lit("ALL")).alias("grp_priority"),
         "is_year_total", "is_priority_total", "n_orders", "total_price",
     )
+
+
+# --------------------------------------------------------------------------
+# q22 — CUBE grouping sets (the full lattice q21's ROLLUP only walks one
+# path of): all four (status × year) aggregation levels in one pass. Spark
+# expands the cube into grouping sets inside a single hash aggregation —
+# one scan, one shuffle, NOT four separate group-bys unioned.
+# --------------------------------------------------------------------------
+@query(
+    "q22_status_year_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')                     AS grp_status,
+           coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS grp_year,
+           CAST(GROUPING(o_orderstatus) AS INT)               AS is_status_total,
+           CAST(GROUPING(year(o_orderdate)) AS INT)           AS is_year_total,
+           count(*)                                           AS n_orders,
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0     AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+    """,
+)
+def q22_status_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.year("o_orderdate").alias("o_year"), "o_totalprice"
+    )
+    return (
+        orders.cube("o_orderstatus", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("is_status_total"),
+            F.grouping("o_year").cast("int").alias("is_year_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("grp_status"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias("grp_year"),
+            "is_status_total",
+            "is_year_total",
+            "n_orders",
+            "total_price",
+        )
+    )

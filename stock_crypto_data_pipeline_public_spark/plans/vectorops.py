@@ -2,8 +2,10 @@
 
 x01 brute-force top-k cosine (exactness baseline), x02 sign-bit LSH buckets
 (the ANN scale path), x03 per-label centroids (array aggregation), x04
-pairwise similarity histogram (distribution check). See
-operators/similarity.py for the cross-engine math contract.
+pairwise similarity histogram (distribution check), x05 IVF coarse
+quantization, x06 bucketed cosine near-dup, x07 probed IVF top-k search
+(the full ANN query path), x08 GEMM exact k-NN (the BLAS throughput path).
+See operators/similarity.py for the cross-engine math contract.
 """
 
 from __future__ import annotations
