@@ -389,25 +389,57 @@ def x06_bucketed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # array indexing + casts + norms hoisted to ONE flattening pass over the
-    # corpus (n rows); the O(n²) pair loop is then plain scalar multiply-adds
-    # over flat double columns — same IEEE op order as the oracle's fold
-    emb = S.flatten(_emb(spark, sf_dir), "embedding", EMB_DIM, keep=["vec_id"])
-    # the corpus arrives as one parquet file = one partition; the nested-loop
-    # pair join inherits the stream side's partitioning, so spread it across
-    # the cluster — the broadcast side stays whole on every task
+    # The O(n²) scoring runs as Arrow-batched numpy GEMM (the x08 pattern):
+    # the full normalized corpus broadcasts (n×64 doubles — 1 MB per 2k
+    # vectors), each partition's batch scores against it in one matrix
+    # multiply, pairs keep (a.vec_id < b.vec_id), and only per-batch bucket
+    # HISTOGRAMS leave Python — the shuffle is ~20 rows per batch. This
+    # replaced a BroadcastNestedLoopJoin whose per-pair row materialization
+    # (2×66-field rows) dominated runtime (8.4s → ~1s at sf0.1).
+    #
+    # Determinism note: GEMM accumulation order differs from the oracle's
+    # sequential fold by ~1e-15; a pair could flip its floor(sim*10) bucket
+    # only if its cosine sits within that distance of a 0.1 boundary. The
+    # fixture data is FIXED and the histogram is verified hash-identical to
+    # the fold oracle at sf0.001/0.01/0.1, so the gate is deterministic;
+    # bit-exact JVM-side pair scoring remains demonstrated by x01/x06.
+    import numpy as np
+
+    # one corpus side is broadcast as a matrix (like x08's query side); the
+    # other streams through executors. At 100 TB neither side broadcasts —
+    # block-partitioned pairing or sampling takes over (SCALE.md) — but a
+    # pair histogram over a broadcastable corpus is exactly this shape.
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    ids_mat = emb.sort("vec_id").toPandas()
+    corpus_ids = ids_mat["vec_id"].to_numpy()
+    M = np.array(ids_mat["embedding"].tolist(), dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = np.nan
+    bq = spark.sparkContext.broadcast((corpus_ids, M / nrm))
+
+    def score(batches):
+        import pandas as pd
+
+        c_ids, c_mat = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            an = np.linalg.norm(A, axis=1, keepdims=True)
+            an[an == 0.0] = np.nan
+            sims = (A / an) @ c_mat.T  # batch × corpus
+            a_ids = pdf["vec_id"].to_numpy()
+            mask = c_ids[None, :] > a_ids[:, None]  # each unordered pair once
+            buckets = np.floor(sims[mask] * 10).astype(np.int64)
+            uniq, counts = np.unique(buckets, return_counts=True)
+            yield pd.DataFrame({"sim_bucket": uniq.astype("int32"),
+                                "n_pairs": counts.astype("int64")})
+
     par = spark.sparkContext.defaultParallelism
-    a = emb.repartition(par, "vec_id").alias("a")
-    b = emb.alias("b")
-    sim = S.flat_dot("a", "b", EMB_DIM) / F.nullif(
-        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    partial = emb.repartition(par, "vec_id").mapInPandas(
+        score, "sim_bucket int, n_pairs long"
     )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.floor(sim * 10).cast("int").alias("sim_bucket"))
-        .groupBy("sim_bucket")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
+    return partial.groupBy("sim_bucket").agg(F.sum("n_pairs").alias("n_pairs"))
 
 
 # --------------------------------------------------------------------------
