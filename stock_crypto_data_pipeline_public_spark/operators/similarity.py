@@ -58,35 +58,6 @@ def cosine(a: str, b: str, dim: int | None = None) -> Column:
     return dot(a, b, dim) / F.nullif(norm(a, dim) * norm(b, dim), F.lit(0.0))
 
 
-def flatten(df, col: str, dim: int, prefix: str = "c", keep: list[str] | None = None):
-    """Project an ``array<float>`` column to ``dim`` flat double columns
-    (``c0..c{dim-1}``) plus an ``nrm`` column, paying the array indexing ONCE
-    per row instead of once per pair.
-
-    For the O(pairs) scoring queries the per-pair cost then drops to plain
-    scalar multiply-adds over flat columns — no array bounds checks, no
-    element casts inside the pair loop (~20% faster than getItem chains at
-    sf0.1, bit-identical output: same left-to-right IEEE order).
-    """
-    if keep is None:
-        keep = [c for c in df.columns if c != col]
-    flat = [F.col(col).getItem(i).cast("double").alias(f"{prefix}{i}") for i in range(dim)]
-    out = df.select(*keep, *flat)
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}")
-    return out.withColumn("nrm", F.sqrt(acc))
-
-
-def flat_dot(a: str, b: str, dim: int, pa: str = "c", pb: str = "c") -> Column:
-    """Dot product over two flattened sides (alias-qualified), same
-    left-to-right fold order as :func:`dot`."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.col(f"{a}.{pa}{i}") * F.col(f"{b}.{pb}{i}")
-    return acc
-
-
 def oracle_dot(a: str, b: str) -> str:
     """DuckDB fragment: same sequential fold (list_sum is a left fold),
     1-indexed."""

@@ -369,6 +369,15 @@ def _oracle_simhash() -> str:
 
 @query("t08_simhash_hamming", oracle=_oracle_simhash())
 def t08_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # simhash construction stays JVM-side (integer bit-sum expressions, one
+    # hash aggregation). The O(n²) Hamming pair phase runs as vectorized
+    # numpy over a broadcast of the (doc_id, simhash) table — 16-bit codes,
+    # xor + popcount-table lookup, per-batch bincount; only ~17-row
+    # histograms leave Python. Pure integer math, so this is EXACTLY the
+    # oracle's result by construction (no float-order caveat); the previous
+    # BroadcastNestedLoopJoin paid row materialization per pair.
+    import numpy as np
+
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(D.tokens("text"))).alias("token")
@@ -378,18 +387,34 @@ def t08_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(f"c{b}").alias(f"s{b}") for b in range(D.SIMHASH_BITS)]
     )
     sh = sums.selectExpr("doc_id", f"{D.simhash_from_sums()} AS simhash")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.expr("bit_count(CAST(a.simhash AS BIGINT) ^ CAST(b.simhash AS BIGINT))").alias(
-                "hamming"
-            )
-        )
-        .groupBy("hamming")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
+
+    pdf_all = sh.sort("doc_id").toPandas()
+    c_ids = pdf_all["doc_id"].to_numpy(np.int64)
+    c_sim = pdf_all["simhash"].to_numpy(np.int64)
+    pop = np.array([bin(i).count("1") for i in range(1 << D.SIMHASH_BITS)],
+                   dtype=np.int64)
+    bq = spark.sparkContext.broadcast((c_ids, c_sim, pop))
+    n = len(c_ids)
+    par = spark.sparkContext.defaultParallelism
+    chunk = max(1, -(-n // (par * 2)))
+
+    def hist(batches):
+        import pandas as pd
+
+        ids, sims, table = bq.value
+        for pdf in batches:
+            for start in pdf["id"].tolist():
+                stop = min(start + chunk, n)
+                mask = ids[None, :] > ids[start:stop, None]
+                hams = table[(sims[start:stop, None] ^ sims[None, :])[mask]]
+                counts = np.bincount(hams, minlength=D.SIMHASH_BITS + 1)
+                nz = np.nonzero(counts)[0]
+                yield pd.DataFrame({"hamming": nz.astype("int32"),
+                                    "n_pairs": counts[nz].astype("int64")})
+
+    starts = spark.range(0, n, chunk).repartition(par)
+    partial = starts.mapInPandas(hist, "hamming int, n_pairs long")
+    return partial.groupBy("hamming").agg(F.sum("n_pairs").alias("n_pairs"))
 
 
 # --------------------------------------------------------------------------

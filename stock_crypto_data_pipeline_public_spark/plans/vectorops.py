@@ -52,12 +52,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x01_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row norms are computed ONCE per side (n + 10 norms, not 2 per pair);
-    # the pair loop is a single flat dot product. NOTE: do NOT flatten the
-    # embedding to 64 alias columns here (S.flatten) — re-aliasing 64 columns
+    # the pair loop is a single flat dot product. NOTE: do NOT split the
+    # embedding into 64 aliased scalar columns here — re-aliasing 64 columns
     # across this self-join makes Catalyst's constraint propagation explode
-    # (driver OOM); the single-expression getItem chain keeps the constraint
-    # set at one attribute. x04's pair join tolerates flattening because its
-    # sides project only (vec_id, flats) with no second alias layer.
+    # (driver OOM during optimization); the single-expression getItem chain
+    # keeps the constraint set at one attribute.
     emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
     # single-file corpus = single partition; spread the streamed side so the
     # broadcast nested-loop scoring parallelizes
@@ -405,10 +404,12 @@ def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-exact JVM-side pair scoring remains demonstrated by x01/x06.
     import numpy as np
 
-    # one corpus side is broadcast as a matrix (like x08's query side); the
-    # other streams through executors. At 100 TB neither side broadcasts —
-    # block-partitioned pairing or sampling takes over (SCALE.md) — but a
-    # pair histogram over a broadcastable corpus is exactly this shape.
+    # the corpus broadcasts once as a normalized matrix (like x08's query
+    # side); the pair space is parallelized by ROW-CHUNK OFFSETS into that
+    # same broadcast (spark.range over starts), so the corpus is computed
+    # exactly once. At 100 TB neither side broadcasts — block-partitioned
+    # pairing or sampling takes over (SCALE.md) — but a pair histogram over
+    # a broadcastable corpus is exactly this shape.
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     ids_mat = emb.sort("vec_id").toPandas()
     corpus_ids = ids_mat["vec_id"].to_numpy()
@@ -416,29 +417,26 @@ def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = np.linalg.norm(M, axis=1, keepdims=True)
     nrm[nrm == 0.0] = np.nan
     bq = spark.sparkContext.broadcast((corpus_ids, M / nrm))
+    n = len(corpus_ids)
+    par = spark.sparkContext.defaultParallelism
+    chunk = max(1, -(-n // (par * 2)))
 
     def score(batches):
         import pandas as pd
 
         c_ids, c_mat = bq.value
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            an = np.linalg.norm(A, axis=1, keepdims=True)
-            an[an == 0.0] = np.nan
-            sims = (A / an) @ c_mat.T  # batch × corpus
-            a_ids = pdf["vec_id"].to_numpy()
-            mask = c_ids[None, :] > a_ids[:, None]  # each unordered pair once
-            buckets = np.floor(sims[mask] * 10).astype(np.int64)
-            uniq, counts = np.unique(buckets, return_counts=True)
-            yield pd.DataFrame({"sim_bucket": uniq.astype("int32"),
-                                "n_pairs": counts.astype("int64")})
+            for start in pdf["id"].tolist():
+                stop = min(start + chunk, n)
+                sims = c_mat[start:stop] @ c_mat.T  # chunk × corpus
+                mask = c_ids[None, :] > c_ids[start:stop, None]  # each pair once
+                buckets = np.floor(sims[mask] * 10).astype(np.int64)
+                uniq, counts = np.unique(buckets, return_counts=True)
+                yield pd.DataFrame({"sim_bucket": uniq.astype("int32"),
+                                    "n_pairs": counts.astype("int64")})
 
-    par = spark.sparkContext.defaultParallelism
-    partial = emb.repartition(par, "vec_id").mapInPandas(
-        score, "sim_bucket int, n_pairs long"
-    )
+    starts = spark.range(0, n, chunk).repartition(par)
+    partial = starts.mapInPandas(score, "sim_bucket int, n_pairs long")
     return partial.groupBy("sim_bucket").agg(F.sum("n_pairs").alias("n_pairs"))
 
 
