@@ -495,8 +495,11 @@ def t09_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t10 — TF-IDF top terms per document: explode tokens → per-doc term counts
 # (one shuffle, map-side partials), document frequency over distinct
 # (doc, term), corpus size as a broadcast 1-row aggregate, top-3 terms per
-# doc by score. The tf⋈df join keys on term; AQE broadcasts the df side
-# when the vocabulary is small.
+# doc by score. The tf⋈df join keys on term; dfreq is one row per distinct
+# term so it is explicitly broadcast — the big tf relation never reshuffles
+# by term (AQE can't see this statically: dfreq's size estimate inherits the
+# full scan). At web-corpus vocabularies (>~100M terms) drop the hint and
+# let the term-key sort-merge join take over.
 # --------------------------------------------------------------------------
 @query(
     "t10_tfidf_top_terms",
@@ -539,7 +542,7 @@ def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -634,7 +637,11 @@ def t11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # size as a broadcast scalar, add-one smoothed P(w2|w1), per-doc mean log
 # probability. Integer counts make every per-bigram term engine-exact; only
 # the final mean is floating (rounded). The doc-bigram ⋈ count joins key on
-# the bigram string — uniform by construction, AQE broadcasts small counts.
+# the bigram string. The count tables (one row per distinct bigram / per
+# distinct context word) are explicitly broadcast: the big exploded bigram
+# relation joins map-side and never reshuffles by bigram — its only exchange
+# is the final per-doc aggregation. At open-vocabulary scale (bigram table
+# past the broadcast threshold) drop the hints; the join keys stay uniform.
 # --------------------------------------------------------------------------
 @query(
     "t12_bigram_lm_score",
@@ -684,8 +691,8 @@ def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("v")
     )
     scored = (
-        bg.join(c12, "bigram")
-        .join(c1, F.split_part("bigram", F.lit(" "), F.lit(1)) == F.col("w1"))
+        bg.join(F.broadcast(c12), "bigram")
+        .join(F.broadcast(c1), F.split_part("bigram", F.lit(" "), F.lit(1)) == F.col("w1"))
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
