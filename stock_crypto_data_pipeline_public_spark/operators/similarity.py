@@ -58,6 +58,29 @@ def cosine(a: str, b: str, dim: int | None = None) -> Column:
     return dot(a, b, dim) / F.nullif(norm(a, dim) * norm(b, dim), F.lit(0.0))
 
 
+def l2sq_slice(vec: str, off_expr: str, cw: str, sub: int) -> Column:
+    """Squared L2 distance between an inline slice of ``vec`` (elements
+    ``off_expr + 0 .. off_expr + sub - 1``, 0-based) and a materialized
+    subvector column ``cw`` — a flat ``sub``-term chain in the same
+    left-to-right IEEE order as :func:`oracle_l2sq_slice`."""
+    acc = F.lit(0.0)
+    for j in range(sub):
+        x = F.expr(f"CAST({vec}[{off_expr} + {j}] AS DOUBLE)") - F.col(cw).getItem(j)
+        acc = acc + x * x
+    return acc
+
+
+def oracle_l2sq_slice(vec: str, off_expr: str, cw: str, sub: int) -> str:
+    """DuckDB twin of :func:`l2sq_slice`; ``off_expr`` is 0-based, DuckDB
+    lists are 1-indexed, ``cw`` is an already-double list column."""
+    terms = " + ".join(
+        f"((CAST({vec}[{off_expr} + {j} + 1] AS DOUBLE) - {cw}[{j} + 1])"
+        f" * (CAST({vec}[{off_expr} + {j} + 1] AS DOUBLE) - {cw}[{j} + 1]))"
+        for j in range(sub)
+    )
+    return f"({terms})"
+
+
 def oracle_dot(a: str, b: str) -> str:
     """DuckDB fragment: same sequential fold (list_sum is a left fold),
     1-indexed."""

@@ -4,7 +4,8 @@ x01 brute-force top-k cosine (exactness baseline), x02 sign-bit LSH buckets
 (the ANN scale path), x03 per-label centroids (array aggregation), x04
 pairwise similarity histogram (distribution check), x05 IVF coarse
 quantization, x06 bucketed cosine near-dup, x07 probed IVF top-k search
-(the full ANN query path), x08 GEMM exact k-NN (the BLAS throughput path).
+(the full ANN query path), x08 GEMM exact k-NN (the BLAS throughput path),
+x09 product-quantization ADC search (the memory-compression path).
 See operators/similarity.py for the cross-engine math contract.
 """
 
@@ -510,3 +511,160 @@ def x08_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.repartition(par, "vec_id").mapInPandas(score, schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
+
+
+# --------------------------------------------------------------------------
+# x09 — product quantization + asymmetric-distance (ADC) search: the
+# memory-compression ANN path. The 64-dim space splits into M=8 subspaces;
+# each subspace gets a K=16-codeword codebook (subvectors of the first K
+# corpus vectors — deterministic seeding, same convention as x05's IVF
+# seeds). Every corpus vector is ENCODED as 8 four-bit codes (64 floats →
+# 4 bytes, a 64× memory cut); a query never decodes the corpus — it builds
+# an M×K lookup table of squared L2 distances to every codeword and scores
+# a vector as the sum of 8 table lookups (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public method).
+#
+# Plan shape: the 128-row codebook broadcasts against the corpus; the
+# 128-per-vector scored rows collapse map-side via filtered min_by partial
+# aggs, so the only corpus-sized exchange carries ONE row per vector (its 8
+# codes). The query lookup tables are computed by one tiny Spark job (5
+# queries × 128 codewords) and re-enter the plan as literal arrays — ADC
+# scoring is then a map-only pass of 40 array lookups per row, and the
+# final top-10 window moves just (query_id, neighbor_id, dist) rows. At
+# 100 TB the codes table IS the stored index (written once, 4 bytes/vector)
+# and ADC scans codes instead of embeddings — this query demonstrates both
+# the encode and the search halves. Floats: every subspace distance is the
+# same left-to-right 8-term fold on both engines; the cross-subspace sum is
+# a fixed m=0..7 chain (Spark) == list_sum over an m-ordered list (DuckDB),
+# so doubles are bit-identical before the final 4-dp round.
+# --------------------------------------------------------------------------
+PQ_M = 8                      # subspaces
+PQ_SUB = EMB_DIM // PQ_M      # dims per subspace
+PQ_K = 16                     # codewords per subspace
+PQ_Q_LO, PQ_Q_HI = 200, 205   # query vec_ids
+PQ_TOPK = 10
+
+
+def _pq_oracle() -> str:
+    d_corpus = S.oracle_l2sq_slice("e.embedding", f"c.m * {PQ_SUB}", "c.cw", PQ_SUB)
+    d_query = S.oracle_l2sq_slice("q.qe", f"c.m * {PQ_SUB}", "c.cw", PQ_SUB)
+    return f"""
+    WITH ms AS (SELECT unnest(range({PQ_M})) AS m),
+    cb AS (
+        SELECT ms.m, CAST(s.vec_id AS INT) AS k,
+               list_transform(range({PQ_SUB}),
+                   j -> CAST(s.embedding[ms.m * {PQ_SUB} + j + 1] AS DOUBLE)) AS cw
+        FROM embeddings s CROSS JOIN ms WHERE s.vec_id < {PQ_K}
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT e.vec_id, c.m, c.k,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.m
+                       ORDER BY {d_corpus} ASC, c.k ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cb c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id >= {PQ_Q_LO} AND vec_id < {PQ_Q_HI}),
+    qtab AS (
+        SELECT q.query_id, c.m, c.k, {d_query} AS qd
+        FROM q CROSS JOIN cb c
+    ),
+    adc AS (
+        SELECT t.query_id, codes.vec_id AS neighbor_id,
+               list_sum(list(t.qd ORDER BY t.m)) AS adc
+        FROM codes JOIN qtab t ON t.m = codes.m AND t.k = codes.k
+        WHERE codes.vec_id <> t.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rk
+    FROM (
+        SELECT query_id, neighbor_id,
+               {oracle_rnd('adc', 4)} AS adc_dist,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {oracle_rnd('adc', 4)} ASC, neighbor_id ASC
+               ) AS rk
+        FROM adc
+    )
+    WHERE rk <= {PQ_TOPK}
+    """
+
+
+@query("x09_pq_adc_search", oracle=_pq_oracle())
+def x09_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+
+    # ---- one tiny pushed-down collect: seed + query vectors --------------
+    # The codebook and query lookup tables are built driver-side in plain
+    # Python. Float contract holds: float32 -> float64 widening is exact,
+    # and each (x - c)*(x - c) left-to-right fold below is the same IEEE
+    # double op sequence Spark's expression chain and DuckDB's list_sum
+    # fold execute — elementary-op determinism, no library summation.
+    small = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            (F.col("vec_id") < PQ_K)
+            | ((F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI))
+        ).collect()
+    }
+    cw = {
+        (m, k): [small[k][m * PQ_SUB + j] for j in range(PQ_SUB)]
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    }
+
+    def _l2sq(vec: list[float], m: int, k: int) -> float:
+        acc = 0.0
+        for j in range(PQ_SUB):
+            x = vec[m * PQ_SUB + j] - cw[(m, k)][j]
+            acc = acc + x * x
+        return acc
+
+    qtab = {
+        qid: [[_l2sq(small[qid], m, k) for k in range(PQ_K)] for m in range(PQ_M)]
+        for qid in sorted(small)
+        if PQ_Q_LO <= qid < PQ_Q_HI
+    }
+
+    # ---- encode: one row per corpus vector carrying its 8 codes ----------
+    cb = spark.createDataFrame(
+        [(m, k, cw[(m, k)]) for m in range(PQ_M) for k in range(PQ_K)],
+        "m int, k int, cw array<double>",
+    )
+    d = S.l2sq_slice("embedding", f"m * {PQ_SUB}", "cw", PQ_SUB)
+    # single-file corpus = one scan task; spread before the 128-way scoring
+    spread = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    scored = spread.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "k", d.alias("d")
+    )
+    codes = scored.groupBy("vec_id").agg(
+        *[
+            F.expr(f"min_by(k, struct(d, k)) FILTER (WHERE m = {m})").alias(f"code{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+    # ---- ADC: map-only lookup-sum per (query, vector), then top-10 -------
+    per_query = []
+    for qid in sorted(qtab):
+        acc = F.lit(0.0)
+        for m in range(PQ_M):
+            lut = F.array(*[F.lit(v) for v in qtab[qid][m]])
+            acc = acc + F.element_at(lut, F.col(f"code{m}") + 1)
+        per_query.append(
+            F.struct(F.lit(qid).alias("query_id"), acc.alias("adc"))
+        )
+    adc = (
+        codes.select("vec_id", F.explode(F.array(*per_query)).alias("s"))
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            rnd(F.col("s.adc"), 4).alias("adc_dist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return adc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= PQ_TOPK)
