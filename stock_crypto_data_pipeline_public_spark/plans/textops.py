@@ -1148,3 +1148,54 @@ def t20_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) >= 3).alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t21 — cross-document span duplication profile: for every document, the
+# fraction of its distinct word 8-gram spans that occur in at least one
+# OTHER document (the corpus-level duplication signal RefinedWeb/Gopher-
+# style curation thresholds on, distinct from t19's intra-doc repetition
+# and t20's fixed benchmark overlap). One pass: exploded distinct spans →
+# per-span document frequency as a window count over the span exchange →
+# per-doc re-aggregation. No join-back (the window reuses the one shuffle
+# by span), no O(n²) pairs — work is linear in corpus spans, the same
+# inverted-index shape as t05, so it survives any corpus size; a span
+# hot enough to skew its window partition is itself a dup signal and AQE
+# skew handling covers the residue. Docs shorter than 8 tokens have no
+# spans and are absent, matching the oracle.
+# --------------------------------------------------------------------------
+SPAN_N = 8
+
+
+@query(
+    "t21_span_dup_fraction",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text', SPAN_N)}) AS shingle
+        FROM documents
+    ),
+    fl AS (
+        SELECT doc_id,
+               CASE WHEN count(*) OVER (PARTITION BY shingle) > 1 THEN 1 ELSE 0 END AS dup
+        FROM sh
+    )
+    SELECT doc_id,
+           count(*)  AS n_spans,
+           sum(dup)  AS n_dup_spans,
+           {oracle_rnd('sum(dup) * 1.0 / count(*)', 4)} AS dup_fraction
+    FROM fl
+    GROUP BY doc_id
+    """,
+)
+def t21_span_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs, "doc_id", "text", SPAN_N)
+    dup = (
+        F.count(F.lit(1)).over(W.partitionBy("shingle")) > 1
+    ).cast("int")
+    flagged = sh.select("doc_id", dup.alias("dup"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dup").alias("n_dup_spans"),
+        rnd(F.sum("dup") * 1.0 / F.count(F.lit(1)), 4).alias("dup_fraction"),
+    )
