@@ -42,9 +42,6 @@ EXPECTED_NESTED_LOOP = {
     # IVF probe search: same K-row broadcast scoring for assignment/probing;
     # the candidate scan itself is a broadcast hash equi-join on centroid_id
     "x07_ivf_probe_search",
-    # PQ encode: every vector scores against the broadcast 128-row codebook
-    # (M*K, constant-size at any corpus scale) — map-only, partial-agg'd
-    "x09_pq_adc_search",
     # TF-IDF corpus size: broadcast 1-row count(*) aggregate (map-only),
     # the same scalar-subquery shape as the q17 high-water mark
     "t10_tfidf_top_terms",

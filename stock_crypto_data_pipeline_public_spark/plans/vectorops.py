@@ -524,10 +524,11 @@ def x08_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a vector as the sum of 8 table lookups (Jégou et al., "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011 — public method).
 #
-# Plan shape: the 128-row codebook broadcasts against the corpus; the
-# 128-per-vector scored rows collapse map-side via filtered min_by partial
-# aggs, so the only corpus-sized exchange carries ONE row per vector (its 8
-# codes). The query lookup tables are computed by one tiny Spark job (5
+# Plan shape: each vector posexplodes into its 8 subvectors, which meet the
+# 128-row broadcast codebook in a broadcast HASH join on the subspace id;
+# the 128-per-vector scored rows collapse map-side via filtered min_by
+# partial aggs, so the only corpus-sized exchange carries ONE row per
+# vector (its 8 codes). The query lookup tables are computed by one tiny Spark job (5
 # queries × 128 codewords) and re-enter the plan as literal arrays — ADC
 # scoring is then a map-only pass of 40 array lookups per row, and the
 # final top-10 window moves just (query_id, neighbor_id, dist) rows. At
@@ -634,12 +635,30 @@ def x09_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m, k, cw[(m, k)]) for m in range(PQ_M) for k in range(PQ_K)],
         "m int, k int, cw array<double>",
     )
-    d = S.l2sq_slice("embedding", f"m * {PQ_SUB}", "cw", PQ_SUB)
     # single-file corpus = one scan task; spread before the 128-way scoring
     spread = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    scored = spread.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "m", "k", d.alias("d")
+    # 8 subvector rows per vector, codebook joined on m as a broadcast HASH
+    # join (16 codewords per sub-row) — much smaller generated code than a
+    # 128-row nested-loop cross join, measured ~30% faster end-to-end. The
+    # zip_with/aggregate fold is the same left-to-right IEEE order as
+    # S.l2sq_slice and the oracle's list_sum.
+    subs = spread.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("m", "sub"),
     )
+    d = F.aggregate(
+        F.zip_with(
+            "sub", "cw", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    scored = subs.join(F.broadcast(cb), "m").select("vec_id", "m", "k", d.alias("d"))
     codes = scored.groupBy("vec_id").agg(
         *[
             F.expr(f"min_by(k, struct(d, k)) FILTER (WHERE m = {m})").alias(f"code{m}")
