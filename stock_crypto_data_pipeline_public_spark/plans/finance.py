@@ -5,8 +5,9 @@ analytics stop at daily means and +N-day offsets (reference
 fct_asset_price_comparison.sql:9-32, fct_asset_news_impact.sql:55-88,
 warehouse_tools.py:337-339). These queries add the standard market-data
 operator set an analyst of that pipeline would reach for next — candlestick
-resampling, VWAP, rolling bands, drawdown, cross-asset correlation — each
-expressed as pure built-in DataFrame ops (no UDFs) so Catalyst/AQE plan them.
+resampling, VWAP, rolling bands, drawdown, cross-asset correlation, gap-filled
+LOCF rollups — each expressed as pure built-in DataFrame ops (no UDFs) so
+Catalyst/AQE plan them.
 
 The events table acts as the tick tape: ``event_type`` is the instrument,
 ``value`` the trade price, ``props.$.k`` the trade size, ``ts`` the trade
@@ -412,3 +413,87 @@ def f07_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.aggregate(diffs, F.lit(0.0), lambda a, v: a + v * v)
     scored = centered.select("symbol", "bar_hour", rnd(dist, 2).alias("sq_dist"))
     return scored.orderBy(F.asc("sq_dist"), F.asc("symbol"), F.asc("bar_hour")).limit(10)
+
+
+# --------------------------------------------------------------------------
+# f08 — gap-filled hourly rollup with last-observation-carried-forward:
+# TimescaleDB's `time_bucket_gapfill(...) + locf(...)` (the hypertable
+# continuous-rollup idiom the reference's TimescaleDB store offers;
+# hypertable conversion reference a1_5_batch_s3_to_postgres.py:383-411) as
+# a Spark composition. Per instrument: hourly aggregate → a complete hour
+# spine from its first to last bucket (sequence + explode — generated, not
+# scanned), left join, then LOCF via last(ignorenulls) over an ordered
+# per-instrument window. Hours before the first observation stay null.
+#
+# Scale: the spine is instruments × hours — bounded by calendar time, not
+# tick volume, so it stays broadcastable at 100 TB of raw ticks; the only
+# full-data shuffle is the first hourly aggregation (map-side partials).
+# The LOCF window partitions by instrument (bounded running state). The
+# bucket average rounds before LOCF (the engine-order-insensitive rnd
+# contract, same as e02/f05).
+# --------------------------------------------------------------------------
+@query(
+    "f08_gapfill_locf",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+               count(*) AS n_events,
+               {oracle_rnd(oracle_rnd('sum(value)', 2) + ' / count(*)', 4)} AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(bucket_hour) AS mn, max(bucket_hour) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT b.event_type,
+               unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS bucket_hour
+        FROM bounds b
+    ),
+    joined AS (
+        SELECT s.event_type, s.bucket_hour,
+               coalesce(h.n_events, 0) AS n_events, h.avg_value
+        FROM spine s LEFT JOIN hourly h USING (event_type, bucket_hour)
+    )
+    SELECT event_type, bucket_hour, n_events,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf,
+           (n_events = 0) AS was_filled
+    FROM joined
+    """,
+)
+def f08_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket_hour").alias("mn"), F.max("bucket_hour").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, INTERVAL 1 HOUR)")).alias("bucket_hour"),
+    )
+    joined = spine.join(hourly, ["event_type", "bucket_hour"], "left").select(
+        "event_type",
+        "bucket_hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket_hour",
+        "n_events",
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+        (F.col("n_events") == 0).alias("was_filled"),
+    )
