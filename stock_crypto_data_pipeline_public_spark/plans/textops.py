@@ -1199,3 +1199,76 @@ def t21_span_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dup").alias("n_dup_spans"),
         rnd(F.sum("dup") * 1.0 / F.count(F.lit(1)), 4).alias("dup_fraction"),
     )
+
+
+# --------------------------------------------------------------------------
+# t22 — token-stream packing: GPT-style pretraining batch construction.
+# Documents are hash-sharded (same md5-nibble trick as t13 — deterministic,
+# engine- and cluster-size-independent), concatenated per shard in doc_id
+# order, and the resulting token stream is cut into fixed 256-token chunks.
+# Each doc reports the chunk span it lands in and whether it straddles a
+# chunk boundary (the packing-attrition signal: straddling docs get split
+# attention contexts). Packing is inherently sequential WITHIN a stream —
+# the scalable form is exactly this: shard first (parallel), then a
+# per-shard running cumsum (one window, bounded state). No driver loop, no
+# collect; at 100 TB the shard count scales with the cluster and each
+# shard's window is a single ordered pass. The same cumsum arithmetic
+# yields offsets for writing actual packed token files.
+# --------------------------------------------------------------------------
+PACK_CHUNK = 256
+PACK_SHARDS = 8
+
+
+def _shard_sql(str_t: str) -> str:
+    return f"({_NIB.format(str_t=str_t, pos=1)} % {PACK_SHARDS})"
+
+
+@query(
+    "t22_token_stream_packing",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, {_shard_sql('VARCHAR')} AS shard,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM sized
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) * 1.0 / {PACK_CHUNK}) AS BIGINT) AS first_chunk,
+           CAST(greatest(floor((cum - n_tokens) * 1.0 / {PACK_CHUNK}),
+                         floor((cum - 1) * 1.0 / {PACK_CHUNK})) AS BIGINT) AS last_chunk,
+           (floor((cum - n_tokens) * 1.0 / {PACK_CHUNK})
+              < greatest(floor((cum - n_tokens) * 1.0 / {PACK_CHUNK}),
+                         floor((cum - 1) * 1.0 / {PACK_CHUNK}))) AS straddles
+    FROM packed
+    """,
+)
+def t22_token_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id",
+        F.expr(_shard_sql("STRING")).alias("shard"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sized.withColumn("cum", F.sum("n_tokens").over(w))
+    first = F.floor((F.col("cum") - F.col("n_tokens")) * 1.0 / PACK_CHUNK)
+    last = F.greatest(first, F.floor((F.col("cum") - 1) * 1.0 / PACK_CHUNK))
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (first < last).alias("straddles"),
+    )
