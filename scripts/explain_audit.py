@@ -42,6 +42,9 @@ EXPECTED_NESTED_LOOP = {
     # IVF probe search: same K-row broadcast scoring for assignment/probing;
     # the candidate scan itself is a broadcast hash equi-join on centroid_id
     "x07_ivf_probe_search",
+    # IVF-PQ: the same deliberate K-row broadcast scoring for coarse
+    # assignment; encode and ADC join on keys (broadcast hash)
+    "x10_ivfpq_search",
     # TF-IDF corpus size: broadcast 1-row count(*) aggregate (map-only),
     # the same scalar-subquery shape as the q17 high-water mark
     "t10_tfidf_top_terms",

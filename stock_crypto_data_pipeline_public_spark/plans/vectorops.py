@@ -5,8 +5,10 @@ x01 brute-force top-k cosine (exactness baseline), x02 sign-bit LSH buckets
 pairwise similarity histogram (distribution check), x05 IVF coarse
 quantization, x06 bucketed cosine near-dup, x07 probed IVF top-k search
 (the full ANN query path), x08 GEMM exact k-NN (the BLAS throughput path),
-x09 product-quantization ADC search (the memory-compression path).
-See operators/similarity.py for the cross-engine math contract.
+x09 product-quantization ADC search (the memory-compression path), x10
+IVF-PQ probed search (the full production pipeline: coarse quantize →
+probe → ADC over codes). See operators/similarity.py for the cross-engine
+math contract.
 """
 
 from __future__ import annotations
@@ -684,6 +686,264 @@ def x09_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("s.adc"), 4).alias("adc_dist"),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return adc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= PQ_TOPK)
+
+
+# --------------------------------------------------------------------------
+# x10 — IVF-PQ probed search: the full production ANN pipeline (FAISS
+# IVFADC; Jégou et al. TPAMI 2011, public method) composed from the parts
+# this suite already verifies one by one: x05's coarse quantization (K=8
+# seed centroids, max-cosine assignment), x09's product quantization (8×16
+# subspace codebooks, 4-bit codes) and ADC lookup-table scoring, x07's
+# probing discipline (each query searches only its P=2 nearest clusters).
+#
+# Plan shape: one corpus pass assigns vectors to centroids (8-row broadcast
+# + per-vector argmax window); the probe filter then cuts the corpus to the
+# probed clusters BEFORE PQ encoding, so encode work is ∝ probed fraction —
+# the property that makes IVF-PQ the shape that survives 100 TB (at write
+# time assignment+codes are precomputed once and partitioned by centroid;
+# the probe becomes partition pruning and the scan reads 4-byte codes, not
+# 256-byte vectors). Probe lists and query lookup tables are driver-side
+# Python over the same collected seed/query vectors as x09 — explicit
+# left-to-right IEEE folds, bit-identical to both engines' expression
+# chains. Candidate scoring is map-only ADC; the final top-10 window moves
+# only (query_id, neighbor_id, dist) rows.
+# --------------------------------------------------------------------------
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle() -> str:
+    d_corpus = S.oracle_l2sq_slice("e.embedding", f"c.m * {PQ_SUB}", "c.cw", PQ_SUB)
+    d_query = S.oracle_l2sq_slice("q.qe", f"c.m * {PQ_SUB}", "c.cw", PQ_SUB)
+    return f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+        WHERE vec_id < {IVF_K}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {S.oracle_cosine('e.embedding', 's.ce')} DESC,
+                                s.centroid_id ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id >= {PQ_Q_LO} AND vec_id < {PQ_Q_HI}),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, s.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {S.oracle_cosine('q.qe', 's.ce')} DESC,
+                                s.centroid_id ASC
+                   ) AS rn
+            FROM q CROSS JOIN seeds s
+        ) WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    ms AS (SELECT unnest(range({PQ_M})) AS m),
+    cb AS (
+        SELECT ms.m, CAST(s.vec_id AS INT) AS k,
+               list_transform(range({PQ_SUB}),
+                   j -> CAST(s.embedding[ms.m * {PQ_SUB} + j + 1] AS DOUBLE)) AS cw
+        FROM embeddings s CROSS JOIN ms WHERE s.vec_id < {PQ_K}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id, a.embedding
+        FROM probes p JOIN assigned a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT e.vec_id, c.m, c.k,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.m
+                       ORDER BY {d_corpus} ASC, c.k ASC
+                   ) AS rn
+            FROM (SELECT DISTINCT vec_id, embedding FROM cand) e
+            CROSS JOIN cb c
+        ) WHERE rn = 1
+    ),
+    qtab AS (
+        SELECT q.query_id, c.m, c.k, {d_query} AS qd FROM q CROSS JOIN cb c
+    ),
+    adc AS (
+        SELECT cand.query_id, cand.vec_id AS neighbor_id,
+               list_sum(list(t.qd ORDER BY t.m)) AS adc
+        FROM cand
+        JOIN codes ON codes.vec_id = cand.vec_id
+        JOIN qtab t ON t.query_id = cand.query_id
+                   AND t.m = codes.m AND t.k = codes.k
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rk
+    FROM (
+        SELECT query_id, neighbor_id,
+               {oracle_rnd('adc', 4)} AS adc_dist,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {oracle_rnd('adc', 4)} ASC, neighbor_id ASC
+               ) AS rk
+        FROM adc
+    )
+    WHERE rk <= {PQ_TOPK}
+    """
+
+
+@query("x10_ivfpq_search", oracle=_ivfpq_oracle())
+def x10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+
+    # seed + query vectors, once; same float contract as x09
+    small = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            (F.col("vec_id") < PQ_K)
+            | ((F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI))
+        ).collect()
+    }
+    cw = {
+        (m, k): [small[k][m * PQ_SUB + j] for j in range(PQ_SUB)]
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    }
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        na, nb = 0.0, 0.0
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        den = (na ** 0.5) * (nb ** 0.5)
+        return _dot(a, b) / den if den != 0.0 else float("nan")
+
+    def _l2sq(vec: list[float], m: int, k: int) -> float:
+        acc = 0.0
+        for j in range(PQ_SUB):
+            x = vec[m * PQ_SUB + j] - cw[(m, k)][j]
+            acc = acc + x * x
+        return acc
+
+    qids = [v for v in sorted(small) if PQ_Q_LO <= v < PQ_Q_HI]
+    probes = {
+        qid: [
+            c
+            for _, c in sorted(
+                ((-_cos(small[qid], small[c]), c) for c in range(IVF_K))
+            )[:IVFPQ_NPROBE]
+        ]
+        for qid in qids
+    }
+    qtab = {
+        qid: [[_l2sq(small[qid], m, k) for k in range(PQ_K)] for m in range(PQ_M)]
+        for qid in qids
+    }
+
+    # ---- coarse assignment: 8-row broadcast, per-vector argmax ----------
+    # centroid norms are Python-computed from the same collected doubles
+    # (explicit IEEE fold, same order as S.norm); the corpus norm is
+    # computed ONCE per vector before the 8-way broadcast, and the argmax
+    # is a min_by hash agg over struct(-sim, centroid_id) — map-side
+    # partials collapse the 8-per-vector scored rows, so the exchange
+    # carries one row per vector (the window formulation would shuffle all
+    # 8 and sort).
+    def _nrm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return acc ** 0.5
+
+    seeds = spark.createDataFrame(
+        [(c, small[c], _nrm(small[c])) for c in range(IVF_K)],
+        "centroid_id int, ce array<double>, cnrm double",
+    )
+    spread = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    sim = S.dot("embedding", "ce", EMB_DIM) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    assigned = (
+        spread.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "centroid_id", (-sim).alias("neg_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("min_by(centroid_id, struct(neg_sim, centroid_id))").alias(
+                "centroid_id"
+            ),
+            F.any_value("embedding").alias("embedding"),
+        )
+    )
+
+    # ---- probe filter BEFORE encoding: work ∝ probed clusters -----------
+    probed_set = sorted({c for cs in probes.values() for c in cs})
+    cand_vecs = assigned.filter(F.col("centroid_id").isin(probed_set))
+
+    # ---- PQ encode the candidates only (x09's broadcast-hash-join shape) -
+    cb = spark.createDataFrame(
+        [(m, k, cw[(m, k)]) for m in range(PQ_M) for k in range(PQ_K)],
+        "m int, k int, cw array<double>",
+    )
+    subs = cand_vecs.select(
+        "vec_id",
+        "centroid_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}))"
+            )
+        ).alias("m", "sub"),
+    )
+    d = F.aggregate(
+        F.zip_with(
+            "sub", "cw", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "centroid_id", "m", "k", d.alias("d")
+    )
+    codes = scored.groupBy("vec_id", "centroid_id").agg(
+        *[
+            F.expr(f"min_by(k, struct(d, k)) FILTER (WHERE m = {m})").alias(f"code{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+    # ---- ADC per probing query, map-only; then the top-10 window ---------
+    per_query = []
+    for qid in qids:
+        acc = F.lit(0.0)
+        for m in range(PQ_M):
+            lut = F.array(*[F.lit(v) for v in qtab[qid][m]])
+            acc = acc + F.element_at(lut, F.col(f"code{m}") + 1)
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                acc.alias("adc"),
+                F.col("centroid_id").isin(probes[qid]).alias("probed"),
+            )
+        )
+    adc = (
+        codes.select("vec_id", "centroid_id", F.explode(F.array(*per_query)).alias("s"))
+        .filter(F.col("s.probed") & (F.col("vec_id") != F.col("s.query_id")))
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            rnd(F.col("s.adc"), 4).alias("adc_dist"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return adc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= PQ_TOPK)
