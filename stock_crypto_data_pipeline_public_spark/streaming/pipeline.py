@@ -194,3 +194,21 @@ def attribution_join(
         ),
         "inner",
     )
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, keys: Sequence[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against a
+    broadcast static table (the most common production streaming join —
+    reference shape: the consumer resolving Kafka payloads against dimension
+    tables, kafka_consumer.py:248-320).
+
+    The static side is re-read per micro-batch by Structured Streaming (so a
+    reloaded dim picks up between batches) and explicitly broadcast: no
+    stream-side state, no watermark needed, and the join never shuffles the
+    stream — at any streaming rate the per-batch cost is one hash-join probe
+    pass. For dims too big to broadcast, pre-bucket both sides on the key
+    instead (catalog.py bucketed tables) — same call, drop the hint.
+    """
+    return stream.join(F.broadcast(dim), on=list(keys), how=how)

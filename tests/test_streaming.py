@@ -163,3 +163,34 @@ def test_attribution_join_matches_batch_equivalent(spark, sf_dir, tmp_path):
         expected.select("click_id", "purchase_id")
     ).count() == 0
     spark.catalog.dropTempView("attr_out")
+
+
+def test_enrich_stream_broadcast_dim_matches_batch_join(spark, sf_dir, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import enrich_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    e_dir = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(e_dir)
+
+    out = enrich_stream(
+        file_stream(spark, e_dir, spark.read.parquet(e_dir).schema), dim, ["user_id"]
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM enrich_out")
+    expected = ev.join(dim, "user_id", "left")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    # every stream row survives a left enrichment
+    assert got.count() == ev.count()
