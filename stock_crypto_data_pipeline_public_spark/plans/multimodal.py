@@ -51,3 +51,23 @@ def m02_media_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("long").alias("n_bytes"),
         F.md5("media").alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# m03 — video frame sampling → per-frame-index rollup: the row-EXPANDING
+# multimodal shape (n_frames output rows per input, Arrow-batched). Rows-
+# only check like m01 (the chunking stub is Python-side); the plumbing —
+# schema, batch shape, output partition sizing — is the real contract.
+# --------------------------------------------------------------------------
+@query("m03_frame_sample_rollup")
+def m03_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.attach_media(docs, media_type="video/mp4")
+    frames = M.sample_frames(media, n_frames=4, fake=True)
+    return frames.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_bytes"),
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.min("frame_ts_ms").alias("min_ts_ms"),
+        F.max("frame_ts_ms").alias("max_ts_ms"),
+    )
