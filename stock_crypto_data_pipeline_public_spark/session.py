@@ -49,7 +49,7 @@ def get_spark(
         # vectorized reader rejects; read as long and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        # 47+ distinct queries per session: the default 100-entry generated-
+        # 80+ distinct queries per session: the default 100-entry generated-
         # class cache evicts mid-run and recompile storms hit late queries
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
