@@ -565,6 +565,34 @@ def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle walks the same graph with a recursive CTE. Every doc gets a
 # component; the canonical keeper is the min doc_id.
 # --------------------------------------------------------------------------
+def _dup_components(docs: DataFrame) -> DataFrame:
+    """(doc_id, component_id) over the trigram-Jaccard ≥ 1/2 near-dup graph
+    (the shared spine of t11 and t23)."""
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    edges = (
+        pairs.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(
+            2 * F.col("n_common") >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = D.connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    return comp.select(F.col("id").alias("doc_id"), "component_id")
+
+
 @query(
     "t11_dup_clusters",
     oracle=f"""
@@ -604,29 +632,7 @@ def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    edges = (
-        pairs.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(
-            2 * F.col("n_common") >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
-        )
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
-    comp = D.connected_components(docs.select(F.col("doc_id").alias("id")), edges)
-    comp = comp.select(F.col("id").alias("doc_id"), "component_id")
+    comp = _dup_components(docs)
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
     return comp.join(sizes, "component_id").select("doc_id", "component_id", "n_members")
 
@@ -1271,4 +1277,75 @@ def t22_token_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         first.alias("first_chunk"),
         last.alias("last_chunk"),
         (first < last).alias("straddles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t23 — curated-corpus endpoint: the dedup pipeline's OUTPUT, not its
+# intermediate graph. Near-dup components (t11's spine, shared helper) pick
+# one canonical keeper per cluster (the min doc_id = its component id);
+# every other member is dropped. Reported per (lang, source) — the numbers
+# a curation run actually ships: docs in, docs kept, dups dropped, kept
+# char mass, retention ratio. The keep decision is a per-row predicate on
+# the component join (doc_id = component_id), not a second anti-join pass —
+# at 100 TB the same predicate partitions the write into kept/quarantine
+# outputs in one pass.
+# --------------------------------------------------------------------------
+@query(
+    "t23_curated_corpus",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges0 AS (
+        SELECT p.doc_a AS src, p.doc_b AS dst
+        FROM pairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE 2 * p.n_common >= ca.n + cb.n - p.n_common
+    ),
+    edges AS (
+        SELECT src, dst FROM edges0
+        UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS comp FROM documents
+        UNION
+        SELECT e.dst AS doc_id, r.comp
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY 1)
+    SELECT d.lang, d.source,
+           count(*)                                        AS n_docs,
+           sum(CASE WHEN d.doc_id = c.component_id THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN d.doc_id = c.component_id THEN 0 ELSE 1 END) AS n_dropped,
+           sum(CASE WHEN d.doc_id = c.component_id
+                    THEN length(d.text) ELSE 0 END)        AS kept_chars,
+           {oracle_rnd(
+               'sum(CASE WHEN d.doc_id = c.component_id THEN 1 ELSE 0 END)'
+               ' * 1.0 / count(*)', 4)}                    AS retention
+    FROM documents d JOIN comp c USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def t23_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    comp = _dup_components(docs)
+    kept = F.when(F.col("doc_id") == F.col("component_id"), 1).otherwise(0)
+    joined = docs.select("doc_id", "lang", "source", F.length("text").alias("n_chars")).join(
+        comp, "doc_id"
+    )
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(1 - kept).alias("n_dropped"),
+        F.sum(kept * F.col("n_chars")).alias("kept_chars"),
+        rnd(F.sum(kept) * 1.0 / F.count(F.lit(1)), 4).alias("retention"),
     )
