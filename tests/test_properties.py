@@ -379,3 +379,32 @@ def test_hll_distinct_within_error_bound(spark, sf_dir):
         exact = r["exact_distinct_tokens"]
         assert exact > 0
         assert abs(r["approx_distinct_tokens"] - exact) / exact <= 0.05, r
+
+
+def test_token_stream_packing_invariants(spark, sf_dir):
+    """t22's chunk spans must describe one contiguous token stream per shard:
+    chunk indices advance exactly with the cumulative token count, the
+    straddle flag matches span width, and per-shard chunk totals equal
+    ceil(shard_tokens / 256) — invariants the oracle hash can't state."""
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        PACK_CHUNK,
+        t22_token_stream_packing,
+    )
+
+    out = t22_token_stream_packing(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert by_shard, "packing produced no rows"
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["first_chunk"] == cum // PACK_CHUNK
+            cum += r["n_tokens"]
+            expect_last = max(r["first_chunk"], (cum - 1) // PACK_CHUNK)
+            assert r["last_chunk"] == expect_last
+            assert r["straddles"] == (r["last_chunk"] > r["first_chunk"])
+        # the stream's final chunk index covers exactly ceil(total/B) chunks
+        assert rows[-1]["last_chunk"] == (cum - 1) // PACK_CHUNK
+        assert cum > 0
