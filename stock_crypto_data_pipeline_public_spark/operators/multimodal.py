@@ -72,16 +72,20 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     "real media decode requires PIL/libav (not in container); "
                     "run with fake=True for deterministic pseudo-features"
                 )
-            feats = pdf["media"].map(_fake_decode)
+            # one digest per payload serves decode AND checksum
+            digests = pdf["media"].map(lambda b: hashlib.md5(b))
+            raw = digests.map(lambda d: d.digest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["media"].map(len).astype("int32"),
-                    "width": feats.map(lambda t: t[0]).astype("int32"),
-                    "height": feats.map(lambda t: t[1]).astype("int32"),
-                    "sample_rate": feats.map(lambda t: t[2]).astype("int32"),
-                    "checksum": pdf["media"].map(lambda b: hashlib.md5(b).hexdigest()),
+                    "width": raw.map(lambda d: 64 + d[0] % 192).astype("int32"),
+                    "height": raw.map(lambda d: 64 + d[1] % 192).astype("int32"),
+                    "sample_rate": raw.map(lambda d: 8000 + (d[2] % 5) * 8000).astype(
+                        "int32"
+                    ),
+                    "checksum": digests.map(lambda d: d.hexdigest()),
                 }
             )
 

@@ -19,6 +19,9 @@ from .registry import query
 @query("m01_media_feature_rollup")
 def m01_media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # single-file input = one scan task; spread BEFORE the Python stage so
+    # the Arrow-batched decode runs on every core, not one
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     media = M.attach_media(docs)
     feats = M.decode_features(media, fake=True)
     return feats.groupBy("media_type").agg(
