@@ -44,17 +44,24 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # Full names to stderr for humans; the stdout JSON line must stay well
+    # under the driver's 2000-char tail buffer (round 1's full-name line
+    # overflowed it -> "parsed": null), so use each query's unique ID prefix.
+    print(json.dumps({"queries_full": timings}), file=sys.stderr)
+    short = {name.split("_", 1)[0]: t for name, t in sorted(timings.items())}
+    assert len(short) == len(timings), "query ID prefixes must stay unique"
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "queries": short,
+            "sf": sf,
+        }
     )
+    assert len(line) < 1900, f"bench JSON line too long for driver tail: {len(line)}"
+    print(line)
     return 0
 
 

@@ -19,6 +19,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+from ..functions.timeops import epoch_s
 
 
 def bucketed_range_join(
@@ -43,9 +46,19 @@ def bucketed_range_join(
     if overlap:
         raise ValueError(f"column collision outside join keys: {sorted(overlap)}")
 
-    secs = F.unix_timestamp  # bucket arithmetic in epoch seconds
-    dur = F.expr(f"INTERVAL {bucket}")
-    bucket_len = F.lit(0) + F.unix_timestamp(F.lit("1970-01-01 00:00:00").cast("timestamp") + dur)
+    # bucket arithmetic in epoch seconds; TIMESTAMP_NTZ columns (the test
+    # tables' ts type) need the tz-invariant helper — unix_timestamp is
+    # LTZ-only and would raise (or shift by session tz) on them
+    if isinstance(points.schema[point_ts].dataType, TimestampNTZType):
+        secs = epoch_s
+    else:
+        secs = F.unix_timestamp
+    # interval length in whole seconds, computed without touching the session
+    # tz (the old epoch-literal + unix_timestamp trick was off by the tz offset)
+    bucket_len = F.lit(0) + F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"TIMESTAMP_NTZ'1970-01-01 00:00:00' + INTERVAL {bucket})"
+    )
 
     p = points.withColumn("__bucket", F.floor(secs(F.col(point_ts)) / bucket_len))
     iv = intervals.withColumn(

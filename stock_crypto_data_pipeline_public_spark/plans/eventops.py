@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..functions.numeric import rnd
+from ..functions.timeops import epoch_us
 from .registry import query
 
 
@@ -147,7 +148,9 @@ def e03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
 
     def first_ts(kind):
-        return F.min(F.when(F.col("event_type") == kind, F.unix_micros("ts")))
+        # epoch_us (not unix_micros): ts is TIMESTAMP_NTZ and unix_micros is
+        # LTZ-only; the helper is session-timezone-invariant
+        return F.min(F.when(F.col("event_type") == kind, epoch_us("ts")))
 
     firsts = ev.groupBy("user_id").agg(
         first_ts("view").alias("t_view"),
