@@ -30,9 +30,9 @@ def epoch_us(c: Column | str) -> Column:
     column. Session-timezone-invariant (unlike ``unix_micros`` / casts, which
     are LTZ-only or tz-shifting). Matches DuckDB ``epoch_us`` on naive ts."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.timestampdiff("MICROSECOND", _epoch_ntz(), c)
+    return F.timestamp_diff("MICROSECOND", _epoch_ntz(), c)
 
 
 def epoch_s(c: Column | str) -> Column:
     """Whole seconds since the naive epoch (floor division of :func:`epoch_us`)."""
-    return epoch_us(c) // F.lit(1_000_000)
+    return F.floor(epoch_us(c) / F.lit(1_000_000)).cast("bigint")

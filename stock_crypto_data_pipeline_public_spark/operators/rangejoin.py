@@ -48,11 +48,25 @@ def bucketed_range_join(
 
     # bucket arithmetic in epoch seconds; TIMESTAMP_NTZ columns (the test
     # tables' ts type) need the tz-invariant helper — unix_timestamp is
-    # LTZ-only and would raise (or shift by session tz) on them
-    if isinstance(points.schema[point_ts].dataType, TimestampNTZType):
-        secs = epoch_s
-    else:
-        secs = F.unix_timestamp
+    # LTZ-only and would raise (or shift by session tz) on them. Resolved
+    # per column from its owning DataFrame's schema: NTZ points against LTZ
+    # intervals (or vice versa) would otherwise bucket one side through the
+    # session tz and silently drop matches at bucket edges.
+    def _secs_for(df: DataFrame, name: str):
+        if isinstance(df.schema[name].dataType, TimestampNTZType):
+            return epoch_s
+        return F.unix_timestamp
+
+    point_secs = _secs_for(points, point_ts)
+    start_secs = _secs_for(intervals, start_ts)
+    end_secs = _secs_for(intervals, end_ts)
+    if {point_secs, start_secs, end_secs} == {epoch_s, F.unix_timestamp}:
+        # mixed NTZ/LTZ epoch bases differ by the session-tz offset; BETWEEN
+        # below would also be a cross-type comparison — refuse loudly.
+        raise TypeError(
+            f"timestamp type mismatch across {point_ts!r}/{start_ts!r}/{end_ts!r}: "
+            "all three must be TIMESTAMP or all TIMESTAMP_NTZ"
+        )
     # interval length in whole seconds, computed without touching the session
     # tz (the old epoch-literal + unix_timestamp trick was off by the tz offset)
     bucket_len = F.lit(0) + F.expr(
@@ -60,13 +74,13 @@ def bucketed_range_join(
         f"TIMESTAMP_NTZ'1970-01-01 00:00:00' + INTERVAL {bucket})"
     )
 
-    p = points.withColumn("__bucket", F.floor(secs(F.col(point_ts)) / bucket_len))
+    p = points.withColumn("__bucket", F.floor(point_secs(F.col(point_ts)) / bucket_len))
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(secs(F.col(start_ts)) / bucket_len),
-                F.floor(secs(F.col(end_ts)) / bucket_len),
+                F.floor(start_secs(F.col(start_ts)) / bucket_len),
+                F.floor(end_secs(F.col(end_ts)) / bucket_len),
             )
         ),
     )

@@ -63,6 +63,36 @@ def test_boundaries_inclusive(spark):
     assert got == {1, 2}  # start and end inclusive, 1s past end excluded
 
 
+def _to_ntz(df, *cols):
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+def test_ntz_matches_naive_inequality_join(sides):
+    # the production e08 path: events.ts is TIMESTAMP_NTZ, which routes
+    # through the tz-invariant epoch_s helper instead of unix_timestamp
+    points, ivs = sides
+    p_ntz = _to_ntz(points, "ts")
+    iv_ntz = _to_ntz(ivs, "start", "end")
+    naive = p_ntz.join(
+        iv_ntz, (p_ntz.k == iv_ntz.k) & p_ntz.ts.between(iv_ntz.start, iv_ntz.end)
+    ).select("point_id", "iv_id")
+    bucketed = bucketed_range_join(
+        p_ntz, iv_ntz, on=["k"], point_ts="ts", start_ts="start", end_ts="end", bucket="6 hours"
+    ).select("point_id", "iv_id")
+    assert {tuple(r) for r in naive.collect()} == {tuple(r) for r in bucketed.collect()}
+
+
+def test_mixed_timestamp_types_rejected(sides):
+    points, ivs = sides
+    with pytest.raises(TypeError, match="timestamp type mismatch"):
+        bucketed_range_join(
+            _to_ntz(points, "ts"), ivs,
+            on=["k"], point_ts="ts", start_ts="start", end_ts="end",
+        )
+
+
 def test_column_collision_rejected(sides):
     points, ivs = sides
     with pytest.raises(ValueError, match="collision"):
