@@ -3,20 +3,18 @@
 
 Imports ``__spark_entry__`` the way the round driver does, smoke-checks
 ``entry()``, then runs every ``queries()[name]`` against ``oracle_sql()[name]``
-via DuckDB with an order-insensitive value hash.
+via DuckDB with the driver-faithful pandas comparison
+(stock_crypto_data_pipeline_public_spark.oracle_compare): dtype-strict value hash, both sides
+through pandas.
 """
 
 from __future__ import annotations
 
 import argparse
-import hashlib
 import importlib
-import math
 import os
 import sys
 import time
-from datetime import date, datetime
-from decimal import Decimal
 
 import duckdb
 
@@ -28,28 +26,6 @@ TABLES = (
 )
 
 
-def _norm(v):
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, datetime):
-        return v.isoformat(sep=" ")
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    return v
-
-
-def value_hash(rows) -> str:
-    h = hashlib.sha256()
-    for r in sorted(repr(tuple(_norm(x) for x in r)) for r in rows):
-        h.update(r.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -57,6 +33,7 @@ def main() -> int:
     args = ap.parse_args()
 
     mod = importlib.import_module("__spark_entry__")
+    from stock_crypto_data_pipeline_public_spark.oracle_compare import canon, duck_pdf, spark_pdf, value_hash
     from stock_crypto_data_pipeline_public_spark.session import get_spark
 
     spark = get_spark("verify-contract", cpus=16, shuffle_partitions=16)
@@ -78,17 +55,22 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         sdf = qs[name](spark, args.sf_dir)
-        scols = sorted(sdf.columns)
-        srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+        try:
+            scols, srows = canon(spark_pdf(sdf))
+        except Exception as e:  # noqa: BLE001 — the driver records this as err
+            print(f"{name}: SPARK PANDAS ERROR {e!r:.160}")
+            fails.append(name)
+            continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows-only, {len(srows)} rows [{dt:.1f}s]")
             continue
-        cur = con.execute(oracles[name])
-        dnames = [d[0] for d in cur.description]
-        order = sorted(range(len(dnames)), key=lambda i: dnames[i])
-        dcols = [dnames[i] for i in order]
-        drows = [tuple(r[i] for i in order) for r in cur.fetchall()]
+        try:
+            dcols, drows = canon(duck_pdf(con, oracles[name]))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: DUCK PANDAS ERROR {e!r:.160}")
+            fails.append(name)
+            continue
         if scols != dcols:
             print(f"{name}: COLUMN MISMATCH spark={scols} duck={dcols}")
             fails.append(name)

@@ -51,7 +51,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            max(value)                                   AS high,
            min(value)                                   AS low,
            arg_max(value, event_id)                     AS close,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS volume,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS volume,
            count(*)                                     AS n_trades
     FROM events
     GROUP BY 1, 2
@@ -94,7 +94,7 @@ def f01_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type AS symbol, trade_date,
-           sum(size)  AS volume,
+           CAST(sum(size) AS BIGINT) AS volume,
            {oracle_rnd('sum(value * size)', 2)} AS notional,
            {oracle_rnd(oracle_rnd('sum(value * size)', 2) + ' / sum(size)', 4)} AS vwap
     FROM sized

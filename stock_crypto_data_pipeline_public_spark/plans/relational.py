@@ -270,11 +270,11 @@ def q07_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_priority_pivot_by_year",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT)                                   AS order_year,
-           sum(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS n_urgent,
-           sum(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS n_high,
-           sum(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS n_medium,
-           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
-           sum(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS n_low
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS BIGINT) AS n_low
     FROM orders
     GROUP BY CAST(year(o_orderdate) AS INT)
     """,
@@ -470,14 +470,18 @@ def q13_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q14 — SCD2 effective ranges via lead() (W3/W4).
 # Reference shape: dim_customer_history.sql:28-31,70-73 — effective_to =
 # coalesce(lead(load_timestamp), '9999-12-31'), is_current flag.
+# Effective bounds are emitted as formatted strings: the 9999-12-31 open-end
+# sentinel overflows pandas datetime64[ns] (max 2262) in the driver harness,
+# so a timestamp-typed column can never round-trip the comparison.
 # --------------------------------------------------------------------------
 @query(
     "q14_scd2_user_state",
     oracle="""
     SELECT user_id, event_type AS state,
-           ts AS effective_from,
-           coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS effective_to,
-           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END        AS is_current
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+           coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS effective_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
@@ -486,11 +490,14 @@ def q14_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     nxt = F.lead("ts").over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return ev.select(
         "user_id",
         F.col("event_type").alias("state"),
-        F.col("ts").alias("effective_from"),
-        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias("effective_to"),
+        F.date_format("ts", fmt).alias("effective_from"),
+        F.coalesce(F.date_format(nxt, fmt), F.lit("9999-12-31 00:00:00.000000")).alias(
+            "effective_to"
+        ),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
 

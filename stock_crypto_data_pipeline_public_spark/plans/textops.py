@@ -70,8 +70,8 @@ def t01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            length(text)                                         AS n_chars,
            len(regexp_extract_all(text, '[a-z0-9]+'))           AS n_tokens,
            len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_ish,
-           coalesce(list_sum(list_transform(
-               regexp_extract_all(text, '[a-z0-9]+'), x -> length(x))), 0) AS n_token_chars
+           CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(text, '[a-z0-9]+'), x -> length(x))), 0) AS INT) AS n_token_chars
     FROM documents
     """,
 )
@@ -315,7 +315,7 @@ def t06_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT band_idx,
            count(*)                    AS n_buckets,
            max(c)                      AS max_bucket,
-           sum(c * (c - 1) // 2)       AS n_candidate_pairs
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs
     FROM buckets
     GROUP BY band_idx
     """,
@@ -880,7 +880,7 @@ def t15_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.lang,
            count(*)                                        AS n_docs,
-           sum(CASE WHEN s.q > m.med THEN 1 ELSE 0 END)    AS n_kept,
+           CAST(sum(CASE WHEN s.q > m.med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            {oracle_rnd('max(m.med)', 4)}                   AS median_score
     FROM scored s JOIN med m USING (lang)
     GROUP BY s.lang
@@ -943,10 +943,10 @@ def t17_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t16_mixture_weights",
     oracle=f"""
     WITH s AS (
-        SELECT source, count(*) AS n_docs, sum(n_chars) AS char_mass
+        SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS char_mass
         FROM documents GROUP BY source
     ), t AS (
-        SELECT sum(char_mass) AS total, count(*) AS n_sources FROM s
+        SELECT CAST(sum(char_mass) AS BIGINT) AS total, count(*) AS n_sources FROM s
     )
     SELECT s.source, s.n_docs, s.char_mass,
            {oracle_rnd('s.char_mass / t.total', 6)} AS actual_share,
@@ -1187,7 +1187,7 @@ SPAN_N = 8
     )
     SELECT doc_id,
            count(*)  AS n_spans,
-           sum(dup)  AS n_dup_spans,
+           CAST(sum(dup) AS BIGINT) AS n_dup_spans,
            {oracle_rnd('sum(dup) * 1.0 / count(*)', 4)} AS dup_fraction
     FROM fl
     GROUP BY doc_id
@@ -1324,10 +1324,10 @@ def t22_token_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY 1)
     SELECT d.lang, d.source,
            count(*)                                        AS n_docs,
-           sum(CASE WHEN d.doc_id = c.component_id THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN d.doc_id = c.component_id THEN 0 ELSE 1 END) AS n_dropped,
-           sum(CASE WHEN d.doc_id = c.component_id
-                    THEN length(d.text) ELSE 0 END)        AS kept_chars,
+           CAST(sum(CASE WHEN d.doc_id = c.component_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN d.doc_id = c.component_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN d.doc_id = c.component_id
+                    THEN length(d.text) ELSE 0 END) AS BIGINT) AS kept_chars,
            {oracle_rnd(
                'sum(CASE WHEN d.doc_id = c.component_id THEN 1 ELSE 0 END)'
                ' * 1.0 / count(*)', 4)}                    AS retention

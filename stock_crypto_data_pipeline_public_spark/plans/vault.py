@@ -291,7 +291,7 @@ def v06_semantic_customer_overview(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT o_orderstatus,
            count(*)                     AS n_rows,
-           sum(batch - 1)               AS n_updated,
+           CAST(sum(batch - 1) AS BIGINT) AS n_updated,
            floor((sum(o_totalprice)) * 100 + 0.5) / 100.0  AS total_after_merge
     FROM merged
     GROUP BY o_orderstatus
