@@ -53,13 +53,21 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every plan module so its @query decorators run."""
+    """Import every plan module so its @query decorators run.
+
+    Registration order is deliberate: the round driver hash-gates the FIRST
+    50 registered queries only. Rounds 1-2 gated relational/vault/event/
+    finance; round 3 rotates textops/vectorops/multimodal to the front so
+    the t/x/m series get driver-gated evidence at least once (the q/v
+    series were hash-confirmed in CORRECTNESS_r01/r02 and stay covered by
+    the local strict harness, which now mirrors the driver's comparison).
+    """
     from . import (  # noqa: F401
-        relational,
-        vault,
-        eventops,
-        finance,
         textops,
         vectorops,
         multimodal,
+        eventops,
+        finance,
+        relational,
+        vault,
     )

@@ -94,11 +94,28 @@ def run_incremental_sink(
     )
 
 
+def ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Make ``ts_col`` a valid watermark column.
+
+    Spark requires event-time columns to be TIMESTAMP (LTZ); the test tables'
+    ``ts`` is parquet TIMESTAMP_NTZ, and ``withWatermark`` on it raises
+    ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``. Under the engine's pinned UTC
+    session timezone (session.get_spark), ``cast("timestamp")`` reinterprets
+    the NTZ wall-clock as UTC — value-preserving, so streaming aggregates
+    stay comparable to their NTZ batch twins. No-op for LTZ inputs.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def windowed_counts(stream: DataFrame, ts_col: str, window: str, watermark: str) -> DataFrame:
     """Event-time tumbling aggregation with late-data watermark — the
     streaming twin of plans/eventops.e02 (same expression shape)."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(
@@ -127,7 +144,7 @@ def windowed_ohlcv(
     (append mode).
     """
     return (
-        stream.withWatermark(ts_col, watermark)
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
         .groupBy(
             F.window(ts_col, window).alias("win"),
             F.col("event_type").alias("symbol"),
@@ -163,7 +180,11 @@ def dedup_stream(stream: DataFrame, keys: Sequence[str], ts_col: str, watermark:
     This is the streaming twin of the batch ON-CONFLICT dedup (M2,
     reference kafka_consumer.py:294-303).
     """
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    return (
+        ensure_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
 
 
 def attribution_join(
@@ -183,8 +204,8 @@ def attribution_join(
     only the watermark horizon of state. Column names must be disjoint
     (rename before calling); the join key is the user column equality.
     """
-    c = clicks.withWatermark(click_ts, watermark)
-    p = purchases.withWatermark(purchase_ts, watermark)
+    c = ensure_event_time(clicks, click_ts).withWatermark(click_ts, watermark)
+    p = ensure_event_time(purchases, purchase_ts).withWatermark(purchase_ts, watermark)
     return c.join(
         p,
         F.expr(
