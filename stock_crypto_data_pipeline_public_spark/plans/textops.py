@@ -370,12 +370,15 @@ def _oracle_simhash() -> str:
 @query("t08_simhash_hamming", oracle=_oracle_simhash())
 def t08_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simhash construction stays JVM-side (integer bit-sum expressions, one
-    # hash aggregation). The O(n²) Hamming pair phase runs as vectorized
-    # numpy over a broadcast of the (doc_id, simhash) table — 16-bit codes,
-    # xor + popcount-table lookup, per-batch bincount; only ~17-row
-    # histograms leave Python. Pure integer math, so this is EXACTLY the
-    # oracle's result by construction (no float-order caveat); the previous
-    # BroadcastNestedLoopJoin paid row materialization per pair.
+    # hash aggregation). The O(n²) Hamming pair phase is a BLOCK-PAIR
+    # SELF-JOIN (same shape as x04): each (doc_id, simhash) row hashes to
+    # one of B blocks, a block collapses to one struct-array row, the B-row
+    # block table joins to itself on bid_a <= bid_b, and each of the
+    # B(B+1)/2 tasks xors its two code vectors in vectorized numpy
+    # (popcount-table lookup, per-pair bincount) — only ~17-row partial
+    # histograms leave Python. No driver collect, no corpus broadcast:
+    # shuffle ∝ corpus × B, so the exactness baseline itself distributes.
+    # Pure integer math → EXACTLY the oracle's result by construction.
     import numpy as np
 
     docs = _docs(spark, sf_dir)
@@ -388,32 +391,49 @@ def t08_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = sums.selectExpr("doc_id", f"{D.simhash_from_sums()} AS simhash")
 
-    pdf_all = sh.sort("doc_id").toPandas()
-    c_ids = pdf_all["doc_id"].to_numpy(np.int64)
-    c_sim = pdf_all["simhash"].to_numpy(np.int64)
+    par = spark.sparkContext.defaultParallelism
+    B = max(3, int((2 * par) ** 0.5) + 1)
+    blocks = (
+        sh.withColumn("bid", F.pmod(F.hash("doc_id"), F.lit(B)))
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("rows"))
+    )
+    pairs = (
+        blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
+        .join(
+            blocks.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b")),
+            F.col("bid_a") <= F.col("bid_b"),
+        )
+        .repartition(par)
+    )
     pop = np.array([bin(i).count("1") for i in range(1 << D.SIMHASH_BITS)],
                    dtype=np.int64)
-    bq = spark.sparkContext.broadcast((c_ids, c_sim, pop))
-    n = len(c_ids)
-    par = spark.sparkContext.defaultParallelism
-    chunk = max(1, -(-n // (par * 2)))
+
+    def _unpack(cell):
+        ids = np.fromiter((r["doc_id"] for r in cell), dtype=np.int64)
+        codes = np.fromiter((r["simhash"] for r in cell), dtype=np.int64)
+        return ids, codes
 
     def hist(batches):
         import pandas as pd
 
-        ids, sims, table = bq.value
         for pdf in batches:
-            for start in pdf["id"].tolist():
-                stop = min(start + chunk, n)
-                mask = ids[None, :] > ids[start:stop, None]
-                hams = table[(sims[start:stop, None] ^ sims[None, :])[mask]]
+            for bid_a, bid_b, rows_a, rows_b in zip(
+                pdf["bid_a"], pdf["bid_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a, codes_a = _unpack(rows_a)
+                ids_b, codes_b = _unpack(rows_b)
+                if bid_a == bid_b:
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    mask = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+                hams = pop[(codes_a[:, None] ^ codes_b[None, :])[mask]]
                 counts = np.bincount(hams, minlength=D.SIMHASH_BITS + 1)
                 nz = np.nonzero(counts)[0]
                 yield pd.DataFrame({"hamming": nz.astype("int32"),
                                     "n_pairs": counts[nz].astype("int64")})
 
-    starts = spark.range(0, n, chunk).repartition(par)
-    partial = starts.mapInPandas(hist, "hamming int, n_pairs long")
+    partial = pairs.mapInPandas(hist, "hamming int, n_pairs long")
     return partial.groupBy("hamming").agg(F.sum("n_pairs").alias("n_pairs"))
 
 

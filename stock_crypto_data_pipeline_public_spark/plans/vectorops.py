@@ -391,13 +391,19 @@ def x06_bucketed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The O(n²) scoring runs as Arrow-batched numpy GEMM (the x08 pattern):
-    # the full normalized corpus broadcasts (n×64 doubles — 1 MB per 2k
-    # vectors), each partition's batch scores against it in one matrix
-    # multiply, pairs keep (a.vec_id < b.vec_id), and only per-batch bucket
-    # HISTOGRAMS leave Python — the shuffle is ~20 rows per batch. This
-    # replaced a BroadcastNestedLoopJoin whose per-pair row materialization
-    # (2×66-field rows) dominated runtime (8.4s → ~1s at sf0.1).
+    # Exact all-pairs histogram as a BLOCK-PAIR SELF-JOIN — fully
+    # executor-side, no driver collect and no full-corpus broadcast:
+    #   1. each vector hashes to one of B blocks; a block collapses to ONE
+    #      row carrying its (vec_id, embedding) structs (one shuffle);
+    #   2. the B-row block table joins to itself on bid_a <= bid_b, giving
+    #      every unordered block pair exactly once (B(B+1)/2 tasks);
+    #   3. each pair GEMMs in Arrow-batched numpy and emits only a ~20-row
+    #      partial bucket histogram; a final groupBy sums partials.
+    # Scale: shuffle volume is corpus × B (block replication), work is the
+    # irreducible n²/2 dot products spread across B(B+1)/2 independent
+    # tasks — the form that survives a 1000-executor cluster, vs. the
+    # previous corpus-broadcast variant that died once the corpus outgrew
+    # one executor. B grows ~sqrt(2·parallelism) so tasks ≥ cores.
     #
     # Determinism note: GEMM accumulation order differs from the oracle's
     # sequential fold by ~1e-15; a pair could flip its floor(sim*10) bucket
@@ -407,39 +413,54 @@ def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-exact JVM-side pair scoring remains demonstrated by x01/x06.
     import numpy as np
 
-    # the corpus broadcasts once as a normalized matrix (like x08's query
-    # side); the pair space is parallelized by ROW-CHUNK OFFSETS into that
-    # same broadcast (spark.range over starts), so the corpus is computed
-    # exactly once. At 100 TB neither side broadcasts — block-partitioned
-    # pairing or sampling takes over (SCALE.md) — but a pair histogram over
-    # a broadcastable corpus is exactly this shape.
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    ids_mat = emb.sort("vec_id").toPandas()
-    corpus_ids = ids_mat["vec_id"].to_numpy()
-    M = np.array(ids_mat["embedding"].tolist(), dtype=np.float64)
-    nrm = np.linalg.norm(M, axis=1, keepdims=True)
-    nrm[nrm == 0.0] = np.nan
-    bq = spark.sparkContext.broadcast((corpus_ids, M / nrm))
-    n = len(corpus_ids)
     par = spark.sparkContext.defaultParallelism
-    chunk = max(1, -(-n // (par * 2)))
+    B = max(3, int((2 * par) ** 0.5) + 1)
+
+    blocks = (
+        emb.withColumn("bid", F.pmod(F.hash("vec_id"), F.lit(B)))
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("rows"))
+    )
+    pairs = (
+        blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
+        .join(
+            blocks.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b")),
+            F.col("bid_a") <= F.col("bid_b"),
+        )
+        .repartition(par)
+    )
+
+    def _unpack(cell):
+        ids = np.fromiter((r["vec_id"] for r in cell), dtype=np.int64)
+        M = np.array([r["embedding"] for r in cell], dtype=np.float64)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = np.nan
+        return ids, M / nrm
 
     def score(batches):
         import pandas as pd
 
-        c_ids, c_mat = bq.value
         for pdf in batches:
-            for start in pdf["id"].tolist():
-                stop = min(start + chunk, n)
-                sims = c_mat[start:stop] @ c_mat.T  # chunk × corpus
-                mask = c_ids[None, :] > c_ids[start:stop, None]  # each pair once
+            for bid_a, bid_b, rows_a, rows_b in zip(
+                pdf["bid_a"], pdf["bid_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a, mat_a = _unpack(rows_a)
+                ids_b, mat_b = _unpack(rows_b)
+                sims = mat_a @ mat_b.T
+                if bid_a == bid_b:
+                    # self block pair: strict upper triangle by id
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    # distinct blocks meet in exactly this one task: every
+                    # cross pair counts once, whatever the id order
+                    mask = np.ones_like(sims, dtype=bool)
                 buckets = np.floor(sims[mask] * 10).astype(np.int64)
                 uniq, counts = np.unique(buckets, return_counts=True)
                 yield pd.DataFrame({"sim_bucket": uniq.astype("int32"),
                                     "n_pairs": counts.astype("int64")})
 
-    starts = spark.range(0, n, chunk).repartition(par)
-    partial = starts.mapInPandas(score, "sim_bucket int, n_pairs long")
+    partial = pairs.mapInPandas(score, "sim_bucket int, n_pairs long")
     return partial.groupBy("sim_bucket").agg(F.sum("n_pairs").alias("n_pairs"))
 
 
