@@ -1369,3 +1369,146 @@ def t23_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept * F.col("n_chars")).alias("kept_chars"),
         rnd(F.sum(kept) * 1.0 / F.count(F.lit(1)), 4).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# t24 — fixed-stride char chunking with overlap: the engine's analog of the
+# reference chatbot's RecursiveChunking (chunking_strategies.py:123-147 —
+# fixed chunk_size/chunk_overlap char windows). One row per chunk; windows
+# start every (size - overlap) chars. Pure per-row JVM expressions
+# (sequence → posexplode → substring), so the explode parallelizes with the
+# scan — no per-doc Python, no shuffle until a downstream agg. Chunks feed
+# t22's token-stream packing the way the reference's chunks feed its
+# vector store.
+# --------------------------------------------------------------------------
+CHUNK_SIZE = 600
+CHUNK_OVERLAP = 200
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@query(
+    "t24_fixed_chunks",
+    oracle=f"""
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text), 1), {_STRIDE})) AS start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_STRIDE} AS INT)          AS chunk_idx,
+           CAST(start AS INT)                             AS chunk_start,
+           CAST(length(substr(text, CAST(start AS INT), {CHUNK_SIZE})) AS INT) AS chunk_len,
+           md5(substr(text, CAST(start AS INT), {CHUNK_SIZE}))               AS chunk_md5
+    FROM starts
+    """,
+)
+def t24_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "chunk_start")
+    )
+    chunk = F.col("text").substr(F.col("chunk_start"), F.lit(CHUNK_SIZE))
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t25 — sentence-boundary chunking: the engine's analog of the reference's
+# SentenceChunking (chunking_strategies.py:23-70 — sentence split on
+# `(?<=[.!?])\s+`, greedy ≤chunk_size packing). The reference's greedy fold
+# with overlap carry is inherently sequential per document; the distributed
+# formulation here assigns each sentence to chunk floor(cum_chars_before /
+# chunk_size) — sentence-aligned chunks of ~chunk_size chars computed with
+# one posexplode + one window-sum + one groupBy, no per-doc Python. RE2
+# (DuckDB) has no lookbehind, so BOTH sides mark boundaries by rewriting
+# `([.!?])\s+` to punctuation + SOH (chr 1) and splitting on SOH —
+# identical sentence streams by construction.
+# The fixture corpus is punctuation-free (synthetic token streams), which
+# would make every document a single sentence; both sides therefore first
+# inject a deterministic period after every 12th word, so multi-sentence
+# packing is genuinely exercised and hash-gated.
+# --------------------------------------------------------------------------
+SENT_CHUNK_SIZE = 200
+_SOH = "\u0001"  # sentence-boundary marker; never occurs in the corpus
+
+
+@query(
+    "t25_sentence_chunks",
+    oracle=f"""
+    WITH punctuated AS (
+        SELECT doc_id,
+               regexp_replace(text, '((?:[a-z0-9]+ ){{11}}[a-z0-9]+) ', '\\1. ', 'g') AS text
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                            chr(1)) AS ps
+        FROM punctuated
+    ),
+    sent0 AS (
+        -- parallel unnests zip elementwise: (sentence, its 1-based index)
+        SELECT doc_id, unnest(ps) AS raw, unnest(range(1, len(ps) + 1)) AS idx
+        FROM parts
+    ),
+    sent AS (
+        SELECT doc_id, trim(raw) AS sentence, idx
+        FROM sent0 WHERE length(trim(raw)) > 0
+    ),
+    cum AS (
+        SELECT doc_id, sentence, idx,
+               coalesce(sum(length(sentence) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM sent
+    )
+    SELECT doc_id,
+           CAST(cum_before // {SENT_CHUNK_SIZE} AS INT)   AS chunk_id,
+           CAST(count(*) AS INT)                          AS n_sentences,
+           CAST(sum(length(sentence)) + count(*) - 1 AS INT) AS chunk_chars,
+           md5(string_agg(sentence, ' ' ORDER BY idx))    AS chunk_md5
+    FROM cum
+    GROUP BY doc_id, cum_before // {SENT_CHUNK_SIZE}
+    """,
+)
+def t25_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    punctuated = F.regexp_replace(
+        "text", r"((?:[a-z0-9]+ ){11}[a-z0-9]+) ", "$1. "
+    )
+    marked = F.regexp_replace(punctuated, r"([.!?])\s+", "$1" + _SOH)
+    sent = (
+        docs.select("doc_id", F.posexplode(F.split(marked, _SOH)).alias("idx", "raw"))
+        .select("doc_id", "idx", F.trim("raw").alias("sentence"))
+        .filter(F.length("sentence") > 0)
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = sent.withColumn(
+        "cum_before", F.coalesce(F.sum(F.length("sentence") + 1).over(w), F.lit(0))
+    ).withColumn(
+        "chunk_id", F.floor(F.col("cum_before") / F.lit(SENT_CHUNK_SIZE)).cast("int")
+    )
+    ordered_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "sentence"))),
+            lambda s: s["sentence"],
+        ),
+        " ",
+    )
+    return cum.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sentences"),
+        (F.sum(F.length("sentence")) + F.count(F.lit(1)) - 1).cast("int").alias("chunk_chars"),
+        F.md5(ordered_text).alias("chunk_md5"),
+    )
