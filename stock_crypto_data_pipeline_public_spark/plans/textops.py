@@ -1512,3 +1512,77 @@ def t25_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.length("sentence")) + F.count(F.lit(1)) - 1).cast("int").alias("chunk_chars"),
         F.md5(ordered_text).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# t26 — the full document-processing pipeline (reference chatbot
+# document_processor.py:96-150: extract → preprocess → chunk → metadata) as
+# one DataFrame transform over operators/chunking.py. The fixture corpus is
+# already clean, so both sides first DIRTY it deterministically (page
+# marker + run-on spaces + '...' + charset junk) — the preprocess chain
+# (whitespace collapse → charset filter → punct dedupe → marker removal,
+# document_processor.py:42-67) is then genuinely exercised and hash-gated,
+# as is the chunk metadata (chunk_size / rough token count / total_chunks,
+# document_processor.py:69-94).
+# --------------------------------------------------------------------------
+@query(
+    "t26_doc_pipeline",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               '--- Page 1 ---  ' || text || '  trailing   mess @#$% end...' AS text
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '\\s+', ' ', 'g'),
+                   '[^\\w\\s\\.\\,\\!\\?\\;\\:\\-\\(\\)]', '', 'g'),
+                   '\\.{{2,}}', '.', 'g'),
+                   '--- Page \\d+ ---', '', 'g')) AS text
+        FROM dirty
+    ),
+    chunks AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text), 1), {_STRIDE})) AS start
+        FROM cleaned
+        WHERE length(text) > 0
+    ),
+    rows_ AS (
+        SELECT doc_id,
+               CAST((start - 1) // {_STRIDE} AS INT) AS chunk_index,
+               substr(text, CAST(start AS INT), {CHUNK_SIZE}) AS chunk_text
+        FROM chunks
+    )
+    SELECT doc_id, chunk_index,
+           CAST(length(chunk_text) AS INT)                       AS chunk_size,
+           CAST(len(regexp_split_to_array(trim(chunk_text), '\\s+')) AS INT) AS chunk_size_tokens,
+           CAST(count(*) OVER (PARTITION BY doc_id) AS INT)      AS total_chunks,
+           md5(chunk_text)                                       AS chunk_md5
+    FROM rows_
+    WHERE length(chunk_text) > 0
+    """,
+)
+def t26_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import chunking as C
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("--- Page 1 ---  "),
+            F.col("text"),
+            F.lit("  trailing   mess @#$% end..."),
+        ).alias("text"),
+    )
+    chunks = C.process_documents(
+        docs, strategy="fixed", chunk_size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        "chunk_size",
+        "chunk_size_tokens",
+        "total_chunks",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

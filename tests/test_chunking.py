@@ -1,0 +1,116 @@
+"""Document-processing pipeline (operators/chunking.py): preprocess chain,
+chunk reconstruction properties, metadata invariants, extractor stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.operators import chunking as C
+
+DOCS = [
+    (1, "the quick brown fox. jumps over the lazy dog! again and again? yes."),
+    (2, "one short doc"),
+    (3, "a" * 2500),  # forces multiple fixed chunks
+    (4, ("sentence number %d. " * 40) % tuple(range(40))),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_preprocess_matches_reference_chain(spark):
+    dirty = spark.createDataFrame(
+        [(1, "--- Page 3 ---  hello   world @#$% ... ok\t(fine)")],
+        "doc_id long, text string",
+    )
+    [row] = dirty.select(C.preprocess_text("text").alias("t")).collect()
+    # marker stripped, whitespace collapsed, junk chars dropped, '...' -> '.'
+    # (the double space is reference-faithful: the charset filter runs AFTER
+    # whitespace collapse, so removing '@#$%' leaves its flanking spaces —
+    # same output as document_processor.preprocess_text)
+    assert row.t == "hello world  . ok (fine)"
+
+
+def test_fixed_chunks_reconstruct_original(docs):
+    size, overlap = 600, 200
+    stride = size - overlap
+    rows = (
+        C.fixed_chunks(docs, chunk_size=size, overlap=overlap)
+        .orderBy("doc_id", "chunk_index")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    originals = dict(DOCS)
+    assert set(by_doc) == set(originals)
+    for doc_id, chunks in by_doc.items():
+        # first chunk whole + stride-aligned tails of the rest
+        rebuilt = chunks[0].chunk_text + "".join(
+            c.chunk_text[overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == originals[doc_id]
+        for c in chunks:
+            assert len(c.chunk_text) <= size
+
+
+def test_sentence_chunks_cover_all_sentences(docs):
+    out = C.sentence_chunks(docs, chunk_size=200).collect()
+    joined = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_index)):
+        joined[r.doc_id] = joined.get(r.doc_id, "")
+        joined[r.doc_id] += (" " if joined[r.doc_id] else "") + r.chunk_text
+        assert r.n_sentences >= 1
+    # chunk texts concatenated == the sentence stream (boundary spaces
+    # normalized to single spaces by the split+join)
+    import re
+
+    for doc_id, text in dict(DOCS).items():
+        sentences = [s.strip() for s in re.split(r"(?<=[.!?])\s+", text) if s.strip()]
+        assert joined[doc_id] == " ".join(sentences)
+
+
+def test_chunk_metadata_invariants(docs):
+    meta = C.process_documents(docs, strategy="fixed", chunk_size=600, overlap=200)
+    rows = meta.collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+        assert r.chunk_size == len(r.chunk_text)
+        assert r.chunk_size_tokens == len(r.chunk_text.split())
+        assert r.chunking_strategy == "fixed"
+        assert r.language == "en"
+    for chunks in per_doc.values():
+        assert all(c.total_chunks == len(chunks) for c in chunks)
+        assert sorted(c.chunk_index for c in chunks) == list(range(len(chunks)))
+
+
+def test_process_documents_rejects_unknown_strategy(docs):
+    with pytest.raises(ValueError, match="unknown chunking strategy"):
+        C.process_documents(docs, strategy="token")
+
+
+def test_extract_text_txt_real_pdf_stubbed(spark):
+    bin_docs = spark.createDataFrame(
+        [
+            (1, "txt", bytearray(b"plain text payload")),
+            (2, "pdf", bytearray(b"%PDF-1.4 fake")),
+        ],
+        "doc_id long, doc_type string, content binary",
+    )
+    txt_only = bin_docs.filter(F.col("doc_type") == "txt")
+    [r] = C.extract_text(txt_only).collect()
+    assert r.text == "plain text payload" and r.n_chars == 18
+
+    with pytest.raises(Exception, match="NotImplementedError|pdfplumber"):
+        C.extract_text(bin_docs).collect()
+
+    fake = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
+    assert fake[1] == "plain text payload"
+    assert fake[2].startswith("pdf document ")
+    # deterministic: same payload -> same fake text
+    again = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
+    assert fake == again
