@@ -35,6 +35,7 @@ EXPECTED_NESTED_LOOP = {
     # LSH-bucketed variants (x02/t07) approximate
     "x01_knn_cosine",
     "x04_cosine_pair_histogram",
+    "x11_sampled_pair_histogram",
     "t08_simhash_hamming",
     # IVF assignment: every vector scores against K=8 broadcast centroids —
     # a deliberate tiny-broadcast cross product (map-only, K rows)

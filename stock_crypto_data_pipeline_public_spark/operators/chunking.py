@@ -105,6 +105,78 @@ def sentence_chunks(
     )
 
 
+def document_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    chunk_size: int = 1000,
+    overlap: int = 200,
+) -> DataFrame:
+    """Structure-aware chunking (chunking_strategies.py:150-204 semantics,
+    DocumentAwareChunking): split on markdown section headers, pack small
+    sections into ~chunk_size chunks, split oversize sections with the
+    fixed-stride splitter.
+
+    Distributed formulation: sections are marked (RE2-safe — a newline
+    before ``#+ `` is rewritten to SOH, no lookahead needed) and
+    posexploded; a window cum-sum over ALL sections assigns each small
+    section to bucket ``floor(cum_chars_before / chunk_size)`` — an
+    intervening oversize section advances the cum past a bucket boundary,
+    so packing does not leak across it (the reference's "big section
+    interrupts the current chunk" behaviour); oversize sections go through
+    :func:`fixed_chunks` per section. Chunks re-index per document in
+    section order. Output: id_cols, chunk_index, chunk_text."""
+    marked = F.regexp_replace(F.col(text_col), r"\n(#+\s)", _SOH + "$1")
+    sec = (
+        df.select(*id_cols, F.posexplode(F.split(marked, _SOH)).alias("__sidx", "__raw"))
+        .select(*id_cols, "__sidx", F.trim("__raw").alias("__section"))
+        .filter(F.length("__section") > 0)
+    )
+    w = W.partitionBy(*id_cols).orderBy("__sidx").rowsBetween(W.unboundedPreceding, -1)
+    cum = sec.withColumn(
+        "__cum", F.coalesce(F.sum(F.length("__section") + 1).over(w), F.lit(0))
+    )
+    small = cum.filter(F.length("__section") <= chunk_size)
+    big = cum.filter(F.length("__section") > chunk_size)
+
+    packed = (
+        small.withColumn(
+            "__bucket", F.floor(F.col("__cum") / F.lit(chunk_size)).cast("int")
+        )
+        .groupBy(*id_cols, "__bucket")
+        .agg(
+            F.min("__sidx").alias("__order"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__sidx", "__section"))),
+                    lambda s: s["__section"],
+                ),
+                "\n",
+            ).alias("chunk_text"),
+        )
+        .select(*id_cols, F.col("__order").alias("__sec"), F.lit(0).alias("__sub"), "chunk_text")
+    )
+    split_big = fixed_chunks(
+        big.select(*id_cols, "__sidx", F.col("__section").alias("__text")),
+        text_col="__text",
+        id_cols=tuple(id_cols) + ("__sidx",),
+        chunk_size=chunk_size,
+        overlap=overlap,
+    ).select(
+        *id_cols,
+        F.col("__sidx").alias("__sec"),
+        (F.col("chunk_index") + 1).alias("__sub"),
+        "chunk_text",
+    )
+    all_chunks = packed.unionByName(split_big)
+    order_w = W.partitionBy(*id_cols).orderBy("__sec", "__sub")
+    return all_chunks.select(
+        *id_cols,
+        (F.row_number().over(order_w) - 1).cast("int").alias("chunk_index"),
+        "chunk_text",
+    )
+
+
 def with_chunk_metadata(
     chunks: DataFrame,
     id_cols: tuple[str, ...] = ("doc_id",),
@@ -140,7 +212,14 @@ def process_documents(
     language: str = "en",
 ) -> DataFrame:
     """The full process_document pipeline (document_processor.py:96-150) as
-    one DataFrame transform: preprocess → chunk → metadata."""
+    one DataFrame transform: preprocess → chunk → metadata.
+
+    Note the reference-faithful quirk: preprocess collapses ``\\s+`` (incl.
+    newlines), so the ``document`` strategy sees no header boundaries when
+    run through this pipeline — exactly as in the reference, where
+    process_document also preprocesses before DocumentAwareChunking. Call
+    :func:`document_chunks` directly on raw text for structure-aware
+    splitting."""
     cleaned = df.withColumn(text_col, preprocess_text(text_col)).filter(
         F.length(text_col) > 0
     )
@@ -148,6 +227,8 @@ def process_documents(
         chunks = fixed_chunks(cleaned, text_col, id_cols, chunk_size, overlap)
     elif strategy == "sentence":
         chunks = sentence_chunks(cleaned, text_col, id_cols, chunk_size)
+    elif strategy == "document":
+        chunks = document_chunks(cleaned, text_col, id_cols, chunk_size, overlap)
     else:
         raise ValueError(f"unknown chunking strategy {strategy!r}")
     return with_chunk_metadata(chunks, id_cols, strategy, language)

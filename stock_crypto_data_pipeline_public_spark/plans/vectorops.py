@@ -7,8 +7,9 @@ quantization, x06 bucketed cosine near-dup, x07 probed IVF top-k search
 (the full ANN query path), x08 GEMM exact k-NN (the BLAS throughput path),
 x09 product-quantization ADC search (the memory-compression path), x10
 IVF-PQ probed search (the full production pipeline: coarse quantize →
-probe → ADC over codes). See operators/similarity.py for the cross-engine
-math contract.
+probe → ADC over codes), x11 sampled pair histogram (x04's documented
+100 TB form: deterministic hash-mod sample, same block-pair machinery).
+See operators/similarity.py for the cross-engine math contract.
 """
 
 from __future__ import annotations
@@ -373,47 +374,12 @@ def x06_bucketed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# x04 — pairwise cosine histogram (0.1-wide buckets over all pairs).
-# O(n²) — the exactness/distribution baseline that LSH (x02) approximates;
-# at corpus scale this runs per-bucket, never globally (docstring contract).
-# --------------------------------------------------------------------------
-@query(
-    "x04_cosine_pair_histogram",
-    oracle=f"""
-    WITH pairs AS (
-        SELECT CAST(floor({S.oracle_cosine('a.embedding', 'b.embedding')} * 10) AS INT) AS sim_bucket
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    )
-    SELECT sim_bucket, count(*) AS n_pairs
-    FROM pairs
-    GROUP BY sim_bucket
-    """,
-)
-def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Exact all-pairs histogram as a BLOCK-PAIR SELF-JOIN — fully
-    # executor-side, no driver collect and no full-corpus broadcast:
-    #   1. each vector hashes to one of B blocks; a block collapses to ONE
-    #      row carrying its (vec_id, embedding) structs (one shuffle);
-    #   2. the B-row block table joins to itself on bid_a <= bid_b, giving
-    #      every unordered block pair exactly once (B(B+1)/2 tasks);
-    #   3. each pair GEMMs in Arrow-batched numpy and emits only a ~20-row
-    #      partial bucket histogram; a final groupBy sums partials.
-    # Scale: shuffle volume is corpus × B (block replication), work is the
-    # irreducible n²/2 dot products spread across B(B+1)/2 independent
-    # tasks — the form that survives a 1000-executor cluster, vs. the
-    # previous corpus-broadcast variant that died once the corpus outgrew
-    # one executor. B grows ~sqrt(2·parallelism) so tasks ≥ cores.
-    #
-    # Determinism note: GEMM accumulation order differs from the oracle's
-    # sequential fold by ~1e-15; a pair could flip its floor(sim*10) bucket
-    # only if its cosine sits within that distance of a 0.1 boundary. The
-    # fixture data is FIXED and the histogram is verified hash-identical to
-    # the fold oracle at sf0.001/0.01/0.1, so the gate is deterministic;
-    # bit-exact JVM-side pair scoring remains demonstrated by x01/x06.
+def _block_pair_histogram(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Exact pair-cosine bucket histogram over ``emb`` (vec_id, embedding)
+    as a block-pair self-join — the shared machinery of x04 (full corpus)
+    and x11 (deterministic sample). See x04 for the scale rationale."""
     import numpy as np
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     par = spark.sparkContext.defaultParallelism
     B = max(3, int((2 * par) ** 0.5) + 1)
 
@@ -462,6 +428,78 @@ def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partial = pairs.mapInPandas(score, "sim_bucket int, n_pairs long")
     return partial.groupBy("sim_bucket").agg(F.sum("n_pairs").alias("n_pairs"))
+
+
+# --------------------------------------------------------------------------
+# x04 — pairwise cosine histogram (0.1-wide buckets over all pairs).
+# O(n²) — the exactness/distribution baseline that LSH (x02) approximates;
+# at corpus scale this runs per-bucket, never globally (docstring contract).
+# --------------------------------------------------------------------------
+@query(
+    "x04_cosine_pair_histogram",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT CAST(floor({S.oracle_cosine('a.embedding', 'b.embedding')} * 10) AS INT) AS sim_bucket
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT sim_bucket, count(*) AS n_pairs
+    FROM pairs
+    GROUP BY sim_bucket
+    """,
+)
+def x04_cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact all-pairs histogram as a BLOCK-PAIR SELF-JOIN — fully
+    # executor-side, no driver collect and no full-corpus broadcast:
+    #   1. each vector hashes to one of B blocks; a block collapses to ONE
+    #      row carrying its (vec_id, embedding) structs (one shuffle);
+    #   2. the B-row block table joins to itself on bid_a <= bid_b, giving
+    #      every unordered block pair exactly once (B(B+1)/2 tasks);
+    #   3. each pair GEMMs in Arrow-batched numpy and emits only a ~20-row
+    #      partial bucket histogram; a final groupBy sums partials.
+    # Scale: shuffle volume is corpus × B (block replication), work is the
+    # irreducible n²/2 dot products spread across B(B+1)/2 independent
+    # tasks — the form that survives a 1000-executor cluster, vs. the
+    # previous corpus-broadcast variant that died once the corpus outgrew
+    # one executor. B grows ~sqrt(2·parallelism) so tasks ≥ cores.
+    #
+    # Determinism note: GEMM accumulation order differs from the oracle's
+    # sequential fold by ~1e-15; a pair could flip its floor(sim*10) bucket
+    # only if its cosine sits within that distance of a 0.1 boundary. The
+    # fixture data is FIXED and the histogram is verified hash-identical to
+    # the fold oracle at sf0.001/0.01/0.1, so the gate is deterministic;
+    # bit-exact JVM-side pair scoring remains demonstrated by x01/x06.
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return _block_pair_histogram(spark, emb)
+
+
+# --------------------------------------------------------------------------
+# x11 — SAMPLED pair histogram: the documented 100 TB form of x04
+# (SCALE.md "Exact → approximate swaps"). A deterministic hash-mod sample
+# (vec_id % 5 = 0 — portable, no RNG, cluster-stable) cuts the pair space
+# 25× before the same block-pair machinery runs. At scale the sample rate
+# is the knob: pair work falls with rate², and the histogram remains an
+# unbiased distribution estimate with quantifiable error.
+# --------------------------------------------------------------------------
+@query(
+    "x11_sampled_pair_histogram",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    pairs AS (
+        SELECT CAST(floor({S.oracle_cosine('a.embedding', 'b.embedding')} * 10) AS INT) AS sim_bucket
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT sim_bucket, count(*) AS n_pairs
+    FROM pairs
+    GROUP BY sim_bucket
+    """,
+)
+def x11_sampled_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+    )
+    return _block_pair_histogram(spark, emb)
 
 
 # --------------------------------------------------------------------------

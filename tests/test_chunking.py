@@ -88,6 +88,46 @@ def test_chunk_metadata_invariants(docs):
         assert sorted(c.chunk_index for c in chunks) == list(range(len(chunks)))
 
 
+MD_DOCS = [
+    # small sections pack together
+    (1, "# intro\nshort one.\n# next\nshort two.\n# more\nshort three."),
+    # an oversize section gets fixed-split; neighbors don't pack across it
+    (2, "# a\ntiny.\n# big\n" + "x" * 700 + "\n# z\ntail."),
+    (3, "no headers at all, single section"),
+]
+
+
+@pytest.fixture(scope="module")
+def md_docs(spark):
+    return spark.createDataFrame(MD_DOCS, "doc_id long, text string").cache()
+
+
+def test_document_chunks_pack_and_split(md_docs):
+    out = C.document_chunks(md_docs, chunk_size=300, overlap=100).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_index)):
+        by_doc.setdefault(r.doc_id, []).append(r.chunk_text)
+
+    # doc 1: three small sections (< 300 chars total) pack into one chunk,
+    # headers preserved, section order kept
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0] == "# intro\nshort one.\n# next\nshort two.\n# more\nshort three."
+
+    # doc 2: the 700-char section exceeds chunk_size -> fixed-split pieces
+    # (stride 200: 704-char section -> 4 pieces) between the small sections
+    chunks2 = by_doc[2]
+    assert chunks2[0] == "# a\ntiny."
+    big_pieces = [c for c in chunks2 if c.startswith("# big") or set(c) <= {"x"}]
+    assert len(big_pieces) >= 3
+    assert chunks2[-1] == "# z\ntail."
+    # chunk_index is a contiguous 0..n-1 per doc in section order
+    assert [r.chunk_index for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_index))
+            if r.doc_id == 2] == list(range(len(chunks2)))
+
+    # doc 3: no headers -> one section, one chunk
+    assert by_doc[3] == ["no headers at all, single section"]
+
+
 def test_process_documents_rejects_unknown_strategy(docs):
     with pytest.raises(ValueError, match="unknown chunking strategy"):
         C.process_documents(docs, strategy="token")
