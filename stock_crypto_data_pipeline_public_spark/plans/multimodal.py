@@ -1,6 +1,8 @@
-"""Multimodal feature-extraction queries (rows-only checks — mapInPandas
-pseudo-decode is not SQL-expressible; the md5 checksum column IS
-SQL-checkable and gets its own oracle-backed query)."""
+"""Multimodal feature-extraction queries. All three are value-hash gated:
+the deterministic fake decode derives features from md5 digest bytes (m01)
+or payload length arithmetic (m03), both SQL-expressible, and m02's
+checksum column is directly SQL-checkable — so even with the media decode
+stubbed, the full mapInPandas pipelines are oracle-verified end-to-end."""
 
 from __future__ import annotations
 
@@ -14,9 +16,34 @@ from .registry import query
 
 # --------------------------------------------------------------------------
 # m01 — binary payload → Arrow-batched feature extraction (mapInPandas) →
-# per-media-type feature rollup. No oracle: the decode stub is Python-side.
+# per-media-type feature rollup. The fake decode derives width/height from
+# the first md5 digest bytes (operators/multimodal._fake_decode), which IS
+# SQL-expressible — DuckDB parses the hex pairs out of md5(text) — so even
+# the stubbed pipeline gets a value-hash gate, not just a rows-only check.
 # --------------------------------------------------------------------------
-@query("m01_media_feature_rollup")
+@query(
+    "m01_media_feature_rollup",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS h
+        FROM documents
+    ),
+    feat AS (
+        SELECT 'image/png' AS media_type, n_bytes, h,
+               64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 192 AS width,
+               64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 192 AS height
+        FROM f
+    )
+    SELECT media_type,
+           count(*)                        AS n_media,
+           CAST(sum(n_bytes) AS BIGINT)    AS total_bytes,
+           CAST(min(width) AS INT)         AS min_width,
+           CAST(max(height) AS INT)        AS max_height,
+           count(DISTINCT h)               AS n_distinct_payloads
+    FROM feat
+    GROUP BY media_type
+    """,
+)
 def m01_media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # single-file input = one scan task; spread BEFORE the Python stage so
@@ -58,11 +85,39 @@ def m02_media_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # m03 — video frame sampling → per-frame-index rollup: the row-EXPANDING
-# multimodal shape (n_frames output rows per input, Arrow-batched). Rows-
-# only check like m01 (the chunking stub is Python-side); the plumbing —
-# schema, batch shape, output partition sizing — is the real contract.
+# multimodal shape (n_frames output rows per input, Arrow-batched). The
+# fake frame slicer cuts the payload into step = max(len//4, 1) byte chunks
+# with arithmetic timestamps (operators/multimodal.sample_frames) — pure
+# functions of payload length, so the rollup is SQL-expressible and gets a
+# value-hash gate; the plumbing (schema, batch shape, row expansion) is
+# the real contract either way.
 # --------------------------------------------------------------------------
-@query("m03_frame_sample_rollup")
+@query(
+    "m03_frame_sample_rollup",
+    oracle="""
+    WITH f AS (SELECT doc_id, strlen(text) AS len FROM documents),
+    s AS (SELECT doc_id, len, greatest(len // 4, 1) AS step FROM f),
+    frames AS (
+        SELECT doc_id, len, step, unnest(range(0, 4)) AS frame_idx FROM s
+    ),
+    calc AS (
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               CASE WHEN len = 0 THEN 0 ELSE step END AS chunk_len,
+               CAST(floor(frame_idx * (1000.0 / 30)
+                          * (CASE WHEN len // step = 0 THEN 1 ELSE len // step END))
+                    AS BIGINT) AS ts
+        FROM frames
+    )
+    SELECT frame_idx,
+           count(*)                       AS n_frames,
+           CAST(sum(chunk_len) AS BIGINT) AS total_bytes,
+           count(DISTINCT doc_id)         AS n_videos,
+           min(ts)                        AS min_ts_ms,
+           max(ts)                        AS max_ts_ms
+    FROM calc
+    GROUP BY frame_idx
+    """,
+)
 def m03_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_media(docs, media_type="video/mp4")

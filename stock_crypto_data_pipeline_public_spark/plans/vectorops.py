@@ -516,7 +516,28 @@ def x11_sampled_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # different order than the sequential fold, so values agree only to ~1e-12 —
 # tests/test_properties.py asserts x08 ≡ x01 after 4-dp rounding instead.
 # --------------------------------------------------------------------------
-@query("x08_gemm_topk", oracle=None)
+@query(
+    "x08_gemm_topk",
+    # Same answer as x01 by construction (tests/test_properties.py asserts
+    # x08 == x01 row-for-row), so the SAME oracle hash-gates it: the GEMM
+    # path's half-up 4-dp rounding matches oracle_rnd's contract.
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               {oracle_rnd(S.oracle_cosine('q.qe', 'e.embedding'), 4)} AS cosine_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    """,
+)
 def x08_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
