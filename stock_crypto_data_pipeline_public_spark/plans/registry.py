@@ -52,16 +52,28 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def load_all() -> None:
-    """Import every plan module so its @query decorators run.
+#: Queries promoted to the FRONT of registration order. The round driver
+#: hash-gates only the FIRST 50 registered queries, so this list IS the
+#: round-3 gate window: the never-before-gated t/x/m series (rounds 1-2
+#: gated relational/vault/event/finance), then every query whose round-2
+#: gate entry was broken and is fixed this round (e03/e08 timestampdiff,
+#: f01/f02/q08/v07 HUGEINT sums, q14 sentinel overflow), then canaries
+#: from the long-stable q/v series. Everything else registers after, in
+#: module order, and stays covered by the local strict harness (which now
+#: mirrors the driver's pandas comparison exactly).
+_GATE_PRIORITY = (
+    [f"t{i:02d}" for i in range(1, 27)]     # t01..t26 (26)
+    + [f"x{i:02d}" for i in range(1, 12)]   # x01..x11 (37)
+    + [f"m{i:02d}" for i in range(1, 4)]    # m01..m03 (40)
+    + ["e03", "e08", "f01", "f02", "q08", "q14", "v07"]  # r2-red, now fixed (47)
+    + ["q01", "v01", "e01"]                 # stable canaries (50)
+)
 
-    Registration order is deliberate: the round driver hash-gates the FIRST
-    50 registered queries only. Rounds 1-2 gated relational/vault/event/
-    finance; round 3 rotates textops/vectorops/multimodal to the front so
-    the t/x/m series get driver-gated evidence at least once (the q/v
-    series were hash-confirmed in CORRECTNESS_r01/r02 and stay covered by
-    the local strict harness, which now mirrors the driver's comparison).
-    """
+
+def load_all() -> None:
+    """Import every plan module so its @query decorators run, then reorder
+    the registry so the driver's 50-query gate window (see _GATE_PRIORITY)
+    is explicit rather than an accident of import order."""
     from . import (  # noqa: F401
         textops,
         vectorops,
@@ -71,3 +83,14 @@ def load_all() -> None:
         relational,
         vault,
     )
+
+    by_prefix = {name.split("_", 1)[0]: name for name in QUERIES}
+    ordered: dict[str, QueryFn] = {}
+    for prefix in _GATE_PRIORITY:
+        name = by_prefix.get(prefix)
+        if name is not None:
+            ordered[name] = QUERIES[name]
+    for name, fn in QUERIES.items():
+        ordered.setdefault(name, fn)
+    QUERIES.clear()
+    QUERIES.update(ordered)
