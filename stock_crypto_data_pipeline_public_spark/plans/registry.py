@@ -62,11 +62,11 @@ def query(name: str, oracle: str | None = None):
 #: module order, and stays covered by the local strict harness (which now
 #: mirrors the driver's pandas comparison exactly).
 _GATE_PRIORITY = (
-    [f"t{i:02d}" for i in range(1, 27)]     # t01..t26 (26)
-    + [f"x{i:02d}" for i in range(1, 12)]   # x01..x11 (37)
-    + [f"m{i:02d}" for i in range(1, 4)]    # m01..m03 (40)
-    + ["e03", "e08", "f01", "f02", "q08", "q14", "v07"]  # r2-red, now fixed (47)
-    + ["q01", "v01", "e01"]                 # stable canaries (50)
+    [f"t{i:02d}" for i in range(1, 28)]     # t01..t27 (27)
+    + [f"x{i:02d}" for i in range(1, 12)]   # x01..x11 (38)
+    + [f"m{i:02d}" for i in range(1, 4)]    # m01..m03 (41)
+    + ["e03", "e08", "f01", "f02", "q08", "q14", "v07"]  # r2-red, now fixed (48)
+    + ["q01", "v01"]                        # stable canaries (50)
 )
 
 

@@ -1586,3 +1586,84 @@ def t26_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chunks",
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# t27 — PII detection + redaction: the corpus-prep scrub pass every
+# training-data pipeline runs before release. Emails, dashed phone numbers
+# and IPv4 literals are counted and replaced with typed placeholder tokens
+# — pure per-row regexp expressions (RE2-safe: no lookarounds), so the
+# scrub is a map-only stage that composes with the scan at any scale.
+# The fixture corpus contains no PII, so both sides first inject
+# deterministic doc_id-derived contact strings into every 3rd document —
+# detection, counting, and redaction are then genuinely exercised and
+# hash-gated.
+# --------------------------------------------------------------------------
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@query(
+    "t27_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || doc_id ||
+                         '@example.com or 555-01' || lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0') ||
+                         '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                         ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_IP_RE}')) AS INT)    AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g'))                             AS redacted_md5
+    FROM seeded
+    """,
+)
+def t27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-01"),
+                F.lpad((F.col("doc_id") % 10).cast("string"), 1, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(_IP_RE), 0)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
