@@ -34,5 +34,14 @@ def epoch_us(c: Column | str) -> Column:
 
 
 def epoch_s(c: Column | str) -> Column:
-    """Whole seconds since the naive epoch (floor division of :func:`epoch_us`)."""
-    return F.floor(epoch_us(c) / F.lit(1_000_000)).cast("bigint")
+    """Whole seconds since the naive epoch (floor division of :func:`epoch_us`).
+
+    Exact integer arithmetic throughout: ``floor(us / 1e6)`` via double
+    division silently loses precision for |us| > 2^53 µs (~year 2255 —
+    open-ended 9999-12-31 sentinels land there), which can shift a value by
+    a second and misplace a row at a range-join bucket boundary. Instead,
+    subtract the non-negative pmod remainder (long, exact) and divide the
+    exact multiple through decimal, which is precise at any magnitude."""
+    us = epoch_us(c)
+    rem = F.pmod(us, F.lit(1_000_000))
+    return ((us - rem).cast("decimal(27,0)") / F.lit(1_000_000)).cast("bigint")

@@ -54,8 +54,13 @@ def _cell(v):
         return repr(float(v))
     if isinstance(v, (pd.Timestamp, datetime)):
         s = v.isoformat(sep=" ")
-        # a DATE column arrives as datetime.date from Spark but midnight
-        # datetime64 from DuckDB; strip the zero time so they agree
+        # A DATE column arrives as datetime.date from Spark but midnight
+        # datetime64 from DuckDB; strip the zero time so they agree. This
+        # equivalence is INFERRED from driver behavior (f02's trade_date
+        # hash-matched in round 2 while only its HUGEINT volume failed), so
+        # it intentionally also equates a true midnight TIMESTAMP with a
+        # DATE — don't rely on that: registry rule 3 still requires casting
+        # date_trunc results to date explicitly on the Spark side.
         return s[:-9] if s.endswith(" 00:00:00") else s
     if isinstance(v, date):
         return v.isoformat()

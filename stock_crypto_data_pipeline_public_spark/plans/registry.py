@@ -85,11 +85,15 @@ def load_all() -> None:
     )
 
     by_prefix = {name.split("_", 1)[0]: name for name in QUERIES}
+    missing = [p for p in _GATE_PRIORITY if p not in by_prefix]
+    if missing:
+        # the window is load-bearing: a silently-dropped prefix would slide
+        # an unvetted query into the driver's first-50 hash gate
+        raise ValueError(f"_GATE_PRIORITY prefixes not registered: {missing}")
     ordered: dict[str, QueryFn] = {}
     for prefix in _GATE_PRIORITY:
-        name = by_prefix.get(prefix)
-        if name is not None:
-            ordered[name] = QUERIES[name]
+        name = by_prefix[prefix]
+        ordered[name] = QUERIES[name]
     for name, fn in QUERIES.items():
         ordered.setdefault(name, fn)
     QUERIES.clear()

@@ -370,14 +370,11 @@ def _oracle_simhash() -> str:
 @query("t08_simhash_hamming", oracle=_oracle_simhash())
 def t08_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simhash construction stays JVM-side (integer bit-sum expressions, one
-    # hash aggregation). The O(n²) Hamming pair phase is a BLOCK-PAIR
-    # SELF-JOIN (same shape as x04): each (doc_id, simhash) row hashes to
-    # one of B blocks, a block collapses to one struct-array row, the B-row
-    # block table joins to itself on bid_a <= bid_b, and each of the
-    # B(B+1)/2 tasks xors its two code vectors in vectorized numpy
-    # (popcount-table lookup, per-pair bincount) — only ~17-row partial
-    # histograms leave Python. No driver collect, no corpus broadcast:
-    # shuffle ∝ corpus × B, so the exactness baseline itself distributes.
+    # hash aggregation). The O(n²) Hamming pair phase runs on the shared
+    # block-pair self-join (operators/blockpair.py — same machinery as
+    # x04/x11): each task xors its two code vectors in vectorized numpy
+    # (popcount-table lookup, per-pair bincount) and only ~17-row partial
+    # histograms leave Python. No driver collect, no corpus broadcast.
     # Pure integer math → EXACTLY the oracle's result by construction.
     import numpy as np
 
@@ -391,49 +388,25 @@ def t08_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = sums.selectExpr("doc_id", f"{D.simhash_from_sums()} AS simhash")
 
-    par = spark.sparkContext.defaultParallelism
-    B = max(3, int((2 * par) ** 0.5) + 1)
-    blocks = (
-        sh.withColumn("bid", F.pmod(F.hash("doc_id"), F.lit(B)))
-        .groupBy("bid")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("rows"))
-    )
-    pairs = (
-        blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
-        .join(
-            blocks.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b")),
-            F.col("bid_a") <= F.col("bid_b"),
-        )
-        .repartition(par)
-    )
+    from ..operators.blockpair import block_pair_partials
+
     pop = np.array([bin(i).count("1") for i in range(1 << D.SIMHASH_BITS)],
                    dtype=np.int64)
 
-    def _unpack(cell):
-        ids = np.fromiter((r["doc_id"] for r in cell), dtype=np.int64)
-        codes = np.fromiter((r["simhash"] for r in cell), dtype=np.int64)
-        return ids, codes
-
-    def hist(batches):
+    def hist(ids_a, vals_a, ids_b, vals_b, mask):
         import pandas as pd
 
-        for pdf in batches:
-            for bid_a, bid_b, rows_a, rows_b in zip(
-                pdf["bid_a"], pdf["bid_b"], pdf["rows_a"], pdf["rows_b"]
-            ):
-                ids_a, codes_a = _unpack(rows_a)
-                ids_b, codes_b = _unpack(rows_b)
-                if bid_a == bid_b:
-                    mask = ids_a[:, None] < ids_b[None, :]
-                else:
-                    mask = np.ones((len(ids_a), len(ids_b)), dtype=bool)
-                hams = pop[(codes_a[:, None] ^ codes_b[None, :])[mask]]
-                counts = np.bincount(hams, minlength=D.SIMHASH_BITS + 1)
-                nz = np.nonzero(counts)[0]
-                yield pd.DataFrame({"hamming": nz.astype("int32"),
-                                    "n_pairs": counts[nz].astype("int64")})
+        codes_a = np.asarray(vals_a, dtype=np.int64)
+        codes_b = np.asarray(vals_b, dtype=np.int64)
+        hams = pop[(codes_a[:, None] ^ codes_b[None, :])[mask]]
+        counts = np.bincount(hams, minlength=D.SIMHASH_BITS + 1)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"hamming": nz.astype("int32"),
+                             "n_pairs": counts[nz].astype("int64")})
 
-    partial = pairs.mapInPandas(hist, "hamming int, n_pairs long")
+    partial = block_pair_partials(
+        spark, sh, "doc_id", "simhash", hist, "hamming int, n_pairs long"
+    )
     return partial.groupBy("hamming").agg(F.sum("n_pairs").alias("n_pairs"))
 
 
@@ -1437,7 +1410,6 @@ def t24_fixed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # packing is genuinely exercised and hash-gated.
 # --------------------------------------------------------------------------
 SENT_CHUNK_SIZE = 200
-_SOH = "\u0001"  # sentence-boundary marker; never occurs in the corpus
 
 
 @query(
@@ -1480,37 +1452,25 @@ _SOH = "\u0001"  # sentence-boundary marker; never occurs in the corpus
     """,
 )
 def t25_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    punctuated = F.regexp_replace(
-        "text", r"((?:[a-z0-9]+ ){11}[a-z0-9]+) ", "$1. "
-    )
-    marked = F.regexp_replace(punctuated, r"([.!?])\s+", "$1" + _SOH)
-    sent = (
-        docs.select("doc_id", F.posexplode(F.split(marked, _SOH)).alias("idx", "raw"))
-        .select("doc_id", "idx", F.trim("raw").alias("sentence"))
-        .filter(F.length("sentence") > 0)
-    )
-    w = (
-        W.partitionBy("doc_id")
-        .orderBy("idx")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cum = sent.withColumn(
-        "cum_before", F.coalesce(F.sum(F.length("sentence") + 1).over(w), F.lit(0))
-    ).withColumn(
-        "chunk_id", F.floor(F.col("cum_before") / F.lit(SENT_CHUNK_SIZE)).cast("int")
-    )
-    ordered_text = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "sentence"))),
-            lambda s: s["sentence"],
+    # the gated form of operators/chunking.sentence_chunks: inject the
+    # deterministic punctuation, run the operator, derive the hashable
+    # stats from its chunk_text (chunk_chars == len(join ' ') == sum(len)
+    # + count - 1 by construction)
+    from ..operators import chunking as C
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:[a-z0-9]+ ){11}[a-z0-9]+) ", "$1. ").alias(
+            "text"
         ),
-        " ",
     )
-    return cum.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_sentences"),
-        (F.sum(F.length("sentence")) + F.count(F.lit(1)) - 1).cast("int").alias("chunk_chars"),
-        F.md5(ordered_text).alias("chunk_md5"),
+    chunks = C.sentence_chunks(docs, chunk_size=SENT_CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_index").alias("chunk_id"),
+        "n_sentences",
+        F.length("chunk_text").cast("int").alias("chunk_chars"),
+        F.md5("chunk_text").alias("chunk_md5"),
     )
 
 

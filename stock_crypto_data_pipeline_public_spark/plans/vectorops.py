@@ -376,57 +376,31 @@ def x06_bucketed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _block_pair_histogram(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Exact pair-cosine bucket histogram over ``emb`` (vec_id, embedding)
-    as a block-pair self-join — the shared machinery of x04 (full corpus)
-    and x11 (deterministic sample). See x04 for the scale rationale."""
+    via the shared block-pair self-join (operators/blockpair.py) — the
+    machinery of x04 (full corpus) and x11 (deterministic sample). See x04
+    for the scale rationale."""
     import numpy as np
 
-    par = spark.sparkContext.defaultParallelism
-    B = max(3, int((2 * par) ** 0.5) + 1)
+    from ..operators.blockpair import block_pair_partials
 
-    blocks = (
-        emb.withColumn("bid", F.pmod(F.hash("vec_id"), F.lit(B)))
-        .groupBy("bid")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("rows"))
-    )
-    pairs = (
-        blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
-        .join(
-            blocks.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b")),
-            F.col("bid_a") <= F.col("bid_b"),
-        )
-        .repartition(par)
-    )
-
-    def _unpack(cell):
-        ids = np.fromiter((r["vec_id"] for r in cell), dtype=np.int64)
-        M = np.array([r["embedding"] for r in cell], dtype=np.float64)
-        nrm = np.linalg.norm(M, axis=1, keepdims=True)
-        nrm[nrm == 0.0] = np.nan
-        return ids, M / nrm
-
-    def score(batches):
+    def score(ids_a, vals_a, ids_b, vals_b, mask):
         import pandas as pd
 
-        for pdf in batches:
-            for bid_a, bid_b, rows_a, rows_b in zip(
-                pdf["bid_a"], pdf["bid_b"], pdf["rows_a"], pdf["rows_b"]
-            ):
-                ids_a, mat_a = _unpack(rows_a)
-                ids_b, mat_b = _unpack(rows_b)
-                sims = mat_a @ mat_b.T
-                if bid_a == bid_b:
-                    # self block pair: strict upper triangle by id
-                    mask = ids_a[:, None] < ids_b[None, :]
-                else:
-                    # distinct blocks meet in exactly this one task: every
-                    # cross pair counts once, whatever the id order
-                    mask = np.ones_like(sims, dtype=bool)
-                buckets = np.floor(sims[mask] * 10).astype(np.int64)
-                uniq, counts = np.unique(buckets, return_counts=True)
-                yield pd.DataFrame({"sim_bucket": uniq.astype("int32"),
-                                    "n_pairs": counts.astype("int64")})
+        def normed(vals):
+            M = np.array(vals, dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = np.nan
+            return M / nrm
 
-    partial = pairs.mapInPandas(score, "sim_bucket int, n_pairs long")
+        sims = normed(vals_a) @ normed(vals_b).T
+        buckets = np.floor(sims[mask] * 10).astype(np.int64)
+        uniq, counts = np.unique(buckets, return_counts=True)
+        return pd.DataFrame({"sim_bucket": uniq.astype("int32"),
+                             "n_pairs": counts.astype("int64")})
+
+    partial = block_pair_partials(
+        spark, emb, "vec_id", "embedding", score, "sim_bucket int, n_pairs long"
+    )
     return partial.groupBy("sim_bucket").agg(F.sum("n_pairs").alias("n_pairs"))
 
 
