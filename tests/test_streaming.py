@@ -194,3 +194,24 @@ def test_enrich_stream_broadcast_dim_matches_batch_join(spark, sf_dir, tmp_path)
     assert got.exceptAll(expected).count() == 0
     # every stream row survives a left enrichment
     assert got.count() == ev.count()
+
+
+def test_ensure_event_time_types(spark):
+    """NTZ event-time casts to LTZ (watermarkable) preserving the wall
+    clock under the pinned UTC session; LTZ input is a no-op."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import ensure_event_time
+
+    wall = datetime(2024, 5, 1, 12, 30, 15)
+    ntz = spark.createDataFrame([(wall,)], "ts timestamp_ntz")
+    out = ensure_event_time(ntz, "ts")
+    assert isinstance(out.schema["ts"].dataType, TimestampType)
+    assert out.collect()[0].ts == wall  # value-preserving under UTC session
+
+    ltz = spark.createDataFrame([(wall,)], "ts timestamp")
+    again = ensure_event_time(ltz, "ts")
+    assert again is ltz  # no-op, not even a projection
