@@ -49,11 +49,17 @@ def asof_join_backward(
     if collisions:
         raise ValueError(f"payload columns collide with left side: {sorted(collisions)}")
 
+    # The payload travels as ONE struct, non-null exactly on right rows:
+    # last(struct, ignorenulls) then skips left rows (struct null) but keeps
+    # a right row whose payload VALUES are null — per-column last() would
+    # skip those and leak a stale older value forward, and with several
+    # payload columns could even stitch together fields from different
+    # right rows. The struct keeps every match an actual right row.
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *payload,
+        F.struct(*payload).alias("__r"),
     )
     l = left.select(
         "*",
@@ -68,9 +74,8 @@ def asof_join_backward(
         .orderBy(F.asc("__ts"), F.asc("__side"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = merged.select(
-        "*",
-        *[F.last(p, ignorenulls=True).over(w).alias(f"__asof_{p}") for p in payload],
-    )
-    keep = [c for c in left.columns] + [F.col(f"__asof_{p}").alias(p) for p in payload]
+    filled = merged.select("*", F.last("__r", ignorenulls=True).over(w).alias("__asof"))
+    keep = [c for c in left.columns] + [
+        F.col("__asof")[p].alias(p) for p in payload
+    ]
     return filled.filter(F.col("__side") == 1).select(*keep)

@@ -140,33 +140,43 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25)
     reachable from ``id``.
 
     Each round every node takes the min of its own label and its neighbors'
-    labels — label sums decrease monotonically, so an unchanged sum is the
-    fixpoint. Rounds needed = graph diameter; near-dup clusters are shallow
+    labels; the fixpoint test counts CHANGED labels via a null-safe
+    anti-comparison, which is type-agnostic (string ids work — a label-sum
+    test would silently no-op on non-numeric ids where sum() is NULL).
+    Rounds needed = graph diameter; near-dup clusters are shallow
     (pairs/small chains), so this converges in a handful of rounds. Lineage
     is truncated per round with ``localCheckpoint`` — without it the
-    iterated join plan grows superlinearly in analysis cost. At cluster
-    scale swap the propagation step for the large-star/small-star rounds of
+    iterated join plan grows superlinearly in analysis cost; the edge table
+    is checkpointed ONCE up front so its (often expensive — LSH band
+    self-join) lineage is not re-executed every round. At cluster scale
+    swap the propagation step for the large-star/small-star rounds of
     Kiveris et al. (CC in MapReduce); the driver loop and convergence test
     stay the same.
     """
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    both = both.localCheckpoint(eager=True)
     labels = nodes.select(F.col("id"), F.col("id").alias("component_id"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("component_id")).first()[0]
     for _ in range(max_iter):
         cand = both.join(labels, both["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "component_id"
         )
-        labels = (
+        new_labels = (
             labels.unionByName(cand)
             .groupBy("id")
             .agg(F.min("component_id").alias("component_id"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component_id")).first()[0]
-        if cur_sum == prev_sum:
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(~F.col("n.component_id").eqNullSafe(F.col("o.component_id")))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels

@@ -89,9 +89,15 @@ def merge_upsert(
     version_col: str,
 ) -> None:
     """MERGE emulation (M1): last-wins by key across (target ∪ source),
-    source preferred on version ties. Rewrites the target atomically via a
-    staging directory (Parquet has no transactional MERGE; Delta/Iceberg
-    would replace this body with MERGE INTO)."""
+    source preferred on version ties. The merged table is fully written to
+    a staging directory first, then swapped over the target with a
+    directory rename — the target is never in a partial state: a crash
+    before the swap leaves it untouched, a crash between delete and rename
+    leaves the complete staging directory on disk for recovery. (A true
+    atomic swap needs a table format — Delta/Iceberg MERGE INTO replaces
+    this body at deploy; plain directory rename is also not atomic on
+    object stores, another reason the production target is a table
+    format.)"""
     src = source.withColumn("__prio", F.lit(1))
     if table_exists(spark, path):
         tgt = spark.read.parquet(path).withColumn("__prio", F.lit(0))
@@ -105,13 +111,15 @@ def merge_upsert(
         .drop("__rn", "__prio")
     )
     staging = path.rstrip("/") + ".__staging__"
-    result.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(path)
-    # best-effort cleanup of the staging dir
+    result.write.mode("overwrite").parquet(staging)  # reads the live target
+    # swap: one rename instead of a second full rewrite of the table
+    import os
     import shutil
 
-    shutil.rmtree(staging, ignore_errors=True)
+    target = path.rstrip("/")
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    os.rename(staging, target)
 
 
 def incremental_run(

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType
 
@@ -40,7 +40,15 @@ def bucketed_range_join(
     ``bucket`` is any Spark window duration ('1 week', '1 day', '6 hours').
     Output = all point columns + all interval columns (names must not
     collide except the ``on`` keys).
+
+    ``how``: 'inner' or 'left'. Left keeps points with no containing
+    interval (null interval columns) — this needs an explicit second pass
+    below: a naive ``join(..., 'left')`` would run the exact BETWEEN as a
+    post-filter and silently drop the very null-extended rows a left join
+    exists to keep.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = list(on)
     overlap = (set(points.columns) & set(intervals.columns)) - set(on)
     if overlap:
@@ -74,6 +82,16 @@ def bucketed_range_join(
         f"TIMESTAMP_NTZ'1970-01-01 00:00:00' + INTERVAL {bucket})"
     )
 
+    # a deterministic per-row identity for the left-join recovery pass:
+    # duplicates of the same point row are interchangeable, so numbering
+    # them within their value-group is stable across plan re-execution
+    # (monotonically_increasing_id is not)
+    if how == "left":
+        occ = W.partitionBy(*[F.col(c) for c in points.columns]).orderBy(F.lit(1))
+        points = points.withColumn(
+            "__pid", F.concat_ws("§", *points.columns, F.row_number().over(occ))
+        )
+
     p = points.withColumn("__bucket", F.floor(point_secs(F.col(point_ts)) / bucket_len))
     iv = intervals.withColumn(
         "__bucket",
@@ -84,7 +102,12 @@ def bucketed_range_join(
             )
         ),
     )
-    joined = p.join(iv, on + ["__bucket"], how).filter(
+    joined = p.join(iv, on + ["__bucket"], "inner").filter(
         F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
+    ).drop("__bucket")
+    if how == "inner":
+        return joined
+    unmatched = points.join(
+        joined.select("__pid").distinct(), "__pid", "left_anti"
     )
-    return joined.drop("__bucket")
+    return joined.unionByName(unmatched, allowMissingColumns=True).drop("__pid")

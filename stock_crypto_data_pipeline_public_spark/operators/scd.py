@@ -50,11 +50,13 @@ def scd2(
     is_current. effective_to = next version's start, HIGH_DATE when open."""
     w = W.partitionBy(*keys).orderBy(F.asc(ts_col), F.asc(tiebreak))
     nxt = F.lead(ts_col).over(w)
+    # sentinel cast to the INPUT column's own type: a bare cast("timestamp")
+    # would coerce an NTZ lead() through LTZ, making effective_to
+    # session-tz-dependent while effective_from stays NTZ
+    sentinel = F.lit(HIGH_DATE).cast(df.schema[ts_col].dataType)
     return (
         df.withColumn("effective_from", F.col(ts_col))
-        .withColumn(
-            "effective_to", F.coalesce(nxt, F.lit(HIGH_DATE).cast("timestamp"))
-        )
+        .withColumn("effective_to", F.coalesce(nxt, sentinel))
         .withColumn("is_current", F.when(nxt.isNull(), F.lit(True)).otherwise(F.lit(False)))
     )
 
@@ -69,10 +71,19 @@ def changes_only(
     """Satellite semantics: keep only rows whose hashdiff differs from the
     previous version (insert-only change capture)."""
     w = W.partitionBy(*keys).orderBy(F.asc(ts_col), F.asc(tiebreak))
-    prev = F.lag(hashdiff).over(w)
+    # null-safe change detection: with a nullable hashdiff expression, `!=`
+    # yields NULL against a null previous value and would silently drop a
+    # real change (the engine's own hash_key builders are null-safe, but
+    # this operator accepts arbitrary caller expressions). A lag over a
+    # constant distinguishes "no previous row" from "previous hashdiff was
+    # null" — lag(hashdiff) alone conflates the two.
     return (
         df.withColumn("__hd", hashdiff)
-        .withColumn("__prev", prev)
-        .filter(F.col("__prev").isNull() | (F.col("__hd") != F.col("__prev")))
-        .drop("__hd", "__prev")
+        .withColumn("__prev", F.lag("__hd").over(w))
+        .withColumn("__has_prev", F.lag(F.lit(1)).over(w))
+        .filter(
+            F.col("__has_prev").isNull()
+            | ~F.col("__hd").eqNullSafe(F.col("__prev"))
+        )
+        .drop("__hd", "__prev", "__has_prev")
     )

@@ -77,7 +77,19 @@ def salted_join(
     Cost: right side is materialized ``salt_buckets`` times — size the
     bucket count from the skew ratio, and prefer plain broadcast when the
     right side fits in memory.
+
+    Only left-preserving joins are supported: under right/full outer an
+    unmatched right row would surface once PER SALT COPY (``salt_buckets``
+    duplicates with null left columns). For those, salt the other way
+    around or use AQE skew-join handling.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}: "
+            "an unmatched right row would duplicate once per salt copy"
+        )
     on = list(on)
     lsalt = left.withColumn("__salt", (F.rand(seed=11) * salt_buckets).cast("int"))
     rsalt = right.withColumn(

@@ -201,20 +201,27 @@ def attribution_join(
 
     Both sides carry watermarks and the join condition bounds
     ``purchase_ts`` to [click_ts, click_ts + within], so each side buffers
-    only the watermark horizon of state. Column names must be disjoint
-    (rename before calling); the join key is the user column equality.
+    only the watermark horizon of state. Both sides must carry ``user_col``
+    under that exact name (it is emitted once); all OTHER column names must
+    be disjoint — the timestamp columns always are, since ``click_ts`` and
+    ``purchase_ts`` name different columns by construction.
     """
+    if user_col not in clicks.columns or user_col not in purchases.columns:
+        raise ValueError(f"both sides must carry the join column {user_col!r}")
     c = ensure_event_time(clicks, click_ts).withWatermark(click_ts, watermark)
     p = ensure_event_time(purchases, purchase_ts).withWatermark(purchase_ts, watermark)
+    # rename the purchase-side key so the range condition can reference both
+    # sides unambiguously, then emit the key once
+    p = p.withColumnRenamed(user_col, "__p_user")
     return c.join(
         p,
         F.expr(
-            f"c_{user_col} = p_{user_col}"
+            f"{user_col} = __p_user"
             f" AND {purchase_ts} >= {click_ts}"
             f" AND {purchase_ts} <= {click_ts} + interval {within}"
         ),
         "inner",
-    )
+    ).drop("__p_user")
 
 
 def enrich_stream(

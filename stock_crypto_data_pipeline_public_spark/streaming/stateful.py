@@ -74,9 +74,15 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             start_us, last_us, n_events, session_no = None, None, 0, 0
 
         closed: list[tuple] = []
-        for pdf in pdfs:
+        # Materialize ALL the group's Arrow chunks and sort ONCE: a group
+        # larger than arrow.maxRecordsPerBatch arrives as several pdfs, and
+        # per-chunk sorting would interleave out-of-order timestamps across
+        # chunk boundaries (spuriously closing/merging sessions).
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            all_ts = pd.concat([f["ts"] for f in frames], ignore_index=True)
             # pandas datetime64[ns] → int64 is NANOseconds; state keeps µs
-            ts_us = (pdf["ts"].astype("int64") // 1000).sort_values()
+            ts_us = (all_ts.astype("int64") // 1000).sort_values()
             for t in ts_us:
                 t = int(t)
                 if start_us is None:

@@ -66,3 +66,23 @@ def test_payload_collision_rejected(sides):
             trades.withColumnRenamed("trade_ts", "price"), prices,
             on=["sym"], left_ts="price", right_ts="price_ts", payload=["price"],
         )
+
+
+def test_null_payload_does_not_leak_stale_value(spark):
+    """A right row whose payload is legitimately NULL must win as-of its
+    time — per-column last(ignorenulls) would skip it and leak the older
+    price forward (and could stitch fields from different rows)."""
+    from datetime import datetime
+
+    from stock_crypto_data_pipeline_public_spark.operators.asof import asof_join_backward
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    right = spark.createDataFrame(
+        [("k", t(0), 10.0, "a"), ("k", t(2), None, "b")],
+        "k string, rts timestamp, price double, src string",
+    )
+    left = spark.createDataFrame([("k", t(3))], "k string, lts timestamp")
+    [row] = asof_join_backward(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", payload=["price", "src"]
+    ).collect()
+    assert row.price is None and row.src == "b"  # the ts=2 row, intact

@@ -107,3 +107,11 @@ def test_salted_join_matches_plain_join(spark, skewed):
     lonely = spark.createDataFrame([("NOPE", 1)], "k string, v long")
     out = salted_join(skewed.unionByName(lonely), dim, ["k"], salt_buckets=4, how="left")
     assert out.filter(F.col("k") == "NOPE").count() == 1
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    from stock_crypto_data_pipeline_public_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(df, df.withColumnRenamed("v", "w"), ["k"], how="full")

@@ -100,3 +100,31 @@ def test_column_collision_rejected(sides):
             points.withColumnRenamed("point_id", "iv_id"), ivs,
             on=["k"], point_ts="ts", start_ts="start", end_ts="end",
         )
+
+
+def test_left_join_keeps_unmatched_points(spark):
+    t0 = BASE
+    points = spark.createDataFrame(
+        [(1, 1, t0 + timedelta(hours=1)), (2, 1, t0 + timedelta(days=30)), (3, 2, t0)],
+        "point_id int, k int, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(10, 1, t0, t0 + timedelta(hours=2))], "iv_id int, k int, start timestamp, end timestamp"
+    )
+    got = bucketed_range_join(
+        points, ivs, on=["k"], point_ts="ts", start_ts="start", end_ts="end",
+        bucket="1 hour", how="left",
+    ).collect()
+    by_id = {r.point_id: r for r in got}
+    assert set(by_id) == {1, 2, 3}
+    assert by_id[1].iv_id == 10            # contained -> matched
+    assert by_id[2].iv_id is None          # same key, out of range -> kept w/ nulls
+    assert by_id[3].iv_id is None          # different key -> kept w/ nulls
+
+
+def test_rejects_unknown_how(sides):
+    points, ivs = sides
+    with pytest.raises(ValueError, match="how"):
+        bucketed_range_join(
+            points, ivs, on=["k"], point_ts="ts", start_ts="start", end_ts="end", how="full"
+        )

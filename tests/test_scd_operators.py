@@ -57,3 +57,35 @@ def test_changes_only_collapses_consecutive_duplicates(spark, sf_dir):
     assert again.count() == out.count()
     # and the first event per user always survives
     assert out.count() >= ev.select("user_id").distinct().count()
+
+
+def test_changes_only_null_hashdiff_handling(spark):
+    """First version with a null hashdiff is kept; a null->value transition
+    counts as a change; null->null does not."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.operators.scd import changes_only
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    df = spark.createDataFrame(
+        [("k", t(0), None), ("k", t(1), None), ("k", t(2), "h1"), ("k", t(3), "h1")],
+        "k string, ts timestamp, hd string",
+    )
+    kept = changes_only(df, ["k"], F.col("hd"), "ts", "ts").collect()
+    assert sorted(r.ts.minute for r in kept) == [0, 2]
+
+
+def test_scd2_sentinel_matches_input_timestamp_type(spark):
+    from datetime import datetime
+
+    from pyspark.sql.types import TimestampNTZType
+
+    from stock_crypto_data_pipeline_public_spark.operators.scd import scd2
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1))], "k string, ts timestamp_ntz"
+    )
+    out = scd2(df, ["k"], "ts", "ts")
+    assert isinstance(out.schema["effective_to"].dataType, TimestampNTZType)

@@ -125,12 +125,12 @@ def test_attribution_join_matches_batch_equivalent(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user_id"),
+        F.col("user_id").alias("user_id"),
         F.col("ts").alias("click_ts"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user_id"),
+        F.col("user_id").alias("user_id"),
         F.col("ts").alias("purchase_ts"),
     )
     c_dir, p_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
@@ -150,10 +150,11 @@ def test_attribution_join_matches_batch_equivalent(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
 
+    p2 = purchases.withColumnRenamed("user_id", "p_user_id")
     expected = clicks.join(
-        purchases,
+        p2,
         F.expr(
-            "c_user_id = p_user_id AND purchase_ts >= click_ts"
+            "user_id = p_user_id AND purchase_ts >= click_ts"
             " AND purchase_ts <= click_ts + interval 30 minutes"
         ),
     )
