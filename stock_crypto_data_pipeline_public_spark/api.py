@@ -84,6 +84,8 @@ class PendingQueryRegistry:
 # --------------------------------------------------------------------------
 def _name_predicate(customer_name: str):
     parts = customer_name.strip().split()
+    if not parts:
+        raise ValueError("customer_name must contain at least one token")
     def has(col: str, token: str):
         return F.contains(F.lower(F.trim(F.col(col))), F.lit(token.lower()))
     if len(parts) >= 2:
@@ -236,9 +238,27 @@ class MarketQueryTools:
         )
 
     # -- pending-query wrappers --------------------------------------------
+    #: the chatbot-facing dispatch surface — propose() resolves ONLY these
+    TOOL_NAMES = frozenset(
+        {
+            "query_transactions",
+            "query_asset_prices",
+            "query_transaction_summary",
+            "query_price_trends",
+            "query_news_events",
+            "query_customer_by_name",
+        }
+    )
+
     def propose(self, tool_name: str, /, **params) -> PendingQuery:
         """Build the tool's DataFrame and register it for approval instead of
-        executing (reference's `_register_pending_query` + `_pending_response`)."""
+        executing (reference's `_register_pending_query` + `_pending_response`).
+        ``tool_name`` is validated against the allowlist — an unvalidated
+        getattr would let the approval surface invoke arbitrary attributes."""
+        if tool_name not in self.TOOL_NAMES:
+            raise ValueError(
+                f"unknown tool {tool_name!r}; available: {sorted(self.TOOL_NAMES)}"
+            )
         fn = getattr(self, tool_name)
         df = fn(**params)
         desc = f"{tool_name}({', '.join(f'{k}={v!r}' for k, v in params.items())})"

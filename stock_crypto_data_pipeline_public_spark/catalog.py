@@ -51,9 +51,12 @@ def register_warehouse(
         path = os.path.join(warehouse_dir, name)
         if not os.path.exists(path):
             continue
+        # escape embedded quotes: the path is data, not SQL — same contract
+        # as the backtick-validated identifiers
+        loc = path.replace("'", "''")
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {_q(database)}.{_q(name)} "
-            f"USING PARQUET LOCATION '{path}'"
+            f"USING PARQUET LOCATION '{loc}'"
         )
         registered.append(name)
     return registered

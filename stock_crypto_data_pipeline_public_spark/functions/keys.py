@@ -21,19 +21,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _as_str(c) -> Column:
+#: dbt_utils.generate_surrogate_key's NULL placeholder — a distinct sentinel
+#: so NULL and '' produce different keys (an attribute flipping between the
+#: two must register as a hashdiff change; a bare '' coalesce would collide)
+NULL_SENTINEL = "_dbt_utils_surrogate_key_null_"
+
+
+def _as_str(c, null_as: str = "") -> Column:
     c = F.col(c) if isinstance(c, str) else c
-    return F.coalesce(c.cast("string"), F.lit(""))
+    return F.coalesce(c.cast("string"), F.lit(null_as))
 
 
 def hash_key(*cols) -> Column:
-    """SHA-256 hub/link key: sha2(concat_ws('||', ...), 256)."""
+    """SHA-256 hub/link key: sha2(concat_ws('||', ...), 256), NULL → ''
+    (reference macros/hash_key.sql:1-12 coalesces to empty string)."""
     return F.sha2(F.concat_ws("||", *[_as_str(c) for c in cols]), 256)
 
 
 def surrogate_key(*cols) -> Column:
-    """MD5 surrogate key (dbt_utils.generate_surrogate_key semantics)."""
-    return F.md5(F.concat_ws("-", *[_as_str(c) for c in cols]))
+    """MD5 surrogate key (dbt_utils.generate_surrogate_key semantics,
+    including its NULL sentinel)."""
+    return F.md5(F.concat_ws("-", *[_as_str(c, NULL_SENTINEL) for c in cols]))
 
 
 def oracle_hash_key(*cols: str) -> str:
@@ -44,5 +52,7 @@ def oracle_hash_key(*cols: str) -> str:
 
 def oracle_surrogate_key(*cols: str) -> str:
     """DuckDB/ANSI SQL fragment equivalent of :func:`surrogate_key`."""
-    inner = ", ".join(f"coalesce(cast({c} as varchar), '')" for c in cols)
+    inner = ", ".join(
+        f"coalesce(cast({c} as varchar), '{NULL_SENTINEL}')" for c in cols
+    )
     return f"md5(concat_ws('-', {inner}))"

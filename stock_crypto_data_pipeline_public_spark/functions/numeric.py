@@ -23,7 +23,16 @@ from pyspark.sql import functions as F
 
 
 def rnd(c: Column | str, n: int = 2) -> Column:
-    """Deterministic half-up round of a double column to ``n`` decimals."""
+    """Deterministic cross-engine round to ``n`` decimals:
+    ``floor(x·10ⁿ + 0.5) / 10ⁿ``.
+
+    This is half-up for non-negative values and half-toward-+∞ for negative
+    ties (e.g. -1.005 → -1.00, where HALF_UP would give -1.01). The formula
+    is chosen because the IDENTICAL expression evaluates bit-for-bit the
+    same on Spark and DuckDB (:func:`oracle_rnd`) — engine-native round()
+    disagrees between the two on tie cases, which is what the oracle gate
+    cannot tolerate. Consumers needing accounting-grade HALF_UP on negative
+    values should round through decimal at the edge instead."""
     c = F.col(c) if isinstance(c, str) else c
     p = 10**n
     return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(float(p))

@@ -71,7 +71,11 @@ def idempotent_append(
     new = new.persist()
     try:
         n = new.count()
-        if n:
+        if n or not table_exists(spark, path):
+            # an empty FIRST write still materializes the target (schema +
+            # directory): downstream readers (vault_tables → marts) need
+            # every model present, and an absent target otherwise forces
+            # full-history reprocessing on every later increment
             writer = new.write.mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)

@@ -182,10 +182,14 @@ def check_url_format_valid(news: DataFrame, col: str = "news_bk") -> DataFrame:
 def check_price_data_freshness(prices: DataFrame, as_of, max_age_days: int = 7) -> DataFrame:
     """reference tests/test_price_data_freshness.sql:4-11 — per-asset
     max(observed_at) must be recent (groupBy + HAVING)."""
+    # timestamp_add keeps full timestamp precision: date_sub would truncate
+    # as_of to a DATE (midnight), shifting the staleness boundary by up to
+    # a day and letting genuinely stale assets pass
+    bound = F.timestamp_add("DAY", F.lit(-max_age_days), F.lit(as_of).cast("timestamp"))
     return (
         prices.groupBy("hk_asset")
         .agg(F.max("observed_at").alias("last_observed"))
-        .filter(F.col("last_observed") < F.date_sub(F.lit(as_of).cast("timestamp"), max_age_days))
+        .filter(F.col("last_observed") < bound)
     )
 
 
@@ -243,8 +247,6 @@ def run_market_quality_suite(ctx: dict[str, DataFrame], as_of=None) -> dict[str,
             ctx["fct_news_events"], now=as_of
         )
         checks["price_freshness"] = check_price_data_freshness(
-            ctx["fct_asset_prices"].withColumnRenamed("observed_at", "observed_at"),
-            as_of,
-            max_age_days=365,
+            ctx["fct_asset_prices"], as_of, max_age_days=365
         )
     return {name: df.count() for name, df in checks.items()}

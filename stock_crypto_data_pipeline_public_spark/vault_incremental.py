@@ -40,7 +40,10 @@ VAULT_KEYS: dict[str, tuple[str, ...]] = {
     "hub_company": ("hk_company",),
     "hub_asset": ("hk_asset",),
     "hub_transaction": ("hk_transaction",),
-    "hub_news": ("hk_news",),
+    # hub_news grain is (url, ticker, asset_type) — hk_news alone hashes the
+    # url, and appending on it would nondeterministically collapse a story
+    # tagged for several assets down to one row
+    "hub_news": ("hk_news", "asset_symbol", "asset_type"),
     "link_customer_company": ("lk_customer_company",),
     "link_customer_transaction": ("lk_customer_transaction",),
     "link_transaction_asset": ("lk_transaction_asset",),
@@ -79,14 +82,19 @@ class VaultMaterializer:
         raw = load_raw_tables(spark, self.warehouse_dir)
 
         # one global HWM across targets keeps the raw slice consistent for
-        # models reading several raw tables (min over per-model HWMs)
-        hwms = [
-            hwm
+        # models reading several raw tables (min over per-model HWMs). A
+        # model with NO state yet (target absent or empty — first run, a
+        # model added later, or a crash before its first append) forces a
+        # FULL slice: taking min over only the existing targets would filter
+        # raw to the other models' fresh window and permanently skip all
+        # earlier history for the stateless model — the anti-join protects
+        # re-appends, not never-appended data.
+        hwms = {
+            model: high_water_mark(spark, self._path(model), "load_timestamp")
             for model in VAULT_KEYS
-            if (hwm := high_water_mark(spark, self._path(model), "load_timestamp")) is not None
-        ]
-        if hwms:
-            cutoff = min(hwms)
+        }
+        if all(h is not None for h in hwms.values()):
+            cutoff = min(hwms.values())
             raw = {name: df.filter(F.col("load_timestamp") > F.lit(cutoff)) for name, df in raw.items()}
 
         ctx = market_registry.run(raw, select=list(VAULT_KEYS))

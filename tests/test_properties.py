@@ -142,13 +142,27 @@ def test_merge_upsert_last_wins(spark, tmp_path_factory, target_rows, source_row
     a=st.one_of(st.none(), st.text(max_size=8)),
     b=st.one_of(st.none(), st.text(max_size=8)),
 )
-def test_surrogate_key_null_coalesces_to_empty(spark, a, b):
+def test_surrogate_key_null_uses_dbt_sentinel(spark, a, b):
+    # dbt_utils.generate_surrogate_key coalesces NULL to a distinct sentinel
+    # (not ''): NULL vs empty string must produce DIFFERENT keys, or a
+    # NULL↔'' attribute flip never registers as a hashdiff change
+    from stock_crypto_data_pipeline_public_spark.functions.keys import NULL_SENTINEL
+
     df = spark.createDataFrame([(a, b)], "a string, b string")
     got = df.select(surrogate_key("a", "b").alias("k")).first().k
     want = df.selectExpr(
-        "md5(concat_ws('-', coalesce(a, ''), coalesce(b, ''))) AS k"
+        f"md5(concat_ws('-', coalesce(a, '{NULL_SENTINEL}'),"
+        f" coalesce(b, '{NULL_SENTINEL}'))) AS k"
     ).first().k
     assert got == want
+
+
+def test_surrogate_key_null_differs_from_empty_string(spark):
+    df = spark.createDataFrame([(None, "")], "a string, b string")
+    row = df.select(
+        surrogate_key("a").alias("ka"), surrogate_key("b").alias("kb")
+    ).first()
+    assert row.ka != row.kb
 
 
 # --------------------------------------------------------------------------
