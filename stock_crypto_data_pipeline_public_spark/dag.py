@@ -40,6 +40,23 @@ class ModelRegistry:
     def models(self) -> list[str]:
         return list(self._fns)
 
+    def _all_source_names(self) -> set[str]:
+        """Dep names that are not themselves models — the raw source tables."""
+        return {d for deps in self._deps.values() for d in deps} - set(self._fns)
+
+    def buildable(self, available_sources: Iterable[str]) -> list[str]:
+        """Models whose TRANSITIVE source requirements are all available —
+        lets a partially-populated warehouse (e.g. a streaming flow that
+        only writes transaction topics) build what it can instead of the
+        whole run failing on the first model with an absent raw input."""
+        avail = set(available_sources)
+        ok: set[str] = set()
+        order = self.resolve()  # topological: a model's deps are decided first
+        for name in order:
+            if all(d in ok or d in avail for d in self._deps[name]):
+                ok.add(name)
+        return [m for m in order if m in ok]
+
     def _descendants(self, roots: set[str]) -> set[str]:
         out = set(roots)
         changed = True
@@ -76,10 +93,15 @@ class ModelRegistry:
         else:
             wanted = set()
             for s in select or ():
+                name = s[:-1] if s.endswith("+") else s
+                # dbt errors on unknown selectors; silently skipping would
+                # turn a typo'd scheduled job into a forever-successful no-op
+                if name not in self._fns and name not in self._all_source_names():
+                    raise KeyError(f"unknown model in select: {name!r}")
                 if s.endswith("+"):
-                    wanted |= self._descendants({s[:-1]})
+                    wanted |= self._descendants({name})
                 else:
-                    wanted.add(s)
+                    wanted.add(name)
             for t in tags or ():
                 wanted |= {m for m, mt in self._tags.items() if t in mt}
         wanted = self._closure(wanted, prebuilt)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .operators.incremental import incremental_run
+from .operators.incremental import idempotent_append
 from .plans.market import registry as market_registry
 from .quality import run_market_quality_suite
 from .schemas import SCHEMAS
@@ -99,7 +99,14 @@ def transform_warehouse(
     Shared by the batch and streaming flows — the raw Parquet tables are the
     meeting point, so ONE transform code path serves both (the reference
     needs two dbt targets + Trino federation for this, b1_1:87-113)."""
-    ctx = market_registry.run(load_raw_tables(spark, warehouse_dir), select=select, tags=tags)
+    raw = load_raw_tables(spark, warehouse_dir)
+    if select is None and tags is None:
+        # a partially-populated warehouse (streaming flow writing only some
+        # topics, a half-landed batch day) builds every model whose raw
+        # inputs exist instead of failing the whole run on the first absent
+        # table; explicit select/tags still error on missing inputs
+        select = market_registry.buildable(raw)
+    ctx = market_registry.run(raw, select=select, tags=tags)
     if persist:
         for name in HOT_MODELS:
             if name in ctx:
@@ -145,6 +152,11 @@ class BatchFlow:
             if not os.path.exists(src_dir):
                 continue
             text = ingest.read_landing_csv(spark, src_dir, _string_schema(schema, LINEAGE))
+            # ON_ERROR='CONTINUE' semantics: a malformed line arrives as
+            # all-nulls + populated _corrupt_record — skip it, don't load a
+            # null row into the warehouse
+            if "_corrupt_record" in text.columns:
+                text = text.filter(F.col("_corrupt_record").isNull())
             typed = ingest.try_cast_columns(text, _cast_map(schema, LINEAGE))
             typed = typed.drop("_corrupt_record").withColumn(
                 "load_timestamp",
@@ -154,12 +166,17 @@ class BatchFlow:
                 ),
             )
             typed = ingest.align_columns(typed, schema)
-            appended[name] = incremental_run(
+            # keyed anti-join only — NO high-water-mark pre-filter here: the
+            # stamp is filename-derived, not a monotonic server-side clock,
+            # so an out-of-order backfill landing file (older run suffix
+            # than the warehouse max) must still load. Replays stay no-ops
+            # via the anti-join alone; the HWM short-cut belongs to sources
+            # with monotonic stamps (vault_incremental over the warehouse).
+            appended[name] = idempotent_append(
                 spark,
                 typed,
                 os.path.join(self.warehouse_dir, name),
                 keys=RAW_KEYS[name],
-                ts_col="load_timestamp",
             )
         return appended
 

@@ -29,9 +29,6 @@ from ..operators.scd import changes_only, dedup_keep_first, latest_wins, scd2
 registry = ModelRegistry()
 model = registry.model
 
-HIGH_TS = "9999-12-31 00:00:00"
-
-
 # =========================================================================
 # Data Vault: hubs
 # =========================================================================
@@ -151,17 +148,28 @@ def hub_transaction(ctx) -> DataFrame:
 @model("hub_news", deps=["raw_news"], tags=["warehouse", "hub"])
 def hub_news(ctx) -> DataFrame:
     """reference hub_news.sql:5-36; dedup grain (url, ticker, asset_type)
-    keep earliest load (ephemeral_news.sql:17-25)."""
+    keep earliest load (ephemeral_news.sql:17-25).
+
+    ticker/asset_type are case-normalized BEFORE dedup and hashing — raw
+    'aapl'/'AAPL' variants of the same story must collapse to one row, not
+    survive as duplicates with divergent keys. hk_news hashes the FULL
+    grain (url, ticker, asset_type): a url-only hash would be shared by a
+    story tagged for several assets, and every downstream hk_news join
+    (link_news_asset, sat_news_detail, fct_news_events) would fan out and
+    mispair assets."""
+    raw = ctx["raw_news"].withColumn("ticker", F.upper("ticker")).withColumn(
+        "asset_type", F.upper("asset_type")
+    )
     first = dedup_keep_first(
-        ctx["raw_news"],
+        raw,
         ["url", "ticker", "asset_type"],
         [F.asc("load_timestamp"), F.asc("source")],
     )
     return first.select(
-        surrogate_key("url").alias("hk_news"),
+        surrogate_key("url", "ticker", "asset_type").alias("hk_news"),
         F.col("url").alias("news_bk"),
-        F.upper("ticker").alias("asset_symbol"),
-        F.upper("asset_type").alias("asset_type"),
+        F.col("ticker").alias("asset_symbol"),
+        "asset_type",
         F.col("source").alias("record_source"),
         "load_timestamp",
     )
@@ -265,17 +273,26 @@ def link_transaction_asset(ctx) -> DataFrame:
 )
 def link_news_asset(ctx) -> DataFrame:
     """reference link_news_asset.sql:15-38."""
-    raw = ctx["raw_news"]
+    raw = ctx["raw_news"].withColumn("ticker", F.upper("ticker")).withColumn(
+        "asset_type", F.upper("asset_type")
+    )
     pairs = dedup_keep_first(
         raw, ["url", "ticker", "asset_type"], [F.asc("load_timestamp"), F.asc("source")]
     )
     hub = ctx["hub_asset"]
+    news = ctx["hub_news"]
     return (
-        pairs.join(F.broadcast(ctx["hub_news"]), pairs.url == F.col("news_bk"))
+        # join the news hub on its FULL grain: url alone would match every
+        # hub row of a multi-asset story and fan the link out
+        pairs.join(
+            F.broadcast(news),
+            (pairs.url == news.news_bk)
+            & (pairs.ticker == news.asset_symbol)
+            & (pairs.asset_type == news.asset_type),
+        )
         .join(
             F.broadcast(hub),
-            (F.upper(pairs.ticker) == hub.asset_symbol)
-            & (F.upper(pairs.asset_type) == hub.asset_type),
+            (pairs.ticker == hub.asset_symbol) & (pairs.asset_type == hub.asset_type),
         )
         .select(
             hash_key(pairs.url, pairs.ticker, pairs.asset_type).alias("lk_news_asset"),
@@ -366,12 +383,16 @@ def sat_asset_price_crypto(ctx) -> DataFrame:
         F.upper("source").alias("price_source"),
         "observed_at",
         "load_timestamp",
+        F.upper("symbol").alias("__raw_symbol"),
     )
     rows = dedup_keep_first(
         rows,
         ["asset_symbol", "price_source", "observed_at"],
-        [F.asc("load_timestamp")],
-    )
+        # __raw_symbol tiebreak: BTC-EUR and BTC-USD at the same instant
+        # both map to asset BTC; without a unique tiebreaker the winner is
+        # nondeterministic per run (scd.py's own ordering contract)
+        [F.asc("load_timestamp"), F.asc("__raw_symbol")],
+    ).drop("__raw_symbol")
     return rows.select(
         surrogate_key("asset_symbol", "asset_type").alias("hk_asset"),
         "asset_symbol",
@@ -433,11 +454,14 @@ def sat_company_profile(ctx) -> DataFrame:
 
 @model("sat_news_detail", deps=["raw_news"], tags=["warehouse", "sat"])
 def sat_news_detail(ctx) -> DataFrame:
+    raw = ctx["raw_news"].withColumn("ticker", F.upper("ticker")).withColumn(
+        "asset_type", F.upper("asset_type")
+    )
     first = dedup_keep_first(
-        ctx["raw_news"], ["url", "ticker", "asset_type"], [F.asc("load_timestamp"), F.asc("source")]
+        raw, ["url", "ticker", "asset_type"], [F.asc("load_timestamp"), F.asc("source")]
     )
     return first.select(
-        surrogate_key("url").alias("hk_news"),
+        surrogate_key("url", "ticker", "asset_type").alias("hk_news"),
         "title",
         "description",
         "image",
@@ -461,9 +485,15 @@ def dim_customer(ctx) -> DataFrame:
     current = latest_wins(
         ctx["sat_customer_profile"], ["hk_customer"], "load_timestamp", "record_source"
     )
+    # one company per customer: the link keeps FULL history of
+    # (customer, company) pairs, so a customer who changed companies has
+    # several link rows — joining them all would duplicate the dim row and
+    # every downstream transaction join. Latest link wins.
+    latest_link = latest_wins(
+        ctx["link_customer_company"], ["hk_customer"], "load_timestamp", "hk_company"
+    )
     company = (
-        ctx["link_customer_company"]
-        .select("hk_customer", "hk_company")
+        latest_link.select("hk_customer", "hk_company")
         .join(
             F.broadcast(ctx["dim_company"].select("hk_company", "company_bk", "company_name")),
             "hk_company",

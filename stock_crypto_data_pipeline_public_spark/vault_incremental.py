@@ -40,10 +40,9 @@ VAULT_KEYS: dict[str, tuple[str, ...]] = {
     "hub_company": ("hk_company",),
     "hub_asset": ("hk_asset",),
     "hub_transaction": ("hk_transaction",),
-    # hub_news grain is (url, ticker, asset_type) — hk_news alone hashes the
-    # url, and appending on it would nondeterministically collapse a story
-    # tagged for several assets down to one row
-    "hub_news": ("hk_news", "asset_symbol", "asset_type"),
+    # hk_news now hashes the full (url, ticker, asset_type) grain
+    # (plans/market.py hub_news), so the key alone is the append grain
+    "hub_news": ("hk_news",),
     "link_customer_company": ("lk_customer_company",),
     "link_customer_transaction": ("lk_customer_transaction",),
     "link_transaction_asset": ("lk_transaction_asset",),

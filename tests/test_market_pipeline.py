@@ -150,3 +150,64 @@ def test_quality_suite_green(ctx):
     results = run_market_quality_suite(ctx, as_of="2024-03-01")
     failures = {k: v for k, v in results.items() if v != 0}
     assert failures == {}, failures
+
+
+def test_multi_asset_news_story_keeps_one_row_per_asset(spark):
+    """A story tagged for TWO assets must yield one hub/sat/link/fct row
+    per asset with correctly paired symbols — a url-only hk_news would fan
+    every hk_news join out (2 hubs x 2 links x 2 sats = 8) and mispair
+    assets. Mixed-case raw tickers must collapse, not duplicate."""
+    from datetime import datetime
+
+    raw = MarketDataFaker(seed=7).generate(spark)
+    t = datetime(2026, 1, 2, 9, 0, 0)
+    # pick two assets that exist in the faker's hubs
+    assets = [
+        (r.asset_symbol, r.asset_type)
+        for r in registry.run(raw, select=["hub_asset"])["hub_asset"]
+        .select("asset_symbol", "asset_type").distinct().limit(2).collect()
+    ]
+    (s1, t1), (s2, t2) = assets
+    extra = spark.createDataFrame(
+        [
+            (s1, t1, "http://x/multi", "m", "d", "i", t, t, "testsrc"),
+            (s2, t2, "http://x/multi", "m", "d", "i", t, t, "testsrc"),
+            # same (url, asset) again in lowercase — must collapse
+            (s1.lower(), t1.lower(), "http://x/multi", "m", "d", "i", t, t, "ts2"),
+        ],
+        raw["raw_news"].schema,
+    )
+    raw["raw_news"] = raw["raw_news"].unionByName(extra)
+    built = registry.run(raw, select=["fct_news_events"])
+
+    hub = built["hub_news"].filter(F.col("news_bk") == "http://x/multi")
+    assert hub.count() == 2
+    assert hub.select("hk_news").distinct().count() == 2  # per-asset keys
+
+    fct = built["fct_news_events"].filter(F.col("title") == "m")
+    rows = fct.collect()
+    assert len(rows) == 2  # one per asset, no fan-out
+    assert {r.asset_symbol for r in rows} == {s1, s2}
+
+
+def test_dim_customer_single_row_after_company_change(spark):
+    """A customer whose company changed has two link_customer_company rows
+    (full history); dim_customer must still be one row per customer — the
+    LATEST company — or every transaction join downstream duplicates."""
+    from datetime import datetime
+
+    raw = MarketDataFaker(seed=9).generate(spark)
+    cust = raw["raw_customers"].limit(1).collect()[0]
+    companies = [r.company_id for r in raw["raw_corporates"].limit(2).collect()]
+    assert len(companies) == 2
+    switched = cust.asDict()
+    switched["company_id"] = companies[1]
+    switched["load_timestamp"] = datetime(2026, 2, 1)
+    switched["source"] = "switch"
+    later = spark.createDataFrame([tuple(switched.values())], raw["raw_customers"].schema)
+    raw["raw_customers"] = raw["raw_customers"].unionByName(later)
+    built = registry.run(raw, select=["dim_customer"])
+    mine = built["dim_customer"].filter(F.col("customer_bk") == cust.customer_id)
+    rows = mine.collect()
+    assert len(rows) == 1
+    assert rows[0].company_id == companies[1]  # the later link wins
