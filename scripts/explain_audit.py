@@ -77,17 +77,12 @@ def codegen_subtrees(df) -> int:
     return int(m.group(1)) if m else 0
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+def audit(spark, sf_dir: str) -> list[str]:
+    """Audit every registered query's physical plan; returns the hard-rule
+    violations (empty = healthy). AQE must be DISABLED on the session —
+    AdaptiveSparkPlan hides codegen subtrees and join strategies until
+    execution; the static plan is what we audit."""
     registry.load_all()
-    # AQE off for the audit: it wraps plans in AdaptiveSparkPlan, hiding
-    # codegen subtrees and join strategies until execution. The static plan
-    # is what we audit; AQE only improves on it at runtime.
-    spark = get_spark(
-        "scdp-explain", cpus=8, shuffle_partitions=8,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
-    )
-
     hard_fails: list[str] = []
     print(f"{'query':38s} {'scans':>5s} {'pushed':>6s} {'bhj':>4s} {'smj':>4s} {'bnlj':>4s} {'wsc':>4s} notes")
     for name in sorted(registry.QUERIES):
@@ -112,7 +107,16 @@ def main() -> int:
         if "ArrowEvalPython" in text or "MapInPandas" in text:
             notes.append("arrow-udf")
         print(f"{name:38s} {scans:5d} {pushed:6d} {bhj:4d} {smj:4d} {bnlj:4d} {wsc:4d} {','.join(notes)}")
+    return hard_fails
 
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(
+        "scdp-explain", cpus=8, shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    hard_fails = audit(spark, sf_dir)
     if hard_fails:
         print("\nHARD FAILS:")
         for f in hard_fails:

@@ -43,7 +43,14 @@ def block_pair_partials(
 ) -> DataFrame:
     """Run ``score_pair`` over every unordered pair of rows of ``df``,
     distributed as described in the module docstring. Returns the unioned
-    partial outputs (callers aggregate, e.g. groupBy().sum())."""
+    partial outputs (callers aggregate, e.g. groupBy().sum()).
+
+    CONTRACT: ``id_col`` values must be unique. The exactly-once pair
+    guarantee is keyed by id — with duplicate ids, the dup pair itself is
+    never scored (strict ``<`` mask) while each copy scores against every
+    other row, double-counting those pairs. Duplicates of one id always
+    hash to the SAME block, so the precondition is enforced for free
+    inside each pair task (raises ValueError, no extra pass)."""
     import numpy as np
 
     par = spark.sparkContext.defaultParallelism
@@ -67,13 +74,22 @@ def block_pair_partials(
         .repartition(par)
     )
 
+    def _ids(rows, bid):
+        ids = np.fromiter((r["id"] for r in rows), dtype=np.int64)
+        if len(np.unique(ids)) != len(ids):
+            raise ValueError(
+                f"block_pair_partials: duplicate id values in block {bid} — "
+                "id_col must be unique (see contract in docstring)"
+            )
+        return ids
+
     def run(batches):
         for pdf in batches:
             for bid_a, bid_b, rows_a, rows_b in zip(
                 pdf["bid_a"], pdf["bid_b"], pdf["rows_a"], pdf["rows_b"]
             ):
-                ids_a = np.fromiter((r["id"] for r in rows_a), dtype=np.int64)
-                ids_b = np.fromiter((r["id"] for r in rows_b), dtype=np.int64)
+                ids_a = _ids(rows_a, bid_a)
+                ids_b = _ids(rows_b, bid_b)
                 if bid_a == bid_b:
                     mask = ids_a[:, None] < ids_b[None, :]
                 else:

@@ -169,10 +169,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25)
             .agg(F.min("component_id").alias("component_id"))
             .localCheckpoint(eager=True)
         )
+        # full_outer, not inner: an id first introduced THIS round (an edge
+        # endpoint absent from `nodes`) has no old-label row, and with an
+        # inner join it would be invisible to the changed count — if it were
+        # the round's only delta the loop would break one round early with
+        # its neighbors unconverged
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(~F.col("n.component_id").eqNullSafe(F.col("o.component_id")))
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"), "full_outer")
+            .filter(
+                F.col("o.id").isNull()
+                | F.col("n.id").isNull()
+                | ~F.col("n.component_id").eqNullSafe(F.col("o.component_id"))
+            )
             .limit(1)
             .count()
         )

@@ -116,14 +116,33 @@ def merge_upsert(
     )
     staging = path.rstrip("/") + ".__staging__"
     result.write.mode("overwrite").parquet(staging)  # reads the live target
-    # swap: one rename instead of a second full rewrite of the table
+    # swap: rename the live target ASIDE first, then staging into place, then
+    # delete the old copy — a complete table exists at every instant, so a
+    # crash mid-swap (or a concurrent reader) never sees a missing target
+    # (rmtree-then-rename had a window where the table didn't exist at all).
+    # os.rename fails across filesystems (EXDEV) — fall back to copy+delete.
+    import errno
     import os
     import shutil
 
     target = path.rstrip("/")
+    old = target + ".__old__"
+    if os.path.isdir(old):  # leftover from a crashed previous swap
+        shutil.rmtree(old)
     if os.path.isdir(target):
-        shutil.rmtree(target)
-    os.rename(staging, target)
+        os.rename(target, old)
+    try:
+        os.rename(staging, target)
+    except OSError as e:
+        if e.errno != errno.EXDEV:
+            # put the live table back before propagating
+            if os.path.isdir(old) and not os.path.isdir(target):
+                os.rename(old, target)
+            raise
+        shutil.copytree(staging, target)
+        shutil.rmtree(staging)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def incremental_run(

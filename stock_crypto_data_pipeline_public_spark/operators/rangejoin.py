@@ -88,8 +88,21 @@ def bucketed_range_join(
     # (monotonically_increasing_id is not)
     if how == "left":
         occ = W.partitionBy(*[F.col(c) for c in points.columns]).orderBy(F.lit(1))
+        # identity = sha2 over the STRUCT's json rendering + occurrence
+        # number: to_json preserves null-vs-value per field and quotes
+        # strings, so ('x', NULL) vs (NULL, 'x') and values embedding a
+        # separator can't collide the way a bare concat_ws (which skips
+        # NULLs and concatenates ambiguously) silently did
         points = points.withColumn(
-            "__pid", F.concat_ws("§", *points.columns, F.row_number().over(occ))
+            "__pid",
+            F.sha2(
+                F.concat_ws(
+                    "#",
+                    F.to_json(F.struct(*[F.col(c) for c in points.columns])),
+                    F.row_number().over(occ).cast("string"),
+                ),
+                256,
+            ),
         )
 
     p = points.withColumn("__bucket", F.floor(point_secs(F.col(point_ts)) / bucket_len))

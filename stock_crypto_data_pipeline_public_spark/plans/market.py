@@ -304,6 +304,45 @@ def link_news_asset(ctx) -> DataFrame:
     )
 
 
+@model(
+    "link_company_transaction",
+    deps=["raw_transaction_corporate", "hub_company", "hub_transaction"],
+    tags=["warehouse", "link"],
+)
+def link_company_transaction(ctx) -> DataFrame:
+    """reference link_company_transaction.sql:17-39 — company↔transaction
+    linkage derived from CORPORATE transactions only (only that feed carries
+    company context: its customer_id IS the company id). Unlike the other
+    links, the reference keys this one by md5 over the two resolved HUB keys
+    (generate_surrogate_key(['company_hk','transaction_hk']),
+    link_company_transaction.sql:43-46) rather than the business keys —
+    reproduced here. Dedup keeps the first load per (company, transaction)
+    pair (row_number ... order by load_timestamp asc, sql:56-59; source added
+    as a deterministic tiebreak)."""
+    src = ctx["raw_transaction_corporate"].select(
+        "transaction_id",
+        F.col("customer_id").alias("company_id"),
+        "load_timestamp",
+        "source",
+    )
+    pairs = dedup_keep_first(
+        src, ["transaction_id", "company_id"], [F.asc("load_timestamp"), F.asc("source")]
+    )
+    return (
+        pairs.join(F.broadcast(ctx["hub_company"]), pairs.company_id == F.col("company_bk"))
+        .join(
+            F.broadcast(ctx["hub_transaction"]), pairs.transaction_id == F.col("transaction_bk")
+        )
+        .select(
+            surrogate_key("hk_company", "hk_transaction").alias("lk_company_transaction"),
+            "hk_company",
+            "hk_transaction",
+            pairs.source.alias("record_source"),
+            pairs.load_timestamp.alias("load_timestamp"),
+        )
+    )
+
+
 # =========================================================================
 # Data Vault: satellites (insert-only, hashdiff change detection)
 # =========================================================================

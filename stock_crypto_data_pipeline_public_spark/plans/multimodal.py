@@ -1,8 +1,10 @@
-"""Multimodal feature-extraction queries. All three are value-hash gated:
-the deterministic fake decode derives features from md5 digest bytes (m01)
-or payload length arithmetic (m03), both SQL-expressible, and m02's
-checksum column is directly SQL-checkable — so even with the media decode
-stubbed, the full mapInPandas pipelines are oracle-verified end-to-end."""
+"""Multimodal feature-extraction queries, all value-hash gated. m01-m03
+exercise the stubbed codec path (deterministic fake decode derived from md5
+digest bytes / payload length arithmetic — SQL-expressible, so the full
+mapInPandas pipelines are oracle-verified end-to-end even without codecs).
+m04 and m05 are the REAL paths: stdlib WAV decode and P6 PPM decode +
+numpy nearest-neighbor resize, with oracles predicting every decoded field
+from the source row."""
 
 from __future__ import annotations
 
@@ -128,4 +130,96 @@ def m03_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_videos"),
         F.min("frame_ts_ms").alias("min_ts_ms"),
         F.max("frame_ts_ms").alias("max_ts_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m04 — REAL audio decode: synthesize one deterministic PCM WAV clip per
+# document (operators/multimodal.synthesize_wav — header fields are
+# closed-form functions of doc_id/text length), then run the real stdlib
+# ``wave`` decode through decode_features (fake=False) and roll up per
+# sample rate. The oracle predicts every decoded field from the source row,
+# so a header mis-parse, an off-by-one frame count, or a wrong byte length
+# all hash-fail. This is the non-stubbed m-series path: encode → binary
+# column → Arrow batch → REAL decode, end to end.
+# --------------------------------------------------------------------------
+@query(
+    "m04_wav_real_decode_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               8000 + (doc_id % 5) * 4000  AS sample_rate,
+               1 + doc_id % 2              AS n_channels,
+               100 + (length(text) % 400) AS n_samples
+        FROM documents
+    )
+    SELECT CAST(sample_rate AS INT)                                    AS sample_rate,
+           count(*)                                                    AS n_clips,
+           CAST(sum(n_channels) AS BIGINT)                             AS total_channels,
+           CAST(sum(n_samples) AS BIGINT)                              AS total_samples,
+           CAST(sum(n_samples * 1000 // sample_rate) AS BIGINT)        AS total_duration_ms,
+           CAST(sum(44 + n_samples * n_channels * 2) AS BIGINT)        AS total_bytes
+    FROM c
+    GROUP BY 1
+    """,
+)
+def m04_wav_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_wav(docs)
+    feats = M.decode_features(media)  # fake=False: the REAL wave parse
+    return feats.groupBy("sample_rate").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_channels").alias("total_channels"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m05 — REAL image decode + REAL resize: deterministic P6 PPMs per document
+# (synthesize_ppm), real header parse (decode_features), real numpy
+# nearest-neighbor resample to 16×12 (resize_images), then a second real
+# decode of the RESIZED payloads proves the rendition round-trips. The
+# oracle predicts source dims from (doc_id, text length) and the resized
+# payload size from the fixed 16×12 header+plane (13 + 16·12·3 = 589 B).
+# --------------------------------------------------------------------------
+@query(
+    "m05_ppm_real_resize_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               8 + doc_id % 32            AS w,
+               8 + (length(text) % 32)   AS h
+        FROM documents
+    )
+    SELECT count(*)                                        AS n_images,
+           CAST(min(w) AS INT)                             AS min_src_width,
+           CAST(max(h) AS INT)                             AS max_src_height,
+           CAST(sum(w * h) AS BIGINT)                      AS total_src_pixels,
+           CAST(count(*) * 16 AS BIGINT)                   AS total_resized_width,
+           CAST(count(*) * 589 AS BIGINT)                  AS total_resized_bytes
+    FROM c
+    """,
+)
+def m05_ppm_real_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_ppm(docs)
+    src = M.decode_features(media)  # REAL P6 header parse
+    resized = M.resize_images(media, 16, 12)  # REAL nearest-neighbor
+    rfeat = M.decode_features(resized).select(
+        F.col("doc_id").alias("r_doc_id"),
+        F.col("width").alias("r_width"),
+        F.col("n_bytes").alias("r_bytes"),
+    )
+    both = src.join(rfeat, src.doc_id == rfeat.r_doc_id)
+    return both.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("width").alias("min_src_width"),
+        F.max("height").alias("max_src_height"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("total_src_pixels"),
+        F.sum(F.col("r_width").cast("long")).alias("total_resized_width"),
+        F.sum(F.col("r_bytes").cast("long")).alias("total_resized_bytes"),
     )

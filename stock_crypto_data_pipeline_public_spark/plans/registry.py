@@ -54,19 +54,21 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-3 gate window: the never-before-gated t/x/m series (rounds 1-2
-#: gated relational/vault/event/finance), then every query whose round-2
-#: gate entry was broken and is fixed this round (e03/e08 timestampdiff,
-#: f01/f02/q08/v07 HUGEINT sums, q14 sentinel overflow), then canaries
-#: from the long-stable q/v series. Everything else registers after, in
-#: module order, and stays covered by the local strict harness (which now
-#: mirrors the driver's pandas comparison exactly).
+#: round-4 gate window: the q/v/e/f series (last driver-gated in r2 and
+#: touched by round-3's hardening commits — rotate them back in so every
+#: query has a driver hash row dated after its last code change), the new
+#: v09 link and the newly-exact t18 (both hash-gated for the first time),
+#: and the brand-new REAL-decode multimodal queries m04/m05. The
+#: long-stable t/x/m series drops to the back and stays covered by the
+#: local strict harness (which mirrors the driver's pandas comparison
+#: exactly), as do this round's hash-preserving x09/t12 rewrites.
 _GATE_PRIORITY = (
-    [f"t{i:02d}" for i in range(1, 28)]     # t01..t27 (27)
-    + [f"x{i:02d}" for i in range(1, 12)]   # x01..x11 (38)
-    + [f"m{i:02d}" for i in range(1, 4)]    # m01..m03 (41)
-    + ["e03", "e08", "f01", "f02", "q08", "q14", "v07"]  # r2-red, now fixed (48)
-    + ["q01", "v01"]                        # stable canaries (50)
+    [f"q{i:02d}" for i in range(1, 23)]     # q01..q22 (22)
+    + [f"v{i:02d}" for i in range(1, 10)]   # v01..v09 (31) — v09 new
+    + [f"e{i:02d}" for i in range(1, 9)]    # e01..e08 (39)
+    + [f"f{i:02d}" for i in range(1, 9)]    # f01..f08 (47)
+    + ["t18"]                               # newly hash-gated exact form (48)
+    + ["m04", "m05"]                        # new REAL media decode paths (50)
 )
 
 

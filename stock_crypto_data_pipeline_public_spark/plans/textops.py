@@ -1010,11 +1010,44 @@ def t14_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# t18 — HLL approximate distinct-token counts per (lang, source): the
+# t18 — distinct-token cardinalities per (lang, source), exact form. The
+# exact count must shuffle every distinct (group, token) pair — this is the
+# hash-gated cross-engine-checkable half of the cardinality pair; the HLL
+# sketch that replaces it at 100 TB lives in t28 (engine-specific estimate,
+# property-tested instead of oracle-hashed).
+# --------------------------------------------------------------------------
+@query(
+    "t18_distinct_token_counts",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct_tokens,
+           CAST(count(*)            AS BIGINT) AS n_tokens
+    FROM (
+        SELECT lang, source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents
+    )
+    GROUP BY lang, source
+    """,
+)
+def t18_distinct_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        "source",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("tok"),
+    )
+    return toks.groupBy("lang", "source").agg(
+        F.countDistinct("tok").alias("exact_distinct_tokens"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t28 — HLL approximate distinct-token counts per (lang, source): the
 # sketch path SCALE.md prescribes for dashboard-grade cardinalities at
 # 100 TB. approx_count_distinct is a single-pass HyperLogLog++ with fixed
 # (KB-sized) state per group and full map-side partial merging — contrast
-# the exact form, which must shuffle every distinct (group, token) pair.
+# t18's exact form, which must shuffle every distinct (group, token) pair.
 # Exact counts ride along so the output itself exhibits the error bound.
 #
 # Rows-only gate: HLL estimates are engine-specific (DuckDB's approx HLL
@@ -1022,8 +1055,8 @@ def t14_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # |approx − exact| / exact ≤ 5% (rsd=0.02, well inside) is asserted by
 # tests/test_properties.py::test_hll_distinct_within_error_bound.
 # --------------------------------------------------------------------------
-@query("t18_hll_distinct_tokens", oracle=None)
-def t18_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("t28_hll_distinct_tokens", oracle=None)
+def t28_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "lang",

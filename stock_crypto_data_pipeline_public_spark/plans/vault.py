@@ -358,3 +358,90 @@ def v08_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").cast("date").alias("first_new_date"),
         F.max("o_orderdate").cast("date").alias("last_new_date"),
     )
+
+
+# --------------------------------------------------------------------------
+# v09 — link_company_transaction: the reference's 5th link (reference
+# link_company_transaction.sql:17-39). Shape: filter the source to the one
+# feed that carries company context ("corporate transactions only" — here
+# urgent-priority orders stand in for the corporate feed), resolve BOTH hub
+# keys by inner join, then key the link by md5 over the two resolved HUB
+# keys (generate_surrogate_key(['company_hk','transaction_hk']), sql:43-46)
+# — unlike the other links, which hash business keys — and dedup-keep-first
+# per pair (sql:56-59). The production DAG instance is
+# plans/market.link_company_transaction, exercised by
+# tests/test_market_pipeline.py; this query hash-gates the operator
+# composition cross-engine. Hubs broadcast; the dedup window partitions on
+# the uniformly-distributed pair, skew-free at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "v09_link_company_transaction",
+    oracle=f"""
+    WITH corporate AS (
+        SELECT o_orderkey AS transaction_id, o_custkey AS company_id,
+               o_orderdate AS load_timestamp, o_orderpriority AS record_source
+        FROM orders WHERE o_orderpriority LIKE '1-%'
+    ),
+    hub_company AS (
+        SELECT DISTINCT {oracle_surrogate_key('c_custkey')} AS hk_company,
+               c_custkey AS company_bk
+        FROM customer
+    ),
+    hub_transaction AS (
+        SELECT DISTINCT {oracle_surrogate_key('o_orderkey')} AS hk_transaction,
+               o_orderkey AS transaction_bk
+        FROM orders
+    ),
+    resolved AS (
+        SELECT hc.hk_company, ht.hk_transaction, s.load_timestamp, s.record_source
+        FROM corporate s
+        JOIN hub_company hc ON s.company_id = hc.company_bk
+        JOIN hub_transaction ht ON s.transaction_id = ht.transaction_bk
+    )
+    SELECT {oracle_surrogate_key('hk_company', 'hk_transaction')} AS lk_company_transaction,
+           hk_company, hk_transaction, record_source
+    FROM resolved
+    QUALIFY row_number() OVER (
+        PARTITION BY hk_company, hk_transaction
+        ORDER BY load_timestamp ASC, record_source ASC
+    ) = 1
+    """,
+)
+def v09_link_company_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    corporate = orders.filter(F.col("o_orderpriority").like("1-%")).select(
+        F.col("o_orderkey").alias("transaction_id"),
+        F.col("o_custkey").alias("company_id"),
+        F.col("o_orderdate").alias("load_timestamp"),
+        F.col("o_orderpriority").alias("record_source"),
+    )
+    hub_company = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            surrogate_key("c_custkey").alias("hk_company"),
+            F.col("c_custkey").alias("company_bk"),
+        )
+        .distinct()
+    )
+    hub_transaction = orders.select(
+        surrogate_key("o_orderkey").alias("hk_transaction"),
+        F.col("o_orderkey").alias("transaction_bk"),
+    ).distinct()
+    resolved = (
+        corporate.join(F.broadcast(hub_company), corporate.company_id == F.col("company_bk"))
+        .join(hub_transaction, corporate.transaction_id == F.col("transaction_bk"))
+        .select("hk_company", "hk_transaction", "load_timestamp", "record_source")
+    )
+    w = W.partitionBy("hk_company", "hk_transaction").orderBy(
+        F.asc("load_timestamp"), F.asc("record_source")
+    )
+    return (
+        resolved.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            surrogate_key("hk_company", "hk_transaction").alias("lk_company_transaction"),
+            "hk_company",
+            "hk_transaction",
+            "record_source",
+        )
+    )

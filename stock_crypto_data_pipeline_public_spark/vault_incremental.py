@@ -24,8 +24,10 @@ appends zero rows.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +49,7 @@ VAULT_KEYS: dict[str, tuple[str, ...]] = {
     "link_customer_transaction": ("lk_customer_transaction",),
     "link_transaction_asset": ("lk_transaction_asset",),
     "link_news_asset": ("lk_news_asset",),
+    "link_company_transaction": ("lk_company_transaction",),
     # satellites version on (key, hashdiff) — a re-delivered unchanged
     # attribute row is NOT a new version (J5 hashdiff NOT EXISTS)
     "sat_customer_profile": ("hk_customer", "hashdiff"),
@@ -69,6 +72,31 @@ class VaultMaterializer:
     def _path(self, model: str) -> str:
         return os.path.join(self.vault_dir, model)
 
+    # -- processed-through markers -----------------------------------------
+    # A model whose raw feed legitimately never produces rows has a
+    # permanently-empty target and therefore no data HWM; deriving cutoffs
+    # only from target data would disable the slice on every run forever
+    # (correct via the anti-join, but unbounded reprocessing cost). The
+    # marker records, per model, the raw load_timestamp frontier each run
+    # has fully processed — it advances even when zero rows append.
+
+    def _markers_path(self) -> str:
+        return os.path.join(self.vault_dir, "_processed_through.json")
+
+    def _load_markers(self) -> dict[str, datetime]:
+        try:
+            with open(self._markers_path()) as f:
+                return {k: datetime.fromisoformat(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _save_markers(self, markers: dict[str, datetime]) -> None:
+        os.makedirs(self.vault_dir, exist_ok=True)
+        tmp = self._markers_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: v.isoformat() for k, v in markers.items()}, f)
+        os.replace(tmp, self._markers_path())
+
     def run_increment(self, spark: SparkSession) -> dict[str, int]:
         """One incremental run: HWM-filter the raw tables, rebuild the vault
         models over just the fresh slice, anti-join append into the
@@ -80,28 +108,54 @@ class VaultMaterializer:
         reference's incremental guards)."""
         raw = load_raw_tables(spark, self.warehouse_dir)
 
-        # one global HWM across targets keeps the raw slice consistent for
-        # models reading several raw tables (min over per-model HWMs). A
-        # model with NO state yet (target absent or empty — first run, a
-        # model added later, or a crash before its first append) forces a
-        # FULL slice: taking min over only the existing targets would filter
-        # raw to the other models' fresh window and permanently skip all
-        # earlier history for the stateless model — the anti-join protects
-        # re-appends, not never-appended data.
-        hwms = {
-            model: high_water_mark(spark, self._path(model), "load_timestamp")
-            for model in VAULT_KEYS
+        # one global cutoff across targets keeps the raw slice consistent
+        # for models reading several raw tables (min over per-model
+        # cutoffs). Per-model cutoff = the persisted processed-through
+        # marker when present, else the target's data HWM (back-compat with
+        # pre-marker state). A model with NEITHER (first run, a model added
+        # later, or a crash before its first append) forces a FULL slice:
+        # min over only the stateful models would filter raw to their fresh
+        # window and permanently skip all earlier history for the stateless
+        # model — the anti-join protects re-appends, not never-appended
+        # data. Unlike the data HWM, the marker also advances for models
+        # whose feed produces no rows, so an empty satellite stops forcing
+        # full-history reprocessing after its first marked run.
+        # a partially-populated warehouse (a feed that hasn't landed yet)
+        # builds what it can instead of failing the whole run — when the
+        # feed appears later, its models have no marker/HWM and force the
+        # full-slice backfill below
+        buildable = set(market_registry.buildable(raw))
+        targets = [m for m in VAULT_KEYS if m in buildable]
+
+        markers = self._load_markers()
+        cutoffs = {
+            model: markers.get(model)
+            or high_water_mark(spark, self._path(model), "load_timestamp")
+            for model in targets
         }
-        if all(h is not None for h in hwms.values()):
-            cutoff = min(hwms.values())
+        if cutoffs and all(c is not None for c in cutoffs.values()):
+            cutoff = min(cutoffs.values())
             raw = {name: df.filter(F.col("load_timestamp") > F.lit(cutoff)) for name, df in raw.items()}
 
-        ctx = market_registry.run(raw, select=list(VAULT_KEYS))
+        ctx = market_registry.run(raw, select=targets)
         appended: dict[str, int] = {}
-        for model, keys in VAULT_KEYS.items():
+        for model in targets:
             appended[model] = idempotent_append(
-                spark, ctx[model], self._path(model), keys
+                spark, ctx[model], self._path(model), VAULT_KEYS[model]
             )
+
+        # advance every model's marker to the raw frontier this run saw —
+        # one max() per raw table (parquet footer stats, near-free)
+        frontier = None
+        for df in raw.values():
+            row = df.agg(F.max("load_timestamp").alias("m")).first()
+            if row["m"] is not None and (frontier is None or row["m"] > frontier):
+                frontier = row["m"]
+        if frontier is not None:
+            for model in targets:  # only models this run actually built
+                prev = markers.get(model)
+                markers[model] = max(prev, frontier) if prev else frontier
+            self._save_markers(markers)
         return appended
 
     def vault_tables(self, spark: SparkSession) -> dict[str, DataFrame]:

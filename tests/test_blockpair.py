@@ -53,3 +53,16 @@ def test_default_block_count(spark):
     got = _run(spark, [(i, i) for i in ids])
     assert sum(got.values()) == 25 * 24 // 2
     assert set(got.values()) == {1}
+
+
+def test_duplicate_ids_rejected(spark):
+    """Duplicate id values violate the exactly-once contract (the dup pair
+    is never scored, while each copy double-counts against other rows) —
+    the per-block check must fail loudly instead."""
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="duplicate id"):
+        try:
+            _run(spark, [(1, 1), (1, 2), (2, 3)], n_blocks=2)
+        except Py4JJavaError as e:  # executor-side ValueError surfaces wrapped
+            raise ValueError(str(e)) from e

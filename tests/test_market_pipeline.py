@@ -97,6 +97,42 @@ def test_fact_referential_integrity(ctx):
     assert orphans.count() == 0
 
 
+def test_link_company_transaction_corporate_only(ctx):
+    """link_company_transaction derives ONLY from the corporate feed
+    (reference link_company_transaction.sql:17-24): one row per distinct
+    (company, transaction) pair, every row resolving to both hubs, and no
+    personal-only transaction ever linked."""
+    link = ctx["link_company_transaction"]
+    # expected grain: distinct corporate (company, transaction) pairs whose
+    # company resolves in the hub — the faker's cross-feed duplicate hook
+    # re-delivers one PERSONAL txn in the corporate feed, and its customer
+    # is not a company, so the reference's inner hub join drops it too
+    corp_pairs = (
+        ctx["raw_transaction_corporate"]
+        .select("transaction_id", F.col("customer_id").alias("company_id"))
+        .distinct()
+        .join(
+            ctx["raw_corporates"].select(F.col("company_id")).distinct(),
+            "company_id",
+            "inner",
+        )
+    )
+    assert link.count() == corp_pairs.count()
+    assert link.count() == link.select("lk_company_transaction").distinct().count()
+    assert link.join(ctx["hub_company"], "hk_company", "left_anti").count() == 0
+    assert link.join(ctx["hub_transaction"], "hk_transaction", "left_anti").count() == 0
+    # a transaction that only ever appeared in the personal feed is absent
+    personal_only = (
+        ctx["raw_transaction_personal"]
+        .select("transaction_id")
+        .join(ctx["raw_transaction_corporate"].select("transaction_id"), "transaction_id", "left_anti")
+    )
+    linked_txn = link.join(
+        ctx["hub_transaction"].select("hk_transaction", "transaction_bk"), "hk_transaction"
+    ).select(F.col("transaction_bk").alias("transaction_id"))
+    assert linked_txn.join(personal_only, "transaction_id", "inner").count() == 0
+
+
 def test_price_comparison_has_all_sources(ctx):
     cmp_df = ctx["fct_asset_price_comparison"]
     crypto_rows = cmp_df.filter(

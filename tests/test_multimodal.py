@@ -52,3 +52,66 @@ def test_sample_frames_explodes_rows(media):
     one = frames.filter(F.col("doc_id") == frames.first().doc_id).orderBy("frame_idx").collect()
     ts = [r.frame_ts_ms for r in one]
     assert ts == sorted(ts)
+
+
+def test_wav_real_decode_roundtrip(spark, sf_dir):
+    """synthesize_wav → decode_features runs the REAL stdlib wave parse:
+    every decoded header field must equal its closed-form source."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    feats = M.decode_features(M.synthesize_wav(docs)).collect()
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == 40
+    for r in feats:
+        assert r.sample_rate == 8000 + (r.doc_id % 5) * 4000
+        assert r.n_channels == 1 + r.doc_id % 2
+        assert r.n_samples == 100 + (len(src[r.doc_id] or "") % 400)
+        assert r.n_bytes == 44 + r.n_samples * r.n_channels * 2
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+        assert r.width is None and r.height is None
+
+
+def test_ppm_real_decode_and_resize(spark, sf_dir):
+    """synthesize_ppm → REAL header parse; REAL nearest-neighbor resize
+    round-trips through a second real decode with the new dimensions."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = M.synthesize_ppm(docs)
+    feats = {r.doc_id: r for r in M.decode_features(media).collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == 30
+    for doc_id, r in feats.items():
+        assert r.width == 8 + doc_id % 32
+        assert r.height == 8 + (len(src[doc_id] or "") % 32)
+        assert r.n_channels == 3 and r.sample_rate is None
+    resized = M.resize_images(media, 16, 12)  # fake NOT set: real path
+    rfeats = M.decode_features(resized).collect()
+    assert len(rfeats) == 30
+    for r in rfeats:
+        assert (r.width, r.height) == (16, 12)
+        assert r.n_bytes == len("P6\n16 12\n255\n") + 16 * 12 * 3
+
+
+def test_ppm_nearest_neighbor_values(spark, sf_dir):
+    """The resized pixel plane is an EXACT nearest-neighbor subsample of
+    the source plane (not a pseudo-rendition)."""
+    import numpy as np
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _ppm_header_fields,
+        _ppm_pixel_offset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    media = {r.doc_id: bytes(r.media) for r in M.synthesize_ppm(docs).collect()}
+    resized = {
+        r.doc_id: bytes(r.media)
+        for r in M.resize_images(M.synthesize_ppm(docs), 5, 4).collect()
+    }
+    for doc_id, b in media.items():
+        f = _ppm_header_fields(b)
+        w, h = int(f[1]), int(f[2])
+        px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=_ppm_pixel_offset(b)).reshape(h, w, 3)
+        rb = resized[doc_id]
+        rp = np.frombuffer(rb, np.uint8, offset=_ppm_pixel_offset(rb)).reshape(4, 5, 3)
+        yi = np.arange(4) * h // 4
+        xi = np.arange(5) * w // 5
+        assert (rp == px[yi][:, xi]).all()

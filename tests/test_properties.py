@@ -215,6 +215,21 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == _uf_components(n, edges)
 
 
+def test_connected_components_edge_endpoint_absent_from_nodes(spark):
+    """An id that only appears as an edge endpoint (not in `nodes`) is
+    introduced mid-iteration; the convergence test must still see the rounds
+    its introduction triggers. nodes={2,3}, edges={(1,2),(1,3)}: round 1
+    labels 1 but changes no pre-existing label, so an inner-join fixpoint
+    check would stop early and leave 3 unmerged with 2."""
+    from stock_crypto_data_pipeline_public_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(2,), (3,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    got = {r["id"]: r["component_id"] for r in connected_components(nodes, edges).collect()}
+    # 1 enters via propagation with label min(2,3)=2; 2 and 3 must agree
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
 # --------------------------------------------------------------------------
 # t15's two-phase quota sample must equal the naive row_number() formulation
 # for ANY quota — including quotas that land exactly on a bucket boundary,
@@ -381,13 +396,13 @@ def test_gemm_topk_matches_catalyst_fold_knn(spark, sf_dir):
 
 
 def test_hll_distinct_within_error_bound(spark, sf_dir):
-    """t18's HLL estimate stays within 5% of the exact distinct count for
+    """t28's HLL estimate stays within 5% of the exact distinct count for
     every (lang, source) group — the error contract that justifies swapping
-    countDistinct for the sketch at 100 TB."""
+    t18's countDistinct for the sketch at 100 TB."""
     from stock_crypto_data_pipeline_public_spark.plans import registry
 
     registry.load_all()
-    rows = registry.QUERIES["t18_hll_distinct_tokens"](spark, sf_dir).collect()
+    rows = registry.QUERIES["t28_hll_distinct_tokens"](spark, sf_dir).collect()
     assert rows
     for r in rows:
         exact = r["exact_distinct_tokens"]

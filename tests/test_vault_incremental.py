@@ -99,6 +99,52 @@ def test_unchanged_redelivery_is_not_a_new_version(spark, setup):
     assert appended["sat_customer_profile"] == 0  # same hashdiff -> no version
 
 
+def test_markers_cover_empty_models(spark, setup):
+    """The processed-through marker must advance for EVERY model — including
+    one whose feed produced no rows — so a permanently-empty satellite never
+    forces full-history reprocessing (its data HWM stays None forever; the
+    marker is what bounds the next run's raw slice)."""
+    import json
+
+    from stock_crypto_data_pipeline_public_spark.vault_incremental import VAULT_KEYS
+
+    _, vm, _ = setup
+    with open(f"{vm.vault_dir}/_processed_through.json") as f:
+        markers = json.load(f)
+    assert set(markers) == set(VAULT_KEYS)
+    # one uniform frontier: the landing run stamp all rows carry
+    assert len(set(markers.values())) == 1
+
+
+def test_empty_feed_model_still_gets_sliced_runs(spark, tmp_path):
+    """End-to-end ADVICE regression: with the news feed absent (hub_news &
+    co permanently empty), the SECOND increment must still apply a cutoff
+    slice — before the marker fix, `all(hwm is not None)` failed forever and
+    every run reprocessed full raw history."""
+    from stock_crypto_data_pipeline_public_spark.vault_incremental import VaultMaterializer
+
+    flow = BatchFlow(landing_dir=str(tmp_path / "landing"), warehouse_dir=str(tmp_path / "wh"))
+    vm = VaultMaterializer(warehouse_dir=flow.warehouse_dir, vault_dir=str(tmp_path / "vault"))
+    raw = MarketDataFaker(seed=77, n_corporates=3, n_customers=10, n_transactions=20,
+                          n_price_days=2, n_news=2).generate(spark)
+    raw["raw_news"] = raw["raw_news"].limit(0)  # news feed never produces rows
+    flow.land(raw, datetime(2024, 3, 1, 12, 0, 0))
+    flow.ingest_raw(spark)
+    first = vm.run_increment(spark)
+    assert first["hub_news"] == 0  # empty model materialized empty
+    assert first["hub_customer"] > 0
+
+    # second run with no new data: marker-derived cutoffs are all set, so
+    # the slice applies and the replay appends nothing
+    again = vm.run_increment(spark)
+    assert all(n == 0 for n in again.values()), again
+    cutoffs_path = f"{vm.vault_dir}/_processed_through.json"
+    import json
+
+    with open(cutoffs_path) as f:
+        assert "hub_news" in json.load(f)
+
+
 def test_marts_over_materialized_vault(spark, setup):
     _, vm, _ = setup
     marts = vm.marts(spark)
