@@ -700,7 +700,13 @@ def x09_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the smallest k: array_position returns the FIRST index of the min.
     spread = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     # one projection of the 64 scalar components so each is read once, not
-    # once per (k, j) distance term
+    # once per (k, j) distance term. The big argmin/LUT expressions below
+    # are assembled as SQL TEXT and parsed with ONE F.expr each — building
+    # them operator-by-operator costs thousands of py4j round trips
+    # (~15 s of driver time for ~1k terms, measured); string assembly is
+    # free and the JVM parses 100 KB of SQL in milliseconds. Double
+    # literals use repr() (shortest exact round-trip) with the D suffix so
+    # Spark parses them as DOUBLE, not DECIMAL — values stay bit-identical.
     comps = spread.select(
         "vec_id",
         *[
@@ -709,33 +715,34 @@ def x09_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def _dist(m: int, k: int):
-        acc = F.lit(0.0)
+    def _dist_sql(m: int, k: int) -> str:
+        acc = "0.0D"
         for j in range(PQ_SUB):
-            x = F.col(f"e{m * PQ_SUB + j}") - F.lit(cw[(m, k)][j])
-            acc = acc + x * x
+            x = f"(e{m * PQ_SUB + j} - {cw[(m, k)][j]!r}D)"
+            acc = f"({acc} + ({x} * {x}))"
         return acc
 
-    def _code(m: int):
-        darr = F.array(*[_dist(m, k) for k in range(PQ_K)])
-        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    def _code_sql(m: int) -> str:
+        darr = "array(" + ", ".join(_dist_sql(m, k) for k in range(PQ_K)) + ")"
+        return f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)"
 
     codes = comps.select(
-        "vec_id", *[_code(m).alias(f"code{m}") for m in range(PQ_M)]
+        "vec_id", *[F.expr(_code_sql(m)).alias(f"code{m}") for m in range(PQ_M)]
     )
 
     # ---- ADC: map-only lookup-sum per (query, vector), then top-10 -------
     per_query = []
     for qid in sorted(qtab):
-        acc = F.lit(0.0)
+        acc = "0.0D"
         for m in range(PQ_M):
-            lut = F.array(*[F.lit(v) for v in qtab[qid][m]])
-            acc = acc + F.element_at(lut, F.col(f"code{m}") + 1)
-        per_query.append(
-            F.struct(F.lit(qid).alias("query_id"), acc.alias("adc"))
-        )
+            lut = "array(" + ", ".join(f"{v!r}D" for v in qtab[qid][m]) + ")"
+            acc = f"({acc} + element_at({lut}, code{m} + 1))"
+        per_query.append(f"struct({qid}L AS query_id, {acc} AS adc)")
     adc = (
-        codes.select("vec_id", F.explode(F.array(*per_query)).alias("s"))
+        codes.select(
+            "vec_id",
+            F.explode(F.expr("array(" + ", ".join(per_query) + ")")).alias("s"),
+        )
         .select(
             F.col("s.query_id").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
