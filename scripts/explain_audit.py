@@ -77,11 +77,16 @@ def codegen_subtrees(df) -> int:
     return int(m.group(1)) if m else 0
 
 
-def audit(spark, sf_dir: str) -> list[str]:
+def audit(spark, sf_dir: str, with_codegen: bool = True) -> list[str]:
     """Audit every registered query's physical plan; returns the hard-rule
     violations (empty = healthy). AQE must be DISABLED on the session —
     AdaptiveSparkPlan hides codegen subtrees and join strategies until
-    execution; the static plan is what we audit."""
+    execution; the static plan is what we audit.
+
+    ``with_codegen=False`` skips the WholeStageCodegen subtree count (a
+    second full codegen-mode explain per query — informational only, and
+    roughly half the audit's wall time); every hard rule reads the
+    formatted plan, so the violation list is identical either way."""
     registry.load_all()
     hard_fails: list[str] = []
     print(f"{'query':38s} {'scans':>5s} {'pushed':>6s} {'bhj':>4s} {'smj':>4s} {'bnlj':>4s} {'wsc':>4s} notes")
@@ -93,7 +98,7 @@ def audit(spark, sf_dir: str) -> list[str]:
         bhj = text.count("BroadcastHashJoin")
         smj = text.count("SortMergeJoin")
         bnlj = text.count("BroadcastNestedLoopJoin")
-        wsc = codegen_subtrees(df)
+        wsc = codegen_subtrees(df) if with_codegen else -1
         notes = []
         if "CartesianProduct" in text:
             notes.append("CARTESIAN")

@@ -227,7 +227,13 @@ def t04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    # pin the shingle stream behind ONE hash exchange on the join key: the
+    # self-join's two branches and the per-doc counts then all read the
+    # same reused exchange, so tokenize+shingle runs once per corpus scan
+    # instead of three times (ReusedExchange — identical subtrees)
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3).repartition(
+        spark.sparkContext.defaultParallelism, "shingle"
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -953,7 +953,13 @@ def x10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed_set = sorted({c for cs in probes.values() for c in cs})
     cand_vecs = assigned.filter(F.col("centroid_id").isin(probed_set))
 
-    # ---- PQ encode the candidates only (x09's broadcast-hash-join shape) -
+    # ---- PQ encode the candidates only (broadcast-hash-join shape) -------
+    # NOTE: unlike x09, encode here must NOT be the map-only argmin
+    # projection — the candidate set is the output of a hash AGGREGATE
+    # (coarse assignment), and fusing the ~1k-term projection into that
+    # stage degenerates badly (measured 60×: the generated method blows the
+    # JIT size limit and runs interpreted). The 8-sub-row broadcast hash
+    # join + filtered min_by collapse keeps each codegen stage small.
     cb = spark.createDataFrame(
         [(m, k, cw[(m, k)]) for m in range(PQ_M) for k in range(PQ_K)],
         "m int, k int, cw array<double>",
@@ -988,19 +994,20 @@ def x10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- ADC per probing query, map-only; then the top-10 window ---------
     per_query = []
     for qid in qids:
-        acc = F.lit(0.0)
+        acc = "0.0D"
         for m in range(PQ_M):
-            lut = F.array(*[F.lit(v) for v in qtab[qid][m]])
-            acc = acc + F.element_at(lut, F.col(f"code{m}") + 1)
+            lut = "array(" + ", ".join(f"{v!r}D" for v in qtab[qid][m]) + ")"
+            acc = f"({acc} + element_at({lut}, code{m} + 1))"
+        probed = "centroid_id IN (" + ", ".join(str(c) for c in probes[qid]) + ")"
         per_query.append(
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                acc.alias("adc"),
-                F.col("centroid_id").isin(probes[qid]).alias("probed"),
-            )
+            f"struct({qid}L AS query_id, {acc} AS adc, ({probed}) AS probed)"
         )
     adc = (
-        codes.select("vec_id", "centroid_id", F.explode(F.array(*per_query)).alias("s"))
+        codes.select(
+            "vec_id",
+            "centroid_id",
+            F.explode(F.expr("array(" + ", ".join(per_query) + ")")).alias("s"),
+        )
         .filter(F.col("s.probed") & (F.col("vec_id") != F.col("s.query_id")))
         .select(
             F.col("s.query_id").alias("query_id"),

@@ -31,6 +31,12 @@ def test_bigint_cast_fixes_it(spark, con):
     assert errs == []
 
 
+@pytest.mark.filterwarnings(
+    # the Arrow→pandas fallback warning is EXPECTED here (this test exists
+    # to provoke the conversion failure); filtering it in this one test
+    # keeps genuine Arrow warnings elsewhere visible
+    "ignore:toPandas attempted Arrow optimization:UserWarning"
+)
 def test_out_of_range_timestamp_is_reported_not_raised(spark, con):
     """The q14 failure mode: Spark's toPandas dies on year-9999 timestamps
     (pandas datetime64[ns] tops out at 2262). DuckDB's .df() happens to
