@@ -98,3 +98,31 @@ def test_merge_upsert_source_wins_on_version_tie(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_merge_upsert_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """A leftover .__old__ directory (crash between rename-aside and
+    cleanup) must not break the next merge, and no transient state ever
+    removes the live target before the staging copy is in place."""
+    import os
+
+    target = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("version")
+    )
+    merge_upsert(spark, orders, target, ["o_orderkey"], "version")
+    n = spark.read.parquet(target).count()
+
+    # simulate the crash window: previous old copy still on disk
+    os.makedirs(target + ".__old__", exist_ok=True)
+    with open(target + ".__old__/junk", "w") as f:
+        f.write("stale")
+
+    updates = orders.withColumn("version", F.lit(2))
+    merge_upsert(spark, updates, target, ["o_orderkey"], "version")
+    after = spark.read.parquet(target)
+    assert after.count() == n
+    assert after.filter(F.col("version") != 2).count() == 0
+    # both transient directories are cleaned up
+    assert not os.path.exists(target + ".__old__")
+    assert not os.path.exists(target + ".__staging__")
