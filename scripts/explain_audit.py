@@ -46,6 +46,9 @@ EXPECTED_NESTED_LOOP = {
     # IVF-PQ: the same deliberate K-row broadcast scoring for coarse
     # assignment; encode and ADC join on keys (broadcast hash)
     "x10_ivfpq_search",
+    # k-means refinement: both Lloyd's iterations score the corpus against
+    # a K-row broadcast centroid table — the same deliberate shape as x05
+    "x12_kmeans_refine",
     # TF-IDF corpus size: broadcast 1-row count(*) aggregate (map-only),
     # the same scalar-subquery shape as the q17 high-water mark
     "t10_tfidf_top_terms",

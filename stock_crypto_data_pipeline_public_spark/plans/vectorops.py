@@ -8,7 +8,9 @@ quantization, x06 bucketed cosine near-dup, x07 probed IVF top-k search
 x09 product-quantization ADC search (the memory-compression path), x10
 IVF-PQ probed search (the full production pipeline: coarse quantize →
 probe → ADC over codes), x11 sampled pair histogram (x04's documented
-100 TB form: deterministic hash-mod sample, same block-pair machinery).
+100 TB form: deterministic hash-mod sample, same block-pair machinery),
+x12 k-means codebook refinement (Lloyd's iterations — the offline
+training pass that upgrades x05/x09's seed centroids).
 See operators/similarity.py for the cross-engine math contract.
 """
 
@@ -1017,3 +1019,132 @@ def x10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return adc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= PQ_TOPK)
+
+
+# --------------------------------------------------------------------------
+# x12 — k-means codebook refinement (Lloyd's algorithm, the offline
+# training pass SCALE.md prescribes for upgrading x05/x09's seed-sampled
+# centroids/codebooks): two deterministic iterations of
+# assign-to-nearest-L2 → recompute element-wise means. Cross-engine
+# exactness comes from ROUNDING AT THE ITERATION BOUNDARY: iteration-1
+# means are rounded to 4 dp on BOTH engines before iteration 2 scores
+# against them, so the second assignment's inputs are bit-identical and no
+# floating-point drift can chain between iterations (the same trick would
+# carry any fixed iteration count).
+#
+# Plan shape per iteration: one broadcast of the K-row centroid table
+# against the corpus scan (map-side scoring, min_by collapse — the
+# exchange carries one row per vector), then one (k, dim) hash aggregate
+# for the means (shuffle ∝ K·dim rows of partials, not corpus). At 100 TB:
+# centroids are always tiny (K × dim doubles), each iteration is one
+# corpus scan + one small agg, and the iteration count is a constant —
+# this is exactly how FAISS/Spark-MLlib train coarse quantizers, minus
+# sampling. Seeds = the first K vectors (the x05/x09 convention).
+# --------------------------------------------------------------------------
+KM_K = 8
+
+
+def _kmeans_oracle() -> str:
+    d_seed = S.oracle_l2sq_slice("e.embedding", "0", "s.ce", EMB_DIM)
+    d_c1 = S.oracle_l2sq_slice("e.embedding", "0", "c.ce", EMB_DIM)
+    means = ",\n           ".join(
+        f"{oracle_rnd(f'avg(CAST(embedding[{d + 1}] AS DOUBLE))', 4)} AS mean_d{d}"
+        for d in range(4)
+    )
+    return f"""
+    WITH seeds AS (
+        SELECT CAST(vec_id AS INT) AS k,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM embeddings WHERE vec_id < {KM_K}
+    ),
+    a1 AS (
+        SELECT vec_id, embedding, k FROM (
+            SELECT e.vec_id, e.embedding, s.k,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {d_seed} ASC, s.k ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    dims AS (SELECT unnest(range({EMB_DIM})) AS d),
+    c1 AS (
+        SELECT k, d, {oracle_rnd('avg(CAST(embedding[d + 1] AS DOUBLE))', 4)} AS cd
+        FROM a1 CROSS JOIN dims GROUP BY k, d
+    ),
+    c1a AS (SELECT k, list(cd ORDER BY d ASC) AS ce FROM c1 GROUP BY k),
+    a2 AS (
+        SELECT vec_id, embedding, k FROM (
+            SELECT e.vec_id, e.embedding, c.k,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {d_c1} ASC, c.k ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN c1a c
+        ) WHERE rn = 1
+    )
+    SELECT k AS centroid_id,
+           count(*) AS n_members,
+           {means}
+    FROM a2
+    GROUP BY k
+    """
+
+
+@query("x12_kmeans_refine", oracle=_kmeans_oracle())
+def x12_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    spread = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # seed centroids as true constants (collected once — K rows; float32 →
+    # float64 widening is exact, same contract as x09's codebook)
+    seeds = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < KM_K).collect()
+        ],
+        "k int, ce array<double>",
+    )
+    d = S.l2sq_slice("embedding", "0", "ce", EMB_DIM)
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        # K-row broadcast scoring; min_by(struct(d, k)) == ORDER BY d, k —
+        # the map-side partials collapse the K-per-vector scored rows, so
+        # the exchange carries one row per vector
+        return (
+            spread.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "k", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(
+                F.expr("min_by(k, struct(d, k))").alias("k"),
+                F.any_value("embedding").alias("embedding"),
+            )
+        )
+
+    a1 = assign(seeds)
+    # iteration-boundary means: long form (k, dim, value) hash agg, rounded
+    # to 4 dp (the cross-engine determinism boundary), re-packed per k
+    longf = a1.select(
+        "k",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {EMB_DIM - 1}), "
+                f"i -> CAST(embedding[i] AS DOUBLE))"
+            )
+        ).alias("d", "x"),
+    )
+    c1 = (
+        longf.groupBy("k", "d")
+        .agg(rnd(F.avg("x"), 4).alias("cd"))
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, cd))), s -> s.cd)"
+            ).alias("ce")
+        )
+    )
+    a2 = assign(c1).withColumnRenamed("k", "centroid_id")
+    return a2.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            rnd(F.avg(F.expr(f"CAST(embedding[{d}] AS DOUBLE)")), 4).alias(f"mean_d{d}")
+            for d in range(4)
+        ],
+    )
