@@ -54,21 +54,25 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-4 gate window: the q/v/e/f series (last driver-gated in r2 and
-#: touched by round-3's hardening commits — rotate them back in so every
-#: query has a driver hash row dated after its last code change), the new
-#: v09 link and the newly-exact t18 (both hash-gated for the first time),
-#: and the brand-new REAL-decode multimodal queries m04/m05. The
-#: long-stable t/x/m series drops to the back and stays covered by the
-#: local strict harness (which mirrors the driver's pandas comparison
-#: exactly), as do this round's hash-preserving x09/t12 rewrites.
+#: round-4 gate window, ranked by "code changed since last driver hash row":
+#: the q/v/e series (last driver-gated in r2 and touched by round-3's
+#: hardening commits), the new v09 link and the newly-exact t18 (hash-gated
+#: for the first time), the REAL-decode multimodal queries m04/m05, and the
+#: queries whose plans were REWRITTEN this round — x09/x10 (map-only PQ
+#: encode), t05 (single-pass shingles), t11 (full-outer CC convergence fix)
+#: — plus the brand-new x12 k-means. To keep the window at 50, f01/f02
+#: (round-3 red fixes, re-verified) stay in and the finance queries whose
+#: code is untouched since their r2 green row (f03..f07) drop to the back;
+#: they remain covered by the local strict harness, which mirrors the
+#: driver's pandas comparison exactly.
 _GATE_PRIORITY = (
     [f"q{i:02d}" for i in range(1, 23)]     # q01..q22 (22)
     + [f"v{i:02d}" for i in range(1, 10)]   # v01..v09 (31) — v09 new
     + [f"e{i:02d}" for i in range(1, 9)]    # e01..e08 (39)
-    + [f"f{i:02d}" for i in range(1, 9)]    # f01..f08 (47)
-    + ["t18"]                               # newly hash-gated exact form (48)
-    + ["m04", "m05"]                        # new REAL media decode paths (50)
+    + ["f01", "f02", "f08"]                 # r3-red fixes + LOCF gapfill (42)
+    + ["t18"]                               # newly hash-gated exact form (43)
+    + ["m04", "m05"]                        # new REAL media decode paths (45)
+    + ["x09", "x10", "t05", "t11", "x12"]   # rewritten/new this round (50)
 )
 
 
