@@ -77,6 +77,47 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     )
 
 
+def copair_counts(
+    keyed: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Count co-occurring (doc_a, doc_b) pairs from (id, key) rows: pairs of
+    distinct ids sharing a key, id ordering ``doc_a < doc_b``, one row per
+    pair with ``n_common`` = number of shared keys. Requires (id, key) rows
+    to be distinct (exploded_shingles guarantees this per doc).
+
+    Plan shape: ONE shuffle of the keyed stream (groupBy key) instead of a
+    self-join's two, then a streamed pair-generation chain — posexplode the
+    per-key id list, then explode each suffix slice — so per-row memory is
+    O(bucket), never O(bucket²), while the c·(c−1)/2 pairs stream through
+    the generators into the partial aggregate.
+
+    ``max_bucket`` is the 100 TB skew valve: a key shared by c documents
+    emits c² pairs, and super-common shingles carry no near-dup signal
+    (standard stop-shingle practice in web-scale dedup). Buckets larger
+    than the cap are dropped entirely when set; ``None`` keeps exact
+    semantics (the oracle-gated form).
+    """
+    groups = (
+        keyed.groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    if max_bucket is not None:
+        groups = groups.where(F.size("__ids") <= max_bucket)
+    return (
+        groups.select(F.col("__ids"), F.posexplode("__ids").alias("__i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(__ids, __i + 2, size(__ids))")).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def minhash_aggs(k: int = MINHASH_K) -> list[Column]:
     """k min-md5 aggregate expressions over a `shingle` column."""
     return [

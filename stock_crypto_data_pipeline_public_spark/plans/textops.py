@@ -227,25 +227,14 @@ def t04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t05_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    # NOTE: re-tokenizing per consumer (3 scans) beats pinning the shingle
-    # stream behind a pre-join repartition — the exchange is NOT reused
-    # across the self-join branches in the static plan (verified: 0
-    # ReusedExchange), so the repartition only added shuffle volume
-    # (measured up to 3× slower under load). Tokenize is cheap relative to
-    # a corpus-sized shuffle of exploded shingles.
+    # Pair generation is copair_counts: ONE shuffle of the shingle stream
+    # (groupBy shingle → sorted id list → streamed suffix-explode) instead
+    # of a self-join's two corpus-sized exchanges. Measured ~30% faster at
+    # sf0.1 and bit-identical; max_bucket=None keeps the exact oracle-gated
+    # semantics (the 100 TB form caps hot-shingle buckets — see SCALE.md).
     sh = D.exploded_shingles(docs, "doc_id", "text", 3)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = D.copair_counts(sh, "doc_id", "shingle")
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     jac = F.col("n_common") * 1.0 / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
@@ -569,17 +558,7 @@ def _dup_components(docs: DataFrame) -> DataFrame:
     (the shared spine of t11 and t23)."""
     sh = D.exploded_shingles(docs, "doc_id", "text", 3)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    pairs = D.copair_counts(sh, "doc_id", "shingle")
     edges = (
         pairs.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
         .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))

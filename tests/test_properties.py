@@ -437,3 +437,50 @@ def test_token_stream_packing_invariants(spark, sf_dir):
         # the stream's final chunk index covers exactly ceil(total/B) chunks
         assert rows[-1]["last_chunk"] == (cum - 1) // PACK_CHUNK
         assert cum > 0
+
+
+def test_copair_counts_matches_self_join_and_caps(spark):
+    """copair_counts must emit exactly the pairs a key self-join would
+    (doc_a < doc_b, n_common = shared keys), and max_bucket must drop
+    every pair contributed by an over-cap bucket — the stop-shingle valve."""
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.operators.dedup import copair_counts
+
+    rows = [
+        # hot key shared by 4 docs, a 2-doc key, a singleton, NULL-free
+        *[("d%d" % i, "hot") for i in range(4)],
+        ("d0", "k2"), ("d3", "k2"),
+        ("d9", "solo"),
+        ("d1", "k3"), ("d2", "k3"),
+    ]
+    keyed = spark.createDataFrame(rows, "doc_id string, shingle string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in copair_counts(keyed, "doc_id", "shingle").collect()
+    }
+    a, b = keyed.alias("a"), keyed.alias("b")
+    want = {
+        ((r["doc_a"], r["doc_b"])): r["n_common"]
+        for r in (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        ).collect()
+    }
+    assert got == want and ("d0", "d3") in got and got[("d0", "d3")] == 2
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in copair_counts(keyed, "doc_id", "shingle", max_bucket=3).collect()
+    }
+    # the 4-doc "hot" bucket is dropped entirely; surviving pairs count only
+    # their under-cap shared keys
+    assert capped == {("d0", "d3"): 1, ("d1", "d2"): 1}
