@@ -116,11 +116,17 @@ def merge_upsert(
     )
     staging = path.rstrip("/") + ".__staging__"
     result.write.mode("overwrite").parquet(staging)  # reads the live target
-    # swap: rename the live target ASIDE first, then staging into place, then
-    # delete the old copy — a complete table exists at every instant, so a
-    # crash mid-swap (or a concurrent reader) never sees a missing target
-    # (rmtree-then-rename had a window where the table didn't exist at all).
-    # os.rename fails across filesystems (EXDEV) — fall back to copy+delete.
+    swap_into_place(staging, path)
+
+
+def swap_into_place(staging: str, path: str) -> None:
+    """Swap a fully-written staging directory over the live target: rename
+    the live target ASIDE first, then staging into place, then delete the
+    old copy — a complete table exists at every instant, so a crash
+    mid-swap (or a concurrent reader) never sees a missing target
+    (rmtree-then-rename had a window where the table didn't exist at all).
+    os.rename fails across filesystems (EXDEV) — fall back to copy+delete.
+    Shared by merge_upsert and maintenance.compact_table."""
     import errno
     import os
     import shutil

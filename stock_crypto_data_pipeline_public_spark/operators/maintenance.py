@@ -1,0 +1,109 @@
+"""Table maintenance: small-file compaction and range-sorted layout.
+
+The reference pipeline lands micro-batches every 30 s (reference
+kafka_consumer.py micro-batch loop) and appends per-batch files — at 100 TB
+that layout degrades into millions of small files whose open/footer cost
+dominates scans. These maintenance operators are the standard lakehouse
+answer (Delta OPTIMIZE / Iceberg rewrite_data_files re-expressed over plain
+Parquet):
+
+- ``compact_table``: rewrite a fragmented table into ~``target_bytes``
+  files, atomically (staging write + the same always-a-complete-table swap
+  ``merge_upsert`` uses).
+- ``write_range_sorted``: repartitionByRange + sortWithinPartitions so each
+  parquet file owns a disjoint range of the sort key — parquet min/max
+  footer stats then let ANY engine (Spark, DuckDB, Trino) skip whole files
+  for range predicates. This is the layout half of predicate pushdown: the
+  filter only prunes files whose stats exclude it.
+
+Scale notes: compaction reads and writes the table once (no shuffle when
+``sort_cols`` is None — ``coalesce`` only narrows partitions); the sorted
+variant pays exactly one range-exchange, the price of the skip-friendly
+layout. A real deployment compacts per partition-directory (date), not the
+whole table at once; ``compact_table`` takes the table path it is pointed
+at, so pointing it at one partition IS the per-partition form.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .incremental import swap_into_place
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def table_stats(path: str) -> dict:
+    """File count + bytes of a parquet table directory (local/posix; the
+    S3A deployment swaps this for a Hadoop FS listing)."""
+    files = _data_files(path)
+    return {"n_files": len(files), "bytes": sum(os.path.getsize(f) for f in files)}
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Rewrite ``path`` into ``ceil(bytes / target_bytes)`` files and swap
+    the result into place atomically. With ``sort_cols`` the rewrite is a
+    range-partitioned sort (see ``write_range_sorted``) so compaction and
+    skip-friendly clustering happen in the same single rewrite.
+
+    Returns {"n_files_before", "n_files_after", "bytes"} so callers can
+    log/alert on compaction effectiveness.
+    """
+    before = table_stats(path)
+    n_out = max(1, math.ceil(before["bytes"] / target_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__staging__"
+    if sort_cols:
+        _range_sorted_writer(df, n_out, sort_cols).parquet(staging, mode="overwrite")
+    else:
+        # coalesce, not repartition: narrowing requires no shuffle
+        df.coalesce(n_out).write.parquet(staging, mode="overwrite")
+    swap_into_place(staging, path)
+    after = table_stats(path)
+    return {
+        "n_files_before": before["n_files"],
+        "n_files_after": after["n_files"],
+        "bytes": after["bytes"],
+    }
+
+
+def _range_sorted_writer(df: DataFrame, n: int, sort_cols: Sequence[str]):
+    return (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write
+    )
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_partitions: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` so each output file owns a (near-)disjoint range of
+    ``sort_cols``: one range exchange + an in-partition sort. Parquet
+    min/max footer stats on the sort key then exclude whole files from
+    range scans — the layout that makes ``WHERE ts BETWEEN ...`` read
+    O(result) files instead of O(table). repartitionByRange samples the
+    key distribution, so skewed keys still produce balanced files."""
+    _range_sorted_writer(df, n_partitions, sort_cols).parquet(path, mode=mode)

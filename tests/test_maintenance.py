@@ -1,0 +1,92 @@
+"""Maintenance operators: small-file compaction + range-sorted layout.
+
+Checks the two properties the operators exist for — file-count reduction
+with bit-identical data, and per-file disjoint sort-key ranges (the parquet
+footer-stats contract that enables file skipping in any engine)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
+    _data_files,
+    compact_table,
+    table_stats,
+    write_range_sorted,
+)
+
+
+def _fragmented_table(spark, path, n_files=40, n_rows=4000):
+    (
+        spark.range(n_rows)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        .repartition(n_files)
+        .write.parquet(path, mode="overwrite")
+    )
+
+
+def _sorted_rows(spark, path):
+    return spark.read.parquet(path).orderBy("id").collect()
+
+
+def test_compact_reduces_files_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    _fragmented_table(spark, path)
+    before_rows = _sorted_rows(spark, path)
+    before = table_stats(path)
+    assert before["n_files"] >= 40
+
+    stats = compact_table(spark, path, target_bytes=before["bytes"])
+    assert stats["n_files_before"] >= 40
+    assert stats["n_files_after"] == 1
+    assert _sorted_rows(spark, path) == before_rows
+    # idempotent: compacting a compact table is a no-op shape
+    stats2 = compact_table(spark, path, target_bytes=before["bytes"])
+    assert stats2["n_files_after"] == 1
+    # no staging/old debris left behind
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__" in d] == []
+
+
+def test_compact_respects_target_bytes(spark, tmp_path):
+    path = str(tmp_path / "frag2")
+    _fragmented_table(spark, path)
+    total = table_stats(path)["bytes"]
+    stats = compact_table(spark, path, target_bytes=total // 4 + 1)
+    assert 2 <= stats["n_files_after"] <= 8  # ceil(bytes/target) ≈ 4
+
+
+def _file_ranges(spark, path, col):
+    ranges = []
+    for f in _data_files(path):
+        row = spark.read.parquet(f).agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).first()
+        ranges.append((row["lo"], row["hi"]))
+    return sorted(r for r in ranges if r[0] is not None)
+
+
+@pytest.mark.parametrize("via_compact", [False, True])
+def test_range_sorted_files_are_disjoint(spark, tmp_path, via_compact):
+    path = str(tmp_path / f"sorted_{via_compact}")
+    _fragmented_table(spark, path)
+    before_rows = _sorted_rows(spark, path)
+    if via_compact:
+        compact_table(
+            spark, path, target_bytes=table_stats(path)["bytes"] // 4 + 1,
+            sort_cols=["id"],
+        )
+    else:
+        df = spark.read.parquet(path)
+        write_range_sorted(df, path + ".out", ["id"], n_partitions=4)
+        path = path + ".out"
+    ranges = _file_ranges(spark, path, "id")
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo, f"overlapping file ranges: {ranges}"
+    assert _sorted_rows(spark, path) == before_rows
