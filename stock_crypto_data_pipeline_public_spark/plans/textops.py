@@ -824,6 +824,26 @@ def t15_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranking: Spark sorts NULLs first, DuckDB last, so NULL scores (docs with
 # zero ASCII tokens) would silently permute ranks between engines.
 # --------------------------------------------------------------------------
+def _quality_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, q): the t17/t29 shared per-doc quality score."""
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_STOP_RE), 0)).alias("stop_hits"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]"), 0)).alias("alpha_chars"),
+    )
+    score = (
+        0.5 * (F.col("stop_hits") * 1.0 / F.nullif(F.col("n_tokens"), F.lit(0)))
+        + 0.3 * (F.least(F.col("n_tokens"), F.lit(100)) / 100.0)
+        + 0.2 * (F.col("alpha_chars") * 1.0 / F.nullif(F.col("n_chars"), F.lit(0)))
+    )
+    return feats.select(
+        "doc_id", "lang", F.coalesce(rnd(score, 4), F.lit(-1.0)).alias("q")
+    )
+
+
 @query(
     "t17_quality_median_filter",
     oracle=f"""
@@ -866,22 +886,7 @@ def t15_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t17_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    feats = docs.select(
-        "doc_id",
-        "lang",
-        F.length("text").alias("n_chars"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_STOP_RE), 0)).alias("stop_hits"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]"), 0)).alias("alpha_chars"),
-    )
-    score = (
-        0.5 * (F.col("stop_hits") * 1.0 / F.nullif(F.col("n_tokens"), F.lit(0)))
-        + 0.3 * (F.least(F.col("n_tokens"), F.lit(100)) / 100.0)
-        + 0.2 * (F.col("alpha_chars") * 1.0 / F.nullif(F.col("n_chars"), F.lit(0)))
-    )
-    scored = feats.select(
-        "doc_id", "lang", F.coalesce(rnd(score, 4), F.lit(-1.0)).alias("q")
-    )
+    scored = _quality_scored(docs)
     wr = W.partitionBy("lang").orderBy("q", "doc_id")
     wn = W.partitionBy("lang")
     r = scored.select(
@@ -906,6 +911,36 @@ def t17_quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("q") > F.col("med"), 1).otherwise(0)).alias("n_kept"),
             rnd(F.max("med"), 4).alias("median_score"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# t29 — quality-score quantile sketch per lang: the percentile_approx form
+# SCALE.md prescribes as t17's 100 TB swap. The Greenwald-Khanna sketch is
+# single-pass with bounded per-group state and map-side partial merging —
+# contrast t17's exact rank, which needs a per-lang row_number window over
+# every scored row. p25/p50/p75 come from ONE sketch per group (one pass);
+# the exact interpolated median rides along so the output exhibits the gap.
+#
+# Rows-only gate: sketch outputs are engine-specific (DuckDB's
+# approx_quantile is t-digest, Spark's is GK), so no cross-engine oracle;
+# the GK rank contract — the returned element's true rank is within
+# n/accuracy of the target rank — is asserted by
+# tests/test_properties.py::test_quantile_sketch_rank_contract.
+# --------------------------------------------------------------------------
+T29_ACCURACY = 10_000
+
+
+@query("t29_quality_quantile_sketch", oracle=None)
+def t29_quality_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = _quality_scored(docs)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("q", 0.25, T29_ACCURACY).alias("approx_p25"),
+        F.percentile_approx("q", 0.5, T29_ACCURACY).alias("approx_p50"),
+        F.percentile_approx("q", 0.75, T29_ACCURACY).alias("approx_p75"),
+        rnd(F.expr("percentile(q, 0.5)"), 4).alias("exact_p50"),
     )
 
 

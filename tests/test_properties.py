@@ -484,3 +484,45 @@ def test_copair_counts_matches_self_join_and_caps(spark):
     # the 4-doc "hot" bucket is dropped entirely; surviving pairs count only
     # their under-cap shared keys
     assert capped == {("d0", "d3"): 1, ("d1", "d2"): 1}
+
+
+def test_quantile_sketch_rank_contract(spark, sf_dir):
+    """t29's percentile_approx elements must honor the Greenwald-Khanna
+    contract: each returned value is an actual group element whose true
+    rank is within n/accuracy (+1 slack) of the target rank — the bound
+    that justifies swapping t17's exact rank for the sketch at 100 TB."""
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        T29_ACCURACY,
+        _docs,
+        _quality_scored,
+    )
+
+    registry.load_all()
+    out = {
+        r["lang"]: r
+        for r in registry.QUERIES["t29_quality_quantile_sketch"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert out
+    scored = _quality_scored(_docs(spark, sf_dir)).collect()
+    by_lang: dict[str, list[float]] = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], []).append(r["q"])
+    assert set(by_lang) == set(out)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        assert out[lang]["n_docs"] == n
+        tol = n / T29_ACCURACY + 1
+        for p, col in [(0.25, "approx_p25"), (0.5, "approx_p50"), (0.75, "approx_p75")]:
+            v = out[lang][col]
+            assert v in vals, f"{col} not an element of {lang}"
+            # true rank range of v (1-based, ties span a range)
+            import bisect
+
+            lo = bisect.bisect_left(vals, v) + 1
+            hi = bisect.bisect_right(vals, v)
+            target = max(1, round(p * n))
+            assert lo - tol <= target <= hi + tol, (lang, col, v, lo, hi, target, n)
