@@ -105,6 +105,14 @@ def _decode_ppm(b: bytes) -> dict:
 def _ppm_header_fields(b: bytes) -> list[bytes]:
     """(magic, width, height, maxval) tokens of a P6 header; raises
     ValueError on anything that is not a PPM."""
+    return _ppm_header(b)[0]
+
+
+def _ppm_header(b: bytes) -> tuple[list[bytes], int]:
+    """((magic, width, height, maxval), pixel_offset) of a P6 header. The
+    offset is tracked DURING tokenization — re-finding field bytes with
+    index() would mislocate the plane when a '#' comment contains a field's
+    digits (e.g. '# 16' before width 16)."""
     fields: list[bytes] = []
     i = 0
     while len(fields) < 4:
@@ -122,17 +130,13 @@ def _ppm_header_fields(b: bytes) -> list[bytes]:
         fields.append(b[start:i])
     if fields[0] != b"P6":
         raise ValueError(f"not a P6 PPM: magic={fields[0]!r}")
-    return fields
+    # the pixel plane starts exactly one whitespace byte after maxval
+    return fields, i + 1
 
 
 def _ppm_pixel_offset(b: bytes) -> int:
     """Byte offset of the binary pixel plane: one whitespace after maxval."""
-    fields = _ppm_header_fields(b)
-    # walk to the end of the 4th field, then exactly one whitespace byte
-    i = 0
-    for f in fields:
-        i = b.index(f, i) + len(f)
-    return i + 1
+    return _ppm_header(b)[1]
 
 
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:

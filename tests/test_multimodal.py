@@ -115,3 +115,30 @@ def test_ppm_nearest_neighbor_values(spark, sf_dir):
         yi = np.arange(4) * h // 4
         xi = np.arange(5) * w // 5
         assert (rp == px[yi][:, xi]).all()
+
+
+def test_ppm_comment_header_offset():
+    """A '#' comment containing a field's digits must not fool the pixel-
+    plane locator (index()-based re-finding used to land inside the
+    comment); resize must read the true plane."""
+    import numpy as np
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _ppm_header_fields,
+        _ppm_pixel_offset,
+        _resize_ppm,
+    )
+
+    w, h = 4, 2
+    px = np.arange(w * h * 3, dtype=np.uint8)
+    # comment repeats the width token "4" before the real field
+    b = b"P6\n# 4 4\n4 2\n# 255\n255\n" + px.tobytes()
+    assert _ppm_header_fields(b) == [b"P6", b"4", b"2", b"255"]
+    off = _ppm_pixel_offset(b)
+    assert b[off:] == px.tobytes()
+    out = _resize_ppm(b, 2, 1)
+    fields = _ppm_header_fields(out)
+    assert (fields[1], fields[2]) == (b"2", b"1")
+    # nearest-neighbor of row 0: columns 0 and 2
+    expect = px.reshape(h, w, 3)[[0]][:, [0, 2]].tobytes()
+    assert out[_ppm_pixel_offset(out):] == expect
