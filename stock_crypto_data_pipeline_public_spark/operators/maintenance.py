@@ -67,6 +67,20 @@ def compact_table(
     Returns {"n_files_before", "n_files_after", "bytes"} so callers can
     log/alert on compaction effectiveness.
     """
+    # a hive-partitioned ROOT (date=.../ subdirs) must be compacted per
+    # partition directory — rewriting the root would silently flatten the
+    # layout (partition columns become data columns, pruning is lost)
+    parts = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if parts:
+        raise ValueError(
+            f"{path!r} is a partitioned table root ({parts[0]}, ...); "
+            "compact each partition directory instead — "
+            "compact_table(spark, f'{path}/<partition>')"
+        )
     before = table_stats(path)
     n_out = max(1, math.ceil(before["bytes"] / target_bytes))
     df = spark.read.parquet(path)

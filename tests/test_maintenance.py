@@ -90,3 +90,25 @@ def test_range_sorted_files_are_disjoint(spark, tmp_path, via_compact):
     for (_, hi_prev), (lo, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo, f"overlapping file ranges: {ranges}"
     assert _sorted_rows(spark, path) == before_rows
+
+
+def test_compact_refuses_partitioned_root_but_takes_partition_dir(spark, tmp_path):
+    """Compacting a hive-partitioned ROOT would flatten the layout (partition
+    columns become data columns); the operator must refuse and accept the
+    per-partition form instead."""
+    path = str(tmp_path / "parted")
+    (
+        spark.range(2000)
+        .select(F.col("id"), (F.col("id") % 3).alias("d"))
+        .repartition(10)
+        .write.partitionBy("d")
+        .parquet(path, mode="overwrite")
+    )
+    with pytest.raises(ValueError, match="partitioned table root"):
+        compact_table(spark, path)
+    # pointing at one partition directory is the supported per-partition form
+    part = path + "/d=1"
+    rows_before = sorted(r["id"] for r in spark.read.parquet(part).collect())
+    stats = compact_table(spark, part, target_bytes=1 << 40)
+    assert stats["n_files_after"] == 1
+    assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == rows_before
