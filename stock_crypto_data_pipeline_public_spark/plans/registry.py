@@ -69,10 +69,11 @@ _GATE_PRIORITY = (
     [f"q{i:02d}" for i in range(1, 23)]     # q01..q22 (22)
     + [f"v{i:02d}" for i in range(1, 10)]   # v01..v09 (31) — v09 new
     + [f"e{i:02d}" for i in range(1, 9)]    # e01..e08 (39)
-    + ["f01", "f02", "f08"]                 # r3-red fixes + LOCF gapfill (42)
-    + ["t18"]                               # newly hash-gated exact form (43)
-    + ["m04", "m05"]                        # new REAL media decode paths (45)
-    + ["x09", "x10", "t05", "t11", "x12"]   # rewritten/new this round (50)
+    + ["f01", "f08"]                        # r3-red fix canary + LOCF (41)
+    + ["t18"]                               # newly hash-gated exact form (42)
+    + ["m04", "m05"]                        # new REAL media decode paths (44)
+    + ["x09", "x10", "t05", "t11", "x12"]   # rewritten/new this round (49)
+    + ["t30"]                               # new end-to-end curation chain (50)
 )
 
 

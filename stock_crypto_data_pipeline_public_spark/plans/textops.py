@@ -1398,6 +1398,194 @@ def t23_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t30 — END-TO-END curation pipeline (the Dolma/RefinedWeb shape): one
+# declarative DataFrame chain running the full corpus-curation sequence the
+# individual t-queries prove piecewise —
+#   exact dedup (normalized-md5 keeper, t01) →
+#   language-ID keep (t04) →
+#   quality-score floor (t03/t17 score, q ≥ CURATE_Q_MIN) →
+#   near-dup cluster keeper (trigram-Jaccard components, t11's spine) →
+#   benchmark decontamination (5-gram overlap vs the src0 set, t20)
+# emitting the surviving documents. Everything is one lazy plan: Catalyst
+# pushes the source filter into the scan, the per-stage predicates compose,
+# and the only shuffles are the ones the member stages already pay (no
+# extra materialization between stages). Hash-gated end to end against a
+# single DuckDB CTE chain — the strongest correctness statement in the
+# t-series: every stage's semantics must line up for the final row set to
+# hash-match.
+# --------------------------------------------------------------------------
+CURATE_Q_MIN = 0.32
+
+
+def _curation_oracle() -> str:
+    hits = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{lang}"
+        for lang, pat in _LANG_MARKERS.items()
+    )
+    m = "greatest(c_en, c_de, c_es, c_fr)"
+    pred = (
+        f"CASE WHEN {m} = 0 THEN 'unknown' "
+        "WHEN c_en = " + m + " THEN 'en' "
+        "WHEN c_de = " + m + " THEN 'de' "
+        "WHEN c_es = " + m + " THEN 'es' "
+        "ELSE 'fr' END"
+    )
+    q = oracle_rnd(
+        "0.5 * (stop_hits * 1.0 / nullif(n_tokens, 0))"
+        " + 0.3 * (least(n_tokens, 100) / 100.0)"
+        " + 0.2 * (alpha_chars * 1.0 / nullif(n_chars, 0))",
+        4,
+    )
+    return f"""
+    WITH RECURSIVE raw AS (
+        SELECT doc_id, lang, source, text FROM documents WHERE source <> 'src0'
+    ),
+    fp AS (
+        SELECT *, md5({D.NORMALIZE_SQL.format(col='text')}) AS fingerprint FROM raw
+    ),
+    s1 AS (
+        SELECT * FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM fp
+        ) WHERE doc_id = keep_id
+    ),
+    lm AS (
+        SELECT *, {hits} FROM s1
+    ),
+    s2 AS (
+        SELECT * FROM (SELECT *, {pred} AS predicted_lang FROM lm)
+        WHERE predicted_lang <> 'unknown'
+    ),
+    feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[a-z0-9]+'))  AS n_tokens,
+               len(regexp_extract_all(text, '{_STOP_RE}')) AS stop_hits,
+               len(regexp_extract_all(text, '[a-z]'))      AS alpha_chars
+        FROM s2
+    ),
+    s3 AS (
+        SELECT s2.*, sc.q
+        FROM s2 JOIN (
+            SELECT doc_id, coalesce({q}, -1.0) AS q FROM feats
+        ) sc USING (doc_id)
+        WHERE sc.q >= {CURATE_Q_MIN}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM s3
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges0 AS (
+        SELECT p.doc_a AS src, p.doc_b AS dst
+        FROM pairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE 2 * p.n_common >= ca.n + cb.n - p.n_common
+    ),
+    edges AS (
+        SELECT src, dst FROM edges0
+        UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS comp FROM s3
+        UNION
+        SELECT e.dst AS doc_id, r.comp
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY 1),
+    s4 AS (
+        SELECT s3.* FROM s3 JOIN comp USING (doc_id)
+        WHERE doc_id = comp.component_id
+    ),
+    bench AS (
+        SELECT DISTINCT unnest({D.oracle_shingles('text', 5)}) AS shingle
+        FROM documents WHERE source = 'src0'
+    ),
+    cand5 AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text', 5)}) AS shingle
+        FROM s4
+    ),
+    cont AS (
+        SELECT c.doc_id FROM cand5 c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY 1 HAVING count(*) >= 3
+    )
+    SELECT s.doc_id, s.lang, s.predicted_lang, s.source, s.q
+    FROM s4 s LEFT JOIN cont ON s.doc_id = cont.doc_id
+    WHERE cont.doc_id IS NULL
+    """
+
+
+@query("t30_curation_pipeline", oracle=_curation_oracle())
+def t30_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cand = docs.filter(F.col("source") != "src0")
+    # 1. exact dedup: min-doc_id keeper per normalized fingerprint
+    fp = cand.withColumn("fingerprint", F.md5(D.normalize_text("text")))
+    s1 = (
+        fp.withColumn(
+            "keep_id", F.min("doc_id").over(W.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("fingerprint", "keep_id")
+    )
+    # 2. language-ID keep (t04's marker-count argmax)
+    s2 = s1.select(
+        "*",
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(f"c_{lang}")
+            for lang, pat in _LANG_MARKERS.items()
+        ],
+    )
+    m = F.greatest("c_en", "c_de", "c_es", "c_fr")
+    pred = (
+        F.when(m == 0, "unknown")
+        .when(F.col("c_en") == m, "en")
+        .when(F.col("c_de") == m, "de")
+        .when(F.col("c_es") == m, "es")
+        .otherwise("fr")
+    )
+    s2 = (
+        s2.withColumn("predicted_lang", pred)
+        .filter(F.col("predicted_lang") != "unknown")
+        .drop("c_en", "c_de", "c_es", "c_fr")
+    )
+    # 3. quality floor (t17's score)
+    s3 = s2.join(
+        _quality_scored(s2).select("doc_id", "q"), "doc_id"
+    ).filter(F.col("q") >= CURATE_Q_MIN)
+    # 4. near-dup cluster keeper: component_id is the min member label, so
+    #    keeper ≡ doc_id == component_id (t23's convention)
+    comp = _dup_components(s3)
+    s4 = s3.join(comp, "doc_id").filter(
+        F.col("doc_id") == F.col("component_id")
+    )
+    # 5. decontamination vs the src0 benchmark 5-gram shingle set (t20)
+    bench = (
+        D.exploded_shingles(
+            docs.filter(F.col("source") == "src0"), "doc_id", "text", 5
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        D.exploded_shingles(s4, "doc_id", "text", 5)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+    )
+    return s4.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "predicted_lang", "source", "q"
+    )
+
+
+# --------------------------------------------------------------------------
 # t24 — fixed-stride char chunking with overlap: the engine's analog of the
 # reference chatbot's RecursiveChunking (chunking_strategies.py:123-147 —
 # fixed chunk_size/chunk_overlap char windows). One row per chunk; windows
