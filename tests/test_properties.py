@@ -526,3 +526,43 @@ def test_quantile_sketch_rank_contract(spark, sf_dir):
             hi = bisect.bisect_right(vals, v)
             target = max(1, round(p * n))
             assert lo - tol <= target <= hi + tol, (lang, col, v, lo, hi, target, n)
+
+
+#: (doc 0..7, key 0..5) memberships, distinct — the copair_counts precondition
+memberships = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@SETTINGS
+@given(rows=memberships)
+def test_copair_counts_equals_self_join_property(spark, rows):
+    """For ANY distinct (doc, key) membership set, copair_counts must emit
+    exactly the self-join's pair multiset: every co-occurring ordered pair
+    (doc_a < doc_b) with n_common = |shared keys| — the contract t05/t11
+    stand on."""
+    from collections import Counter
+    from itertools import combinations
+
+    from stock_crypto_data_pipeline_public_spark.operators.dedup import copair_counts
+
+    data = [("d%02d" % d, "k%d" % k) for d, k in rows]
+    keyed = spark.createDataFrame(data, "doc_id string, shingle string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in copair_counts(keyed, "doc_id", "shingle").collect()
+    }
+    by_key: dict[str, list[str]] = {}
+    for d, k in data:
+        by_key.setdefault(k, []).append(d)
+    want: Counter = Counter()
+    for docs in by_key.values():
+        for a, b in combinations(sorted(docs), 2):
+            want[(a, b)] += 1
+    assert got == dict(want)
