@@ -158,6 +158,31 @@ class VaultMaterializer:
             self._save_markers(markers)
         return appended
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 8,
+    ) -> dict[str, dict]:
+        """Periodic maintenance pass: every incremental tick appends one
+        file set per model, so a vault that runs for weeks fragments into
+        thousands of tiny files. Rewrites each materialized model that has
+        accumulated ≥ ``min_files`` files into ~``target_bytes`` files via
+        the atomic staging swap (operators/maintenance.compact_table) —
+        run it on a slow cadence (e.g. daily), not per tick. Returns the
+        per-model compaction stats."""
+        from .operators.maintenance import compact_table, table_stats
+
+        out: dict[str, dict] = {}
+        for model in VAULT_KEYS:
+            path = self._path(model)
+            if not os.path.exists(path):
+                continue
+            if table_stats(path)["n_files"] < min_files:
+                continue
+            out[model] = compact_table(spark, path, target_bytes=target_bytes)
+        return out
+
     def vault_tables(self, spark: SparkSession) -> dict[str, DataFrame]:
         out = {}
         for model in VAULT_KEYS:

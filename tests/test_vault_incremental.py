@@ -155,3 +155,29 @@ def test_marts_over_materialized_vault(spark, setup):
     hist = marts["dim_customer_history"]
     multi = hist.groupBy("hk_customer").count().filter(F.col("count") > 1)
     assert multi.count() >= 1
+
+
+def test_compaction_pass_preserves_vault_and_reduces_files(spark, setup):
+    """The maintenance pass must rewrite fragmented models into few files
+    with bit-identical contents, skip already-compact ones, and leave the
+    incremental machinery (markers, replay idempotence) untouched."""
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import table_stats
+
+    flow, vm, _ = setup
+    before = {
+        name: df.orderBy(*df.columns).collect()
+        for name, df in vm.vault_tables(spark).items()
+    }
+    assert before
+    stats = vm.compact(spark, min_files=2)
+    assert stats, "fixture vault should have at least one fragmented model"
+    for model, s in stats.items():
+        assert s["n_files_after"] < s["n_files_before"]
+        assert table_stats(vm._path(model))["n_files"] == s["n_files_after"]
+    after = {
+        name: df.orderBy(*df.columns).collect()
+        for name, df in vm.vault_tables(spark).items()
+    }
+    assert after == before
+    # replay after compaction still appends nothing
+    assert all(n == 0 for n in vm.run_increment(spark).values())
