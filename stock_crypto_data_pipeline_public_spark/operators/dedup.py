@@ -230,3 +230,104 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25)
         if changed == 0:
             break
     return labels
+
+
+# -- incremental near-dup: new docs vs a persisted shingle inverted index ----
+#
+# At 100 TB the corpus grows by daily increments; re-pairing the WHOLE
+# corpus per increment (t05/t11's batch form) re-pays the full shingle
+# shuffle every day. The incremental form persists the inverted index —
+# postings (doc_id, shingle) + per-doc shingle counts — and each increment
+# joins only the NEW documents' shingles against it: work ∝ new batch ×
+# hit rate, independent of corpus history size. When the new batch is small
+# its shingle set is BROADCAST against the index scan, so the increment is
+# a map-only pass over the postings (no index shuffle at all); a huge
+# backfill batch falls back to a plain shuffle join on the uniform shingle
+# key. Postings at scale are written bucketed/partitioned by shingle hash
+# so repeated increments co-locate. Same exactness contract as the batch
+# form: tests/test_incremental_dedup.py proves increments compose to the
+# batch pair set.
+
+
+def neardup_index_paths(index_dir: str) -> tuple[str, str]:
+    import os
+
+    return os.path.join(index_dir, "postings"), os.path.join(index_dir, "counts")
+
+
+def incremental_neardup(
+    spark,
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup edges (trigram Jaccard ≥ 1/2) between the NEW documents and
+    the corpus seen so far (including new-new pairs), then fold the new
+    docs into the persisted index. Returns (doc_a, doc_b, n_common,
+    n_a, n_b) with doc_a < doc_b, one row per qualifying pair.
+
+    Re-running the same batch is idempotent: already-indexed doc_ids are
+    dropped from the new side up front (their pairs were emitted by the
+    run that indexed them)."""
+    import os
+
+    postings_path, counts_path = neardup_index_paths(index_dir)
+    have_index = os.path.exists(postings_path)
+
+    new_sh = exploded_shingles(new_docs, id_col, text_col, n).withColumnRenamed(
+        id_col, "doc_id"
+    )
+    if have_index:
+        old_postings = spark.read.parquet(postings_path)
+        old_counts = spark.read.parquet(counts_path)
+        # idempotent replay: drop docs the index already holds
+        new_sh = new_sh.join(
+            old_counts.select("doc_id"), "doc_id", "left_anti"
+        )
+    new_sh = new_sh.localCheckpoint(eager=True)  # reused 4×: pairs ×2, counts, append
+    new_counts = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    # new × old: each shared shingle contributes once (postings are distinct
+    # per doc); normalize pair order afterwards
+    nn_pairs = copair_counts(new_sh, "doc_id", "shingle")
+    if have_index:
+        a = (F.broadcast(new_sh) if broadcast_new else new_sh).alias("a")
+        no_pairs = (
+            a.join(old_postings.alias("b"), "shingle")
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        pairs = nn_pairs.unionByName(no_pairs)
+        counts = old_counts.unionByName(new_counts)
+    else:
+        pairs = nn_pairs
+        counts = new_counts
+
+    edges = (
+        pairs.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(
+            2 * F.col("n_common") >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("ca.n").alias("n_a"),
+            F.col("cb.n").alias("n_b"),
+        )
+    )
+    edges = edges.localCheckpoint(eager=True)  # materialize BEFORE index append
+
+    # fold the new docs into the index (plain append: replays were already
+    # excluded above, so each doc's postings land exactly once)
+    new_sh.write.mode("append").parquet(postings_path)
+    new_counts.write.mode("append").parquet(counts_path)
+    return edges

@@ -1,0 +1,70 @@
+"""Incremental near-dup: new docs vs the persisted shingle inverted index.
+
+The contract: processing a corpus in increments emits exactly the batch
+pair set — each increment contributes the pairs that involve at least one
+of its documents — and replays are no-ops."""
+
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.operators.dedup import (
+    copair_counts,
+    exploded_shingles,
+    incremental_neardup,
+    neardup_index_paths,
+)
+from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+
+
+def _batch_edges(docs):
+    """The t11-style batch edge set (trigram Jaccard ≥ 1/2) with counts."""
+    sh = exploded_shingles(docs, "doc_id", "text", 3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = copair_counts(sh, "doc_id", "shingle")
+    return (
+        pairs.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(
+            2 * F.col("n_common") >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+        )
+        .select("doc_a", "doc_b", "n_common")
+    )
+
+
+def _edge_set(df):
+    return {(r["doc_a"], r["doc_b"], r["n_common"]) for r in df.collect()}
+
+
+def test_increments_compose_to_batch_pairs(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    index_dir = str(tmp_path / "neardup_index")
+
+    e1 = incremental_neardup(spark, half_a, index_dir)
+    e2 = incremental_neardup(spark, half_b, index_dir)
+    got = _edge_set(e1.select("doc_a", "doc_b", "n_common")) | _edge_set(
+        e2.select("doc_a", "doc_b", "n_common")
+    )
+    want = _edge_set(_batch_edges(docs))
+    assert got == want and want, "increments must compose to the batch edge set"
+    # increment 1 only sees A-internal pairs; increment 2 adds every pair
+    # touching B — the two must partition the batch set
+    assert not (_edge_set(e1.select("doc_a", "doc_b", "n_common"))
+                & _edge_set(e2.select("doc_a", "doc_b", "n_common")))
+
+
+def test_replay_is_noop_and_index_stays_clean(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") < 100)
+    index_dir = str(tmp_path / "idx")
+    first = incremental_neardup(spark, batch, index_dir)
+    assert first.count() >= 0
+    _, counts_path = neardup_index_paths(index_dir)
+    n_docs_indexed = spark.read.parquet(counts_path).count()
+    replay = incremental_neardup(spark, batch, index_dir)
+    assert replay.count() == 0, "re-running an indexed batch must emit nothing"
+    assert spark.read.parquet(counts_path).count() == n_docs_indexed
+    assert (
+        spark.read.parquet(counts_path).groupBy("doc_id").count()
+        .filter(F.col("count") > 1).count() == 0
+    ), "no doc may be indexed twice"
