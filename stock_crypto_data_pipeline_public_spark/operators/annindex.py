@@ -1,0 +1,162 @@
+"""Persisted ANN index: IVF assignment as the STORAGE LAYOUT.
+
+The x-series queries (plans/vectorops.py) prove the IVF math inline; this
+operator makes the index a TABLE, which is what changes at 100 TB: the
+coarse assignment runs once at build time and becomes the parquet partition
+key, so every later query prunes to its probed clusters at the SCAN — the
+candidate cut costs zero compute per query, it is directory listing. This
+is the "embeddings partitioned by IVF centroid id" row of SCALE.md made
+concrete (and test_annindex proves the pruning mechanically via
+``inputFiles()``).
+
+Build: one corpus pass (K-row centroid broadcast, min_by collapse — the
+same plan shape as x05/x10's assignment) + one partitioned write. Centroid
+vectors are tiny (K × dim doubles) and live in a JSON sidecar.
+
+Query: centroid scoring happens on the DRIVER (K × dim floats — trivial),
+the probed centroid ids become a partition filter, and the exact cosine
+top-k runs only over the probed clusters with the query set broadcast.
+Refreshing centroids (e.g. after x12's Lloyd refinement) is a rebuild —
+the index is derived data, rebuilt from the source embedding table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import similarity as S
+
+
+def _centroids_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids.json")
+
+
+def _vectors_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "vectors")
+
+
+def build_ann_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Assign every vector to its max-cosine centroid (ties → lowest id,
+    the x05 convention) and write the corpus PARTITIONED BY centroid_id.
+    ``centroids`` is the trained codebook (seed sample, or x12's Lloyd
+    output). Returns {"n_vectors", "n_centroids"}."""
+
+    def _nrm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return acc ** 0.5
+
+    seeds = spark.createDataFrame(
+        [(i, [float(x) for x in c], _nrm(c)) for i, c in enumerate(centroids)],
+        "centroid_id int, ce array<double>, cnrm double",
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+    ).withColumn("nrm", S.norm("embedding", dim))
+    sim = S.dot("embedding", "ce", dim) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "centroid_id", (-sim).alias("neg_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("min_by(centroid_id, struct(neg_sim, centroid_id))").alias(
+                "centroid_id"
+            ),
+            F.any_value("embedding").alias("embedding"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        _vectors_path(index_dir)
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _centroids_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([[float(x) for x in c] for c in centroids], f)
+    os.replace(tmp, _centroids_path(index_dir))
+    n = spark.read.parquet(_vectors_path(index_dir)).count()
+    return {"n_vectors": n, "n_centroids": len(centroids)}
+
+
+def probe_centroids(index_dir: str, query_vec: list[float], nprobe: int) -> list[int]:
+    """Top-``nprobe`` centroids by cosine for one query — driver-side math
+    over the K × dim sidecar (ties → lowest centroid id)."""
+    with open(_centroids_path(index_dir)) as f:
+        centroids = json.load(f)
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _nrm(a):
+        return _dot(a, a) ** 0.5
+
+    qn = _nrm(query_vec)
+    scored = []
+    for i, c in enumerate(centroids):
+        den = qn * _nrm(c)
+        scored.append((-(_dot(query_vec, c) / den) if den else float("inf"), i))
+    return [i for _, i in sorted(scored)[:nprobe]]
+
+
+def query_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, list[float]],
+    dim: int,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k over the probed clusters only: the centroid filter
+    becomes parquet PARTITION PRUNING (directory-level — verified in tests
+    via inputFiles()), the query table is broadcast, and each query scores
+    only its own probed clusters. Returns (query_id, neighbor_id,
+    cosine_sim, rk)."""
+    probes = {qid: probe_centroids(index_dir, qv, nprobe) for qid, qv in queries.items()}
+    probed_all = sorted({c for cs in probes.values() for c in cs})
+    q = spark.createDataFrame(
+        [
+            (int(qid), [float(x) for x in qv], probes[qid])
+            for qid, qv in queries.items()
+        ],
+        "query_id long, qe array<double>, probed array<int>",
+    ).withColumn("qnrm", S.norm("qe", dim))
+
+    vecs = spark.read.parquet(_vectors_path(index_dir)).filter(
+        F.col("centroid_id").isin(probed_all)  # partition pruning at the scan
+    )
+    sim = S.dot("qe", "embedding", dim) / F.nullif(
+        F.col("qnrm") * F.col("nrm"), F.lit(0.0)
+    )
+    scored = (
+        vecs.withColumn("nrm", S.norm("embedding", dim))
+        .join(
+            F.broadcast(q),
+            F.array_contains(F.col("probed"), F.col("centroid_id"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 4).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= topk)

@@ -1,0 +1,102 @@
+"""Persisted ANN index: build-once layout, driver-side probing, and the
+partition-pruning contract (probed clusters = the only files read)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.operators.annindex import (
+    _vectors_path,
+    build_ann_index,
+    probe_centroids,
+    query_ann_index,
+)
+from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+
+DIM = 64
+K = 8
+NPROBE = 2
+TOPK = 5
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, tmp_path_factory):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    centroids = [vecs[i] for i in range(K)]  # seed convention (x05)
+    index_dir = str(tmp_path_factory.mktemp("ann") / "idx")
+    stats = build_ann_index(spark, emb, index_dir, centroids, DIM)
+    assert stats == {"n_vectors": len(vecs), "n_centroids": K}
+    return index_dir, vecs, centroids
+
+
+def _np_assign(vecs, centroids):
+    M = np.array([vecs[i] for i in sorted(vecs)], dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    sims = (M @ C.T) / (
+        np.linalg.norm(M, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+    )
+    # ties -> lowest centroid id: argmax takes the first maximum
+    return {vid: int(np.argmax(sims[j])) for j, vid in enumerate(sorted(vecs))}
+
+
+def test_layout_is_partitioned_by_assignment(spark, index):
+    index_dir, vecs, centroids = index
+    stored = {
+        int(r["vec_id"]): int(r["centroid_id"])
+        for r in spark.read.parquet(_vectors_path(index_dir)).collect()
+    }
+    assert stored == _np_assign(vecs, centroids)
+    dirs = {d for d in os.listdir(_vectors_path(index_dir)) if d.startswith("centroid_id=")}
+    assert dirs == {f"centroid_id={c}" for c in set(stored.values())}
+
+
+def test_probe_filter_prunes_partitions(spark, index):
+    index_dir, vecs, centroids = index
+    probed = probe_centroids(index_dir, vecs[100], NPROBE)
+    assert len(probed) == NPROBE
+    full = spark.read.parquet(_vectors_path(index_dir))
+    pruned = full.filter(F.col("centroid_id").isin(probed))
+    # the scan must carry the centroid filter as a PARTITION filter (pruning
+    # happens at planning, before any file is opened)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "centroid_id" in pf[0] and "IN" in pf[0], plan
+    # and the files ACTUALLY read (input_file_name over the executed scan)
+    # are exactly the probed clusters' — strictly fewer than the full index
+    read = {r["f"] for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert read, "pruned scan must still read the probed clusters"
+    for f in read:
+        assert any(f"centroid_id={c}/" in f for c in probed), f
+    all_files = {r["f"] for r in full.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert len(read) < len(all_files)
+
+
+def test_query_matches_numpy_reference(spark, index):
+    index_dir, vecs, centroids = index
+    queries = {qid: vecs[qid] for qid in range(100, 105)}
+    out = query_ann_index(spark, index_dir, queries, DIM, nprobe=NPROBE, topk=TOPK)
+    got = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in out.collect()
+    }
+
+    assign = _np_assign(vecs, centroids)
+    want = {}
+    for qid, qv in queries.items():
+        probes = set(probe_centroids(index_dir, qv, NPROBE))
+        qn = np.linalg.norm(qv)
+        cands = []
+        for vid, v in vecs.items():
+            if vid == qid or assign[vid] not in probes:
+                continue
+            sim = round(float(np.dot(qv, v) / (qn * np.linalg.norm(v))), 4)
+            cands.append((-sim, vid))
+        for rk, (negsim, vid) in enumerate(sorted(cands)[:TOPK], start=1):
+            want[(qid, rk)] = (vid, -negsim)
+    assert got == want
