@@ -1586,6 +1586,60 @@ def t30_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t31 — incremental near-dup ≡ batch near-dup, hash-gated: the corpus is
+# processed in TWO increments through operators/dedup.incremental_neardup
+# (even doc_ids first, then odd — each increment joins only its new docs'
+# shingles against the persisted inverted index), and the union of the two
+# increments' edge sets must hash-match the one-shot batch SQL. This gates
+# the property the daily-growth path stands on: growing the corpus never
+# re-pairs history, yet the accumulated edges equal what a full recompute
+# would produce. The index lives in a fresh temp dir per call (removed
+# before returning), so the query is pure and replays are deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "t31_incremental_vs_batch_neardup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           ca.n AS n_a, cb.n AS n_b
+    FROM pairs p
+    JOIN counts ca ON p.doc_a = ca.doc_id
+    JOIN counts cb ON p.doc_b = cb.doc_id
+    WHERE 2 * p.n_common >= ca.n + cb.n - p.n_common
+    """,
+)
+def t31_incremental_vs_batch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_neardup
+
+    docs = _docs(spark, sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="neardup_idx_")
+    try:
+        e1 = incremental_neardup(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), index_dir
+        )
+        e2 = incremental_neardup(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), index_dir
+        )
+        # both edge frames are localCheckpointed (materialized) inside the
+        # operator, so the index directory is no longer needed
+        return e1.unionByName(e2)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
 # t24 — fixed-stride char chunking with overlap: the engine's analog of the
 # reference chatbot's RecursiveChunking (chunking_strategies.py:123-147 —
 # fixed chunk_size/chunk_overlap char windows). One row per chunk; windows
