@@ -131,12 +131,15 @@ def query_ann_index(
     cosine_sim, rk)."""
     probes = {qid: probe_centroids(index_dir, qv, nprobe) for qid, qv in queries.items()}
     probed_all = sorted({c for cs in probes.values() for c in cs})
+    # one row per (query, probed centroid): the probe join below is then a
+    # broadcast EQUI-join on centroid_id (hash relation, no nested loop)
     q = spark.createDataFrame(
         [
-            (int(qid), [float(x) for x in qv], probes[qid])
+            (int(qid), [float(x) for x in qv], c)
             for qid, qv in queries.items()
+            for c in probes[qid]
         ],
-        "query_id long, qe array<double>, probed array<int>",
+        "query_id long, qe array<double>, centroid_id int",
     ).withColumn("qnrm", S.norm("qe", dim))
 
     vecs = spark.read.parquet(_vectors_path(index_dir)).filter(
@@ -147,11 +150,8 @@ def query_ann_index(
     )
     scored = (
         vecs.withColumn("nrm", S.norm("embedding", dim))
-        .join(
-            F.broadcast(q),
-            F.array_contains(F.col("probed"), F.col("centroid_id"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
+        .join(F.broadcast(q), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
