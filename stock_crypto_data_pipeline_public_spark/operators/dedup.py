@@ -24,7 +24,7 @@ only as the verification baseline (and flagged as the non-scale path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 #: number of minhash permutations and LSH band layout
@@ -249,10 +249,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25)
 # batch pair set.
 
 
-def neardup_index_paths(index_dir: str) -> tuple[str, str]:
+def neardup_index_path(index_dir: str) -> str:
     import os
 
-    return os.path.join(index_dir, "postings"), os.path.join(index_dir, "counts")
+    return os.path.join(index_dir, "postings")
 
 
 def incremental_neardup(
@@ -269,12 +269,22 @@ def incremental_neardup(
     docs into the persisted index. Returns (doc_a, doc_b, n_common,
     n_a, n_b) with doc_a < doc_b, one row per qualifying pair.
 
+    The index is ONE table — postings (doc_id, shingle, n) with the doc's
+    total shingle count embedded per row. A separate counts table would
+    create a two-table consistency window (a crash between the two appends
+    leaves duplicate postings or silently dropped pairs); embedding n makes
+    each run a single append, and the old side of the candidate join
+    carries its own n_b, so no counts join-back is needed at all. The
+    remaining partial-append window is the same one merge_upsert documents:
+    plain parquet appends are not transactions — a table format
+    (Delta/Iceberg) closes it at deploy with the identical plan.
+
     Re-running the same batch is idempotent: already-indexed doc_ids are
     dropped from the new side up front (their pairs were emitted by the
     run that indexed them)."""
     import os
 
-    postings_path, counts_path = neardup_index_paths(index_dir)
+    postings_path = neardup_index_path(index_dir)
     have_index = os.path.exists(postings_path)
 
     new_sh = exploded_shingles(new_docs, id_col, text_col, n).withColumnRenamed(
@@ -282,17 +292,29 @@ def incremental_neardup(
     )
     if have_index:
         old_postings = spark.read.parquet(postings_path)
-        old_counts = spark.read.parquet(counts_path)
-        # idempotent replay: drop docs the index already holds
+        # idempotent replay: drop docs the index already holds (doc_id-only
+        # scan — column pruning reaches the parquet footer)
         new_sh = new_sh.join(
-            old_counts.select("doc_id"), "doc_id", "left_anti"
+            old_postings.select("doc_id").distinct(), "doc_id", "left_anti"
         )
-    new_sh = new_sh.localCheckpoint(eager=True)  # reused 4×: pairs ×2, counts, append
-    new_counts = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # count per doc BEFORE checkpointing so the postings carry their n
+    w_doc = W.partitionBy("doc_id")
+    new_sh = new_sh.withColumn("n", F.count(F.lit(1)).over(w_doc))
+    new_sh = new_sh.localCheckpoint(eager=True)  # reused 3x: pairs x2, append
 
-    # new × old: each shared shingle contributes once (postings are distinct
-    # per doc); normalize pair order afterwards
-    nn_pairs = copair_counts(new_sh, "doc_id", "shingle")
+    # new x new within the batch: copair + per-doc counts from the batch
+    new_counts = new_sh.groupBy("doc_id").agg(F.first("n").alias("n"))
+    nn_pairs = (
+        copair_counts(new_sh, "doc_id", "shingle")
+        .join(new_counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(new_counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", "n_common",
+                F.col("ca.n").alias("n_a"), F.col("cb.n").alias("n_b"))
+    )
+
+    # new x old: each shared shingle contributes once (postings are distinct
+    # per doc); both sides carry their own n, so the pair aggregate emits
+    # counts directly - no join back to a counts table
     if have_index:
         a = (F.broadcast(new_sh) if broadcast_new else new_sh).alias("a")
         no_pairs = (
@@ -300,34 +322,26 @@ def incremental_neardup(
             .select(
                 F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
                 F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.n"))
+                .otherwise(F.col("b.n")).alias("n_a"),
+                F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.n"))
+                .otherwise(F.col("a.n")).alias("n_b"),
             )
             .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
         )
         pairs = nn_pairs.unionByName(no_pairs)
-        counts = old_counts.unionByName(new_counts)
     else:
         pairs = nn_pairs
-        counts = new_counts
 
-    edges = (
-        pairs.join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
-        .filter(
-            2 * F.col("n_common") >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.col("ca.n").alias("n_a"),
-            F.col("cb.n").alias("n_b"),
-        )
+    edges = pairs.filter(
+        2 * F.col("n_common") >= F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     edges = edges.localCheckpoint(eager=True)  # materialize BEFORE index append
 
-    # fold the new docs into the index (plain append: replays were already
+    # fold the new docs into the index: ONE append (replays were already
     # excluded above, so each doc's postings land exactly once)
     new_sh.write.mode("append").parquet(postings_path)
-    new_counts.write.mode("append").parquet(counts_path)
     return edges

@@ -10,7 +10,7 @@ from stock_crypto_data_pipeline_public_spark.operators.dedup import (
     copair_counts,
     exploded_shingles,
     incremental_neardup,
-    neardup_index_paths,
+    neardup_index_path,
 )
 from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
 
@@ -59,12 +59,20 @@ def test_replay_is_noop_and_index_stays_clean(spark, sf_dir, tmp_path):
     index_dir = str(tmp_path / "idx")
     first = incremental_neardup(spark, batch, index_dir)
     assert first.count() >= 0
-    _, counts_path = neardup_index_paths(index_dir)
-    n_docs_indexed = spark.read.parquet(counts_path).count()
+    postings_path = neardup_index_path(index_dir)
+    n_postings = spark.read.parquet(postings_path).count()
     replay = incremental_neardup(spark, batch, index_dir)
     assert replay.count() == 0, "re-running an indexed batch must emit nothing"
-    assert spark.read.parquet(counts_path).count() == n_docs_indexed
+    postings = spark.read.parquet(postings_path)
+    assert postings.count() == n_postings
     assert (
-        spark.read.parquet(counts_path).groupBy("doc_id").count()
+        postings.groupBy("doc_id", "shingle").count()
         .filter(F.col("count") > 1).count() == 0
-    ), "no doc may be indexed twice"
+    ), "no posting may be indexed twice"
+    # the embedded per-doc count must equal the doc's actual posting count
+    bad = (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("actual"), F.first("n").alias("stored"))
+        .filter(F.col("actual") != F.col("stored"))
+    )
+    assert bad.count() == 0
