@@ -10,6 +10,9 @@ version of that surface:
         --warehouse /tmp/wh --select fct_transactions+ --test
     python -m stock_crypto_data_pipeline_public_spark models
     python -m stock_crypto_data_pipeline_public_spark test --warehouse /tmp/wh
+    python -m stock_crypto_data_pipeline_public_spark incremental --warehouse /tmp/wh \
+        --vault /tmp/vault --compact
+    python -m stock_crypto_data_pipeline_public_spark compact --path /tmp/wh/raw_customers
 
 `generate` writes timestamped landing CSVs (the faker batch, reference
 a1_1); `build` ingests the landing zone into typed raw Parquet tables and
@@ -99,6 +102,41 @@ def _run_quality(ctx) -> list[str]:
     return failures
 
 
+def cmd_incremental(args, spark: SparkSession) -> int:
+    """One tick of the reference's 5-minute incremental flow (reference
+    prefect.yaml:39-40): HWM-sliced vault append + optional maintenance."""
+    from .vault_incremental import VaultMaterializer
+
+    vm = VaultMaterializer(warehouse_dir=args.warehouse, vault_dir=args.vault)
+    appended = vm.run_increment(spark)
+    for name, n in sorted(appended.items()):
+        print(f"appended {name}: +{n} rows")
+    print(f"incremental run complete: {sum(appended.values())} rows across {len(appended)} models")
+    if args.compact:
+        stats = vm.compact(spark, min_files=args.min_files)
+        for name, s in sorted(stats.items()):
+            print(f"compacted {name}: {s['n_files_before']} -> {s['n_files_after']} files")
+        if not stats:
+            print("compaction: nothing fragmented enough (all models under --min-files)")
+    return 0
+
+
+def cmd_compact(args, spark: SparkSession) -> int:
+    from .operators.maintenance import compact_table
+
+    stats = compact_table(
+        spark,
+        args.path,
+        target_bytes=args.target_bytes,
+        sort_cols=args.sort_cols or None,
+    )
+    print(
+        f"compacted {args.path}: {stats['n_files_before']} -> "
+        f"{stats['n_files_after']} files ({stats['bytes']} bytes)"
+    )
+    return 0
+
+
 def cmd_models(args, spark: SparkSession | None = None) -> int:
     from .plans.market import registry
 
@@ -133,13 +171,30 @@ def main(argv: list[str] | None = None) -> int:
     t = sub.add_parser("test", help="run the quality suite over a built warehouse")
     t.add_argument("--warehouse", required=True)
 
+    i = sub.add_parser("incremental", help="one tick of the incremental vault flow")
+    i.add_argument("--warehouse", required=True)
+    i.add_argument("--vault", required=True)
+    i.add_argument("--compact", action="store_true", help="run the maintenance pass after appending")
+    i.add_argument("--min-files", type=int, default=8, help="compact only models with at least this many files")
+
+    c = sub.add_parser("compact", help="small-file compaction of one parquet table/partition dir")
+    c.add_argument("--path", required=True)
+    c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    c.add_argument("--sort-cols", nargs="*", help="also range-sort by these columns (skip-friendly layout)")
+
     sub.add_parser("models", help="list registered models (dbt ls)")
 
     args = p.parse_args(argv)
     if args.cmd == "models":
         return cmd_models(args)
     spark = _spark(args.cpus)
-    return {"generate": cmd_generate, "build": cmd_build, "test": cmd_test}[args.cmd](args, spark)
+    return {
+        "generate": cmd_generate,
+        "build": cmd_build,
+        "test": cmd_test,
+        "incremental": cmd_incremental,
+        "compact": cmd_compact,
+    }[args.cmd](args, spark)
 
 
 if __name__ == "__main__":

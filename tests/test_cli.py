@@ -72,3 +72,37 @@ def test_cli_models_lists_registry(capsys):
     assert cmd_models(_A()) == 0
     out = capsys.readouterr().out
     assert "fct_transactions" in out and "mart" in out
+
+
+def test_cli_incremental_and_compact(spark, tmp_path, capsys):
+    """`incremental` ticks the vault (idempotent on replay) and `--compact`
+    runs the maintenance pass; `compact` works standalone on one table."""
+    from stock_crypto_data_pipeline_public_spark.__main__ import cmd_compact, cmd_incremental
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "wh")
+    vault = str(tmp_path / "vault")
+    assert cmd_generate(
+        _A(landing=landing, seed=9, corporates=5, customers=20, transactions=60,
+           run_ts="20240103_040506"),
+        spark,
+    ) == 0
+    assert cmd_build(
+        _A(landing=landing, warehouse=wh, select=None, tags=None, write=None, test=False),
+        spark,
+    ) == 0
+    rc = cmd_incremental(_A(warehouse=wh, vault=vault, compact=False, min_files=8), spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "incremental run complete" in out and "hub_customer" in out
+    # replay: zero rows appended, compaction path exercised
+    rc = cmd_incremental(_A(warehouse=wh, vault=vault, compact=True, min_files=1), spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "+0 rows" in out and ("compacted" in out or "nothing fragmented" in out)
+    # standalone compact over one raw table
+    rc = cmd_compact(
+        _A(path=f"{vault}/hub_customer", target_bytes=1 << 40, sort_cols=None), spark
+    )
+    assert rc == 0
+    assert "-> 1 files" in capsys.readouterr().out
