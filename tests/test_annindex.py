@@ -100,3 +100,37 @@ def test_query_matches_numpy_reference(spark, index):
         for rk, (negsim, vid) in enumerate(sorted(cands)[:TOPK], start=1):
             want[(qid, rk)] = (vid, -negsim)
     assert got == want
+
+
+def test_rebuild_with_refined_centroids(spark, sf_dir, index, tmp_path):
+    """The offline lifecycle x12 trains for: refine centroids (one numpy
+    Lloyd iteration, the x12 shape), REBUILD the index, and the layout +
+    query contract must hold against the refined assignment — the index is
+    derived data, rebuilt not patched."""
+    _, vecs, seed_centroids = index
+    # one Lloyd iteration: assign to seeds, recompute member means
+    assign = _np_assign(vecs, seed_centroids)
+    M = {k: [v for vid, v in vecs.items() if assign[vid] == k] for k in range(K)}
+    refined = [
+        np.mean(np.array(M[k], dtype=np.float64), axis=0).tolist()
+        if M[k]
+        else seed_centroids[k]
+        for k in range(K)
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_dir = str(tmp_path / "refined_idx")
+    build_ann_index(spark, emb, index_dir, refined, DIM)
+    stored = {
+        int(r["vec_id"]): int(r["centroid_id"])
+        for r in spark.read.parquet(_vectors_path(index_dir)).collect()
+    }
+    want = _np_assign(vecs, refined)
+    assert stored == want
+    # refinement must actually move some assignments (else the test is vacuous)
+    assert stored != assign
+    out = query_ann_index(spark, index_dir, {100: vecs[100]}, DIM, nprobe=NPROBE, topk=TOPK)
+    rows = out.collect()
+    assert [r["rk"] for r in rows] == list(range(1, TOPK + 1))
+    probed = set(probe_centroids(index_dir, vecs[100], NPROBE))
+    for r in rows:
+        assert want[r["neighbor_id"]] in probed
