@@ -44,7 +44,7 @@ def main() -> int:
     # Queries whose plan BUILD does the real work (operators with side
     # effects — t31 materializes edges and writes the inverted index before
     # returning): time the whole call, or the bench would bill them ~0.
-    EAGER = {"t31_incremental_vs_batch_neardup"}
+    EAGER = {"t31_incremental_vs_batch_neardup", "x13_persisted_ann_search"}
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         best = float("inf")

@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.numeric import rnd
 from . import similarity as S
 
 
@@ -155,7 +156,7 @@ def query_ann_index(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(sim, 4).alias("cosine_sim"),
+            rnd(sim, 4).alias("cosine_sim"),  # cross-engine deterministic round
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

@@ -1148,3 +1148,82 @@ def x12_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(4)
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# x13 — PERSISTED-index probed search: the same IVF semantics x07 proves
+# inline, but through the materialized form operators/annindex.py ships —
+# build_ann_index writes the corpus PARTITIONED BY its coarse assignment
+# (into a temp dir here; a real deployment builds once and queries forever),
+# probe selection runs on the driver over the K x dim sidecar, and the
+# probe join is a partition-PRUNED scan + broadcast equi-join. Hash-gating
+# this against the x07-shape oracle proves the persisted path is
+# value-identical to the inline plan: same assignment, same probes, same
+# exact top-k. The index build is EAGER (bench bills the full call).
+# --------------------------------------------------------------------------
+@query(
+    "x13_persisted_ann_search",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, s.centroid_id FROM embeddings e
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {S.oracle_cosine('e.embedding', 's.ce')} DESC, s.centroid_id ASC
+        ) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 110),
+    probes AS (
+        SELECT q.query_id, q.qe, s.centroid_id FROM q
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {S.oracle_cosine('q.qe', 's.ce')} DESC, s.centroid_id ASC
+        ) <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {oracle_rnd(S.oracle_cosine('p.qe', 'a.embedding'), 4)} AS cosine_sim
+        FROM probes p JOIN assigned a
+          ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    """,
+)
+def x13_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.annindex import build_ann_index, query_ann_index
+
+    emb = _emb(spark, sf_dir)
+    small = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            (F.col("vec_id") < IVF_K)
+            | ((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+        ).collect()
+    }
+    centroids = [small[i] for i in range(IVF_K)]
+    queries = {qid: small[qid] for qid in range(100, 110)}
+    index_dir = tempfile.mkdtemp(prefix="ann_idx_")
+    try:
+        build_ann_index(spark, emb, index_dir, centroids, EMB_DIM)
+        out = query_ann_index(
+            spark, index_dir, queries, EMB_DIM, nprobe=IVF_NPROBE, topk=5
+        )
+        # materialize before the temp index dir disappears
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
