@@ -48,11 +48,14 @@ def build_ann_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify: bool = True,
 ) -> dict:
     """Assign every vector to its max-cosine centroid (ties → lowest id,
     the x05 convention) and write the corpus PARTITIONED BY centroid_id.
     ``centroids`` is the trained codebook (seed sample, or x12's Lloyd
-    output). Returns {"n_vectors", "n_centroids"}."""
+    output). Returns {"n_vectors", "n_centroids"}; ``verify=False`` skips
+    the read-back count (n_vectors = -1) when the caller will scan the
+    index anyway."""
 
     def _nrm(v: list[float]) -> float:
         acc = 0.0
@@ -90,7 +93,7 @@ def build_ann_index(
     with open(tmp, "w") as f:
         json.dump([[float(x) for x in c] for c in centroids], f)
     os.replace(tmp, _centroids_path(index_dir))
-    n = spark.read.parquet(_vectors_path(index_dir)).count()
+    n = spark.read.parquet(_vectors_path(index_dir)).count() if verify else -1
     return {"n_vectors": n, "n_centroids": len(centroids)}
 
 

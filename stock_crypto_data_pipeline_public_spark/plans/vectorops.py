@@ -1219,7 +1219,7 @@ def x13_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = {qid: small[qid] for qid in range(100, 110)}
     index_dir = tempfile.mkdtemp(prefix="ann_idx_")
     try:
-        build_ann_index(spark, emb, index_dir, centroids, EMB_DIM)
+        build_ann_index(spark, emb, index_dir, centroids, EMB_DIM, verify=False)
         out = query_ann_index(
             spark, index_dir, queries, EMB_DIM, nprobe=IVF_NPROBE, topk=5
         )
