@@ -571,9 +571,10 @@ def _dup_components(docs: DataFrame) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component_id")
 
 
-@query(
-    "t11_dup_clusters",
-    oracle=f"""
+# The full recursive-CTE walk of the near-dup graph down to min-label
+# components — shared by t11 (cluster inventory) and t32 (cluster-aware
+# split), exactly as _dup_components is the shared Spark spine.
+_ORACLE_COMP_CTES = f"""
     WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
         FROM documents
@@ -601,7 +602,12 @@ def _dup_components(docs: DataFrame) -> DataFrame:
         SELECT e.dst AS doc_id, r.comp
         FROM reach r JOIN edges e ON e.src = r.doc_id
     ),
-    comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY 1)
+    comp AS (SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY 1)"""
+
+
+@query(
+    "t11_dup_clusters",
+    oracle=f"""{_ORACLE_COMP_CTES}
     SELECT c.doc_id, c.component_id, s.n_members
     FROM comp c
     JOIN (SELECT component_id, count(*) AS n_members FROM comp GROUP BY 1) s
@@ -696,12 +702,12 @@ def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines, and cluster sizes, which is what makes a split reproducible at
 # 100 TB. Emitting (doc_id, bucket, split) hash-checks every assignment.
 # --------------------------------------------------------------------------
-_NIB = "(instr('0123456789abcdef', substr(md5(cast(doc_id AS {str_t})), {pos}, 1)) - 1)"
+_NIB = "(instr('0123456789abcdef', substr(md5(cast({col} AS {str_t})), {pos}, 1)) - 1)"
 
 
-def _split_bucket_sql(str_t: str) -> str:
-    n1 = _NIB.format(str_t=str_t, pos=1)
-    n2 = _NIB.format(str_t=str_t, pos=2)
+def _split_bucket_sql(str_t: str, col: str = "doc_id") -> str:
+    n1 = _NIB.format(str_t=str_t, pos=1, col=col)
+    n2 = _NIB.format(str_t=str_t, pos=2, col=col)
     return f"({n1} * 16 + {n2})"
 
 
@@ -1272,7 +1278,7 @@ PACK_SHARDS = 8
 
 
 def _shard_sql(str_t: str) -> str:
-    return f"({_NIB.format(str_t=str_t, pos=1)} % {PACK_SHARDS})"
+    return f"({_NIB.format(str_t=str_t, pos=1, col='doc_id')} % {PACK_SHARDS})"
 
 
 @query(
@@ -1637,6 +1643,50 @@ def t31_incremental_vs_batch_neardup(spark: SparkSession, sf_dir: str) -> DataFr
         return e1.unionByName(e2)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# t32 — cluster-aware train/valid/test split: t13's md5-bucket split keyed on
+# the near-dup COMPONENT id instead of the doc id, so every member of a dup
+# cluster lands in the same split. Splitting doc-wise (t13) leaks near-
+# duplicate text across the train/test boundary — the contamination mode the
+# dedup literature warns about (near-dups of eval docs inflating scores);
+# splitting cluster-wise closes it by construction: split is a pure function
+# of component_id. Plan cost is exactly t11's (the CC spine) plus per-row
+# expressions — the bucket/split assignment adds NO shuffle, and the
+# assignment is stable under corpus growth for unchanged clusters (md5 of
+# the min-doc-id label, no RNG). Oracle rides the same recursive-CTE walk
+# as t11 and the same VARCHAR-cast md5 nibbles as t13.
+# --------------------------------------------------------------------------
+@query(
+    "t32_cluster_split",
+    oracle=f"""{_ORACLE_COMP_CTES},
+    b AS (
+        SELECT doc_id, component_id,
+               {_split_bucket_sql('VARCHAR', 'component_id')} AS bucket
+        FROM comp
+    )
+    SELECT doc_id, component_id, bucket,
+           CASE WHEN bucket < 204 THEN 'train'
+                WHEN bucket < 230 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def t32_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    comp = _dup_components(docs)
+    b = comp.select(
+        "doc_id",
+        "component_id",
+        F.expr(_split_bucket_sql("STRING", "component_id")).alias("bucket"),
+    )
+    split = (
+        F.when(F.col("bucket") < 204, "train")
+        .when(F.col("bucket") < 230, "valid")
+        .otherwise("test")
+    )
+    return b.select("doc_id", "component_id", "bucket", split.alias("split"))
 
 
 # --------------------------------------------------------------------------

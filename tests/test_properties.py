@@ -263,6 +263,42 @@ def test_quota_sample_matches_rank_formulation(spark, sf_dir, quota):
 
 
 # --------------------------------------------------------------------------
+# t32's split is leakage-free BY CONSTRUCTION: split must be a pure function
+# of the near-dup component, so no cluster may straddle a split boundary —
+# the property doc-wise splitting (t13) cannot give. Singleton clusters
+# (component_id == doc_id) must also agree with t13's assignment for the
+# same key, so the two splits coincide on non-duplicated corpora.
+# --------------------------------------------------------------------------
+def test_cluster_split_no_leakage_across_components(spark, sf_dir):
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        t13_hash_split,
+        t32_cluster_split,
+    )
+
+    out = t32_cluster_split(spark, sf_dir)
+    per_comp = (
+        out.groupBy("component_id")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .collect()
+    )
+    assert per_comp, "no components produced"
+    assert all(r["n_splits"] == 1 for r in per_comp)
+    # the corpus contains real near-dup clusters, so the property is tested
+    # on non-trivial components, not vacuously on singletons
+    assert any(r["n_members"] > 1 for r in per_comp)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "valid", "test"}
+
+    t13 = {r["doc_id"]: r["split"] for r in t13_hash_split(spark, sf_dir).collect()}
+    singletons = out.filter(F.col("component_id") == F.col("doc_id"))
+    for r in singletons.collect():
+        assert t13[r["doc_id"]] == r["split"]
+
+
+# --------------------------------------------------------------------------
 # Finance-suite invariants on randomized tick tapes
 # --------------------------------------------------------------------------
 
