@@ -14,6 +14,7 @@ from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
     compact_table,
     table_stats,
     write_range_sorted,
+    write_zordered,
 )
 
 
@@ -90,6 +91,52 @@ def test_range_sorted_files_are_disjoint(spark, tmp_path, via_compact):
     for (_, hi_prev), (lo, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo, f"overlapping file ranges: {ranges}"
     assert _sorted_rows(spark, path) == before_rows
+
+
+def _files_hit(spark, path, col, lo, hi):
+    """Files whose footer [min, max] on ``col`` intersects [lo, hi] — the
+    set ANY footer-stats-pruning reader must scan for that predicate."""
+    return sum(1 for flo, fhi in _file_ranges(spark, path, col) if fhi >= lo and flo <= hi)
+
+
+def test_zorder_skips_files_on_every_clustered_column(spark, tmp_path):
+    """On a 64x64 uniform grid in 16 files: a linear sort on x answers a
+    y-stripe predicate only by scanning EVERY file, while the z-ordered
+    layout confines both an x-stripe and a y-stripe to a fraction of the
+    files — the property z-ordering exists for."""
+    n = 64
+    grid = (
+        spark.range(n * n)
+        .select(
+            F.col("id"),
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+        .repartition(32)  # start from an unclustered layout
+    )
+    zpath = str(tmp_path / "zordered")
+    lpath = str(tmp_path / "linear")
+    # rel_err=0 → exact quantiles, so buckets align with the value grid and
+    # the only slack left is repartitionByRange's sampled boundaries
+    write_zordered(grid, zpath, ["x", "y"], n_partitions=16, bits=6, rel_err=0.0)
+    write_range_sorted(grid, lpath, ["x"], n_partitions=16)
+
+    n_files = len(_data_files(zpath))
+    # range bounds may merge adjacent tiles (empty trailing partitions)
+    assert 13 <= n_files <= 16
+    # stripe = 1/8 of the domain on one column, all of the other
+    z_x = _files_hit(spark, zpath, "x", 0, 7)
+    z_y = _files_hit(spark, zpath, "y", 0, 7)
+    # ideal tiling is 4/16 files per stripe; allow quantile-boundary slack
+    assert z_x <= 6, f"x-stripe hits {z_x}/16 z-ordered files"
+    assert z_y <= 6, f"y-stripe hits {z_y}/16 z-ordered files"
+    # the linear layout skips on its leading key but NOT on y
+    n_linear = len(_data_files(lpath))
+    assert _files_hit(spark, lpath, "x", 0, 7) <= 4
+    assert _files_hit(spark, lpath, "y", 0, 7) == n_linear
+
+    # clustering is a layout change only: data is bit-identical
+    assert _sorted_rows(spark, zpath) == grid.orderBy("id").collect()
 
 
 def test_compact_refuses_partitioned_root_but_takes_partition_dir(spark, tmp_path):
