@@ -40,22 +40,17 @@ def _vectors_path(index_dir: str) -> str:
     return os.path.join(index_dir, "vectors")
 
 
-def build_ann_index(
+def _assign_to_centroids(
     spark: SparkSession,
     emb: DataFrame,
-    index_dir: str,
     centroids: list[list[float]],
     dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    verify: bool = True,
-) -> dict:
-    """Assign every vector to its max-cosine centroid (ties → lowest id,
-    the x05 convention) and write the corpus PARTITIONED BY centroid_id.
-    ``centroids`` is the trained codebook (seed sample, or x12's Lloyd
-    output). Returns {"n_vectors", "n_centroids"}; ``verify=False`` skips
-    the read-back count (n_vectors = -1) when the caller will scan the
-    index anyway."""
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, embedding, centroid_id): max-cosine assignment against a
+    K-row centroid broadcast (ties → lowest centroid id, the x05
+    convention) — the shared spine of build and incremental add."""
 
     def _nrm(v: list[float]) -> float:
         acc = 0.0
@@ -74,7 +69,7 @@ def build_ann_index(
     sim = S.dot("embedding", "ce", dim) / F.nullif(
         F.col("nrm") * F.col("cnrm"), F.lit(0.0)
     )
-    assigned = (
+    return (
         vecs.crossJoin(F.broadcast(seeds))
         .select("vec_id", "embedding", "centroid_id", (-sim).alias("neg_sim"))
         .groupBy("vec_id")
@@ -85,6 +80,24 @@ def build_ann_index(
             F.any_value("embedding").alias("embedding"),
         )
     )
+
+
+def build_ann_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    verify: bool = True,
+) -> dict:
+    """Assign every vector to its max-cosine centroid and write the corpus
+    PARTITIONED BY centroid_id. ``centroids`` is the trained codebook (seed
+    sample, or x12's Lloyd output). Returns {"n_vectors", "n_centroids"};
+    ``verify=False`` skips the read-back count (n_vectors = -1) when the
+    caller will scan the index anyway."""
+    assigned = _assign_to_centroids(spark, emb, centroids, dim, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         _vectors_path(index_dir)
     )
@@ -95,6 +108,46 @@ def build_ann_index(
     os.replace(tmp, _centroids_path(index_dir))
     n = spark.read.parquet(_vectors_path(index_dir)).count() if verify else -1
     return {"n_vectors": n, "n_centroids": len(centroids)}
+
+
+def add_to_ann_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedupe: bool = True,
+) -> dict:
+    """Fold NEW vectors into an existing index without a rebuild: assign
+    against the SIDECAR centroids (so old and new vectors share one
+    geometry — queries keep pruning correctly) and append, partitionBy
+    routing each row into its cluster's directory. Per-add work ∝ the new
+    batch; the existing index is read only for the ``dedupe`` id scan
+    (vec_id column + partition values — column pruning; drop it when the
+    caller guarantees fresh ids). Appends into a cluster create small
+    files over time — ``maintenance.compact_table`` on a partition
+    directory is the maintenance pass. Centroid DRIFT from accumulated
+    adds is the documented rebuild trigger (re-train via x12, then
+    build_ann_index); the sidecar is the single source of the geometry, so
+    add/query stay consistent between rebuilds. Returns {"n_added"}."""
+    with open(_centroids_path(index_dir)) as f:
+        centroids = json.load(f)
+    new = emb
+    if dedupe:
+        seen = spark.read.parquet(_vectors_path(index_dir)).select(
+            F.col("vec_id").alias(id_col)
+        )
+        new = new.join(seen, id_col, "left_anti")
+    assigned = _assign_to_centroids(spark, new, centroids, dim, id_col, vec_col)
+    # count once while materialized; the append reuses the checkpointed rows
+    assigned = assigned.localCheckpoint(eager=True)
+    n_added = assigned.count()
+    if n_added:
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(
+            _vectors_path(index_dir)
+        )
+    return {"n_added": n_added}
 
 
 def probe_centroids(index_dir: str, query_vec: list[float], nprobe: int) -> list[int]:

@@ -94,6 +94,41 @@ def run_incremental_sink(
     )
 
 
+def run_neardup_sink(
+    stream: DataFrame,
+    index_dir: str,
+    edges_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+):
+    """writeStream → foreachBatch(incremental_neardup): near-dup detection
+    ON the document stream. Each micro-batch's docs pair only against the
+    persisted shingle inverted index (plus within-batch), the qualifying
+    edges append to ``edges_path``, and the batch folds into the index —
+    per-batch work ∝ batch size, independent of how much corpus has
+    streamed by. Replayed epochs are no-ops (already-indexed doc_ids are
+    dropped inside the operator), so restarts don't duplicate edges. The
+    edge append and the index fold are two plain-parquet writes — the same
+    non-transactional window merge_upsert documents; a table format closes
+    it at deploy with the identical plan."""
+    from ..operators.dedup import incremental_neardup
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        edges = incremental_neardup(
+            batch.sparkSession, batch, index_dir, id_col, text_col, n
+        )
+        edges.write.mode("append").parquet(edges_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
     """Make ``ts_col`` a valid watermark column.
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from stock_crypto_data_pipeline_public_spark.operators.annindex import (
     _vectors_path,
+    add_to_ann_index,
     build_ann_index,
     probe_centroids,
     query_ann_index,
@@ -99,6 +100,41 @@ def test_query_matches_numpy_reference(spark, index):
             cands.append((-sim, vid))
         for rk, (negsim, vid) in enumerate(sorted(cands)[:TOPK], start=1):
             want[(qid, rk)] = (vid, -negsim)
+    assert got == want
+
+
+def test_incremental_add_equals_full_build(spark, sf_dir, index, tmp_path):
+    """Daily growth must NOT rebuild: build on half the corpus, fold the
+    rest in with add_to_ann_index, and the grown index must be
+    indistinguishable from a one-shot build — same stored assignment, same
+    query results. Replaying the add is a no-op (idempotent)."""
+    full_dir, vecs, centroids = index
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted(vecs)
+    cut = ids[len(ids) // 2]
+    half_dir = str(tmp_path / "half_idx")
+    build_ann_index(spark, emb.filter(F.col("vec_id") < cut), half_dir, centroids, DIM)
+
+    stats = add_to_ann_index(spark, emb.filter(F.col("vec_id") >= cut), half_dir, DIM)
+    assert stats == {"n_added": len([i for i in ids if i >= cut])}
+    stored = {
+        int(r["vec_id"]): int(r["centroid_id"])
+        for r in spark.read.parquet(_vectors_path(half_dir)).collect()
+    }
+    assert stored == _np_assign(vecs, centroids)
+
+    # replaying the same batch adds nothing and appends nothing
+    again = add_to_ann_index(spark, emb.filter(F.col("vec_id") >= cut), half_dir, DIM)
+    assert again == {"n_added": 0}
+    assert spark.read.parquet(_vectors_path(half_dir)).count() == len(ids)
+
+    queries = {qid: vecs[qid] for qid in range(100, 103)}
+    got = sorted(
+        map(tuple, query_ann_index(spark, half_dir, queries, DIM, nprobe=NPROBE, topk=TOPK).collect())
+    )
+    want = sorted(
+        map(tuple, query_ann_index(spark, full_dir, queries, DIM, nprobe=NPROBE, topk=TOPK).collect())
+    )
     assert got == want
 
 

@@ -76,3 +76,39 @@ def test_replay_is_noop_and_index_stays_clean(spark, sf_dir, tmp_path):
         .filter(F.col("actual") != F.col("stored"))
     )
     assert bad.count() == 0
+
+
+def test_streaming_neardup_sink_accumulates_batch_pairs(spark, sf_dir, tmp_path):
+    """Near-dup detection ON the stream: two availableNow drains over a
+    growing file source (restart with the same checkpoint in between) must
+    leave edges_path holding exactly the one-shot batch edge set — the
+    streaming path is the incremental operator under foreachBatch, so the
+    increments-compose-to-batch contract carries over micro-batches and
+    restarts."""
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        file_stream,
+        run_neardup_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    in_dir = str(tmp_path / "in")
+    idx_dir = str(tmp_path / "idx")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(in_dir)
+    run_neardup_sink(
+        file_stream(spark, in_dir, docs.schema), idx_dir, edges_dir, ckpt
+    ).awaitTermination()
+    # the stream grows; a NEW query on the same checkpoint (a restart)
+    # drains only the unseen files
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    run_neardup_sink(
+        file_stream(spark, in_dir, docs.schema), idx_dir, edges_dir, ckpt
+    ).awaitTermination()
+
+    got = _edge_set(
+        spark.read.parquet(edges_dir).select("doc_a", "doc_b", "n_common")
+    )
+    want = _edge_set(_batch_edges(docs))
+    assert got == want and want
