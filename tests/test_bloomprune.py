@@ -1,0 +1,68 @@
+"""Bloom semi-join pruning: the no-false-negatives contract, real pruning
+power, exact-join equivalence, and the zero-probe-side-shuffle plan shape."""
+
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.operators.bloomprune import (
+    bloom_prune,
+    bloom_semi_join,
+    build_bloom,
+)
+
+M_BITS = 1 << 20
+K = 5
+
+
+def _tables(spark):
+    build = spark.range(1000).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    probe = spark.range(10_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    return build, probe
+
+
+def test_no_false_negatives_and_substantial_pruning(spark):
+    build, probe = _tables(spark)
+    bloom = build_bloom(build, "key", M_BITS, K)
+    # the bitset is sparse and tiny: broadcastable regardless of build size
+    assert bloom.count() <= min(1000 * K, M_BITS // 64)
+
+    pruned = bloom_prune(probe, bloom, "key", M_BITS, K)
+    assert pruned.columns == probe.columns  # schema passes through
+
+    got = {r["key"] for r in pruned.collect()}
+    matches = {f"k{i}" for i in range(1000)}
+    assert matches <= got, "bloom pruning dropped a true match (false negative)"
+    # at n=1000, m=2^20, k=5 the false-positive rate is ~1e-11: survivors
+    # should be essentially the matches; 50 is an enormous safety margin
+    assert len(got) <= len(matches) + 50
+
+
+def test_probe_side_has_no_shuffle(spark):
+    build, probe = _tables(spark)
+    bloom = build_bloom(build, "key", M_BITS, K)
+    pruned = bloom_prune(probe, bloom, "key", M_BITS, K)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    # every membership probe is a broadcast hash join; the probe relation
+    # must never be exchanged (that is the entire point of the operator)
+    assert plan.count("BroadcastHashJoin") >= K, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    build, probe = _tables(spark)
+    # nulls never match in SQL semi-join semantics; the operator must agree
+    probe = probe.unionByName(
+        spark.sql("SELECT CAST(NULL AS STRING) key, CAST(-1 AS BIGINT) payload")
+    )
+    got = sorted(
+        map(tuple, bloom_semi_join(probe, build, "key", M_BITS, K).collect())
+    )
+    want = sorted(
+        map(tuple, probe.join(build, "key", "left_semi").collect())
+    )
+    assert got == want and want
