@@ -186,10 +186,18 @@ def write_zordered(
     dropped before the write — files carry only the original columns, and
     any engine's footer-stats pruning (Spark, DuckDB, Trino) benefits with
     no reader-side cooperation."""
-    probs = [(i + 1) / (1 << bits) for i in range((1 << bits) - 1)]
     from pyspark.sql import functions as F
 
-    all_bounds = df.approxQuantile(list(zorder_cols), probs, rel_err)
+    zorder_cols = list(zorder_cols)
+    if len(zorder_cols) * bits > 62:
+        # the interleaved key must fit a signed long; overflowing into the
+        # sign bit would silently wrap the curve's order
+        raise ValueError(
+            f"{len(zorder_cols)} cols x {bits} bits = "
+            f"{len(zorder_cols) * bits} key bits > 62; lower bits"
+        )
+    probs = [(i + 1) / (1 << bits) for i in range((1 << bits) - 1)]
+    all_bounds = df.approxQuantile(zorder_cols, probs, rel_err)
     buckets = [
         _bucket_of(F.col(c), bounds)
         for c, bounds in zip(zorder_cols, all_bounds)
@@ -201,7 +209,7 @@ def write_zordered(
     # on the raw key lets a file straddle a major-bit transition of the
     # curve, where its box blows up to the full domain on one column.
     tile_bits = max(1, (n_partitions - 1).bit_length())
-    shift = max(0, len(list(zorder_cols)) * bits - tile_bits)
+    shift = max(0, len(zorder_cols) * bits - tile_bits)
     (
         df.withColumn(key, _morton(buckets, bits))
         .withColumn(tile, F.shiftright(F.col(key), shift))

@@ -139,6 +139,15 @@ def test_zorder_skips_files_on_every_clustered_column(spark, tmp_path):
     assert _sorted_rows(spark, zpath) == grid.orderBy("id").collect()
 
 
+def test_zorder_rejects_key_wider_than_long(spark, tmp_path):
+    df = spark.range(10).select(
+        F.col("id").alias("a"), F.col("id").alias("b"),
+        F.col("id").alias("c"), F.col("id").alias("d"),
+    )
+    with pytest.raises(ValueError, match="> 62"):
+        write_zordered(df, str(tmp_path / "x"), ["a", "b", "c", "d"], 4, bits=16)
+
+
 def test_compact_refuses_partitioned_root_but_takes_partition_dir(spark, tmp_path):
     """Compacting a hive-partitioned ROOT would flatten the layout (partition
     columns become data columns); the operator must refuse and accept the
