@@ -21,6 +21,56 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def diagnose_skew(
+    df: DataFrame,
+    keys: Sequence[str],
+    top: int = 10,
+    target_rows_per_task: int = 5_000_000,
+) -> dict:
+    """Measure key skew before reaching for the mitigation operators: one
+    hash-aggregation pass (map-side partials) over ``keys``, a 4-scalar
+    summary agg, and a top-``top`` hot-key sample — nothing corpus-sized
+    ever reaches the driver.
+
+    Returns ``{"n_rows", "n_keys", "max_rows", "median_rows",
+    "skew_ratio", "hot_keys", "recommendation"}`` where recommendation is
+    one of ``"none"`` (hottest key fits a task), ``"aqe"`` (mild skew —
+    AQE's runtime splitting suffices), or ``("salt", buckets)`` with
+    buckets sized so the hottest key's rows spread into
+    ``target_rows_per_task``-sized slices. The decision is a heuristic
+    INPUT, not a promise — re-measure after data drift; hot keys move.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    s = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        F.expr("percentile_approx(n, 0.5)").alias("median_rows"),
+    ).first()
+    hot = [
+        ({k: r[k] for k in keys}, r["n"])
+        for r in counts.orderBy(F.desc("n"), *keys).limit(top).collect()
+    ]
+    skew_ratio = float(s["max_rows"]) / max(float(s["median_rows"]), 1.0)
+    if s["max_rows"] <= target_rows_per_task:
+        rec: object = "none"
+    elif skew_ratio <= 4.0:
+        rec = "aqe"
+    else:
+        import math
+
+        rec = ("salt", math.ceil(s["max_rows"] / target_rows_per_task))
+    return {
+        "n_rows": s["n_rows"],
+        "n_keys": s["n_keys"],
+        "max_rows": s["max_rows"],
+        "median_rows": s["median_rows"],
+        "skew_ratio": skew_ratio,
+        "hot_keys": hot,
+        "recommendation": rec,
+    }
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

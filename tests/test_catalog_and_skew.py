@@ -115,3 +115,27 @@ def test_salted_join_rejects_right_preserving_modes(spark):
     df = spark.createDataFrame([(1, "a")], "k int, v string")
     with pytest.raises(ValueError, match="left-preserving"):
         salted_join(df, df.withColumnRenamed("v", "w"), ["k"], how="full")
+
+
+def test_diagnose_skew_recommends_by_severity(spark, skewed):
+    from stock_crypto_data_pipeline_public_spark.operators.skew import diagnose_skew
+
+    # the fixture's HOT key holds 9000 of 10000 rows over 51 keys
+    d = diagnose_skew(skewed, ["k"], top=3, target_rows_per_task=1000)
+    assert d["n_rows"] == 10_000 and d["n_keys"] == 51
+    assert d["max_rows"] == 9000
+    assert d["hot_keys"][0] == ({"k": "HOT"}, 9000)
+    assert len(d["hot_keys"]) == 3
+    assert d["skew_ratio"] > 4
+    assert d["recommendation"] == ("salt", 9)  # ceil(9000/1000)
+
+    # hottest key fits a task -> leave the plan alone
+    assert diagnose_skew(skewed, ["k"], target_rows_per_task=10_000)[
+        "recommendation"
+    ] == "none"
+
+    # uniform keys over the task target -> AQE handles residual imbalance
+    uniform = spark.range(4000).select((F.col("id") % 4).alias("k"))
+    assert diagnose_skew(uniform, ["k"], target_rows_per_task=500)[
+        "recommendation"
+    ] == "aqe"
