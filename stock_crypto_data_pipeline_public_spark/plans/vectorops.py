@@ -10,7 +10,9 @@ IVF-PQ probed search (the full production pipeline: coarse quantize →
 probe → ADC over codes), x11 sampled pair histogram (x04's documented
 100 TB form: deterministic hash-mod sample, same block-pair machinery),
 x12 k-means codebook refinement (Lloyd's iterations — the offline
-training pass that upgrades x05/x09's seed centroids).
+training pass that upgrades x05/x09's seed centroids), x13 persisted-index
+probed search, x14 semantic dedup (SemDeDup shape: within-cluster near-dup
+components, keep the min-id representative).
 See operators/similarity.py for the cross-engine math contract.
 """
 
@@ -1227,3 +1229,111 @@ def x13_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# x14 — semantic dedup (the SemDeDup shape, Abbas et al. 2023: cluster the
+# embedding space, call near-dups ONLY within a cluster, keep one
+# representative per duplicate group). Composition of proven spines: x05's
+# coarse assignment (K-row broadcast scoring) restricts the pair search to
+# within-cluster — ONE exchange on centroid_id, pair work ∝ Σ cluster², the
+# tractability the clustering buys (at 100 TB you raise K until clusters
+# are pair-joinable; the centroid count is the knob, not the algorithm) —
+# then t11's connected-components operator groups mutual near-dups and the
+# min-id label IS the kept representative. Cosine is rounded to 4 dp on
+# both engines before the threshold compare (the x06 convention). Output
+# is every vector with its duplicate group, group size, and keep flag —
+# `keep` filters the corpus, the rest is the audit trail.
+#
+# The threshold is the SEMANTICS knob: 0.42 marks genuine near-dup pairs on
+# this corpus (124 edges / 2000 vectors at sf0.1 — small tight groups). A
+# looser 0.35 chains ~75% of the corpus into one component, which is
+# "vaguely similar", not duplicate — and its ~1000-hop chain also costs
+# log₂(diameter) ≈ 11 CC rounds where the tight graph converges in ~4.
+# --------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.42
+
+
+@query(
+    "x14_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, s.centroid_id FROM embeddings e
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {S.oracle_cosine('e.embedding', 's.ce')} DESC, s.centroid_id ASC
+        ) = 1
+    ),
+    edges0 AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {oracle_rnd(S.oracle_cosine('a.embedding', 'b.embedding'), 4)}
+              >= {SEMDEDUP_THRESHOLD}
+    ),
+    edges AS (
+        SELECT src, dst FROM edges0
+        UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ),
+    reach AS (
+        SELECT vec_id AS id, vec_id AS comp FROM embeddings
+        UNION
+        SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS vec_id, min(comp) AS group_id FROM reach GROUP BY 1)
+    SELECT c.vec_id, c.group_id, s.n_members,
+           (c.vec_id = c.group_id) AS keep
+    FROM comp c
+    JOIN (SELECT group_id, count(*) AS n_members FROM comp GROUP BY 1) s
+      ON c.group_id = s.group_id
+    """,
+)
+def x14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    seeds = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    a_sim = S.dot("embedding", "ce", EMB_DIM) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("a_sim"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "nrm", "centroid_id", a_sim.alias("a_sim"))
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .drop("a_sim", "rk")
+    )
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = S.dot("a.embedding", "b.embedding", EMB_DIM) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(rnd(sim, 4) >= SEMDEDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+    comp = connected_components(
+        emb.select(F.col("vec_id").alias("id")), edges
+    ).select(F.col("id").alias("vec_id"), F.col("component_id").alias("group_id"))
+    sizes = comp.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "group_id").select(
+        "vec_id",
+        "group_id",
+        "n_members",
+        (F.col("vec_id") == F.col("group_id")).alias("keep"),
+    )
