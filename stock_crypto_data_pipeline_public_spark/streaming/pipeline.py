@@ -129,6 +129,37 @@ def run_neardup_sink(
     )
 
 
+def run_ann_index_sink(
+    stream: DataFrame,
+    index_dir: str,
+    dim: int,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """writeStream → foreachBatch(add_to_ann_index): the persisted IVF
+    index grows WITH the embedding stream — each micro-batch assigns its
+    vectors against the sidecar centroids and appends into the partitioned
+    layout, so queries running between batches keep pruning correctly and
+    per-batch work ∝ batch size. Replayed epochs no-op (already-indexed
+    ids are dropped inside the operator), so restarts don't duplicate
+    vectors. The index must exist (build_ann_index) before the stream
+    starts — the sidecar centroids ARE the geometry new batches share."""
+    from ..operators.annindex import add_to_ann_index
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        add_to_ann_index(
+            batch.sparkSession, batch, index_dir, dim, id_col, vec_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
     """Make ``ts_col`` a valid watermark column.
 

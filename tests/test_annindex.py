@@ -138,6 +138,48 @@ def test_incremental_add_equals_full_build(spark, sf_dir, index, tmp_path):
     assert got == want
 
 
+def test_streaming_index_sink_grows_to_full_build(spark, sf_dir, index, tmp_path):
+    """The embedding stream feeds the index: seed-build on a third of the
+    corpus, stream the rest in two checkpointed availableNow drains (a
+    restart in between), and the grown index must answer queries exactly
+    like a one-shot full build."""
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        file_stream,
+        run_ann_index_sink,
+    )
+
+    full_dir, vecs, centroids = index
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids = sorted(vecs)
+    cut = ids[len(ids) // 3]
+    grow_dir = str(tmp_path / "grow_idx")
+    build_ann_index(
+        spark, emb.filter(F.col("vec_id") < cut), grow_dir, centroids, DIM
+    )
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    rest = emb.filter(F.col("vec_id") >= cut)
+    mid = ids[2 * len(ids) // 3]
+    rest.filter(F.col("vec_id") < mid).write.parquet(in_dir)
+    run_ann_index_sink(
+        file_stream(spark, in_dir, emb.schema), grow_dir, DIM, ckpt
+    ).awaitTermination()
+    rest.filter(F.col("vec_id") >= mid).write.mode("append").parquet(in_dir)
+    run_ann_index_sink(
+        file_stream(spark, in_dir, emb.schema), grow_dir, DIM, ckpt
+    ).awaitTermination()
+
+    assert spark.read.parquet(_vectors_path(grow_dir)).count() == len(ids)
+    queries = {qid: vecs[qid] for qid in range(100, 103)}
+    got = sorted(
+        map(tuple, query_ann_index(spark, grow_dir, queries, DIM, nprobe=NPROBE, topk=TOPK).collect())
+    )
+    want = sorted(
+        map(tuple, query_ann_index(spark, full_dir, queries, DIM, nprobe=NPROBE, topk=TOPK).collect())
+    )
+    assert got == want
+
+
 def test_rebuild_with_refined_centroids(spark, sf_dir, index, tmp_path):
     """The offline lifecycle x12 trains for: refine centroids (one numpy
     Lloyd iteration, the x12 shape), REBUILD the index, and the layout +
