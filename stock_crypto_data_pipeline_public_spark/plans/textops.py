@@ -1690,6 +1690,49 @@ def t32_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t33 — exact per-language heavy hitters: top-10 tokens by frequency with a
+# deterministic tiebreak. The groupBy collapses the corpus-sized token
+# stream map-side into a VOCAB-sized count table; the per-lang row_number
+# then sorts vocab rows, not corpus rows — at 100 TB vocabulary is millions
+# of rows where the token stream is trillions, so the window is the cheap
+# stage by construction. This is the exact twin of the count-min sketch
+# operator (operators/sketch.py — the fixed-memory streaming form whose
+# ≥-true / ≤-true+εN error contract is property-tested against these exact
+# counts).
+# --------------------------------------------------------------------------
+HH_TOPK = 10
+
+
+@query(
+    "t33_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        FROM documents
+    ),
+    counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+    SELECT lang, token, n, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY n DESC, token ASC
+        ) AS rk
+        FROM counts
+    ) WHERE rk <= {HH_TOPK}
+    """,
+)
+def t33_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= HH_TOPK
+    )
+
+
+# --------------------------------------------------------------------------
 # t24 — fixed-stride char chunking with overlap: the engine's analog of the
 # reference chatbot's RecursiveChunking (chunking_strategies.py:123-147 —
 # fixed chunk_size/chunk_overlap char windows). One row per chunk; windows

@@ -1,6 +1,8 @@
 """Bloom semi-join pruning: the no-false-negatives contract, real pruning
 power, exact-join equivalence, and the zero-probe-side-shuffle plan shape."""
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from stock_crypto_data_pipeline_public_spark.operators.bloomprune import (
@@ -51,6 +53,28 @@ def test_probe_side_has_no_shuffle(spark):
     assert plan.count("BroadcastHashJoin") >= K, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    build_keys=st.sets(st.text(min_size=0, max_size=8), max_size=30),
+    probe_keys=st.lists(st.text(min_size=0, max_size=8), max_size=60),
+    m_bits=st.sampled_from([64, 1 << 10, 1 << 16]),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_property_semi_join_equivalence(spark, build_keys, probe_keys, m_bits, k):
+    """For ANY key sets and any (m, k) — including an absurdly small m=64
+    where nearly everything false-positives — prune+exact-join must equal
+    the plain semi join. Bloom parameters tune COST, never correctness."""
+    build = spark.createDataFrame([(x,) for x in build_keys] or [(None,)], "key string")
+    probe = spark.createDataFrame([(x,) for x in probe_keys] or [(None,)], "key string")
+    got = sorted(r["key"] for r in bloom_semi_join(probe, build, "key", m_bits, k).collect())
+    want = sorted(r["key"] for r in probe.join(build, "key", "left_semi").collect())
+    assert got == want
 
 
 def test_bloom_semi_join_equals_exact_semi_join(spark):
