@@ -138,8 +138,25 @@ def cmd_compact(args, spark: SparkSession) -> int:
 
 
 def cmd_models(args, spark: SparkSession | None = None) -> int:
+    """dbt ls; with --write-manifest / --modified-since it is the CI
+    selection flow (reference dbt-ci.yml:106-133, `-s state:modified+`):
+    a PR job writes the manifest on main, later runs list only the models
+    whose definition drifted (plus descendants) and build exactly those."""
+    import json
+
     from .plans.market import registry
 
+    if getattr(args, "modified_since", None):
+        with open(args.modified_since) as f:
+            old = json.load(f)
+        for name in registry.state_modified(old, plus=not args.no_plus):
+            print(name)
+        return 0
+    if getattr(args, "write_manifest", None):
+        with open(args.write_manifest, "w") as f:
+            json.dump(registry.manifest(), f, indent=0, sort_keys=True)
+        print(f"wrote manifest for {len(registry.models())} models")
+        return 0
     for name in sorted(registry.models()):
         deps = ", ".join(registry._deps[name]) or "-"
         tags = ",".join(sorted(registry._tags[name])) or "-"
@@ -182,7 +199,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     c.add_argument("--sort-cols", nargs="*", help="also range-sort by these columns (skip-friendly layout)")
 
-    sub.add_parser("models", help="list registered models (dbt ls)")
+    m = sub.add_parser("models", help="list registered models (dbt ls)")
+    m.add_argument("--write-manifest", default=None,
+                   help="write the model-definition fingerprint manifest (JSON)")
+    m.add_argument("--modified-since", default=None,
+                   help="list models changed vs this manifest (state:modified+)")
+    m.add_argument("--no-plus", action="store_true",
+                   help="with --modified-since: changed models only, no descendants")
 
     args = p.parse_args(argv)
     if args.cmd == "models":

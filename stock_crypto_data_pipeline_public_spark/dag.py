@@ -123,6 +123,44 @@ class ModelRegistry:
             visit(m, ())
         return ordered
 
+    def manifest(self) -> dict[str, str]:
+        """Fingerprint every model's DEFINITION (function source + deps +
+        tags) — the engine's analog of dbt's manifest for state comparison.
+        dbt fingerprints compiled SQL; here the model body IS Python, so
+        the fingerprint is a sha256 over its source text. Stable across
+        runs and machines for unchanged code."""
+        import hashlib
+        import inspect
+
+        out = {}
+        for name, fn in self._fns.items():
+            try:
+                src = inspect.getsource(fn)
+            except (OSError, TypeError):  # e.g. lambdas defined in a REPL
+                src = repr(fn)
+            payload = "\x1f".join(
+                (src, ",".join(self._deps[name]), ",".join(sorted(self._tags[name])))
+            )
+            out[name] = hashlib.sha256(payload.encode()).hexdigest()
+        return out
+
+    def state_modified(
+        self, old_manifest: dict[str, str], plus: bool = True
+    ) -> list[str]:
+        """dbt's ``state:modified`` (``+`` descendants when ``plus``): the
+        models whose definition changed or that are NEW versus a previous
+        ``manifest()`` — the CI selection the reference runs on every PR
+        (reference .github/workflows/dbt-ci.yml:106-133,
+        ``dbt ... -s 'state:modified+'``). Feed the result to
+        ``resolve``/``run`` as ``select``. Deleted models are absent from
+        the current registry and therefore never selected."""
+        now = self.manifest()
+        changed = {m for m, fp in now.items() if old_manifest.get(m) != fp}
+        if plus:
+            changed = self._descendants(changed)
+        order = self.resolve()
+        return [m for m in order if m in changed]
+
     def run(
         self,
         ctx: dict[str, DataFrame],

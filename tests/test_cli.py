@@ -74,6 +74,29 @@ def test_cli_models_lists_registry(capsys):
     assert "fct_transactions" in out and "mart" in out
 
 
+def test_cli_state_modified_flow(tmp_path, capsys):
+    """The reference's CI selection (dbt -s state:modified+): write the
+    manifest, no drift lists nothing, a dropped fingerprint lists the model
+    plus its descendants."""
+    import json
+
+    man = str(tmp_path / "manifest.json")
+    assert cmd_models(_A(write_manifest=man)) == 0
+    capsys.readouterr()
+    assert cmd_models(_A(modified_since=man, no_plus=False)) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    m = json.load(open(man))
+    del m["hub_customer"]
+    man2 = str(tmp_path / "m2.json")
+    json.dump(m, open(man2, "w"))
+    assert cmd_models(_A(modified_since=man2, no_plus=False)) == 0
+    listed = capsys.readouterr().out.split()
+    assert "hub_customer" in listed and "dim_customer" in listed
+    assert cmd_models(_A(modified_since=man2, no_plus=True)) == 0
+    assert capsys.readouterr().out.split() == ["hub_customer"]
+
+
 def test_cli_incremental_and_compact(spark, tmp_path, capsys):
     """`incremental` ticks the vault (idempotent on replay) and `--compact`
     runs the maintenance pass; `compact` works standalone on one table."""

@@ -182,6 +182,25 @@ def test_dag_tag_selection():
     assert order.index("hub_transaction") < order.index("fct_transactions")
 
 
+def test_dag_state_modified_selection():
+    """dbt's state:modified+ CI selection: an unchanged registry selects
+    nothing; invalidating one model's fingerprint selects it plus every
+    descendant, in topological order."""
+    base = registry.manifest()
+    assert registry.state_modified(base) == []
+    # everything is "new" against an empty manifest
+    assert set(registry.state_modified({})) == set(registry.models())
+
+    stale = dict(base)
+    stale["hub_customer"] = "0" * 64  # definition drift
+    got = registry.state_modified(stale)
+    assert "hub_customer" in got and "dim_customer" in got
+    assert "hub_asset" not in got  # unrelated branch untouched
+    assert got.index("hub_customer") < got.index("dim_customer")
+    # without plus: just the changed model
+    assert registry.state_modified(stale, plus=False) == ["hub_customer"]
+
+
 def test_quality_suite_green(ctx):
     results = run_market_quality_suite(ctx, as_of="2024-03-01")
     failures = {k: v for k, v in results.items() if v != 0}
