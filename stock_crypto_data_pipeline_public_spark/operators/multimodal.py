@@ -139,6 +139,30 @@ def _ppm_pixel_offset(b: bytes) -> int:
     return _ppm_header(b)[1]
 
 
+def _decode_bmp(b: bytes) -> dict:
+    """REAL image decode: parse the BMP file header + BITMAPINFOHEADER
+    with stdlib ``struct`` (uncompressed BMP is pure fixed-offset fields —
+    no codec). Height may be negative (top-down row order); the dimension
+    is its magnitude."""
+    import struct
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError(f"not a BMP: magic={b[:2]!r}")
+    dib_size = struct.unpack_from("<I", b, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height = struct.unpack_from("<ii", b, 18)
+    bitcount = struct.unpack_from("<H", b, 28)[0]
+    return {
+        "width": width,
+        "height": abs(height),
+        "sample_rate": None,
+        "n_channels": bitcount // 8,
+        "n_samples": None,
+        "duration_ms": None,
+    }
+
+
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
@@ -160,6 +184,8 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     feat = _decode_wav(b)
                 elif mt == "image/x-portable-pixmap":
                     feat = _decode_ppm(b)
+                elif mt == "image/bmp":
+                    feat = _decode_bmp(b)
                 elif fake:
                     d = hashlib.md5(b).digest()
                     feat = {
@@ -173,9 +199,9 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"real decode of {mt!r} requires PIL/libav (not in "
-                        "container); only audio/wav and image/x-portable-"
-                        "pixmap decode for real — run with fake=True for "
-                        "deterministic pseudo-features"
+                        "container); only audio/wav, image/x-portable-"
+                        "pixmap and image/bmp decode for real — run with "
+                        "fake=True for deterministic pseudo-features"
                     )
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(mt)
@@ -258,6 +284,42 @@ def synthesize_ppm(docs: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["media"].append(b)
                 out["media_type"].append("image/x-portable-pixmap")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_bmp(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL 24-bit BMPs, one per document: width = 4 +
+    doc_id % 16, height = 4 + (len(text) % 16); rows pad to 4-byte
+    boundaries per the format, so n_bytes = 54 + ((3w + 3) // 4 · 4) · h —
+    closed-form, SQL-predictable, and exercising a decode path (fixed-
+    offset little-endian struct fields) that WAV/PPM do not."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(4 + doc_id % 16)
+                h = int(4 + (len(text or "") % 16))
+                row = (3 * w + 3) // 4 * 4
+                img = row * h
+                head = struct.pack("<2sIHHI", b"BM", 54 + img, 0, 0, 54)
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img, 2835, 2835, 0, 0
+                )
+                px = bytes(
+                    (x + 2 * y + int(doc_id)) % 256
+                    for y in range(h)
+                    for x in range(row)
+                )
+                b = head + dib + px
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("image/bmp")
                 out["n_bytes"].append(len(b))
             yield pd.DataFrame(out)
 

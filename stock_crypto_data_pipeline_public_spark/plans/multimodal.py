@@ -223,3 +223,42 @@ def m05_ppm_real_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r_width").cast("long")).alias("total_resized_width"),
         F.sum(F.col("r_bytes").cast("long")).alias("total_resized_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# m06 — REAL BMP decode: deterministic 24-bit BMPs per document
+# (synthesize_bmp — every header field closed-form in doc_id/text length,
+# including the format's 4-byte row padding), real fixed-offset struct
+# parse (decode_features), rollup per width. A third REAL format, and the
+# decode style the other two don't cover: little-endian binary fields at
+# fixed offsets rather than text headers (PPM) or a stdlib parser (WAV).
+# --------------------------------------------------------------------------
+@query(
+    "m06_bmp_real_decode_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               4 + doc_id % 16           AS w,
+               4 + (length(text) % 16)  AS h
+        FROM documents
+    )
+    SELECT CAST(w AS INT)                                        AS width,
+           count(*)                                              AS n_images,
+           CAST(sum(h) AS BIGINT)                                AS total_height,
+           CAST(sum(3) AS BIGINT)                                AS total_channels,
+           CAST(sum(54 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT)  AS total_bytes
+    FROM c
+    GROUP BY 1
+    """,
+)
+def m06_bmp_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_bmp(docs)
+    feats = M.decode_features(media)  # fake=False: the REAL struct parse
+    return feats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
+        F.sum(F.col("n_channels").cast("long")).alias("total_channels"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+    )

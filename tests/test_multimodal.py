@@ -142,3 +142,36 @@ def test_ppm_comment_header_offset():
     # nearest-neighbor of row 0: columns 0 and 2
     expect = px.reshape(h, w, 3)[[0]][:, [0, 2]].tobytes()
     assert out[_ppm_pixel_offset(out):] == expect
+
+
+def test_bmp_decode_fields_and_edge_cases(spark, sf_dir):
+    """The BMP struct parse must report the synthesized header exactly,
+    handle top-down (negative height) bitmaps, and reject non-BMPs."""
+    import pytest as _pytest
+    import struct
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_features,
+        synthesize_bmp,
+    )
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = synthesize_bmp(docs)
+    feats = {r["doc_id"]: r for r in decode_features(media).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        w = 4 + r["doc_id"] % 16
+        h = 4 + (len(r["text"] or "") % 16)
+        f = feats[r["doc_id"]]
+        assert (f["width"], f["height"], f["n_channels"]) == (w, h, 3)
+        assert f["n_bytes"] == 54 + ((3 * w + 3) // 4) * 4 * h
+
+    # top-down BMP: negative height, dimension is the magnitude
+    head = struct.pack("<2sIHHI", b"BM", 54 + 12, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, 12, 0, 0, 0, 0)
+    got = _decode_bmp(head + dib + b"\x00" * 12)
+    assert (got["width"], got["height"]) == (2, 2)
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"P6 not a bmp" + b"\x00" * 60)
