@@ -18,6 +18,43 @@ from pyspark.sql import functions as F
 
 
 # -- generic checks (reference models/*/schema.yml) -------------------------
+def profile_table(df: DataFrame, hll_rsd: float = 0.05) -> DataFrame:
+    """One-pass column profile (the deequ/dbt-profiler shape): per column —
+    row count, null count, approx distinct (HLL, ``hll_rsd`` relative
+    error), min/max rendered as strings. ALL columns profile in a SINGLE
+    aggregation job (one scan, map-side partials), not one job per column;
+    at 100 TB that is the difference between one pass and |columns| passes.
+    Returns one row per column: (column, n_rows, n_nulls, approx_distinct,
+    min_str, max_str) — small enough to collect, alert on, or snapshot
+    next to the table for drift comparison."""
+    aggs = []
+    for c in df.columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, hll_rsd).alias(f"{c}__distinct"),
+            # min/max on the NATIVE type (numeric order, not lexicographic),
+            # rendered to string only for the uniform output schema
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("approx_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in df.columns
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
 def not_null(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     cond = None
     for c in cols:

@@ -266,3 +266,21 @@ def test_dim_customer_single_row_after_company_change(spark):
     rows = mine.collect()
     assert len(rows) == 1
     assert rows[0].company_id == companies[1]  # the later link wins
+
+
+def test_profile_table_one_pass_summary(spark):
+    from stock_crypto_data_pipeline_public_spark.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "b", 2.5)],
+        "id long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["s"]["n_nulls"] == 1 and prof["v"]["n_nulls"] == 1
+    assert prof["id"]["approx_distinct"] == 4  # tiny cardinality: HLL exact
+    assert prof["s"]["approx_distinct"] == 2
+    # native-type ordering, then rendered: 2.5 < 10.0 numerically
+    assert prof["v"]["min_str"] == "2.5" and prof["v"]["max_str"] == "30.0"
+    assert prof["id"]["min_str"] == "1" and prof["id"]["max_str"] == "4"
