@@ -66,23 +66,23 @@ def query(name: str, oracle: str | None = None):
 #: they remain covered by the local strict harness, which mirrors the
 #: driver's pandas comparison exactly.
 _GATE_PRIORITY = (
-    # q01/q02/q03/q06/q07/q15/e02 sit out: q01 has a FRESH r3 green row
-    # over untouched code; the rest are unchanged since their r2 green
-    # rows and the simplest operators in their series (TakeOrdered /
+    # q01/q02/q03/q06/q07/q15/q16/e02 sit out: q01 has a FRESH r3 green
+    # row over untouched code; the rest are unchanged since their r2 green
+    # rows and the simplest operators in their series (TakeOrdered ×2 /
     # rollup / semi join / distinct-union / lag delta / value_counts),
     # still covered by the local strict harness — their slots go to
     # queries whose CODE changed this round (t17 refactor, t23 via
-    # copair_counts, new t31/x13/t32/x14/m06), which the ranking
+    # copair_counts, new t31/x13/t32/x14/m06/t34), which the ranking
     # principle puts first.
-    [f"q{i:02d}" for i in range(1, 23) if i not in (1, 2, 3, 6, 7, 15)]  # (16)
-    + [f"v{i:02d}" for i in range(1, 10)]   # v01..v09 (25) — v09 new
-    + [f"e{i:02d}" for i in range(1, 9) if i != 2]  # (32)
-    + ["f01", "f08"]                        # r3-red fix canary + LOCF (34)
-    + ["t18"]                               # newly hash-gated exact form (35)
-    + ["m04", "m05", "m06"]                 # REAL media decode paths (38)
-    + ["x09", "x10", "t05", "t11", "x12"]   # rewritten/new this round (43)
-    + ["t17", "t23"]                        # changed via shared helpers (45)
-    + ["t30", "t31", "x13", "t32", "x14"]   # new end-to-end chains (50)
+    [f"q{i:02d}" for i in range(1, 23) if i not in (1, 2, 3, 6, 7, 15, 16)]  # (15)
+    + [f"v{i:02d}" for i in range(1, 10)]   # v01..v09 (24) — v09 new
+    + [f"e{i:02d}" for i in range(1, 9) if i != 2]  # (31)
+    + ["f01", "f08"]                        # r3-red fix canary + LOCF (33)
+    + ["t18"]                               # newly hash-gated exact form (34)
+    + ["m04", "m05", "m06"]                 # REAL media decode paths (37)
+    + ["x09", "x10", "t05", "t11", "x12"]   # rewritten/new this round (42)
+    + ["t17", "t23"]                        # changed via shared helpers (44)
+    + ["t30", "t31", "x13", "t32", "x14", "t34"]  # new e2e chains (50)
 )
 
 

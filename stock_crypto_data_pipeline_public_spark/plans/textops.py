@@ -333,6 +333,106 @@ def t07_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t34 — LSH recall/precision report: does the banding config actually find
+# the near-dups? Candidate pairs (docs sharing ≥1 MinHash band — t07's
+# join, distinct pairs) are scored against the EXACT Jaccard ≥ 1/2 pair
+# set (t11's predicate): recall = caught/true, precision = true/candidates.
+# The same philosophy as the sketch error contracts (t28/t29/CMS), applied
+# to candidate generation: every approximate component ships with a
+# measured-quality query, so a banding change that silently drops recall
+# is a diff in a gated number, not a hidden regression. Plan cost: the
+# shingle copair (one shuffle) + the band copair (one shuffle over 4·docs
+# rows) + three scalar counts cross-joined broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "t34_lsh_recall",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT p.doc_a, p.doc_b FROM pairs p
+        JOIN counts ca ON p.doc_a = ca.doc_id
+        JOIN counts cb ON p.doc_b = cb.doc_id
+        WHERE 2 * p.n_common >= ca.n + cb.n - p.n_common
+    ),
+    sig AS (
+        SELECT doc_id, {D.oracle_minhash_aggs()} FROM sh GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, {D.oracle_band_cols()} FROM sig),
+    long AS (
+        SELECT doc_id, 0 AS band_idx, band0 AS band FROM bands
+        UNION ALL SELECT doc_id, 1, band1 FROM bands
+        UNION ALL SELECT doc_id, 2, band2 FROM bands
+        UNION ALL SELECT doc_id, 3, band3 FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM long a JOIN long b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    hits AS (SELECT doc_a, doc_b FROM exact INTERSECT SELECT doc_a, doc_b FROM cand)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cand)  AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hits)  AS BIGINT) AS n_hits,
+           {oracle_rnd('100.0 * (SELECT count(*) FROM hits) / nullif((SELECT count(*) FROM exact), 0)', 2)} AS recall_pct,
+           {oracle_rnd('100.0 * (SELECT count(*) FROM hits) / nullif((SELECT count(*) FROM cand), 0)', 2)} AS precision_pct
+    """,
+)
+def t34_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        D.copair_counts(sh, "doc_id", "shingle")
+        .join(counts.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(counts.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(
+            2 * F.col("n_common") >= F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+        )
+        .select("doc_a", "doc_b")
+    )
+    sig = sh.groupBy("doc_id").agg(*D.minhash_aggs())
+    long = sig.select("doc_id", *D.band_cols()).selectExpr(
+        "doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, band)",
+    )
+    cand = (
+        D.copair_counts(
+            long.select(
+                "doc_id", F.concat_ws("#", "band_idx", "band").alias("bucket")
+            ),
+            "doc_id",
+            "bucket",
+        )
+        .select("doc_a", "doc_b")
+    )
+    hits = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    row = ne.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(nh))
+    return row.select(
+        "n_exact",
+        "n_candidates",
+        "n_hits",
+        rnd(
+            100.0 * F.col("n_hits") / F.nullif(F.col("n_exact"), F.lit(0)), 2
+        ).alias("recall_pct"),
+        rnd(
+            100.0 * F.col("n_hits") / F.nullif(F.col("n_candidates"), F.lit(0)), 2
+        ).alias("precision_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
 # t08 — SimHash-16 + Hamming-distance histogram over all doc pairs.
 # Signature: md5-nibble bits of distinct tokens, ±1 weighted, sign per bit
 # (operators/dedup.py builders run verbatim on both engines). The all-pairs
