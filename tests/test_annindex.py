@@ -180,6 +180,54 @@ def test_streaming_index_sink_grows_to_full_build(spark, sf_dir, index, tmp_path
     assert got == want
 
 
+def test_cluster_partition_compaction_preserves_queries(spark, sf_dir, index, tmp_path):
+    """Repeated adds accrete small files inside each cluster directory;
+    compact_table pointed at a cluster partition (the documented per-
+    partition form) must shrink files without changing a single query
+    answer — the maintenance story SCALE.md claims for the ANN index."""
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
+        compact_table,
+        table_stats,
+    )
+
+    full_dir, vecs, centroids = index
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "frag_idx")
+    ids = sorted(vecs)
+    # build from the first chunk, then many small adds → many small files
+    chunks = [ids[i::5] for i in range(5)]
+    build_ann_index(
+        spark, emb.filter(F.col("vec_id").isin(chunks[0])), idx, centroids, DIM
+    )
+    for ch in chunks[1:]:
+        add_to_ann_index(spark, emb.filter(F.col("vec_id").isin(ch)), idx, DIM)
+
+    queries = {qid: vecs[qid] for qid in range(100, 103)}
+    before = sorted(
+        map(tuple, query_ann_index(spark, idx, queries, DIM, nprobe=NPROBE, topk=TOPK).collect())
+    )
+    vdir = _vectors_path(idx)
+    parts = [d for d in os.listdir(vdir) if d.startswith("centroid_id=")]
+    assert parts
+    shrunk = 0
+    for d in parts:
+        p = os.path.join(vdir, d)
+        st = compact_table(spark, p, target_bytes=1 << 40)
+        shrunk += int(st["n_files_after"] < st["n_files_before"])
+        assert st["n_files_after"] == 1
+    assert shrunk > 0, "no cluster had accreted files — test is vacuous"
+
+    after = sorted(
+        map(tuple, query_ann_index(spark, idx, queries, DIM, nprobe=NPROBE, topk=TOPK).collect())
+    )
+    assert after == before
+    # and still identical to the one-shot full build
+    want = sorted(
+        map(tuple, query_ann_index(spark, full_dir, queries, DIM, nprobe=NPROBE, topk=TOPK).collect())
+    )
+    assert after == want
+
+
 def test_rebuild_with_refined_centroids(spark, sf_dir, index, tmp_path):
     """The offline lifecycle x12 trains for: refine centroids (one numpy
     Lloyd iteration, the x12 shape), REBUILD the index, and the layout +
