@@ -58,6 +58,9 @@ EXPECTED_NESTED_LOOP = {
     # aggregate (max(ts)), i.e. a map-only pass — the canonical incremental
     # filter shape at any scale
     "q17_incremental_hwm",
+    # LSH recall report: three 1-row COUNT aggregates cross-combined into
+    # the single metrics row — broadcast scalars, the same shape as t10/t12
+    "t34_lsh_recall",
     # pattern-similarity search: the query pattern is a broadcast 1-ROW
     # window (crossJoin) — map-only distance scan over the candidates
     "f07_pattern_similarity",
