@@ -137,6 +137,38 @@ def cmd_compact(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_zorder(args, spark: SparkSession) -> int:
+    """Rewrite a parquet table z-order-clustered on the given columns
+    (Delta OPTIMIZE ZORDER parity) — atomic via the same staging swap
+    compaction uses."""
+    from .operators.maintenance import swap_into_place, table_stats, write_zordered
+
+    before = table_stats(args.path)
+    staging = args.path.rstrip("/") + ".__staging__"
+    df = spark.read.parquet(args.path)
+    write_zordered(df, staging, args.by, n_partitions=args.files)
+    swap_into_place(staging, args.path)
+    after = table_stats(args.path)
+    print(
+        f"z-ordered {args.path} on ({', '.join(args.by)}): "
+        f"{before['n_files']} -> {after['n_files']} files ({after['bytes']} bytes)"
+    )
+    return 0
+
+
+def cmd_profile(args, spark: SparkSession) -> int:
+    """One-pass column profile of a parquet table (rows, nulls, approx
+    distinct, min/max) — the quality snapshot to diff across loads."""
+    from .quality import profile_table
+
+    for r in profile_table(spark.read.parquet(args.path)).collect():
+        print(
+            f"{r['column']:28s} rows={r['n_rows']} nulls={r['n_nulls']} "
+            f"~distinct={r['approx_distinct']} min={r['min_str']} max={r['max_str']}"
+        )
+    return 0
+
+
 def cmd_models(args, spark: SparkSession | None = None) -> int:
     """dbt ls; with --write-manifest / --modified-since it is the CI
     selection flow (reference dbt-ci.yml:106-133, `-s state:modified+`):
@@ -199,6 +231,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     c.add_argument("--sort-cols", nargs="*", help="also range-sort by these columns (skip-friendly layout)")
 
+    z = sub.add_parser("zorder", help="z-order-cluster a parquet table (OPTIMIZE ZORDER)")
+    z.add_argument("--path", required=True)
+    z.add_argument("--by", nargs="+", required=True, help="columns to cluster on")
+    z.add_argument("--files", type=int, default=32, help="output file count")
+
+    pr = sub.add_parser("profile", help="one-pass column profile of a parquet table")
+    pr.add_argument("--path", required=True)
+
     m = sub.add_parser("models", help="list registered models (dbt ls)")
     m.add_argument("--write-manifest", default=None,
                    help="write the model-definition fingerprint manifest (JSON)")
@@ -217,6 +257,8 @@ def main(argv: list[str] | None = None) -> int:
         "test": cmd_test,
         "incremental": cmd_incremental,
         "compact": cmd_compact,
+        "zorder": cmd_zorder,
+        "profile": cmd_profile,
     }[args.cmd](args, spark)
 
 

@@ -129,3 +129,37 @@ def test_cli_incremental_and_compact(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "-> 1 files" in capsys.readouterr().out
+
+
+def test_cli_zorder_and_profile(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.__main__ import (
+        cmd_profile,
+        cmd_zorder,
+    )
+
+    path = str(tmp_path / "tbl")
+    n = 64
+    (
+        spark.range(n * n)
+        .select(
+            F.col("id"),
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+        .repartition(16)
+        .write.parquet(path)
+    )
+    rows_before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    assert cmd_zorder(_A(path=path, by=["x", "y"], files=8), spark) == 0
+    out = capsys.readouterr().out
+    assert "z-ordered" in out and "-> " in out
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == rows_before
+    import os
+    assert not any("__staging__" in d for d in os.listdir(str(tmp_path)))
+
+    assert cmd_profile(_A(path=path), spark) == 0
+    out = capsys.readouterr().out
+    assert "x" in out and f"rows={n*n}" in out and "~distinct=" in out
