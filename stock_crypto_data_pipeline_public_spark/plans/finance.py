@@ -497,3 +497,61 @@ def f08_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
         (F.col("n_events") == 0).alias("was_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# f09 — realized volatility: per (instrument, day), the square root of the
+# sum of squared tick-to-tick log returns — the standard realized-variance
+# estimator a market-data analyst computes right after candles. Returns are
+# lagged over (instrument, day) partitions ordered by the monotone
+# event_id (the same deterministic tiebreak f01 uses); non-positive prices
+# are excluded from the return stream on BOTH engines (ln domain). One
+# window pass (partitioned, never global) + one hash aggregation; at 100 TB
+# the day partition bounds every window buffer. Both engines evaluate
+# ln/sqrt in IEEE double — per-term differences are ≤1 ulp and the
+# aggregate rounds at 6 dp, the same determinism recipe f03/f05 gate with.
+# --------------------------------------------------------------------------
+@query(
+    "f09_realized_volatility",
+    oracle="""
+    WITH ticks AS (
+        SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_id, value
+        FROM events WHERE value > 0
+    ),
+    rets AS (
+        SELECT symbol, day,
+               ln(value / lag(value) OVER (
+                   PARTITION BY symbol, day ORDER BY event_id
+               )) AS r
+        FROM ticks
+    )
+    SELECT symbol, day,
+           CAST(count(r) AS BIGINT)                      AS n_returns,
+           floor(sqrt(sum(r * r)) * 1000000 + 0.5) / 1000000.0 AS realized_vol
+    FROM rets
+    WHERE r IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def f09_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticks = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_id",
+            "value",
+        )
+    )
+    w = W.partitionBy("symbol", "day").orderBy("event_id")
+    rets = ticks.select(
+        "symbol",
+        "day",
+        F.log(F.col("value") / F.lag("value").over(w)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    return rets.groupBy("symbol", "day").agg(
+        F.count("r").alias("n_returns"),
+        rnd(F.sqrt(F.sum(F.col("r") * F.col("r"))), 6).alias("realized_vol"),
+    )
