@@ -5,17 +5,21 @@ with typed metadata alongside; decode / feature-extraction runs as
 Arrow-batched pandas transforms via ``mapInPandas`` (the only place Python
 touches the data — everything else stays JVM-side).
 
-Codec-dependent decodes (PNG/JPEG via PIL, MP4 via libav) are STUBBED: the
+Codec-dependent decodes (JPEG via PIL, MP4 via libav) are STUBBED: the
 container has no media libraries, so :func:`decode_features` raises
 ``NotImplementedError`` for those types unless ``fake=True``, which derives
 deterministic pseudo-features (dimensions, sample-rate) from the payload
-bytes. Two formats go through the REAL path with no external dependency:
+bytes. Four formats go through the REAL path with no external dependency:
 
 - ``audio/wav`` — parsed with the stdlib ``wave`` module (RIFF header:
   frame rate, channel count, frame count)
 - ``image/x-portable-pixmap`` — the PPM P6 header is parsed directly
   (width/height), and :func:`resize_images` does a REAL nearest-neighbor
   resample of the pixel plane in numpy
+- ``image/bmp`` — fixed-offset little-endian struct fields
+- ``image/png`` — full stdlib codec: CRC-verified chunk walk, IHDR parse,
+  multi-IDAT zlib inflate, all five row filters reconstructed, and a
+  ``pixel_sum`` over the raster so oracles gate the pixels, not just dims
 
 The Spark-side plumbing — schema, binary handling, Arrow batch iteration,
 partition-preserving mapInPandas — is identical for real and fake paths.
@@ -41,20 +45,24 @@ from pyspark.sql import functions as F
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, width int, height int, "
     "sample_rate int, n_channels int, n_samples long, duration_ms long, "
-    "checksum string"
+    "pixel_sum long, checksum string"
 )
 
-def attach_media(docs: DataFrame, media_type: str = "image/png") -> DataFrame:
+def attach_media(docs: DataFrame, media_type: str = "image/jpeg") -> DataFrame:
     """Simulate a media table: utf-8 payload bytes + typed metadata columns.
 
     In production this is the parquet/iceberg table the ingestion wrote;
-    the binary column is opaque to the engine either way.
+    the binary column is opaque to the engine either way. NULL text maps to
+    an EMPTY payload (coalesce) so the binary column is never null — the
+    same convention the synthesizers use (``text or ""``) and the one the
+    SQL oracles encode with ``coalesce(text, '')``.
     """
+    payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
     return docs.select(
         "doc_id",
-        F.encode("text", "utf-8").alias("media"),
+        payload.alias("media"),
         F.lit(media_type).alias("media_type"),
-        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        F.octet_length(payload).alias("n_bytes"),
     )
 
 
@@ -163,6 +171,186 @@ def _decode_bmp(b: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------------------------
+# REAL PNG codec — stdlib zlib/struct + numpy, no PIL. Scope: 8-bit
+# truecolor (color type 2), non-interlaced — the shape a training-data
+# pipeline synthesizes/ingests most; anything else raises rather than
+# silently mis-decoding. All five PNG row filters (None/Sub/Up/Average/
+# Paeth) are implemented on both the encode and decode side; chunk CRCs are
+# written AND verified, and multi-IDAT streams are concatenated before
+# inflate, per the spec.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(b: bytes):
+    """Yield ``(type, data)`` for each chunk, verifying length and CRC32 —
+    a corrupt payload fails loudly instead of producing garbage pixels."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG: signature={b[:8]!r}")
+    i = 8
+    while i < len(b):
+        if i + 8 > len(b):
+            raise ValueError("truncated PNG chunk header")
+        length = struct.unpack_from(">I", b, i)[0]
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if len(data) != length or i + 12 + length > len(b):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        crc = struct.unpack_from(">I", b, i + 8 + length)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        i += 12 + length
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec §9.4) on int numpy arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _unfilter_png(flt: bytes, w: int, h: int, bpp: int):
+    """Reverse the per-row PNG filters: ``flt`` is the inflated IDAT stream
+    (h rows of 1 filter byte + w*bpp data bytes) → (h, w*bpp) uint8 raster.
+
+    None/Sub/Up reconstruct vectorized (Sub is a running byte sum along x —
+    exact as cumsum mod 256); Average/Paeth depend on the already-
+    reconstructed left neighbor, so those rows walk pixels in Python — fine
+    inside an Arrow batch, and only rows that actually used filter 3/4 pay.
+    """
+    import numpy as np
+
+    stride = 1 + w * bpp
+    if len(flt) != stride * h:
+        raise ValueError(
+            f"inflated IDAT is {len(flt)} bytes, want {stride * h} for {w}x{h}"
+        )
+    rows = np.frombuffer(flt, dtype=np.uint8).reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        prior = out[y - 1].astype(np.int64) if y else np.zeros(w * bpp, dtype=np.int64)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 1:  # Sub: recon[i] = filt[i] + recon[i-bpp]
+            rec = cur.reshape(w, bpp).cumsum(axis=0).reshape(-1) % 256
+        elif ftype == 2:  # Up
+            rec = (cur + prior) % 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(w * bpp, dtype=np.int64)
+            for i in range(w * bpp):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    upleft = prior[i - bpp] if i >= bpp else 0
+                    pred = int(_paeth(np.int64(left), np.int64(up), np.int64(upleft)))
+                rec[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def _decode_png(b: bytes) -> dict:
+    """REAL PNG decode: signature + chunk walk (CRC-verified), IHDR parse,
+    multi-IDAT concat, zlib inflate, full row unfilter. Returns dimensions
+    plus ``pixel_sum`` — the sum of every reconstructed sample — so an
+    oracle that predicts the raster catches any filter/inflate bug, not
+    just a header mis-parse. Supports 8-bit truecolor non-interlaced
+    (color type 2); other layouts raise."""
+    import struct
+    import zlib
+
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing/malformed IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG layout depth={depth} color={ctype_} "
+            f"interlace={interlace}: only 8-bit truecolor non-interlaced"
+        )
+    raster = _unfilter_png(zlib.decompress(bytes(idat)), w, h, bpp=3)
+    return {
+        "width": w,
+        "height": h,
+        "sample_rate": None,
+        "n_channels": 3,
+        "n_samples": None,
+        "duration_ms": None,
+        "pixel_sum": int(raster.sum(dtype="int64")),
+    }
+
+
+def _encode_png(px, split_idat: bool = False) -> bytes:
+    """REAL PNG encode of an (h, w, 3) uint8 raster: row filter f = y % 5
+    (so every decode exercises all five filters), zlib-compressed, CRC'd
+    chunks; ``split_idat`` emits two IDAT chunks to prove the decoder
+    concatenates per spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    raw = px.reshape(h, w * 3).astype(np.int64)
+    lines = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = raw[y]
+        prior = raw[y - 1] if y else np.zeros(w * 3, dtype=np.int64)
+        left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, dtype=np.int64), prior[:-3]])
+        if f == 0:
+            flt = cur
+        elif f == 1:
+            flt = cur - left
+        elif f == 2:
+            flt = cur - prior
+        elif f == 3:
+            flt = cur - (left + prior) // 2
+        else:
+            flt = cur - _paeth(left, prior, upleft)
+        lines.append(f)
+        lines.extend((flt % 256).astype(np.uint8).tobytes())
+    comp = zlib.compress(bytes(lines), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if split_idat and len(comp) > 1:
+        mid = len(comp) // 2
+        idat = chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+    else:
+        idat = chunk(b"IDAT", comp)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+
+
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
@@ -177,7 +365,7 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
             rows: dict[str, list] = {k: [] for k in (
                 "doc_id", "media_type", "n_bytes", "width", "height",
                 "sample_rate", "n_channels", "n_samples", "duration_ms",
-                "checksum",
+                "pixel_sum", "checksum",
             )}
             for doc_id, mt, b in zip(pdf["doc_id"], pdf["media_type"], pdf["media"]):
                 if mt == "audio/wav":
@@ -186,6 +374,8 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     feat = _decode_ppm(b)
                 elif mt == "image/bmp":
                     feat = _decode_bmp(b)
+                elif mt == "image/png":
+                    feat = _decode_png(b)
                 elif fake:
                     d = hashlib.md5(b).digest()
                     feat = {
@@ -199,10 +389,11 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"real decode of {mt!r} requires PIL/libav (not in "
-                        "container); only audio/wav, image/x-portable-"
-                        "pixmap and image/bmp decode for real — run with "
+                        "container); audio/wav, image/x-portable-pixmap, "
+                        "image/bmp and image/png decode for real — run with "
                         "fake=True for deterministic pseudo-features"
                     )
+                feat.setdefault("pixel_sum", None)
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(mt)
                 rows["n_bytes"].append(len(b))
@@ -320,6 +511,40 @@ def synthesize_bmp(docs: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["media"].append(b)
                 out["media_type"].append("image/bmp")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_png(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL 8-bit truecolor PNGs, one per document:
+    width = 4 + doc_id % 8, height = 4 + (len(text) % 8), pixel (x,y,c) =
+    x + 2y + 3c + doc_id % 50 — every term bounded so the max sample value
+    is 85 < 256, making the decoded ``pixel_sum`` a CLOSED-FORM function of
+    (w, h, doc_id): 3h·w(w−1)/2 + 3w·h(h−1) + 9wh + 3wh·(doc_id % 50).
+    Rows cycle through all five PNG filters (encoder filter = y % 5) and
+    even doc_ids split their IDAT across two chunks, so the oracle gate
+    covers every filter reconstruction path and multi-IDAT concat — not
+    just the header. n_bytes is NOT predictable (zlib), so PNG rollups gate
+    on dims/channels/pixel_sum only."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(4 + doc_id % 8)
+                h = int(4 + (len(text or "") % 8))
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                px = (x + 2 * y + 3 * c + int(doc_id) % 50).astype(np.uint8)
+                b = _encode_png(px, split_idat=(doc_id % 2 == 0))
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("image/png")
                 out["n_bytes"].append(len(b))
             yield pd.DataFrame(out)
 

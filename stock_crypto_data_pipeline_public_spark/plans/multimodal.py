@@ -2,9 +2,12 @@
 exercise the stubbed codec path (deterministic fake decode derived from md5
 digest bytes / payload length arithmetic — SQL-expressible, so the full
 mapInPandas pipelines are oracle-verified end-to-end even without codecs).
-m04 and m05 are the REAL paths: stdlib WAV decode and P6 PPM decode +
-numpy nearest-neighbor resize, with oracles predicting every decoded field
-from the source row."""
+m04-m07 are the REAL paths: stdlib WAV decode, P6 PPM decode + numpy
+nearest-neighbor resize, BMP struct parse, and a full PNG codec
+(CRC-verified chunks, zlib inflate, all five row filters), with oracles
+predicting every decoded field — for PNG the raster pixel sum itself —
+from the source row. NULL text is treated as '' on BOTH engines
+(coalesce in oracles, ``text or ''`` / coalesce in synthesizers)."""
 
 from __future__ import annotations
 
@@ -27,11 +30,11 @@ from .registry import query
     "m01_media_feature_rollup",
     oracle="""
     WITH f AS (
-        SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS h
+        SELECT doc_id, strlen(coalesce(text, '')) AS n_bytes, md5(coalesce(text, '')) AS h
         FROM documents
     ),
     feat AS (
-        SELECT 'image/png' AS media_type, n_bytes, h,
+        SELECT 'image/jpeg' AS media_type, n_bytes, h,
                64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 192 AS width,
                64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 192 AS height
         FROM f
@@ -70,8 +73,8 @@ def m01_media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m02_media_checksums",
     oracle="""
     SELECT doc_id,
-           strlen(text) AS n_bytes,
-           md5(text)    AS checksum
+           strlen(coalesce(text, '')) AS n_bytes,
+           md5(coalesce(text, ''))    AS checksum
     FROM documents
     """,
 )
@@ -97,7 +100,7 @@ def m02_media_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m03_frame_sample_rollup",
     oracle="""
-    WITH f AS (SELECT doc_id, strlen(text) AS len FROM documents),
+    WITH f AS (SELECT doc_id, strlen(coalesce(text, '')) AS len FROM documents),
     s AS (SELECT doc_id, len, greatest(len // 4, 1) AS step FROM f),
     frames AS (
         SELECT doc_id, len, step, unnest(range(0, 4)) AS frame_idx FROM s
@@ -150,7 +153,7 @@ def m03_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                8000 + (doc_id % 5) * 4000  AS sample_rate,
                1 + doc_id % 2              AS n_channels,
-               100 + (length(text) % 400) AS n_samples
+               100 + (coalesce(length(text), 0) % 400) AS n_samples
         FROM documents
     )
     SELECT CAST(sample_rate AS INT)                                    AS sample_rate,
@@ -191,7 +194,7 @@ def m04_wav_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
         SELECT doc_id,
                8 + doc_id % 32            AS w,
-               8 + (length(text) % 32)   AS h
+               8 + (coalesce(length(text), 0) % 32)   AS h
         FROM documents
     )
     SELECT count(*)                                        AS n_images,
@@ -239,7 +242,7 @@ def m05_ppm_real_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
         SELECT doc_id,
                4 + doc_id % 16           AS w,
-               4 + (length(text) % 16)  AS h
+               4 + (coalesce(length(text), 0) % 16)  AS h
         FROM documents
     )
     SELECT CAST(w AS INT)                                        AS width,
@@ -261,4 +264,50 @@ def m06_bmp_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("height").cast("long")).alias("total_height"),
         F.sum(F.col("n_channels").cast("long")).alias("total_channels"),
         F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m07 — REAL PNG decode: deterministic 8-bit truecolor PNGs per document
+# (operators/multimodal.synthesize_png — rows cycle all five PNG filters,
+# even doc_ids split IDAT across two chunks), full stdlib codec decode
+# (CRC-verified chunks, zlib inflate, row unfilter), rollup per width. The
+# gated column that matters is total_pixel_sum: the synthesized raster
+# keeps every sample < 256, so the sum of DECODED pixels is the closed
+# form 3h·w(w−1)/2 + 3w·h(h−1) + 9wh + 3wh·(doc_id % 50) — any filter
+# reconstruction bug, inflate slip, or chunk mis-walk changes it. File
+# size is zlib-dependent, hence deliberately absent from the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "m07_png_real_decode_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               4 + doc_id % 8                          AS w,
+               4 + (coalesce(length(text), 0) % 8)     AS h,
+               doc_id % 50                             AS k
+        FROM documents
+    )
+    SELECT CAST(w AS INT)                              AS width,
+           count(*)                                    AS n_images,
+           CAST(sum(h) AS BIGINT)                      AS total_height,
+           CAST(sum(3) AS BIGINT)                      AS total_channels,
+           CAST(sum(3 * h * w * (w - 1) // 2
+                    + 3 * w * h * (h - 1)
+                    + 9 * w * h
+                    + 3 * w * h * k) AS BIGINT)        AS total_pixel_sum
+    FROM c
+    GROUP BY 1
+    """,
+)
+def m07_png_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_png(docs)
+    feats = M.decode_features(media)  # fake=False: the REAL stdlib codec
+    return feats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
+        F.sum(F.col("n_channels").cast("long")).alias("total_channels"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
     )

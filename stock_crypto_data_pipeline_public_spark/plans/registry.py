@@ -54,36 +54,40 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-4 gate window, ranked by "code changed since last driver hash row":
-#: the q/v/e series (last driver-gated in r2 and touched by round-3's
-#: hardening commits), the new v09 link and the newly-exact t18 (hash-gated
-#: for the first time), the REAL-decode multimodal queries m04/m05, and the
-#: queries whose plans were REWRITTEN this round — x09/x10 (map-only PQ
-#: encode), t05 (single-pass shingles), t11 (full-outer CC convergence fix)
-#: — plus the brand-new x12 k-means. To keep the window at 50, f01/f02
-#: (round-3 red fixes, re-verified) stay in and the finance queries whose
-#: code is untouched since their r2 green row (f03..f07) drop to the back;
-#: they remain covered by the local strict harness, which mirrors the
-#: driver's pandas comparison exactly.
+#: round-5 gate window, ranked by "code changed since last driver hash row":
+#: first the EVIDENCE-GAP queries (round-4 verdict #1) — f09/t33 registered
+#: after the r4 window was fixed and never driver-gated, plus the 12 queries
+#: whose last driver row is r2 (q02 — the entry() flagship whose plan was
+#: rewritten in r3 AFTER its row; q03/q06/q07/e02; q15/q16 whose oracles
+#: were BIGINT-cast in r3; f03..f07) — then the queries whose CODE changes
+#: this round (m07 new real-PNG decode; m01/m05/m06 NULL-text oracle
+#: alignment; x13 zero-norm guard + build/query billing split; x06 candidate
+#: join re-check), then the r3-gated series rotating forward for freshness
+#: (x01..x08/x11, m02/m03, q01, f02, and the t01..t22 text family). The
+#: long-stable r4-green q/v/e series rotates back to the local strict
+#: harness, which mirrors the driver's pandas comparison exactly.
 _GATE_PRIORITY = (
-    # q01/q02/q03/q06/q07/q15/q16/e02 sit out: q01 has a FRESH r3 green
-    # row over untouched code; the rest are unchanged since their r2 green
-    # rows and the simplest operators in their series (TakeOrdered ×2 /
-    # rollup / semi join / distinct-union / lag delta / value_counts),
-    # still covered by the local strict harness — their slots go to
-    # queries whose CODE changed this round (t17 refactor, t23 via
-    # copair_counts, new t31/x13/t32/x14/m06/t34), which the ranking
-    # principle puts first.
-    [f"q{i:02d}" for i in range(1, 23) if i not in (1, 2, 3, 6, 7, 15, 16)]  # (15)
-    + [f"v{i:02d}" for i in range(1, 10)]   # v01..v09 (24) — v09 new
-    + [f"e{i:02d}" for i in range(1, 9) if i != 2]  # (31)
-    + ["f01", "f08"]                        # r3-red fix canary + LOCF (33)
-    + ["t18"]                               # newly hash-gated exact form (34)
-    + ["m04", "m05", "m06"]                 # REAL media decode paths (37)
-    + ["x09", "x10", "t05", "t11", "x12"]   # rewritten/new this round (42)
-    + ["t17", "t23"]                        # changed via shared helpers (44)
-    + ["t30", "t31", "x13", "t32", "x14", "t34"]  # new e2e chains (50)
+    # evidence gap: never-gated + r2-stale (verdict r4 item 1)
+    ["f09", "t33"]
+    + ["q02", "q03", "q06", "q07", "q15", "q16", "e02"]
+    + ["f03", "f04", "f05", "f06", "f07"]                       # (14)
+    # code changed this round
+    + ["m07", "m01", "m05", "m06", "x13", "x06"]                # (20)
+    # r3-stale rotation: vector + media + relational/finance leftovers
+    + ["q01", "f02", "x01", "x02", "x03", "x04", "x05", "x07",
+       "x08", "x11", "m02", "m03"]                              # (32)
+    # r3-stale rotation: text family (t24..t27 stay local this round)
+    + ["t01", "t02", "t03", "t04", "t06", "t07", "t08", "t09",
+       "t10", "t12", "t13", "t14", "t15", "t16", "t19", "t20",
+       "t21", "t22"]                                            # (50)
 )
+
+#: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no
+#: oracle on purpose (approximate answers; their exact twins t18/t17 are
+#: hash-gated and each sketch carries an error-bound property test). They
+#: must NEVER rotate into the driver window — a rows-only row there would
+#: read as red for a non-defect. load_all() enforces this mechanically.
+_NEVER_GATE = frozenset({"t28", "t29"})
 
 
 def load_all() -> None:
@@ -101,6 +105,11 @@ def load_all() -> None:
     )
 
     by_prefix = {name.split("_", 1)[0]: name for name in QUERIES}
+    banned = _NEVER_GATE.intersection(_GATE_PRIORITY)
+    if banned:
+        raise ValueError(
+            f"rows-only sketches must stay out of the driver window: {sorted(banned)}"
+        )
     missing = [p for p in _GATE_PRIORITY if p not in by_prefix]
     if missing:
         # the window is load-bearing: a silently-dropped prefix would slide

@@ -175,3 +175,87 @@ def test_bmp_decode_fields_and_edge_cases(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="not a BMP"):
         _decode_bmp(b"P6 not a bmp" + b"\x00" * 60)
+
+
+def test_png_real_decode_roundtrip(spark, sf_dir):
+    """synthesize_png → decode_features runs the REAL stdlib codec: the
+    decoded dims AND the pixel_sum over the reconstructed raster must equal
+    their closed forms (covers all five row filters + split IDAT)."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    feats = {r.doc_id: r for r in M.decode_features(M.synthesize_png(docs)).collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == 40
+    for doc_id, r in feats.items():
+        w = 4 + doc_id % 8
+        h = 4 + (len(src[doc_id] or "") % 8)
+        k = doc_id % 50
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        expect = (
+            3 * h * w * (w - 1) // 2 + 3 * w * h * (h - 1) + 9 * w * h + 3 * w * h * k
+        )
+        assert r.pixel_sum == expect
+
+
+def test_png_codec_exact_raster_and_filters():
+    """_encode_png → _decode_png reconstructs the EXACT raster for images
+    tall enough that every filter type (y % 5) appears, including values
+    that wrap mod 256 during filtering, and regardless of IDAT splitting."""
+    import numpy as np
+    import zlib
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+        _png_chunks,
+        _unfilter_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for (h, w) in [(7, 5), (6, 1), (11, 9)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for split in (False, True):
+            b = _encode_png(px, split_idat=split)
+            got = _decode_png(b)
+            assert (got["width"], got["height"]) == (w, h)
+            assert got["pixel_sum"] == int(px.sum(dtype="int64"))
+            # reconstruct the raster independently and compare byte-exact
+            idat = b"".join(d for t, d in _png_chunks(b) if t == b"IDAT")
+            raster = _unfilter_png(zlib.decompress(idat), w, h, 3)
+            assert (raster == px.reshape(h, w * 3)).all()
+    # split_idat=True really produces two IDAT chunks
+    b = _encode_png(rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8), split_idat=True)
+    assert sum(1 for t, _ in _png_chunks(b) if t == b"IDAT") == 2
+
+
+def test_png_codec_rejects_corruption():
+    """Corrupt CRC, unsupported layout, and truncation fail loudly."""
+    import struct
+    import numpy as np
+    import pytest as _pytest
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = _encode_png(px)
+    # flip one byte inside the IHDR data → CRC mismatch
+    bad = bytearray(b)
+    bad[8 + 8 + 2] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        _decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"BM" + b"\x00" * 60)
+    with _pytest.raises(ValueError, match="truncated PNG"):
+        _decode_png(b[:20])
+    # grayscale IHDR → unsupported layout, not silent garbage
+    gray = bytearray(b)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    import zlib as _z
+    gray[8:8 + 12 + 13] = (
+        struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG layout"):
+        _decode_png(bytes(gray))
