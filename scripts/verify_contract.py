@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Drive the driver contract end-to-end (see .claude/skills/verify/SKILL.md).
+"""Drive the correctness contract end-to-end (repo verification harness).
 
 Imports ``__spark_entry__`` the way the round driver does, smoke-checks
 ``entry()``, then runs every ``queries()[name]`` against ``oracle_sql()[name]``

@@ -140,18 +140,14 @@ def cmd_compact(args, spark: SparkSession) -> int:
 def cmd_zorder(args, spark: SparkSession) -> int:
     """Rewrite a parquet table z-order-clustered on the given columns
     (Delta OPTIMIZE ZORDER parity) — atomic via the same staging swap
-    compaction uses."""
-    from .operators.maintenance import swap_into_place, table_stats, write_zordered
+    compaction uses, with the same partitioned-root guard."""
+    from .operators.maintenance import zorder_table
 
-    before = table_stats(args.path)
-    staging = args.path.rstrip("/") + ".__staging__"
-    df = spark.read.parquet(args.path)
-    write_zordered(df, staging, args.by, n_partitions=args.files)
-    swap_into_place(staging, args.path)
-    after = table_stats(args.path)
+    stats = zorder_table(spark, args.path, args.by, n_partitions=args.files)
     print(
         f"z-ordered {args.path} on ({', '.join(args.by)}): "
-        f"{before['n_files']} -> {after['n_files']} files ({after['bytes']} bytes)"
+        f"{stats['n_files_before']} -> {stats['n_files_after']} files "
+        f"({stats['bytes']} bytes)"
     )
     return 0
 

@@ -66,6 +66,22 @@ def _assign_to_centroids(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
     ).withColumn("nrm", S.norm("embedding", dim))
+    # fail FAST on degenerate embeddings: a zero-norm (or NULL) vector has
+    # no cosine against any centroid — left unchecked it would be assigned
+    # by NULL-ordering at build time and then silently vanish from query
+    # results (its sim is NULL), an undetectable data-quality hole. The
+    # check rides the existing nrm column — no extra pass.
+    vecs = vecs.withColumn(
+        "nrm",
+        F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("zero-norm or NULL embedding cannot be indexed: vec_id="),
+                    F.col("vec_id").cast("string"),
+                )
+            )
+        ),
+    )
     sim = S.dot("embedding", "ce", dim) / F.nullif(
         F.col("nrm") * F.col("cnrm"), F.lit(0.0)
     )

@@ -50,7 +50,13 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     # mode makes i·h2 on a full-range 64-bit hash a hard overflow error,
     # and (i·h2 mod m) ≤ k·m stays far inside long range
     h1, h2 = _hash_pair(key)
-    h1m, h2m = F.pmod(h1, F.lit(m_bits)), F.pmod(h2, F.lit(m_bits))
+    h1m = F.pmod(h1, F.lit(m_bits))
+    # standard double-hashing fix: the step must be NONZERO, else all k
+    # positions collapse onto h1m and the filter degrades to one hash for
+    # that key (FPR above the advertised bound). pmod(h2, m-1)+1 keeps the
+    # step in [1, m-1]; correctness (no false negatives) never depended on
+    # it, but the FPR bound does.
+    h2m = F.pmod(h2, F.lit(m_bits - 1)) + F.lit(1)
     return [F.pmod(h1m + F.lit(i) * h2m, F.lit(m_bits)) for i in range(k)]
 
 

@@ -271,11 +271,23 @@ def incremental_neardup(
     text_col: str = "text",
     n: int = 3,
     broadcast_new: bool = True,
+    edges_path: str | None = None,
 ) -> DataFrame:
     """Near-dup edges (trigram Jaccard ≥ 1/2) between the NEW documents and
     the corpus seen so far (including new-new pairs), then fold the new
     docs into the persisted index. Returns (doc_a, doc_b, n_common,
     n_a, n_b) with doc_a < doc_b, one row per qualifying pair.
+
+    With ``edges_path`` set, the edges are APPENDED there BEFORE the index
+    fold — write order is the crash-safety contract: if the process dies
+    between the two writes, the batch is NOT yet in the index, so a replay
+    reprocesses it and appends the same edges again (at-least-once).
+    Duplicate edge rows are byte-identical per pair, so
+    :func:`read_neardup_edges` (distinct-on-read) restores exactly-once.
+    The reverse order — fold first, edges second, which an earlier revision
+    of the streaming sink used — silently LOSES the batch's edges on that
+    same crash: the replay drops the docs as already-indexed and emits
+    nothing.
 
     The index is ONE table — postings (doc_id, shingle, n) with the doc's
     total shingle count embedded per row. A separate counts table would
@@ -349,7 +361,21 @@ def incremental_neardup(
     )
     edges = edges.localCheckpoint(eager=True)  # materialize BEFORE index append
 
+    # WRITE ORDER MATTERS: edges first (at-least-once, dedup-on-read),
+    # THEN the index fold that marks the batch as done — see docstring
+    if edges_path is not None:
+        edges.write.mode("append").parquet(edges_path)
+
     # fold the new docs into the index: ONE append (replays were already
     # excluded above, so each doc's postings land exactly once)
     new_sh.write.mode("append").parquet(postings_path)
     return edges
+
+
+def read_neardup_edges(spark, edges_path: str) -> DataFrame:
+    """Exactly-once view of an at-least-once edges log: a crash replay can
+    append a batch's edges twice (never with different values — the rows
+    are deterministic per pair), so reading is a ``distinct()`` over the
+    log. At scale this is a hash-aggregate on (doc_a, doc_b), and periodic
+    compaction (rewrite the distinct) keeps the log bounded."""
+    return spark.read.parquet(edges_path).distinct()

@@ -37,6 +37,24 @@ from .incremental import swap_into_place
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
+def _reject_partitioned_root(path: str, per_partition_hint: str) -> None:
+    """A hive-partitioned ROOT (date=.../ subdirs) must be rewritten per
+    partition directory — reading the root turns partition columns into
+    data columns and a flat rewrite silently destroys the layout and
+    directory-level pruning. Every in-place rewriter (compact_table,
+    zorder_table) calls this before touching the table."""
+    parts = [
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if parts:
+        raise ValueError(
+            f"{path!r} is a partitioned table root ({parts[0]}, ...); "
+            f"rewrite each partition directory instead — {per_partition_hint}"
+        )
+
+
 def _data_files(path: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
@@ -67,20 +85,7 @@ def compact_table(
     Returns {"n_files_before", "n_files_after", "bytes"} so callers can
     log/alert on compaction effectiveness.
     """
-    # a hive-partitioned ROOT (date=.../ subdirs) must be compacted per
-    # partition directory — rewriting the root would silently flatten the
-    # layout (partition columns become data columns, pruning is lost)
-    parts = [
-        d
-        for d in os.listdir(path)
-        if "=" in d and os.path.isdir(os.path.join(path, d))
-    ]
-    if parts:
-        raise ValueError(
-            f"{path!r} is a partitioned table root ({parts[0]}, ...); "
-            "compact each partition directory instead — "
-            "compact_table(spark, f'{path}/<partition>')"
-        )
+    _reject_partitioned_root(path, "compact_table(spark, f'{path}/<partition>')")
     before = table_stats(path)
     n_out = max(1, math.ceil(before["bytes"] / target_bytes))
     df = spark.read.parquet(path)
@@ -218,3 +223,30 @@ def write_zordered(
         .drop(key, tile)
         .write.parquet(path, mode=mode)
     )
+
+
+def zorder_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_partitions: int,
+    bits: int = 8,
+) -> dict:
+    """In-place z-order rewrite of a plain-parquet table (Delta OPTIMIZE
+    ZORDER parity): guard against partitioned roots, cluster into
+    ``n_partitions`` tile-aligned files (``write_zordered``), and swap the
+    result in atomically — the same always-a-complete-table contract as
+    ``compact_table``. Returns the before/after file stats."""
+    _reject_partitioned_root(
+        path, "zorder_table(spark, f'{path}/<partition>', ...)"
+    )
+    before = table_stats(path)
+    staging = path.rstrip("/") + ".__staging__"
+    write_zordered(spark.read.parquet(path), staging, zorder_cols, n_partitions, bits)
+    swap_into_place(staging, path)
+    after = table_stats(path)
+    return {
+        "n_files_before": before["n_files"],
+        "n_files_after": after["n_files"],
+        "bytes": after["bytes"],
+    }

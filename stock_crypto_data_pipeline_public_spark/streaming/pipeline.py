@@ -108,18 +108,24 @@ def run_neardup_sink(
     persisted shingle inverted index (plus within-batch), the qualifying
     edges append to ``edges_path``, and the batch folds into the index —
     per-batch work ∝ batch size, independent of how much corpus has
-    streamed by. Replayed epochs are no-ops (already-indexed doc_ids are
-    dropped inside the operator), so restarts don't duplicate edges. The
-    edge append and the index fold are two plain-parquet writes — the same
-    non-transactional window merge_upsert documents; a table format closes
-    it at deploy with the identical plan."""
+    streamed by.
+
+    Crash safety: the operator appends edges BEFORE folding the batch into
+    the index (dedup.incremental_neardup edges_path contract). A crash
+    between the two writes replays the batch — the docs are not yet
+    indexed, so the same edges append AGAIN rather than being silently
+    lost — and ``read_neardup_edges`` (distinct-on-read) collapses the
+    duplicates, giving exactly-once edges end to end. A crash AFTER the
+    fold replays as a no-op (already-indexed doc_ids drop inside the
+    operator). Both writes are plain parquet appends — a table format
+    makes each one atomic at deploy with the identical plan."""
     from ..operators.dedup import incremental_neardup
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        edges = incremental_neardup(
-            batch.sparkSession, batch, index_dir, id_col, text_col, n
+        incremental_neardup(
+            batch.sparkSession, batch, index_dir, id_col, text_col, n,
+            edges_path=edges_path,
         )
-        edges.write.mode("append").parquet(edges_path)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -260,3 +260,41 @@ def test_rebuild_with_refined_centroids(spark, sf_dir, index, tmp_path):
     probed = set(probe_centroids(index_dir, vecs[100], NPROBE))
     for r in rows:
         assert want[r["neighbor_id"]] in probed
+
+
+def test_zero_norm_embedding_fails_fast(spark, sf_dir, index, tmp_path):
+    """A zero-norm (or NULL) embedding has no cosine: left unchecked it
+    would be assigned via NULL-ordering at build and silently excluded
+    from every query result. Build and add must both fail loudly instead,
+    naming the offending vec_id."""
+    from py4j.protocol import Py4JJavaError
+    from stock_crypto_data_pipeline_public_spark.operators.annindex import (
+        add_to_ann_index,
+    )
+
+    _, vecs, centroids = index
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    zero_row = spark.createDataFrame(
+        [(999_999, [0.0] * DIM)], "vec_id long, embedding array<double>"
+    )
+    poisoned = emb.select("vec_id", "embedding").unionByName(zero_row)
+
+    with pytest.raises(Exception, match="zero-norm or NULL embedding"):
+        build_ann_index(
+            spark, poisoned, str(tmp_path / "z1"), centroids, DIM
+        )
+
+    # incremental add shares the guard (same assignment spine)
+    good_dir = str(tmp_path / "z2")
+    build_ann_index(
+        spark, emb.select("vec_id", "embedding"), good_dir, centroids, DIM
+    )
+    with pytest.raises(Exception, match="zero-norm or NULL embedding"):
+        add_to_ann_index(spark, zero_row, good_dir, DIM)
+
+    # NULL embedding trips the same check
+    null_row = spark.createDataFrame(
+        [(999_998, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm or NULL embedding"):
+        add_to_ann_index(spark, null_row, good_dir, DIM)

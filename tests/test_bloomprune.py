@@ -90,3 +90,31 @@ def test_bloom_semi_join_equals_exact_semi_join(spark):
         map(tuple, probe.join(build, "key", "left_semi").collect())
     )
     assert got == want and want
+
+
+def test_double_hash_step_never_zero(spark):
+    """Kirsch-Mitzenmacher degenerate case: with a zero step (h2 mod m == 0)
+    all k positions collapse to h1 and the key effectively gets ONE hash.
+    The fixed step lies in [1, m-1], so every key must set k distinct-ish
+    positions — concretely, no key may produce fewer than 2 distinct
+    positions when k >= 2 and m is large (a zero step would always produce
+    exactly 1)."""
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.operators.bloomprune import (
+        _positions,
+    )
+
+    m_bits, k = 1 << 10, 5
+    keys = spark.range(20000).select(F.col("id").cast("string").alias("key"))
+    pos = keys.select(
+        F.array_size(
+            F.array_distinct(F.array(*_positions(F.col("key"), m_bits, k)))
+        ).alias("n_distinct")
+    )
+    # with a [1, m-1] step, positions form an arithmetic progression mod m:
+    # all k are distinct whenever step*k < m and gcd-free; at minimum >= 2
+    assert pos.filter(F.col("n_distinct") < 2).count() == 0
+    # and the overwhelming majority hit the full k positions
+    frac_full = pos.filter(F.col("n_distinct") == k).count() / 20000
+    assert frac_full > 0.99

@@ -112,3 +112,59 @@ def test_streaming_neardup_sink_accumulates_batch_pairs(spark, sf_dir, tmp_path)
     )
     want = _edge_set(_batch_edges(docs))
     assert got == want and want
+
+
+def test_crash_between_edge_write_and_index_fold_loses_nothing(
+    spark, sf_dir, tmp_path
+):
+    """The crash-safety contract of the edges_path form: edges append
+    BEFORE the index fold, so a crash in between replays to duplicate
+    edges (recovered by read_neardup_edges), never to lost edges.
+
+    The crash is simulated for real: the index fold is forced to fail
+    (postings path parent is a regular file) AFTER the operator has done
+    its edge append — proving the write order — then the batch replays
+    against a working index dir, as a restarted job would."""
+    import pytest
+
+    from stock_crypto_data_pipeline_public_spark.operators.dedup import (
+        read_neardup_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") < 200)
+    edges_dir = str(tmp_path / "edges")
+
+    # reference: what the batch should contribute (fresh index, no crash)
+    want = _edge_set(
+        incremental_neardup(spark, batch, str(tmp_path / "ref_idx"))
+        .select("doc_a", "doc_b", "n_common")
+    )
+    assert want, "test corpus must contain near-dup pairs"
+
+    # crashing run: index_dir nested under a regular FILE → the postings
+    # append raises, exactly the crash window between the two writes
+    blocker = tmp_path / "blocker"
+    blocker.write_text("")
+    with pytest.raises(Exception):
+        incremental_neardup(
+            spark, batch, str(blocker / "idx"), edges_path=edges_dir
+        )
+    # order proven: the edges survived the crash
+    assert _edge_set(
+        spark.read.parquet(edges_dir).select("doc_a", "doc_b", "n_common")
+    ) == want
+
+    # restart against a good index dir: the batch is unindexed, so it
+    # reprocesses and appends the same edges AGAIN (at-least-once)...
+    idx_dir = str(tmp_path / "idx")
+    incremental_neardup(spark, batch, idx_dir, edges_path=edges_dir)
+    raw = spark.read.parquet(edges_dir)
+    assert raw.count() == 2 * len(want), "replay appends duplicates, not losses"
+    # ...and distinct-on-read restores exactly-once
+    assert _edge_set(
+        read_neardup_edges(spark, edges_dir).select("doc_a", "doc_b", "n_common")
+    ) == want
+    # a second replay after the successful fold is a true no-op
+    incremental_neardup(spark, batch, idx_dir, edges_path=edges_dir)
+    assert spark.read.parquet(edges_dir).count() == 2 * len(want)

@@ -168,3 +168,38 @@ def test_compact_refuses_partitioned_root_but_takes_partition_dir(spark, tmp_pat
     stats = compact_table(spark, part, target_bytes=1 << 40)
     assert stats["n_files_after"] == 1
     assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == rows_before
+
+
+def test_zorder_refuses_partitioned_root_but_takes_partition_dir(spark, tmp_path):
+    """zorder_table (and thus the CLI zorder subcommand) carries the same
+    partitioned-root guard as compact_table: rewriting the root would read
+    partition columns as data and destroy directory-level pruning."""
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
+        zorder_table,
+    )
+
+    path = str(tmp_path / "parted")
+    (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("x"),
+            (F.col("id") % 11).alias("y"),
+            (F.col("id") % 3).alias("d"),
+        )
+        .repartition(10)
+        .write.partitionBy("d")
+        .parquet(path, mode="overwrite")
+    )
+    with pytest.raises(ValueError, match="partitioned table root"):
+        zorder_table(spark, path, ["x", "y"], n_partitions=4)
+    # the layout survives the refused call untouched
+    assert sorted(
+        d for d in __import__("os").listdir(path) if d.startswith("d=")
+    ) == ["d=0", "d=1", "d=2"]
+    # per-partition form works and preserves the rows
+    part = path + "/d=1"
+    rows_before = sorted(r["id"] for r in spark.read.parquet(part).collect())
+    stats = zorder_table(spark, part, ["x", "y"], n_partitions=4)
+    assert stats["n_files_after"] >= 1
+    assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == rows_before
