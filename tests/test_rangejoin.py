@@ -128,3 +128,124 @@ def test_rejects_unknown_how(sides):
         bucketed_range_join(
             points, ivs, on=["k"], point_ts="ts", start_ts="start", end_ts="end", how="full"
         )
+
+
+def _left_oracle(points, ivs, on):
+    """Naive left range join as a row MULTISET: inner inequality join plus
+    the unmatched points null-extended — duplicates preserved, which is
+    exactly what a pid collision would corrupt."""
+    cond = (points["ts"] >= ivs["start"]) & (points["ts"] <= ivs["end"])
+    for c in on:
+        cond = cond & (points[c] == ivs[c])
+    ivs_sel = ivs.select("iv_id", *on, "start", "end")
+    inner = points.join(ivs_sel, cond).select(
+        *[points[c] for c in points.columns], ivs_sel["iv_id"]
+    )
+    matched_only = inner.select(*points.columns)
+    unmatched = points.exceptAll(matched_only).withColumn(
+        "iv_id", F.lit(None).cast("int")
+    )
+    return sorted(
+        (tuple(r) for r in inner.unionByName(unmatched).select(*points.columns, "iv_id").collect()),
+        key=_nkey,
+    )
+
+
+def _nkey(t):
+    """None-safe tuple sort key (None sorts before any value)."""
+    return tuple((v is not None, v) for v in t)
+
+
+def test_left_join_pid_survives_nulls_separators_and_duplicates(spark):
+    """Regression for the __pid identity fix: duplicate point rows whose
+    fields contain NULLs and '#' separator look-alikes must neither drop
+    nor duplicate under how='left'. The old bare concat_ws identity
+    collided ('x', NULL) with (NULL, 'x') and ('a#1', NULL) with
+    ('a', '1') — colliding pids make the unmatched-recovery pass drop or
+    clone rows whenever collided twins differ in matchedness."""
+    t_in = BASE + timedelta(hours=1)     # inside the interval below
+    t_out = BASE + timedelta(days=30)    # outside every interval
+    rows = [
+        # concat_ws-collision twins: same rendering under the old scheme,
+        # opposite matchedness (one in-window, one out)
+        ("g", "x", None, t_in),
+        ("g", None, "x", t_out),
+        # the NULL collision SPANNING the join key — ADVICE's exact case:
+        # "g#<t_in>#1" rendered identically by both under bare concat_ws,
+        # but the first matches and the second (NULL key) never can; a
+        # collided pid anti-joins the unmatched twin away (row LOST)
+        ("g", None, None, t_in),
+        (None, "g", None, t_in),
+        # separator-embedding twins
+        ("g", "a#1", None, t_in),
+        ("g", "a", "1", t_out),
+        # exact duplicates, both matched (must yield 2 matched rows)
+        ("g", "dup", "dup", t_in),
+        ("g", "dup", "dup", t_in),
+        # exact duplicates, both unmatched (must yield 2 null-extended rows)
+        ("g", "dup2", None, t_out),
+        ("g", "dup2", None, t_out),
+        # NULL join key: never matches, must survive null-extended
+        (None, "x", "x", t_in),
+    ]
+    points = spark.createDataFrame(
+        rows, "k string, f1 string, f2 string, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(1, "g", BASE, BASE + timedelta(hours=2))],
+        "iv_id int, k string, start timestamp, end timestamp",
+    )
+    got = sorted(
+        (
+            tuple(r)
+            for r in bucketed_range_join(
+                points, ivs, on=["k"], point_ts="ts", start_ts="start",
+                end_ts="end", bucket="1 hour", how="left",
+            ).select(*points.columns, "iv_id").collect()
+        ),
+        key=_nkey,
+    )
+    assert got == _left_oracle(points, ivs, ["k"])
+    # row conservation, spelled out: every input row appears exactly once
+    # (the two in-window duplicates match the single interval once each)
+    assert len(got) == len(rows)
+
+
+def test_left_join_randomized_nullable_rows_match_naive(spark):
+    """Seeded sweep over nullable point rows drawn from a collision-prone
+    pool ('x', '#', 'x#1', NULL) with heavy duplication — the bucketed
+    left join must equal the naive inequality-join oracle as a multiset."""
+    rng = random.Random(11)
+    pool = ["x", "#", "x#1", "a", None]
+    rows = [
+        (
+            rng.choice(["g", "h"]),
+            rng.choice(pool),
+            rng.choice(pool),
+            BASE + timedelta(minutes=rng.randrange(0, 5000)),
+        )
+        for _ in range(300)
+    ]
+    points = spark.createDataFrame(
+        rows, "k string, f1 string, f2 string, ts timestamp"
+    )
+    ivs_rows = []
+    for j in range(20):
+        start = BASE + timedelta(minutes=rng.randrange(0, 4500))
+        ivs_rows.append(
+            (j, rng.choice(["g", "h"]), start, start + timedelta(minutes=rng.randrange(1, 500)))
+        )
+    ivs = spark.createDataFrame(
+        ivs_rows, "iv_id int, k string, start timestamp, end timestamp"
+    )
+    got = sorted(
+        (
+            tuple(r)
+            for r in bucketed_range_join(
+                points, ivs, on=["k"], point_ts="ts", start_ts="start",
+                end_ts="end", bucket="2 hours", how="left",
+            ).select(*points.columns, "iv_id").collect()
+        ),
+        key=_nkey,
+    )
+    assert got == _left_oracle(points, ivs, ["k"])
