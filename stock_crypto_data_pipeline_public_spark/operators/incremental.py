@@ -91,20 +91,33 @@ def merge_upsert(
     path: str,
     keys: Sequence[str],
     version_col: str,
+    commit: str = "swap",
 ) -> None:
     """MERGE emulation (M1): last-wins by key across (target ∪ source),
-    source preferred on version ties. The merged table is fully written to
-    a staging directory first, then swapped over the target with a
-    directory rename — the target is never in a partial state: a crash
-    before the swap leaves it untouched, a crash between delete and rename
-    leaves the complete staging directory on disk for recovery. (A true
-    atomic swap needs a table format — Delta/Iceberg MERGE INTO replaces
-    this body at deploy; plain directory rename is also not atomic on
-    object stores, another reason the production target is a table
-    format.)"""
+    source preferred on version ties. The merged table is fully written
+    OUTSIDE the live directory first, then committed; the target is never
+    in a partial state. Two commit protocols:
+
+    - ``commit='swap'`` (default): staging write + directory rename-aside
+      (``swap_into_place``). Always-a-complete-table on POSIX filesystems;
+      directory rename is NOT atomic on object stores.
+    - ``commit='manifest'``: pointer-file generations
+      (operators/manifest.py) — the commit is replacing ONE small manifest
+      file, atomic on object stores too (single PUT). The table lives at
+      ``path/gen-NNNNNN`` resolved via ``path/_current``; read it back
+      with ``manifest.read_table`` (plain-table readers are unaffected —
+      resolve_table passes non-manifest paths through).
+
+    (Delta/Iceberg MERGE INTO replaces this body at deploy; the manifest
+    protocol is the same pointer-flip idea those formats use.)"""
+    from . import manifest as MF
+
+    if commit not in ("swap", "manifest"):
+        raise ValueError(f"commit must be 'swap' or 'manifest', got {commit!r}")
+    live = MF.resolve_table(path) if commit == "manifest" else path
     src = source.withColumn("__prio", F.lit(1))
-    if table_exists(spark, path):
-        tgt = spark.read.parquet(path).withColumn("__prio", F.lit(0))
+    if table_exists(spark, live) and (commit == "swap" or MF.is_manifest_table(path)):
+        tgt = spark.read.parquet(live).withColumn("__prio", F.lit(0))
         merged = tgt.unionByName(src)
     else:
         merged = src
@@ -114,6 +127,11 @@ def merge_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__prio")
     )
+    if commit == "manifest":
+        MF.commit_generation(
+            path, lambda gen: result.write.mode("overwrite").parquet(gen)
+        )
+        return
     staging = path.rstrip("/") + ".__staging__"
     result.write.mode("overwrite").parquet(staging)  # reads the live target
     swap_into_place(staging, path)

@@ -1,0 +1,132 @@
+"""Pointer-file (manifest) table commits: atomicity without directory rename.
+
+``swap_into_place`` (incremental.py) keeps a complete table visible at every
+instant on a POSIX filesystem, but its primitive — directory rename — is not
+atomic on object stores (S3A renames are copy+delete per object), and the
+declared production target is object storage (SCALE.md). This module is the
+table-format-free answer: commit = replacing ONE small manifest file.
+
+Layout::
+
+    table_root/
+        _current        <- one line: the name of the live generation dir
+        gen-000001/     <- a complete, immutable parquet table
+        gen-000002/
+
+Writers build the next generation in a fresh directory (never touching the
+live one), then flip ``_current``. Readers resolve ``_current`` and scan
+that generation. The flip is ``os.replace`` of a one-file manifest locally;
+on an object store it maps to a single small PUT — the one atomic primitive
+S3 does provide (strong read-after-write since 2020). Every failure mode is
+benign:
+
+- crash while writing the generation → ``_current`` still names the old
+  complete generation; the orphan directory is garbage, collected by the
+  next successful commit
+- crash between generation write and pointer flip → same
+- crash after the flip → commit is complete; the previous generation is
+  retained for one commit so in-flight readers finish their scan
+
+This is deliberately the skeleton of what Delta/Iceberg do (log/metadata
+pointer → immutable data files); deploying a table format replaces this
+module, not the query plans. Reference parity: the reference's dbt
+``materialized='table'`` relies on the warehouse's transactional swap
+(dbt-duckdb CREATE OR REPLACE); this supplies the equivalent guarantee over
+plain parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+CURRENT = "_current"
+_GEN_PREFIX = "gen-"
+
+
+def is_manifest_table(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, CURRENT))
+
+
+def current_generation(path: str) -> str | None:
+    """Absolute path of the live generation, or None if ``path`` is not a
+    manifest table (or the pointer names a missing directory — treated as
+    corruption and raised, never silently read as empty)."""
+    if not is_manifest_table(path):
+        return None
+    with open(os.path.join(path, CURRENT)) as f:
+        gen = f.read().strip()
+    gen_path = os.path.join(path, gen)
+    if not gen or not os.path.isdir(gen_path):
+        raise ValueError(
+            f"manifest {path!r} points at missing generation {gen!r}"
+        )
+    return gen_path
+
+
+def resolve_table(path: str) -> str:
+    """The directory a reader should scan: the live generation for a
+    manifest table, the path itself for a plain parquet table — so readers
+    are layout-agnostic."""
+    return current_generation(path) or path
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(resolve_table(path))
+
+
+def _generations(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith(_GEN_PREFIX) and os.path.isdir(os.path.join(path, d))
+    )
+
+
+def commit_generation(
+    path: str,
+    write_fn: Callable[[str], None],
+    keep_previous: bool = True,
+) -> str:
+    """Commit a new table state: ``write_fn(gen_dir)`` writes the complete
+    next generation into a fresh directory, then the ``_current`` pointer
+    flips to it in one small-file replace. Returns the committed
+    generation path.
+
+    Retains the previously-current generation (readers may be mid-scan on
+    it; drop with ``keep_previous=False``) and deletes everything else,
+    including orphans from crashed commits — GC runs AFTER the flip, so a
+    crash during GC leaves only extra data, never less.
+    """
+    os.makedirs(path, exist_ok=True)
+    gens = _generations(path)
+    prev = current_generation(path)  # the gen readers may be mid-scan on
+    n = int(gens[-1][len(_GEN_PREFIX):]) + 1 if gens else 1
+    gen = f"{_GEN_PREFIX}{n:06d}"
+    gen_path = os.path.join(path, gen)
+    write_fn(gen_path)
+
+    # THE commit: replace the one-file manifest (os.replace locally; a
+    # single small PUT on an object store)
+    tmp = os.path.join(path, CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(gen + "\n")
+    os.replace(tmp, os.path.join(path, CURRENT))
+
+    # post-commit GC: keep the new gen plus the generation that actually
+    # WAS current (readers may be mid-scan on it); everything else —
+    # including orphans from crashed commits, which were never pointed-to
+    # — is garbage. GC after the flip: a crash here leaves extra data,
+    # never less.
+    survivors = {gen}
+    if keep_previous and prev is not None:
+        survivors.add(os.path.basename(prev))
+    for d in _generations(path):
+        if d not in survivors:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return gen_path

@@ -1,0 +1,127 @@
+"""Pointer-file manifest commits (operators/manifest.py): readers must see
+a complete table at every instant, across every crash window — without
+relying on directory rename (the primitive object stores don't make
+atomic)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.operators import manifest as MF
+from stock_crypto_data_pipeline_public_spark.operators.incremental import (
+    merge_upsert,
+)
+
+
+def _write(df):
+    return lambda gen: df.write.mode("overwrite").parquet(gen)
+
+
+def _ids(spark, path):
+    return sorted(r["id"] for r in MF.read_table(spark, path).collect())
+
+
+def test_commit_read_roundtrip_and_plain_passthrough(spark, tmp_path):
+    path = str(tmp_path / "t")
+    MF.commit_generation(path, _write(spark.range(5)))
+    assert _ids(spark, path) == list(range(5))
+    assert MF.is_manifest_table(path)
+    # plain parquet dirs resolve to themselves — readers are layout-agnostic
+    plain = str(tmp_path / "plain")
+    spark.range(3).write.parquet(plain)
+    assert MF.resolve_table(plain) == plain
+    assert sorted(r["id"] for r in MF.read_table(spark, plain).collect()) == [0, 1, 2]
+
+
+def test_crash_during_generation_write_leaves_old_table_live(spark, tmp_path):
+    path = str(tmp_path / "t")
+    MF.commit_generation(path, _write(spark.range(5)))
+
+    def exploding(gen):
+        spark.range(100).write.parquet(gen)  # partial new data lands...
+        raise RuntimeError("writer died mid-generation")
+
+    with pytest.raises(RuntimeError):
+        MF.commit_generation(path, exploding)
+    # ...but the pointer never moved: readers see the old complete table
+    assert _ids(spark, path) == list(range(5))
+    # recovery is just the next successful commit; it also GCs the orphan
+    MF.commit_generation(path, _write(spark.range(7)))
+    assert _ids(spark, path) == list(range(7))
+    gens = [d for d in os.listdir(path) if d.startswith("gen-")]
+    assert len(gens) == 2  # new + kept previous; the orphan is gone
+
+
+def test_crash_between_write_and_pointer_flip(spark, tmp_path, monkeypatch):
+    """The exact window the directory-rename swap cannot protect on object
+    stores: generation fully written, commit not yet flipped. Readers must
+    still see the OLD table; a retry completes the commit."""
+    path = str(tmp_path / "t")
+    MF.commit_generation(path, _write(spark.range(5)))
+
+    real_replace = os.replace
+
+    def dying_replace(src, dst):
+        raise OSError("crashed before the manifest PUT")
+
+    monkeypatch.setattr(MF.os, "replace", dying_replace)
+    with pytest.raises(OSError, match="crashed before the manifest"):
+        MF.commit_generation(path, _write(spark.range(9)))
+    monkeypatch.setattr(MF.os, "replace", real_replace)
+    # old table still live and complete
+    assert _ids(spark, path) == list(range(5))
+    # retry (the restarted job) commits; the crashed orphan is GC'd
+    MF.commit_generation(path, _write(spark.range(9)))
+    assert _ids(spark, path) == list(range(9))
+
+
+def test_gc_keeps_current_plus_previous_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for n in (3, 4, 5, 6):
+        MF.commit_generation(path, _write(spark.range(n)))
+    gens = sorted(d for d in os.listdir(path) if d.startswith("gen-"))
+    assert len(gens) == 2, "current + previous; older generations GC'd"
+    assert _ids(spark, path) == list(range(6))
+    # the retained previous generation is itself a complete table
+    prev = os.path.join(path, gens[0])
+    assert sorted(r["id"] for r in spark.read.parquet(prev).collect()) == list(range(5))
+
+
+def test_corrupt_pointer_raises_instead_of_reading_empty(spark, tmp_path):
+    path = str(tmp_path / "t")
+    MF.commit_generation(path, _write(spark.range(5)))
+    with open(os.path.join(path, MF.CURRENT), "w") as f:
+        f.write("gen-999999\n")
+    with pytest.raises(ValueError, match="missing generation"):
+        MF.resolve_table(path)
+
+
+def test_merge_upsert_manifest_commit_matches_swap_semantics(spark, tmp_path):
+    """merge_upsert(commit='manifest') produces the identical merged state
+    as the swap protocol, readable through the pointer, with last-wins +
+    source-preferred-on-ties semantics intact across two upserts."""
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k int, v string, ver int"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 20), (3, "C", 10), (4, "d", 5)], "k int, v string, ver int"
+    )
+    swap_path = str(tmp_path / "swap")
+    man_path = str(tmp_path / "man")
+    for p, commit in ((swap_path, "swap"), (man_path, "manifest")):
+        merge_upsert(spark, base, p, ["k"], "ver", commit=commit)
+        merge_upsert(spark, upd, p, ["k"], "ver", commit=commit)
+    got_swap = sorted(map(tuple, spark.read.parquet(swap_path).collect()))
+    got_man = sorted(map(tuple, MF.read_table(spark, man_path).collect()))
+    assert got_swap == got_man == [(1, "a", 10), (2, "B", 20), (3, "C", 10), (4, "d", 5)]
+    # the manifest table is the generation layout, not a flat dir
+    assert MF.is_manifest_table(man_path)
+
+
+def test_merge_upsert_manifest_rejects_unknown_commit(spark, tmp_path):
+    df = spark.createDataFrame([(1, 1)], "k int, ver int")
+    with pytest.raises(ValueError, match="commit must be"):
+        merge_upsert(spark, df, str(tmp_path / "x"), ["k"], "ver", commit="yolo")
