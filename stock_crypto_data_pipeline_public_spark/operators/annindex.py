@@ -40,6 +40,10 @@ def _vectors_path(index_dir: str) -> str:
     return os.path.join(index_dir, "vectors")
 
 
+def _baseline_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "drift_baseline.json")
+
+
 def _assign_to_centroids(
     spark: SparkSession,
     emb: DataFrame,
@@ -94,6 +98,9 @@ def _assign_to_centroids(
                 "centroid_id"
             ),
             F.any_value("embedding").alias("embedding"),
+            # similarity to the WINNING centroid — the assignment-quality
+            # signal the drift diagnostic compares across batches
+            (-F.min("neg_sim")).alias("assign_sim"),
         )
     )
 
@@ -114,14 +121,32 @@ def build_ann_index(
     ``verify=False`` skips the read-back count (n_vectors = -1) when the
     caller will scan the index anyway."""
     assigned = _assign_to_centroids(spark, emb, centroids, dim, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        _vectors_path(index_dir)
-    )
+    assigned = assigned.localCheckpoint(eager=True)  # reused: write + baseline
+    # index files carry only (vec_id, embedding) under centroid_id dirs —
+    # assign_sim is a build-time statistic, not index payload
+    assigned.drop("assign_sim").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(_vectors_path(index_dir))
+    # drift baseline sidecar: the build-time assignment-quality
+    # distribution every later batch is compared against (diagnose_drift)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("assign_sim").alias("mean_sim"),
+        F.coalesce(F.stddev("assign_sim"), F.lit(0.0)).alias("std_sim"),
+    ).first()
     os.makedirs(index_dir, exist_ok=True)
     tmp = _centroids_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump([[float(x) for x in c] for c in centroids], f)
     os.replace(tmp, _centroids_path(index_dir))
+    tmp = _baseline_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"n": stats["n"], "mean_sim": stats["mean_sim"],
+             "std_sim": stats["std_sim"]},
+            f,
+        )
+    os.replace(tmp, _baseline_path(index_dir))
     n = spark.read.parquet(_vectors_path(index_dir)).count() if verify else -1
     return {"n_vectors": n, "n_centroids": len(centroids)}
 
@@ -146,7 +171,10 @@ def add_to_ann_index(
     directory is the maintenance pass. Centroid DRIFT from accumulated
     adds is the documented rebuild trigger (re-train via x12, then
     build_ann_index); the sidecar is the single source of the geometry, so
-    add/query stay consistent between rebuilds. Returns {"n_added"}."""
+    add/query stay consistent between rebuilds. Returns {"n_added",
+    "mean_assign_sim"} — the latter is the batch's assignment-quality
+    number, the same signal diagnose_drift tests against the build-time
+    baseline."""
     with open(_centroids_path(index_dir)) as f:
         centroids = json.load(f)
     new = emb
@@ -159,11 +187,13 @@ def add_to_ann_index(
     # count once while materialized; the append reuses the checkpointed rows
     assigned = assigned.localCheckpoint(eager=True)
     n_added = assigned.count()
+    mean_sim = None
     if n_added:
-        assigned.write.mode("append").partitionBy("centroid_id").parquet(
-            _vectors_path(index_dir)
-        )
-    return {"n_added": n_added}
+        mean_sim = assigned.agg(F.avg("assign_sim")).first()[0]
+        assigned.drop("assign_sim").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(_vectors_path(index_dir))
+    return {"n_added": n_added, "mean_assign_sim": mean_sim}
 
 
 def probe_centroids(index_dir: str, query_vec: list[float], nprobe: int) -> list[int]:
@@ -233,3 +263,56 @@ def query_ann_index(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= topk)
+
+
+def diagnose_drift(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_tol: float = 0.05,
+) -> dict:
+    """Measure how well a candidate batch still fits the index geometry —
+    the MEASURED trigger for the documented retrain lifecycle (sibling of
+    skew.diagnose_skew). Assigns the batch against the sidecar centroids
+    (one K-row broadcast pass, nothing written) and compares its mean
+    assignment similarity with the build-time baseline distribution
+    (drift_baseline.json, recorded by build_ann_index).
+
+    Returns {"n", "batch_mean_sim", "build_mean_sim", "build_std_sim",
+    "z", "rel_drop", "recommend_rebuild"}. ``recommend_rebuild`` fires
+    when the drop is BOTH practically large (``rel_drop`` > ``rel_tol``)
+    and statistically clear (z = drop / (build_std/√n) > 3, the standard
+    error of the batch mean under the build distribution) — an
+    in-distribution batch fails the z-test, a tiny-but-real drop fails
+    the rel_tol test, so neither alone flips the recommendation. The
+    recommended response is an x12 Lloyd retrain + build_ann_index
+    rebuild; until then adds remain CORRECT (assignment and query share
+    the sidecar geometry), just increasingly less selective."""
+    with open(_centroids_path(index_dir)) as f:
+        centroids = json.load(f)
+    with open(_baseline_path(index_dir)) as f:
+        base = json.load(f)
+    assigned = _assign_to_centroids(spark, emb, centroids, dim, id_col, vec_col)
+    row = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("assign_sim").alias("mean_sim")
+    ).first()
+    n, batch_mean = row["n"], row["mean_sim"]
+    build_mean, build_std = base["mean_sim"], base["std_sim"]
+    rel_drop = (
+        (build_mean - batch_mean) / abs(build_mean) if build_mean else 0.0
+    )
+    se = build_std / (n ** 0.5) if (n and build_std) else 0.0
+    z = ((build_mean - batch_mean) / se) if se else float("inf")
+    recommend = bool(n and rel_drop > rel_tol and z > 3.0)
+    return {
+        "n": n,
+        "batch_mean_sim": batch_mean,
+        "build_mean_sim": build_mean,
+        "build_std_sim": build_std,
+        "z": z,
+        "rel_drop": rel_drop,
+        "recommend_rebuild": recommend,
+    }

@@ -116,7 +116,8 @@ def test_incremental_add_equals_full_build(spark, sf_dir, index, tmp_path):
     build_ann_index(spark, emb.filter(F.col("vec_id") < cut), half_dir, centroids, DIM)
 
     stats = add_to_ann_index(spark, emb.filter(F.col("vec_id") >= cut), half_dir, DIM)
-    assert stats == {"n_added": len([i for i in ids if i >= cut])}
+    assert stats["n_added"] == len([i for i in ids if i >= cut])
+    assert stats["mean_assign_sim"] is not None
     stored = {
         int(r["vec_id"]): int(r["centroid_id"])
         for r in spark.read.parquet(_vectors_path(half_dir)).collect()
@@ -125,7 +126,7 @@ def test_incremental_add_equals_full_build(spark, sf_dir, index, tmp_path):
 
     # replaying the same batch adds nothing and appends nothing
     again = add_to_ann_index(spark, emb.filter(F.col("vec_id") >= cut), half_dir, DIM)
-    assert again == {"n_added": 0}
+    assert again["n_added"] == 0
     assert spark.read.parquet(_vectors_path(half_dir)).count() == len(ids)
 
     queries = {qid: vecs[qid] for qid in range(100, 103)}
@@ -298,3 +299,40 @@ def test_zero_norm_embedding_fails_fast(spark, sf_dir, index, tmp_path):
     )
     with pytest.raises(Exception, match="zero-norm or NULL embedding"):
         add_to_ann_index(spark, null_row, good_dir, DIM)
+
+
+def test_diagnose_drift_flips_only_for_drifted_batches(spark, sf_dir, index, tmp_path):
+    """The measured retrain trigger: an in-distribution add batch must NOT
+    recommend a rebuild; a batch orthogonalized against every centroid
+    (zero fit to the index geometry) must."""
+    from stock_crypto_data_pipeline_public_spark.operators.annindex import (
+        diagnose_drift,
+    )
+
+    _, vecs, centroids = index
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = sorted(vecs)
+    cut = ids[len(ids) // 2]
+    idx_dir = str(tmp_path / "drift_idx")
+    build_ann_index(spark, emb.filter(F.col("vec_id") < cut), idx_dir, centroids, DIM)
+
+    # in-distribution: the held-out half of the SAME corpus
+    ok = diagnose_drift(spark, emb.filter(F.col("vec_id") >= cut), idx_dir, DIM)
+    assert ok["n"] > 0 and not ok["recommend_rebuild"], ok
+
+    # drifted: random vectors Gram-Schmidt-orthogonalized against every
+    # centroid -> cosine ~0 to the whole codebook
+    rng = np.random.default_rng(3)
+    C = np.array(centroids, dtype=np.float64)
+    Q, _ = np.linalg.qr(C.T)  # orthonormal basis of the centroid span
+    drifted = []
+    for i in range(200):
+        v = rng.normal(size=DIM)
+        v = v - Q @ (Q.T @ v)  # remove the centroid-span component
+        v = v / np.linalg.norm(v)
+        drifted.append((1_000_000 + i, [float(x) for x in v]))
+    bad = spark.createDataFrame(drifted, "vec_id long, embedding array<double>")
+    alarm = diagnose_drift(spark, bad, idx_dir, DIM)
+    assert alarm["recommend_rebuild"], alarm
+    assert alarm["rel_drop"] > ok["rel_drop"]
+    assert abs(alarm["batch_mean_sim"]) < 0.05, "orthogonal batch fits ~zero"
