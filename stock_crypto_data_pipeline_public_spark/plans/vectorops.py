@@ -371,10 +371,16 @@ def x06_bucketed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(sim, 4).alias("cosine_sim"),
         )
     )
+    # top-50 FIRST, threshold filter on the <=50 survivors: provably the
+    # same result as filter-then-top-50 (the sort key IS the filter column,
+    # so the top 50 contain every above-threshold row that can appear), but
+    # the pre-filter form made Catalyst substitute the 64-term dot into the
+    # Filter predicate AND the Project — evaluating the expensive cosine
+    # TWICE per candidate pair (measured 2.4 s vs 1.2 s at sf0.1, r5).
     return (
-        pairs.filter(F.col("cosine_sim") >= NEARDUP_THRESHOLD)
-        .orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        pairs.orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(50)
+        .filter(F.col("cosine_sim") >= NEARDUP_THRESHOLD)
     )
 
 
