@@ -80,23 +80,41 @@ def compact_table(
     """Rewrite ``path`` into ``ceil(bytes / target_bytes)`` files and swap
     the result into place atomically. With ``sort_cols`` the rewrite is a
     range-partitioned sort (see ``write_range_sorted``) so compaction and
-    skip-friendly clustering happen in the same single rewrite.
+    skip-friendly clustering happen in the same single rewrite. Manifest
+    tables (operators/manifest.py) compact through their pointer protocol
+    — the compacted state becomes the next generation.
 
     Returns {"n_files_before", "n_files_after", "bytes"} so callers can
     log/alert on compaction effectiveness.
     """
-    _reject_partitioned_root(path, "compact_table(spark, f'{path}/<partition>')")
-    before = table_stats(path)
+    from . import manifest as MF
+
+    # a manifest table compacts through its OWN commit protocol: read the
+    # live generation, write the coalesced state as the next generation,
+    # flip the pointer. (Reading the root directly would scan every
+    # retained generation — duplicate rows — and a directory swap would
+    # fight the pointer.)
+    live = MF.resolve_table(path)
+    _reject_partitioned_root(live, "compact_table(spark, f'{path}/<partition>')")
+    before = table_stats(live)
     n_out = max(1, math.ceil(before["bytes"] / target_bytes))
-    df = spark.read.parquet(path)
-    staging = path.rstrip("/") + ".__staging__"
-    if sort_cols:
-        _range_sorted_writer(df, n_out, sort_cols).parquet(staging, mode="overwrite")
+    df = spark.read.parquet(live)
+
+    def _write(out: str) -> None:
+        if sort_cols:
+            _range_sorted_writer(df, n_out, sort_cols).parquet(out, mode="overwrite")
+        else:
+            # coalesce, not repartition: narrowing requires no shuffle
+            df.coalesce(n_out).write.parquet(out, mode="overwrite")
+
+    if live != path:  # manifest table
+        after_dir = MF.commit_generation(path, _write)
     else:
-        # coalesce, not repartition: narrowing requires no shuffle
-        df.coalesce(n_out).write.parquet(staging, mode="overwrite")
-    swap_into_place(staging, path)
-    after = table_stats(path)
+        staging = path.rstrip("/") + ".__staging__"
+        _write(staging)
+        swap_into_place(staging, path)
+        after_dir = path
+    after = table_stats(after_dir)
     return {
         "n_files_before": before["n_files"],
         "n_files_after": after["n_files"],
@@ -236,15 +254,26 @@ def zorder_table(
     ZORDER parity): guard against partitioned roots, cluster into
     ``n_partitions`` tile-aligned files (``write_zordered``), and swap the
     result in atomically — the same always-a-complete-table contract as
-    ``compact_table``. Returns the before/after file stats."""
+    ``compact_table``, including the manifest-table generation commit.
+    Returns the before/after file stats."""
+    from . import manifest as MF
+
+    live = MF.resolve_table(path)  # manifest tables rewrite via the pointer
     _reject_partitioned_root(
-        path, "zorder_table(spark, f'{path}/<partition>', ...)"
+        live, "zorder_table(spark, f'{path}/<partition>', ...)"
     )
-    before = table_stats(path)
-    staging = path.rstrip("/") + ".__staging__"
-    write_zordered(spark.read.parquet(path), staging, zorder_cols, n_partitions, bits)
-    swap_into_place(staging, path)
-    after = table_stats(path)
+    before = table_stats(live)
+    df = spark.read.parquet(live)
+    if live != path:  # manifest table: the rewrite is the next generation
+        after_dir = MF.commit_generation(
+            path, lambda out: write_zordered(df, out, zorder_cols, n_partitions, bits)
+        )
+    else:
+        staging = path.rstrip("/") + ".__staging__"
+        write_zordered(df, staging, zorder_cols, n_partitions, bits)
+        swap_into_place(staging, path)
+        after_dir = path
+    after = table_stats(after_dir)
     return {
         "n_files_before": before["n_files"],
         "n_files_after": after["n_files"],

@@ -125,3 +125,31 @@ def test_merge_upsert_manifest_rejects_unknown_commit(spark, tmp_path):
     df = spark.createDataFrame([(1, 1)], "k int, ver int")
     with pytest.raises(ValueError, match="commit must be"):
         merge_upsert(spark, df, str(tmp_path / "x"), ["k"], "ver", commit="yolo")
+
+
+def test_compact_and_zorder_operate_through_the_pointer(spark, tmp_path):
+    """Maintenance on a manifest table must go through the commit protocol
+    — reading the root directly would scan every retained generation
+    (duplicate rows), and a directory swap would fight the pointer."""
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
+        compact_table,
+        zorder_table,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 7).alias("x"), (F.col("id") % 11).alias("y")
+    )
+    MF.commit_generation(path, lambda gen: df.repartition(16).write.parquet(gen))
+    rows = sorted(r["id"] for r in MF.read_table(spark, path).collect())
+
+    stats = compact_table(spark, path, target_bytes=1 << 40)
+    assert stats["n_files_before"] >= 16 and stats["n_files_after"] == 1
+    # pointer flipped to a NEW generation holding the identical rows once
+    assert sorted(r["id"] for r in MF.read_table(spark, path).collect()) == rows
+    gens = sorted(d for d in os.listdir(path) if d.startswith("gen-"))
+    assert len(gens) == 2  # compacted gen + retained previous
+
+    z = zorder_table(spark, path, ["x", "y"], n_partitions=4)
+    assert z["n_files_after"] >= 1
+    assert sorted(r["id"] for r in MF.read_table(spark, path).collect()) == rows
