@@ -301,6 +301,16 @@ def diagnose_drift(
     ).first()
     n, batch_mean = row["n"], row["mean_sim"]
     build_mean, build_std = base["mean_sim"], base["std_sim"]
+    if not n:  # empty batch: nothing to diagnose, never a rebuild signal
+        return {
+            "n": 0,
+            "batch_mean_sim": None,
+            "build_mean_sim": build_mean,
+            "build_std_sim": build_std,
+            "z": 0.0,
+            "rel_drop": 0.0,
+            "recommend_rebuild": False,
+        }
     rel_drop = (
         (build_mean - batch_mean) / abs(build_mean) if build_mean else 0.0
     )

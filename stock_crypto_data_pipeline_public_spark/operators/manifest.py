@@ -102,6 +102,11 @@ def commit_generation(
     it; drop with ``keep_previous=False``) and deletes everything else,
     including orphans from crashed commits — GC runs AFTER the flip, so a
     crash during GC leaves only extra data, never less.
+
+    Single-writer protocol (like the rename swap it replaces): concurrent
+    committers could allocate the same generation number. Serialize
+    commits per table — the scheduler/stream sink already does — or add a
+    lock service; readers need no coordination in either case.
     """
     os.makedirs(path, exist_ok=True)
     gens = _generations(path)

@@ -336,3 +336,17 @@ def test_diagnose_drift_flips_only_for_drifted_batches(spark, sf_dir, index, tmp
     assert alarm["recommend_rebuild"], alarm
     assert alarm["rel_drop"] > ok["rel_drop"]
     assert abs(alarm["batch_mean_sim"]) < 0.05, "orthogonal batch fits ~zero"
+
+
+def test_diagnose_drift_empty_batch_is_a_noop(spark, sf_dir, index, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators.annindex import (
+        diagnose_drift,
+    )
+
+    _, _, centroids = index
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(spark, emb, idx_dir, centroids, DIM)
+    empty = emb.filter(F.col("vec_id") < 0)
+    rep = diagnose_drift(spark, empty, idx_dir, DIM)
+    assert rep["n"] == 0 and not rep["recommend_rebuild"]
