@@ -293,15 +293,24 @@ def diagnose_drift(
     the sidecar geometry), just increasingly less selective."""
     with open(_centroids_path(index_dir)) as f:
         centroids = json.load(f)
-    with open(_baseline_path(index_dir)) as f:
-        base = json.load(f)
     assigned = _assign_to_centroids(spark, emb, centroids, dim, id_col, vec_col)
     row = assigned.agg(
         F.count(F.lit(1)).alias("n"), F.avg("assign_sim").alias("mean_sim")
     ).first()
-    n, batch_mean = row["n"], row["mean_sim"]
+    return drift_verdict(index_dir, row["n"], row["mean_sim"], rel_tol)
+
+
+def drift_verdict(
+    index_dir: str, n: int, batch_mean: float | None, rel_tol: float = 0.05
+) -> dict:
+    """The drift decision itself, given a batch's size and mean assignment
+    similarity — shared by diagnose_drift and the streaming sink's
+    per-batch drift log so the two can never disagree. Empty batches are
+    never a rebuild signal."""
+    with open(_baseline_path(index_dir)) as f:
+        base = json.load(f)
     build_mean, build_std = base["mean_sim"], base["std_sim"]
-    if not n:  # empty batch: nothing to diagnose, never a rebuild signal
+    if not n:
         return {
             "n": 0,
             "batch_mean_sim": None,
@@ -314,9 +323,9 @@ def diagnose_drift(
     rel_drop = (
         (build_mean - batch_mean) / abs(build_mean) if build_mean else 0.0
     )
-    se = build_std / (n ** 0.5) if (n and build_std) else 0.0
+    se = build_std / (n ** 0.5) if build_std else 0.0
     z = ((build_mean - batch_mean) / se) if se else float("inf")
-    recommend = bool(n and rel_drop > rel_tol and z > 3.0)
+    recommend = bool(rel_drop > rel_tol and z > 3.0)
     return {
         "n": n,
         "batch_mean_sim": batch_mean,

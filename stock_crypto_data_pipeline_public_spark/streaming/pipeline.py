@@ -142,6 +142,7 @@ def run_ann_index_sink(
     checkpoint: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    drift_log: str | None = None,
 ):
     """writeStream → foreachBatch(add_to_ann_index): the persisted IVF
     index grows WITH the embedding stream — each micro-batch assigns its
@@ -150,13 +151,34 @@ def run_ann_index_sink(
     per-batch work ∝ batch size. Replayed epochs no-op (already-indexed
     ids are dropped inside the operator), so restarts don't duplicate
     vectors. The index must exist (build_ann_index) before the stream
-    starts — the sidecar centroids ARE the geometry new batches share."""
-    from ..operators.annindex import add_to_ann_index
+    starts — the sidecar centroids ARE the geometry new batches share.
+
+    With ``drift_log`` set, each non-empty batch appends one row
+    (epoch_id, n_added, mean_assign_sim, build_mean_sim, recommend_rebuild)
+    — add_to_ann_index already measures the batch's assignment quality, so
+    the retrain trigger (annindex.diagnose_drift's criterion against the
+    build-time baseline) becomes an operational, queryable signal of the
+    stream itself rather than a separate diagnostic job."""
+    from ..operators.annindex import add_to_ann_index, drift_verdict
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        add_to_ann_index(
+        stats = add_to_ann_index(
             batch.sparkSession, batch, index_dir, dim, id_col, vec_col
         )
+        if drift_log is None or not stats["n_added"]:
+            return
+        v = drift_verdict(index_dir, stats["n_added"], stats["mean_assign_sim"])
+        batch.sparkSession.createDataFrame(
+            [(
+                int(epoch_id),
+                int(v["n"]),
+                float(v["batch_mean_sim"]),
+                float(v["build_mean_sim"]),
+                v["recommend_rebuild"],
+            )],
+            "epoch_id long, n_added long, mean_assign_sim double, "
+            "build_mean_sim double, recommend_rebuild boolean",
+        ).write.mode("append").parquet(drift_log)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -350,3 +350,43 @@ def test_diagnose_drift_empty_batch_is_a_noop(spark, sf_dir, index, tmp_path):
     empty = emb.filter(F.col("vec_id") < 0)
     rep = diagnose_drift(spark, empty, idx_dir, DIM)
     assert rep["n"] == 0 and not rep["recommend_rebuild"]
+
+
+def test_streaming_sink_drift_log(spark, sf_dir, index, tmp_path):
+    """The streaming ANN sink turns the drift signal operational: each
+    non-empty micro-batch appends one drift-log row using the SAME verdict
+    as diagnose_drift (in-distribution stream batches -> no rebuild)."""
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        file_stream,
+        run_ann_index_sink,
+    )
+
+    _, vecs, centroids = index
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids = sorted(vecs)
+    cut = ids[len(ids) // 2]
+    idx_dir = str(tmp_path / "idx")
+    build_ann_index(spark, emb.filter(F.col("vec_id") < cut), idx_dir, centroids, DIM)
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    drift_log = str(tmp_path / "drift")
+    emb.filter((F.col("vec_id") >= cut) & (F.col("vec_id") % 2 == 0)).write.parquet(in_dir)
+    run_ann_index_sink(
+        file_stream(spark, in_dir, emb.schema), idx_dir, DIM, ckpt,
+        drift_log=drift_log,
+    ).awaitTermination()
+    emb.filter((F.col("vec_id") >= cut) & (F.col("vec_id") % 2 == 1)).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_ann_index_sink(
+        file_stream(spark, in_dir, emb.schema), idx_dir, DIM, ckpt,
+        drift_log=drift_log,
+    ).awaitTermination()
+
+    log = spark.read.parquet(drift_log).collect()
+    assert len(log) == 2
+    for r in log:
+        assert r["n_added"] > 0
+        assert not r["recommend_rebuild"], "in-distribution stream batches"
+        assert abs(r["build_mean_sim"]) > 0
