@@ -152,6 +152,31 @@ def cmd_zorder(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_drift(args, spark: SparkSession) -> int:
+    """Measured retrain trigger for a persisted ANN index: assign the given
+    batch against the sidecar centroids and compare its mean assignment
+    similarity with the build-time baseline (annindex.diagnose_drift)."""
+    from .operators.annindex import diagnose_drift
+
+    rep = diagnose_drift(
+        spark,
+        spark.read.parquet(args.batch),
+        args.index_dir,
+        args.dim,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    )
+    verdict = "REBUILD RECOMMENDED" if rep["recommend_rebuild"] else "in distribution"
+    bm = rep["batch_mean_sim"]
+    print(
+        f"drift: n={rep['n']} batch_mean_sim="
+        f"{bm if bm is None else round(bm, 4)} "
+        f"build_center_sim={round(rep['build_center_sim'], 4)} "
+        f"rel_drop={round(rep['rel_drop'], 4)} -> {verdict}"
+    )
+    return 0
+
+
 def cmd_profile(args, spark: SparkSession) -> int:
     """One-pass column profile of a parquet table (rows, nulls, approx
     distinct, min/max) — the quality snapshot to diff across loads."""
@@ -235,6 +260,15 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("profile", help="one-pass column profile of a parquet table")
     pr.add_argument("--path", required=True)
 
+    dr = sub.add_parser(
+        "drift", help="ANN index drift check: does a batch still fit the geometry?"
+    )
+    dr.add_argument("--index-dir", required=True)
+    dr.add_argument("--batch", required=True, help="parquet of candidate vectors")
+    dr.add_argument("--dim", type=int, required=True)
+    dr.add_argument("--id-col", default="vec_id")
+    dr.add_argument("--vec-col", default="embedding")
+
     m = sub.add_parser("models", help="list registered models (dbt ls)")
     m.add_argument("--write-manifest", default=None,
                    help="write the model-definition fingerprint manifest (JSON)")
@@ -255,6 +289,7 @@ def main(argv: list[str] | None = None) -> int:
         "compact": cmd_compact,
         "zorder": cmd_zorder,
         "profile": cmd_profile,
+        "drift": cmd_drift,
     }[args.cmd](args, spark)
 
 

@@ -133,6 +133,10 @@ def build_ann_index(
         F.count(F.lit(1)).alias("n"),
         F.avg("assign_sim").alias("mean_sim"),
         F.coalesce(F.stddev("assign_sim"), F.lit(0.0)).alias("std_sim"),
+        # the drift CENTER: vectors that are themselves centroids score a
+        # perfect 1.0 and inflate the mean whenever seeds are a visible
+        # fraction of the corpus — the median is insensitive to that spike
+        F.expr("percentile_approx(assign_sim, 0.5)").alias("median_sim"),
     ).first()
     os.makedirs(index_dir, exist_ok=True)
     tmp = _centroids_path(index_dir) + ".tmp"
@@ -143,7 +147,7 @@ def build_ann_index(
     with open(tmp, "w") as f:
         json.dump(
             {"n": stats["n"], "mean_sim": stats["mean_sim"],
-             "std_sim": stats["std_sim"]},
+             "std_sim": stats["std_sim"], "median_sim": stats["median_sim"]},
             f,
         )
     os.replace(tmp, _baseline_path(index_dir))
@@ -281,8 +285,9 @@ def diagnose_drift(
     assignment similarity with the build-time baseline distribution
     (drift_baseline.json, recorded by build_ann_index).
 
-    Returns {"n", "batch_mean_sim", "build_mean_sim", "build_std_sim",
-    "z", "rel_drop", "recommend_rebuild"}. ``recommend_rebuild`` fires
+    Returns {"n", "batch_mean_sim", "build_center_sim", "build_std_sim",
+    "z", "rel_drop", "recommend_rebuild"}; the center is the build-time
+    MEDIAN (robust to the seed vectors' perfect self-similarity). ``recommend_rebuild`` fires
     when the drop is BOTH practically large (``rel_drop`` > ``rel_tol``)
     and statistically clear (z = drop / (build_std/√n) > 3, the standard
     error of the batch mean under the build distribution) — an
@@ -309,27 +314,31 @@ def drift_verdict(
     never a rebuild signal."""
     with open(_baseline_path(index_dir)) as f:
         base = json.load(f)
-    build_mean, build_std = base["mean_sim"], base["std_sim"]
+    build_std = base["std_sim"]
+    # center on the build-time MEDIAN: seed vectors assign to themselves
+    # at sim 1.0 and bias the mean upward whenever they are a visible
+    # fraction of the corpus (tiny indexes, fresh deployments) — a batch
+    # of perfectly ordinary vectors would then read as "drifted". The
+    # median ignores the spike; std still scales the significance test.
+    center = base.get("median_sim", base["mean_sim"])
     if not n:
         return {
             "n": 0,
             "batch_mean_sim": None,
-            "build_mean_sim": build_mean,
+            "build_center_sim": center,
             "build_std_sim": build_std,
             "z": 0.0,
             "rel_drop": 0.0,
             "recommend_rebuild": False,
         }
-    rel_drop = (
-        (build_mean - batch_mean) / abs(build_mean) if build_mean else 0.0
-    )
+    rel_drop = (center - batch_mean) / abs(center) if center else 0.0
     se = build_std / (n ** 0.5) if build_std else 0.0
-    z = ((build_mean - batch_mean) / se) if se else float("inf")
+    z = ((center - batch_mean) / se) if se else float("inf")
     recommend = bool(rel_drop > rel_tol and z > 3.0)
     return {
         "n": n,
         "batch_mean_sim": batch_mean,
-        "build_mean_sim": build_mean,
+        "build_center_sim": center,
         "build_std_sim": build_std,
         "z": z,
         "rel_drop": rel_drop,

@@ -154,7 +154,7 @@ def run_ann_index_sink(
     starts — the sidecar centroids ARE the geometry new batches share.
 
     With ``drift_log`` set, each non-empty batch appends one row
-    (epoch_id, n_added, mean_assign_sim, build_mean_sim, recommend_rebuild)
+    (epoch_id, n_added, mean_assign_sim, build_center_sim, recommend_rebuild)
     — add_to_ann_index already measures the batch's assignment quality, so
     the retrain trigger (annindex.diagnose_drift's criterion against the
     build-time baseline) becomes an operational, queryable signal of the
@@ -173,11 +173,11 @@ def run_ann_index_sink(
                 int(epoch_id),
                 int(v["n"]),
                 float(v["batch_mean_sim"]),
-                float(v["build_mean_sim"]),
+                float(v["build_center_sim"]),
                 v["recommend_rebuild"],
             )],
             "epoch_id long, n_added long, mean_assign_sim double, "
-            "build_mean_sim double, recommend_rebuild boolean",
+            "build_center_sim double, recommend_rebuild boolean",
         ).write.mode("append").parquet(drift_log)
 
     return (

@@ -389,4 +389,4 @@ def test_streaming_sink_drift_log(spark, sf_dir, index, tmp_path):
     for r in log:
         assert r["n_added"] > 0
         assert not r["recommend_rebuild"], "in-distribution stream batches"
-        assert abs(r["build_mean_sim"]) > 0
+        assert abs(r["build_center_sim"]) > 0

@@ -163,3 +163,31 @@ def test_cli_zorder_and_profile(spark, tmp_path, capsys):
     assert cmd_profile(_A(path=path), spark) == 0
     out = capsys.readouterr().out
     assert "x" in out and f"rows={n*n}" in out and "~distinct=" in out
+
+
+def test_cli_drift(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.__main__ import cmd_drift
+    from stock_crypto_data_pipeline_public_spark.operators.annindex import (
+        build_ann_index,
+    )
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, emb.filter(F.col("vec_id") < 100), idx, centroids, 64)
+    batch = str(tmp_path / "batch")
+    emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding").write.parquet(batch)
+
+    class _A:
+        index_dir, dim, id_col, vec_col = idx, 64, "vec_id", "embedding"
+
+    _A.batch = batch
+    assert cmd_drift(_A, spark) == 0
+    out = capsys.readouterr().out
+    assert "in distribution" in out and "batch_mean_sim" in out
