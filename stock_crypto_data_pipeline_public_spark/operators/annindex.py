@@ -91,13 +91,17 @@ def _assign_to_centroids(
     )
     return (
         vecs.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "embedding", "centroid_id", (-sim).alias("neg_sim"))
+        .select("vec_id", "embedding", "nrm", "centroid_id", (-sim).alias("neg_sim"))
         .groupBy("vec_id")
         .agg(
             F.expr("min_by(centroid_id, struct(neg_sim, centroid_id))").alias(
                 "centroid_id"
             ),
             F.any_value("embedding").alias("embedding"),
+            # the vector's norm is INDEX PAYLOAD: queries score cosine
+            # against candidates, so precomputing ‖v‖ once at build beats
+            # recomputing the 64-term expression on every probe
+            F.any_value("nrm").alias("nrm"),
             # similarity to the WINNING centroid — the assignment-quality
             # signal the drift diagnostic compares across batches
             (-F.min("neg_sim")).alias("assign_sim"),
@@ -122,7 +126,7 @@ def build_ann_index(
     caller will scan the index anyway."""
     assigned = _assign_to_centroids(spark, emb, centroids, dim, id_col, vec_col)
     assigned = assigned.localCheckpoint(eager=True)  # reused: write + baseline
-    # index files carry only (vec_id, embedding) under centroid_id dirs —
+    # index files carry (vec_id, embedding, nrm) under centroid_id dirs —
     # assign_sim is a build-time statistic, not index payload
     assigned.drop("assign_sim").write.mode("overwrite").partitionBy(
         "centroid_id"
@@ -252,12 +256,13 @@ def query_ann_index(
     vecs = spark.read.parquet(_vectors_path(index_dir)).filter(
         F.col("centroid_id").isin(probed_all)  # partition pruning at the scan
     )
+    if "nrm" not in vecs.columns:  # index built before norms were payload
+        vecs = vecs.withColumn("nrm", S.norm("embedding", dim))
     sim = S.dot("qe", "embedding", dim) / F.nullif(
         F.col("qnrm") * F.col("nrm"), F.lit(0.0)
     )
     scored = (
-        vecs.withColumn("nrm", S.norm("embedding", dim))
-        .join(F.broadcast(q), "centroid_id")
+        vecs.join(F.broadcast(q), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
