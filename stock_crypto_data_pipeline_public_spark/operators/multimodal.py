@@ -284,6 +284,10 @@ def _decode_png(b: bytes) -> dict:
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("PNG missing/malformed IHDR")
     w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if not w or not h or w * h > (1 << 28):
+        # decompression-bomb guard: a forged IHDR must not drive a
+        # multi-GB allocation before the inflate even fails
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
         raise ValueError(
             f"unsupported PNG layout depth={depth} color={ctype_} "

@@ -33,3 +33,24 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         return
     errs = compare(name, df, duck, registry.ORACLES[name])
     assert not errs, "\n".join(errs)
+
+
+def test_rows_only_sketches_never_enter_gate_window():
+    """t28/t29 are rows-only BY DESIGN (approximate; exact twins t18/t17
+    are hash-gated) — the registry must mechanically refuse a rotation
+    that would put them in the driver's first-50 hash window."""
+    import pytest
+
+    from stock_crypto_data_pipeline_public_spark.plans import registry as R
+
+    assert R._NEVER_GATE == {"t28", "t29"}
+    window = list(R.QUERIES)[:50]
+    assert not [n for n in window if n.split("_", 1)[0] in R._NEVER_GATE]
+    orig = R._GATE_PRIORITY
+    try:
+        R._GATE_PRIORITY = list(orig) + ["t28"]
+        with pytest.raises(ValueError, match="rows-only sketches"):
+            R.load_all()
+    finally:
+        R._GATE_PRIORITY = orig
+        R.load_all()
