@@ -44,6 +44,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 CURRENT = "_current"
+LOG = "_log"
 _GEN_PREFIX = "gen-"
 
 
@@ -74,8 +75,40 @@ def resolve_table(path: str) -> str:
     return current_generation(path) or path
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(resolve_table(path))
+def read_table(
+    spark: SparkSession, path: str, generation: int | None = None
+) -> DataFrame:
+    """Read the live table state, or — for manifest tables — a RETAINED
+    older generation (``generation`` = its number, from :func:`history`):
+    shallow time travel, bounded by ``keep_history`` exactly like a
+    vacuumed Delta table. Asking for a GC'd or unknown generation raises
+    rather than silently reading the wrong data."""
+    if generation is None:
+        return spark.read.parquet(resolve_table(path))
+    gen = f"{_GEN_PREFIX}{generation:06d}"
+    gen_path = os.path.join(path, gen)
+    if not os.path.isdir(gen_path):
+        raise ValueError(
+            f"generation {generation} of {path!r} is unknown or already "
+            f"GC'd (retained: {[int(g[len(_GEN_PREFIX):]) for g in _generations(path)]})"
+        )
+    return spark.read.parquet(gen_path)
+
+
+def history(path: str) -> list[dict]:
+    """Commit history of a manifest table, newest first: one entry per
+    commit still recorded in the log, flagged ``retained`` if its data
+    directory survives GC (only retained generations are readable)."""
+    log_path = os.path.join(path, LOG)
+    if not os.path.isfile(log_path):
+        return []
+    with open(log_path) as f:
+        committed = [line.strip() for line in f if line.strip()]
+    on_disk = set(_generations(path))
+    return [
+        {"generation": int(g[len(_GEN_PREFIX):]), "retained": g in on_disk}
+        for g in reversed(committed)
+    ]
 
 
 def _generations(path: str) -> list[str]:
@@ -91,17 +124,20 @@ def _generations(path: str) -> list[str]:
 def commit_generation(
     path: str,
     write_fn: Callable[[str], None],
-    keep_previous: bool = True,
+    keep_history: int = 1,
 ) -> str:
     """Commit a new table state: ``write_fn(gen_dir)`` writes the complete
     next generation into a fresh directory, then the ``_current`` pointer
     flips to it in one small-file replace. Returns the committed
     generation path.
 
-    Retains the previously-current generation (readers may be mid-scan on
-    it; drop with ``keep_previous=False``) and deletes everything else,
-    including orphans from crashed commits — GC runs AFTER the flip, so a
-    crash during GC leaves only extra data, never less.
+    Retains the ``keep_history`` most recent previously-committed
+    generations (readers may be mid-scan on the last one; older retained
+    ones are readable via ``read_table(path, generation=...)`` — shallow
+    time travel) and deletes everything else, including orphans from
+    crashed commits — GC runs AFTER the flip, so a crash during GC leaves
+    only extra data, never less. ``keep_history=0`` keeps only the new
+    generation.
 
     Single-writer protocol (like the rename swap it replaces): concurrent
     committers could allocate the same generation number. Serialize
@@ -110,7 +146,7 @@ def commit_generation(
     """
     os.makedirs(path, exist_ok=True)
     gens = _generations(path)
-    prev = current_generation(path)  # the gen readers may be mid-scan on
+    prev = current_generation(path)  # readers may be mid-scan on it
     n = int(gens[-1][len(_GEN_PREFIX):]) + 1 if gens else 1
     gen = f"{_GEN_PREFIX}{n:06d}"
     gen_path = os.path.join(path, gen)
@@ -122,14 +158,31 @@ def commit_generation(
     with open(tmp, "w") as f:
         f.write(gen + "\n")
     os.replace(tmp, os.path.join(path, CURRENT))
+    # commit log (after the flip — a crash before this line only loses the
+    # HISTORY entry, never the commit): the log records generations that
+    # actually WERE current, so orphans from crashed commits never gain a
+    # history row and are always GC'd below. If the PREVIOUS current gen
+    # is missing from the log (crash in exactly this window last commit),
+    # heal it first so it keeps its history row and GC protection.
+    log_path = os.path.join(path, LOG)
+    logged: list[str] = []
+    if os.path.isfile(log_path):
+        with open(log_path) as f:
+            logged = [line.strip() for line in f if line.strip()]
+    with open(log_path, "a") as f:
+        if prev is not None and os.path.basename(prev) not in logged:
+            f.write(os.path.basename(prev) + "\n")
+        f.write(gen + "\n")
 
-    # post-commit GC: keep the new gen plus the generation that actually
-    # WAS current (readers may be mid-scan on it); everything else —
-    # including orphans from crashed commits, which were never pointed-to
-    # — is garbage. GC after the flip: a crash here leaves extra data,
-    # never less.
-    survivors = {gen}
-    if keep_previous and prev is not None:
+    # post-commit GC: keep the new gen plus the keep_history most recent
+    # COMMITTED predecessors (readers may be mid-scan on the last; older
+    # retained ones serve time travel); everything else — including
+    # never-pointed-to orphans — is garbage. GC after the flip: a crash
+    # here leaves extra data, never less.
+    with open(log_path) as f:
+        committed = [line.strip() for line in f if line.strip()]
+    survivors = {gen} | set(committed[-(keep_history + 1):])
+    if prev is not None:  # never GC the gen in-flight readers resolved
         survivors.add(os.path.basename(prev))
     for d in _generations(path):
         if d not in survivors:

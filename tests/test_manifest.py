@@ -153,3 +153,65 @@ def test_compact_and_zorder_operate_through_the_pointer(spark, tmp_path):
     z = zorder_table(spark, path, ["x", "y"], n_partitions=4)
     assert z["n_files_after"] >= 1
     assert sorted(r["id"] for r in MF.read_table(spark, path).collect()) == rows
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    """Retained generations are readable by number (shallow time travel,
+    bounded by keep_history like a vacuumed Delta table); history lists
+    every commit newest-first with its retention flag; GC'd generations
+    raise instead of silently reading wrong data."""
+    path = str(tmp_path / "t")
+    for n in (3, 4, 5):
+        MF.commit_generation(path, _write(spark.range(n)), keep_history=2)
+    h = MF.history(path)
+    assert [e["generation"] for e in h] == [3, 2, 1]
+    assert all(e["retained"] for e in h)
+    # read an older state by generation number
+    assert sorted(
+        r["id"] for r in MF.read_table(spark, path, generation=1).collect()
+    ) == list(range(3))
+    # a later commit with the default keep_history=1 vacuums generation 1
+    MF.commit_generation(path, _write(spark.range(6)))
+    h = MF.history(path)
+    assert [e["generation"] for e in h] == [4, 3, 2, 1]
+    assert [e["generation"] for e in h if e["retained"]] == [4, 3]
+    with pytest.raises(ValueError, match="unknown or already"):
+        MF.read_table(spark, path, generation=1)
+    assert _ids(spark, path) == list(range(6))
+
+
+def test_history_heals_after_crash_between_flip_and_log(spark, tmp_path, monkeypatch):
+    """A crash after the pointer flip but before the log append must not
+    cost the live generation its GC protection or history row — the next
+    commit heals the log."""
+    path = str(tmp_path / "t")
+    MF.commit_generation(path, _write(spark.range(3)))
+
+    # crash exactly between flip and log append: only for gen-2's commit
+    real_open = open
+    state = {"armed": False}
+
+    def tracking_open(file, mode="r", *a, **k):
+        if state["armed"] and str(file).endswith(MF.LOG) and "a" in mode:
+            state["armed"] = False
+            raise OSError("crashed before the log append")
+        return real_open(file, mode, *a, **k)
+
+    import builtins
+
+    monkeypatch.setattr(builtins, "open", tracking_open)
+    state["armed"] = True
+    with pytest.raises(OSError, match="crashed before the log append"):
+        MF.commit_generation(path, _write(spark.range(4)))
+    monkeypatch.setattr(builtins, "open", real_open)
+    # the flip happened: gen-2 is live but unlogged
+    assert _ids(spark, path) == list(range(4))
+    assert [e["generation"] for e in MF.history(path)] == [1]
+    # next commit heals: gen-2 gains its history row and survives GC
+    MF.commit_generation(path, _write(spark.range(5)))
+    h = MF.history(path)
+    assert [e["generation"] for e in h] == [3, 2, 1]
+    assert [e["generation"] for e in h if e["retained"]] == [3, 2]
+    assert sorted(
+        r["id"] for r in MF.read_table(spark, path, generation=2).collect()
+    ) == list(range(4))
