@@ -376,6 +376,23 @@ def read_neardup_edges(spark, edges_path: str) -> DataFrame:
     """Exactly-once view of an at-least-once edges log: a crash replay can
     append a batch's edges twice (never with different values — the rows
     are deterministic per pair), so reading is a ``distinct()`` over the
-    log. At scale this is a hash-aggregate on (doc_a, doc_b), and periodic
-    compaction (rewrite the distinct) keeps the log bounded."""
+    log. At scale this is a hash-aggregate on (doc_a, doc_b);
+    :func:`compact_neardup_edges` materializes it periodically so the
+    dedup cost doesn't grow with replay history."""
     return spark.read.parquet(edges_path).distinct()
+
+
+def compact_neardup_edges(spark, edges_path: str) -> dict:
+    """Rewrite the edges log as its distinct set (the maintenance pass
+    read_neardup_edges assumes): one hash-aggregate + the same atomic
+    rename-aside swap every in-place rewrite uses — readers mid-scan keep
+    a complete log at every instant. Returns row counts before/after."""
+    from .incremental import swap_into_place
+
+    raw = spark.read.parquet(edges_path)
+    n_before = raw.count()
+    staging = edges_path.rstrip("/") + ".__staging__"
+    raw.distinct().write.mode("overwrite").parquet(staging)
+    swap_into_place(staging, edges_path)
+    n_after = spark.read.parquet(edges_path).count()
+    return {"n_rows_before": n_before, "n_rows_after": n_after}

@@ -561,6 +561,30 @@ RESIZE_SCHEMA = (
 )
 
 
+def _resize_png(b: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a PNG: full decode (inflate +
+    unfilter), subsample, re-encode through the same stdlib codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    w, h = struct.unpack_from(">II", ihdr)
+    px = _unfilter_png(zlib.decompress(bytes(idat)), w, h, 3).reshape(h, w, 3)
+    yi = np.arange(height) * h // height
+    xi = np.arange(width) * w // width
+    return _encode_png(px[yi][:, xi])
+
+
 def _resize_ppm(b: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resample of a P6 pixel plane (numpy)."""
     import numpy as np
@@ -580,9 +604,11 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
 
     Map-only (no shuffle); output rows are smaller than input, so at scale
     this stage also repacks storage (write the rendition table partitioned
-    like the source). ``image/x-portable-pixmap`` payloads get a REAL
-    nearest-neighbor resample; other formats need PIL, so they raise unless
-    ``fake=True`` (deterministic digest-seeded pseudo-rendition of size
+    like the source). ``image/x-portable-pixmap`` and ``image/png``
+    payloads get a REAL nearest-neighbor resample (PNG round-trips the
+    full stdlib codec: inflate + unfilter -> subsample -> refilter +
+    deflate); other formats need PIL, so they raise unless ``fake=True``
+    (deterministic digest-seeded pseudo-rendition of size
     width*height//64).
     """
 
@@ -599,13 +625,16 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
             for mt, b in zip(pdf["media_type"], pdf["media"]):
                 if mt == "image/x-portable-pixmap":
                     media.append(_resize_ppm(b, width, height))
+                elif mt == "image/png":
+                    media.append(_resize_png(b, width, height))
                 elif fake:
                     media.append(render_fake(b))
                 else:
                     raise NotImplementedError(
                         f"real resize of {mt!r} requires PIL (not in "
-                        "container); only image/x-portable-pixmap resizes "
-                        "for real — run with fake=True for pseudo-renditions"
+                        "container); image/x-portable-pixmap and image/png "
+                        "resize for real — run with fake=True for "
+                        "pseudo-renditions"
                     )
             yield pd.DataFrame(
                 {

@@ -168,3 +168,29 @@ def test_crash_between_edge_write_and_index_fold_loses_nothing(
     # a second replay after the successful fold is a true no-op
     incremental_neardup(spark, batch, idx_dir, edges_path=edges_dir)
     assert spark.read.parquet(edges_dir).count() == 2 * len(want)
+
+
+def test_edge_log_compaction_preserves_the_deduped_set(spark, sf_dir, tmp_path):
+    """compact_neardup_edges rewrites the at-least-once log as its
+    distinct set: the post-compaction raw read equals the pre-compaction
+    deduped view, so replay history stops costing anything."""
+    from stock_crypto_data_pipeline_public_spark.operators.dedup import (
+        compact_neardup_edges,
+        read_neardup_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") < 200)
+    edges_dir = str(tmp_path / "edges")
+    idx = str(tmp_path / "idx")
+    incremental_neardup(spark, batch, idx, edges_path=edges_dir)
+    # simulate a crash replay's duplicate append
+    dup = spark.read.parquet(edges_dir)
+    dup.write.mode("append").parquet(edges_dir)
+    want = _edge_set(read_neardup_edges(spark, edges_dir).select("doc_a", "doc_b", "n_common"))
+    assert want
+
+    stats = compact_neardup_edges(spark, edges_dir)
+    assert stats["n_rows_before"] == 2 * stats["n_rows_after"]
+    got_raw = _edge_set(spark.read.parquet(edges_dir).select("doc_a", "doc_b", "n_common"))
+    assert got_raw == want

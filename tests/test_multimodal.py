@@ -259,3 +259,36 @@ def test_png_codec_rejects_corruption():
     )
     with _pytest.raises(ValueError, match="unsupported PNG layout"):
         _decode_png(bytes(gray))
+
+
+def test_png_real_resize_roundtrip(spark, sf_dir):
+    """PNG resize decodes through the full codec, subsamples, and
+    re-encodes: a second real decode of the rendition must report the new
+    dims and EXACTLY the nearest-neighbor pixel sum of the source."""
+    import numpy as np
+    import zlib
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _png_chunks,
+        _unfilter_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = M.synthesize_png(docs)
+    src = {r.doc_id: bytes(r.media) for r in media.collect()}
+    resized = M.resize_images(M.synthesize_png(docs), 5, 4)  # real path
+    rfeats = {r.doc_id: r for r in M.decode_features(resized).collect()}
+    assert len(rfeats) == 20
+    for doc_id, b in src.items():
+        idat = b"".join(d for t, d in _png_chunks(b) if t == b"IDAT")
+        import struct
+
+        ihdr = next(d for t, d in _png_chunks(b) if t == b"IHDR")
+        w, h = struct.unpack_from(">II", ihdr)
+        px = _unfilter_png(zlib.decompress(idat), w, h, 3).reshape(h, w, 3)
+        yi = np.arange(4) * h // 4
+        xi = np.arange(5) * w // 5
+        expect = px[yi][:, xi]
+        r = rfeats[doc_id]
+        assert (r.width, r.height) == (5, 4)
+        assert r.pixel_sum == int(expect.sum(dtype="int64"))
