@@ -349,3 +349,84 @@ def drift_verdict(
         "rel_drop": rel_drop,
         "recommend_rebuild": recommend,
     }
+
+
+def retrain_centroids(
+    spark: SparkSession,
+    emb: DataFrame,
+    seed_centroids: list[list[float]],
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means refinement of a codebook: alternate the index's
+    OWN max-cosine assignment spine with per-cluster dimension means
+    (posexplode long-form hash aggregate — one exchange per iteration,
+    K x dim driver collect). Empty clusters keep their previous centroid,
+    and a degenerate all-zero mean falls back likewise, so the result is
+    always a valid geometry for build_ann_index. This is the retrain the
+    drift diagnostic recommends; x12 proves the per-iteration math against
+    a SQL oracle, this operator productionizes it for the index
+    lifecycle."""
+    centroids = [[float(x) for x in c] for c in seed_centroids]
+    for _ in range(iters):
+        assigned = _assign_to_centroids(spark, emb, centroids, dim, id_col, vec_col)
+        longf = assigned.select(
+            "centroid_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), "
+                    f"i -> CAST(embedding[i] AS DOUBLE))"
+                )
+            ).alias("d", "x"),
+        )
+        rows = (
+            longf.groupBy("centroid_id", "d")
+            .agg(F.avg("x").alias("cd"))
+            .groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d, cd))), s -> s.cd)"
+                ).alias("ce")
+            )
+            .collect()
+        )
+        means = {int(r["centroid_id"]): [float(x) for x in r["ce"]] for r in rows}
+        nxt = []
+        for k, old in enumerate(centroids):
+            m = means.get(k)
+            nxt.append(m if m and any(m) else old)
+        centroids = nxt
+    return centroids
+
+
+def rebuild_ann_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The retrain lifecycle diagnose_drift recommends, as ONE call:
+    refine the sidecar centroids on the (current) corpus with spherical
+    k-means, then rebuild the index and its drift baseline around the new
+    geometry. The index is derived data — the rebuild reads ``emb`` (the
+    source embedding table), not the old index. Returns build stats plus
+    the before/after build-time mean assignment similarity so the caller
+    sees the retrain actually helped."""
+    with open(_baseline_path(index_dir)) as f:
+        before = json.load(f)
+    with open(_centroids_path(index_dir)) as f:
+        seeds = json.load(f)
+    refined = retrain_centroids(spark, emb, seeds, dim, iters, id_col, vec_col)
+    stats = build_ann_index(
+        spark, emb, index_dir, refined, dim, id_col, vec_col, verify=False
+    )
+    with open(_baseline_path(index_dir)) as f:
+        after = json.load(f)
+    stats["mean_sim_before"] = before["mean_sim"]
+    stats["mean_sim_after"] = after["mean_sim"]
+    return stats

@@ -390,3 +390,26 @@ def test_streaming_sink_drift_log(spark, sf_dir, index, tmp_path):
         assert r["n_added"] > 0
         assert not r["recommend_rebuild"], "in-distribution stream batches"
         assert abs(r["build_center_sim"]) > 0
+
+
+def test_rebuild_lifecycle_improves_assignment_quality(spark, sf_dir, index, tmp_path):
+    """diagnose_drift's recommended response, executable: rebuild_ann_index
+    retrains the codebook (spherical k-means on the index's own assignment
+    spine) and rebuilds — the k-means objective guarantees the build-time
+    mean assignment similarity does not degrade, and here strictly
+    improves over the raw seed codebook."""
+    from stock_crypto_data_pipeline_public_spark.operators.annindex import (
+        rebuild_ann_index,
+    )
+
+    _, vecs, centroids = index
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, emb, idx, centroids, DIM)
+    stats = rebuild_ann_index(spark, emb, idx, DIM, iters=2)
+    assert stats["mean_sim_after"] > stats["mean_sim_before"], stats
+    # the rebuilt index still answers queries with exact top-k semantics
+    queries = {qid: vecs[qid] for qid in list(sorted(vecs))[:3]}
+    out = query_ann_index(spark, idx, queries, DIM, nprobe=NPROBE, topk=TOPK)
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == 3 and all(r["count"] == TOPK for r in got)
