@@ -177,8 +177,9 @@ def add_to_ann_index(
     caller guarantees fresh ids). Appends into a cluster create small
     files over time — ``maintenance.compact_table`` on a partition
     directory is the maintenance pass. Centroid DRIFT from accumulated
-    adds is the documented rebuild trigger (re-train via x12, then
-    build_ann_index); the sidecar is the single source of the geometry, so
+    adds is the measured rebuild trigger (diagnose_drift), and
+    rebuild_ann_index is the one-call retrain+rebuild response; the
+    sidecar is the single source of the geometry, so
     add/query stay consistent between rebuilds. Returns {"n_added",
     "mean_assign_sim"} — the latter is the batch's assignment-quality
     number, the same signal diagnose_drift tests against the build-time
