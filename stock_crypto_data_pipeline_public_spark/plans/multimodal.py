@@ -311,3 +311,50 @@ def m07_png_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_channels").cast("long")).alias("total_channels"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# m08 — REAL PNG decode + REAL resize + second REAL decode: the rendition
+# round-trip m05 proves for PPM, through the full PNG codec instead —
+# resize must inflate + unfilter the source raster, nearest-neighbor
+# subsample, refilter + deflate, and the second decode gates the RESIZED
+# pixels. The oracle reconstructs the subsample index math exactly:
+# resized pixel (x, y, c) = src(x·w÷5, y·h÷4, c) = x·w÷5 + 2·(y·h÷4) + 3c
+# + doc_id % 50 (every term < 256 by construction, so no mod in SQL).
+# File size is zlib-dependent and deliberately ungated.
+# --------------------------------------------------------------------------
+@query(
+    "m08_png_real_resize_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               4 + doc_id % 8                          AS w,
+               4 + (coalesce(length(text), 0) % 8)     AS h,
+               doc_id % 50                             AS k
+        FROM documents
+    ),
+    px AS (
+        SELECT c.doc_id, c.k,
+               (x * c.w) // 5 + 2 * ((y * c.h) // 4) + 3 * ch + c.k AS v
+        FROM c,
+             unnest(range(0, 5)) AS gx(x),
+             unnest(range(0, 4)) AS gy(y),
+             unnest(range(0, 3)) AS gc(ch)
+    )
+    SELECT count(DISTINCT doc_id)            AS n_images,
+           CAST(count(*) / 60 * 5 AS BIGINT) AS total_width,
+           CAST(sum(v) AS BIGINT)            AS total_pixel_sum
+    FROM px
+    """,
+)
+def m08_png_real_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_png(docs)
+    resized = M.resize_images(media, 5, 4)  # REAL: full codec round-trip
+    rfeat = M.decode_features(resized)  # REAL decode of the rendition
+    return rfeat.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("width").cast("long")).alias("total_width"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+    )
