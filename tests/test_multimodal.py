@@ -292,3 +292,31 @@ def test_png_real_resize_roundtrip(spark, sf_dir):
         r = rfeats[doc_id]
         assert (r.width, r.height) == (5, 4)
         assert r.pixel_sum == int(expect.sum(dtype="int64"))
+
+
+def test_null_text_documents_decode_identically_to_empty(spark):
+    """The advisor's latent case, made real: documents with NULL text must
+    behave exactly like empty text through every synthesizer and decode
+    path (attach_media coalesces; synthesizers use `text or ''`) — the
+    convention the SQL oracles encode with coalesce(text, '')."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abc")], "doc_id long, text string"
+    )
+    # fake path: NULL payload would crash hashlib; coalesce makes it b""
+    feats = {r.doc_id: r for r in M.decode_features(M.attach_media(docs), fake=True).collect()}
+    assert feats[1].n_bytes == 0 and feats[1].checksum == feats[2].checksum
+    # every REAL synthesizer treats NULL as len 0 (same dims as empty)
+    for synth, field in (
+        (M.synthesize_wav, "n_samples"),
+        (M.synthesize_ppm, "height"),
+        (M.synthesize_bmp, "height"),
+        (M.synthesize_png, "height"),
+    ):
+        out = {r.doc_id: r for r in M.decode_features(synth(docs)).collect()}
+        assert out[1][field] is not None
+        # doc 1 (NULL) and doc 2 ("") differ only via doc_id terms; compare
+        # against a doc_id-matched empty-text twin instead
+        twin = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        t = {r.doc_id: r for r in M.decode_features(synth(twin)).collect()}
+        assert out[1][field] == t[1][field]
+        assert out[1].checksum == t[1].checksum, "NULL must equal '' byte-for-byte"
