@@ -177,6 +177,23 @@ def cmd_drift(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_history(args, spark: SparkSession | None = None) -> int:
+    """Commit history of a manifest table (operators/manifest.py): one line
+    per commit, newest first, flagged retained/vacuumed — retained
+    generations are readable via read_table(path, generation=N)."""
+    from .operators.manifest import history, is_manifest_table
+
+    if not is_manifest_table(args.path):
+        print(f"{args.path}: not a manifest table (no _current pointer)")
+        return 1
+    entries = history(args.path)
+    for e in entries:
+        flag = "retained" if e["retained"] else "vacuumed"
+        print(f"generation {e['generation']:6d}  {flag}")
+    print(f"{len(entries)} commits, {sum(e['retained'] for e in entries)} retained")
+    return 0
+
+
 def cmd_profile(args, spark: SparkSession) -> int:
     """One-pass column profile of a parquet table (rows, nulls, approx
     distinct, min/max) — the quality snapshot to diff across loads."""
@@ -260,6 +277,11 @@ def main(argv: list[str] | None = None) -> int:
     pr = sub.add_parser("profile", help="one-pass column profile of a parquet table")
     pr.add_argument("--path", required=True)
 
+    hi = sub.add_parser(
+        "history", help="commit history of a manifest table (retained = readable)"
+    )
+    hi.add_argument("--path", required=True)
+
     dr = sub.add_parser(
         "drift", help="ANN index drift check: does a batch still fit the geometry?"
     )
@@ -280,6 +302,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if args.cmd == "models":
         return cmd_models(args)
+    if args.cmd == "history":  # pure filesystem — no Spark session needed
+        return cmd_history(args)
     spark = _spark(args.cpus)
     return {
         "generate": cmd_generate,

@@ -191,3 +191,22 @@ def test_cli_drift(spark, tmp_path, capsys):
     assert cmd_drift(_A, spark) == 0
     out = capsys.readouterr().out
     assert "in distribution" in out and "batch_mean_sim" in out
+
+
+def test_cli_history(spark, tmp_path, capsys):
+    from stock_crypto_data_pipeline_public_spark.__main__ import cmd_history
+    from stock_crypto_data_pipeline_public_spark.operators import manifest as MF
+
+    path = str(tmp_path / "t")
+    for n in (3, 4, 5):
+        MF.commit_generation(path, lambda g, n=n: spark.range(n).write.parquet(g))
+
+    class _A:
+        pass
+
+    _A.path = path
+    assert cmd_history(_A) == 0
+    out = capsys.readouterr().out
+    assert "3 commits, 2 retained" in out
+    _A.path = str(tmp_path / "nope")
+    assert cmd_history(_A) == 1
