@@ -262,15 +262,12 @@ def _unfilter_png(flt: bytes, w: int, h: int, bpp: int):
     return out
 
 
-def _decode_png(b: bytes) -> dict:
-    """REAL PNG decode: signature + chunk walk (CRC-verified), IHDR parse,
-    multi-IDAT concat, zlib inflate, full row unfilter. Returns dimensions
-    plus ``pixel_sum`` — the sum of every reconstructed sample — so an
-    oracle that predicts the raster catches any filter/inflate bug, not
-    just a header mis-parse. Supports 8-bit truecolor non-interlaced
-    (color type 2); other layouts raise."""
+def _png_parse(b: bytes) -> tuple[int, int, bytes]:
+    """(width, height, concatenated IDAT) of a supported PNG — IHDR
+    validated (8-bit truecolor non-interlaced) and dimensions
+    bomb-guarded, shared by decode and resize so neither path can
+    mis-unfilter an unsupported layout."""
     import struct
-    import zlib
 
     ihdr = None
     idat = bytearray()
@@ -293,7 +290,20 @@ def _decode_png(b: bytes) -> dict:
             f"unsupported PNG layout depth={depth} color={ctype_} "
             f"interlace={interlace}: only 8-bit truecolor non-interlaced"
         )
-    raster = _unfilter_png(zlib.decompress(bytes(idat)), w, h, bpp=3)
+    return w, h, bytes(idat)
+
+
+def _decode_png(b: bytes) -> dict:
+    """REAL PNG decode: signature + chunk walk (CRC-verified), IHDR parse,
+    multi-IDAT concat, zlib inflate, full row unfilter. Returns dimensions
+    plus ``pixel_sum`` — the sum of every reconstructed sample — so an
+    oracle that predicts the raster catches any filter/inflate bug, not
+    just a header mis-parse. Supports 8-bit truecolor non-interlaced
+    (color type 2); other layouts raise."""
+    import zlib
+
+    w, h, idat = _png_parse(b)
+    raster = _unfilter_png(zlib.decompress(idat), w, h, bpp=3)
     return {
         "width": w,
         "height": h,
@@ -563,23 +573,14 @@ RESIZE_SCHEMA = (
 
 def _resize_png(b: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resample of a PNG: full decode (inflate +
-    unfilter), subsample, re-encode through the same stdlib codec."""
-    import struct
+    unfilter), subsample, re-encode through the same stdlib codec. Shares
+    _png_parse's layout validation and bomb guard with the decoder."""
     import zlib
 
     import numpy as np
 
-    ihdr = None
-    idat = bytearray()
-    for ctype, data in _png_chunks(b):
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    w, h = struct.unpack_from(">II", ihdr)
-    px = _unfilter_png(zlib.decompress(bytes(idat)), w, h, 3).reshape(h, w, 3)
+    w, h, idat = _png_parse(b)
+    px = _unfilter_png(zlib.decompress(idat), w, h, 3).reshape(h, w, 3)
     yi = np.arange(height) * h // height
     xi = np.arange(width) * w // width
     return _encode_png(px[yi][:, xi])
