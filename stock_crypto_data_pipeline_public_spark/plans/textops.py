@@ -2115,3 +2115,95 @@ def t27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_IP_RE), 0)).alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# t35 — CROSS-document span dedup (the Dolma/FineWeb-style "remove
+# duplicated passages corpus-wide, keep the first occurrence" pass; t21
+# only PROFILES span duplication, this one REMOVES it). Non-overlapping
+# 64-char spans; the corpus-wide keeper of each span value is the minimum
+# (doc_id, chunk_start) — computed as a hash AGGREGATE with map-side
+# partials, NOT a row_number window: at 100 TB a boilerplate span shared
+# by millions of docs would funnel a window's sort into one reducer,
+# while min(struct(...)) partial-aggregates the hot key on every mapper.
+# The keeper join back is 1 build row per span, so hot probe keys don't
+# amplify. Docs reassemble from their kept spans in order (array_sort on
+# (start, span) structs ≡ ORDER BY start — starts are distinct per doc),
+# and every doc survives with its dedup stats even when fully dropped.
+# --------------------------------------------------------------------------
+_SPAN_W = 64
+
+
+@query(
+    "t35_crossdoc_span_dedup",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id,
+               CAST(start AS INT) AS chunk_start,
+               substr(text, CAST(start AS INT), {_SPAN_W}) AS span
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text), 1), {_SPAN_W})) AS start
+            FROM documents
+        )
+    ),
+    keepers AS (
+        SELECT span, min(struct_pack(doc_id := doc_id, chunk_start := chunk_start)) AS w
+        FROM chunks WHERE length(span) > 0 GROUP BY span
+    ),
+    flagged AS (
+        SELECT c.doc_id, c.chunk_start, c.span,
+               (length(c.span) > 0 AND k.w.doc_id = c.doc_id
+                AND k.w.chunk_start = c.chunk_start) AS kept
+        FROM chunks c
+        LEFT JOIN keepers k ON c.span = k.span
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (length(span) > 0) AS BIGINT)  AS n_spans,
+           CAST(count(*) FILTER (kept) AS BIGINT)              AS n_kept,
+           CAST(coalesce(sum(length(span)) FILTER (kept), 0) AS BIGINT) AS clean_len,
+           md5(coalesce(string_agg(span, '' ORDER BY chunk_start) FILTER (kept), '')) AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def t35_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_SPAN_W)
+    )
+    chunks = docs.select(
+        "doc_id", F.explode(starts).alias("chunk_start"),
+        F.col("text").substr(F.col("chunk_start"), F.lit(_SPAN_W)).alias("span"),
+    )
+    keepers = (
+        chunks.filter(F.length("span") > 0)
+        .groupBy("span")
+        .agg(F.min(F.struct("doc_id", "chunk_start")).alias("w"))
+    )
+    flagged = chunks.join(keepers, "span", "left").select(
+        "doc_id",
+        "chunk_start",
+        "span",
+        (
+            (F.length("span") > 0)
+            & (F.col("w.doc_id") == F.col("doc_id"))
+            & (F.col("w.chunk_start") == F.col("chunk_start"))
+        ).alias("kept"),
+    )
+    kept_span = F.when(F.col("kept"), F.struct("chunk_start", "span"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.when(F.length("span") > 0, 1)).alias("n_spans"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.length("span"))), F.lit(0)
+        ).alias("clean_len"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_span)), lambda s: s["span"]
+                ),
+            )
+        ).alias("clean_md5"),
+    )

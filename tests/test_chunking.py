@@ -154,3 +154,41 @@ def test_extract_text_txt_real_pdf_stubbed(spark):
     # deterministic: same payload -> same fake text
     again = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
     assert fake == again
+
+
+def test_crossdoc_span_dedup_keeper_semantics(spark, tmp_path):
+    """Constructed duplicates prove the keeper rules: first corpus-wide
+    occurrence (min doc_id, then min chunk_start) survives, intra-doc
+    repeats drop, and a fully-duplicated doc survives as an empty row."""
+    import hashlib
+
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        t35_crossdoc_span_dedup,
+    )
+
+    A = "a" * 64
+    B = "b" * 64
+    C = "c" * 64
+    rows = [
+        (1, A + B),          # doc 1: owns A and B
+        (2, A + C + C),      # doc 2: A duplicates doc 1; C twice (intra-dup)
+        (3, B),              # doc 3: fully duplicated -> empty survivor
+        (4, ""),             # empty text -> zero spans, still present
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    # the query reads <sf_dir>/documents.parquet — build that layout
+    import os, shutil
+    sf = tmp_path / "sf"
+    os.makedirs(sf)
+    shutil.move(path, str(sf / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in t35_crossdoc_span_dedup(spark, str(sf)).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["n_spans"], got[1]["n_kept"]) == (2, 2)
+    assert got[1]["clean_md5"] == hashlib.md5((A + B).encode()).hexdigest()
+    assert (got[2]["n_spans"], got[2]["n_kept"]) == (3, 1)  # keeps only C once
+    assert got[2]["clean_md5"] == hashlib.md5(C.encode()).hexdigest()
+    assert (got[3]["n_spans"], got[3]["n_kept"], got[3]["clean_len"]) == (1, 0, 0)
+    assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert (got[4]["n_spans"], got[4]["n_kept"]) == (0, 0)
