@@ -2207,3 +2207,124 @@ def t35_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# t36 — content-defined segmentation dedup: t35 with ALIGNMENT-INVARIANT
+# boundaries. A fixed char grid breaks when a passage reappears at a
+# different offset (every span shifts); here a segment ends wherever a
+# token's content hashes into the boundary class (md5 first hex in
+# {0,1} ≈ rate 1/8), so boundaries travel WITH the content — a passage
+# duplicated mid-document produces byte-identical interior segments
+# regardless of what precedes it (the CDC idea from dedup storage
+# systems, applied to corpus curation). Keeper + reassembly mechanics
+# are exactly t35's (min-struct hash aggregate, hot-segment-safe; see
+# SCALE.md). Plan: token explode (map) → per-doc boundary cumsum (one
+# doc_id exchange, reused by the segment groupBy) → keeper agg + join
+# back → per-doc rollup.
+# --------------------------------------------------------------------------
+@query(
+    "t36_cdc_segment_dedup",
+    oracle=r"""
+    WITH toks0 AS (
+        SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+              FROM documents)
+    ),
+    toks AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN substr(md5(tok), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS bnd
+        FROM toks0 WHERE tok <> ''
+    ),
+    seg AS (
+        SELECT doc_id, pos, tok,
+               coalesce(sum(bnd) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS seg_id
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id, seg_id, min(pos) AS seg_start,
+               string_agg(tok, ' ' ORDER BY pos) AS segment
+        FROM seg GROUP BY doc_id, seg_id
+    ),
+    keepers AS (
+        SELECT segment,
+               min(struct_pack(doc_id := doc_id, seg_start := seg_start)) AS w
+        FROM segs GROUP BY segment
+    ),
+    fl AS (
+        SELECT s.doc_id, s.seg_start, s.segment,
+               (k.w.doc_id = s.doc_id AND k.w.seg_start = s.seg_start) AS kept
+        FROM segs s JOIN keepers k ON s.segment = k.segment
+    ),
+    per AS (
+        SELECT doc_id,
+               count(*)                AS n_segments,
+               count(*) FILTER (kept)  AS n_kept,
+               md5(coalesce(string_agg(segment, ' ' ORDER BY seg_start)
+                            FILTER (kept), '')) AS clean_md5
+        FROM fl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(p.n_kept, 0) AS BIGINT)     AS n_kept,
+           coalesce(p.clean_md5, md5(''))            AS clean_md5
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def t36_cdc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("p0", "tok"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+        .filter(F.col("tok") != "")
+    )
+    bnd = F.md5("tok").substr(1, 1).isin("0", "1").cast("int")
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    seg = toks.withColumn("seg_id", F.coalesce(F.sum(bnd).over(w), F.lit(0)))
+    segs = seg.groupBy("doc_id", "seg_id").agg(
+        F.min("pos").alias("seg_start"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("segment"),
+    )
+    keepers = segs.groupBy("segment").agg(
+        F.min(F.struct("doc_id", "seg_start")).alias("w")
+    )
+    fl = segs.join(keepers, "segment").select(
+        "doc_id",
+        "seg_start",
+        "segment",
+        (
+            (F.col("w.doc_id") == F.col("doc_id"))
+            & (F.col("w.seg_start") == F.col("seg_start"))
+        ).alias("kept"),
+    )
+    kept_seg = F.when(F.col("kept"), F.struct("seg_start", "segment"))
+    per = fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_seg)), lambda s: s["segment"]
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )

@@ -192,3 +192,54 @@ def test_crossdoc_span_dedup_keeper_semantics(spark, tmp_path):
     assert (got[3]["n_spans"], got[3]["n_kept"], got[3]["clean_len"]) == (1, 0, 0)
     assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
     assert (got[4]["n_spans"], got[4]["n_kept"]) == (0, 0)
+
+
+def test_cdc_segment_dedup_is_alignment_invariant(spark, tmp_path):
+    """The property t35's fixed grid lacks: a passage duplicated at a
+    DIFFERENT offset still dedups, because segment boundaries are decided
+    by token content, not position. Verified against an exact Python
+    reimplementation of the segmentation + keeper rules."""
+    import hashlib
+    import os
+    import random
+
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        t36_cdc_segment_dedup,
+    )
+
+    rng = random.Random(9)
+    passage = " ".join(f"w{rng.randrange(1000)}" for _ in range(120))
+    rows = [(1, passage), (2, "unrelated prefix words here " + passage)]
+
+    def segments(text):
+        toks = [t for t in text.strip().split() if t]
+        segs, cur, start = [], [], 1
+        for i, t in enumerate(toks, 1):
+            if not cur:
+                start = i
+            cur.append(t)
+            if hashlib.md5(t.encode()).hexdigest()[0] in "01":
+                segs.append((start, " ".join(cur)))
+                cur = []
+        if cur:
+            segs.append((start, " ".join(cur)))
+        return segs
+
+    s1, s2 = segments(rows[0][1]), segments(rows[1][1])
+    owned1 = {s for _, s in s1}
+    expect_kept2 = [seg for _, seg in s2 if seg not in owned1]
+    assert len(expect_kept2) < len(s2), "interior segments must dedup across docs"
+
+    sf = tmp_path / "sf"
+    os.makedirs(sf)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in t36_cdc_segment_dedup(spark, str(sf)).collect()}
+    assert got[1]["n_kept"] == got[1]["n_segments"] == len(s1)
+    assert got[2]["n_segments"] == len(s2)
+    assert got[2]["n_kept"] == len(expect_kept2)
+    assert (
+        got[2]["clean_md5"]
+        == hashlib.md5(" ".join(expect_kept2).encode()).hexdigest()
+    )
