@@ -76,11 +76,11 @@ _GATE_PRIORITY = (
     # r3-stale rotation: vector + media + relational/finance leftovers
     + ["q01", "f02", "x01", "x02", "x03", "x04", "x05", "x07",
        "x08", "x11", "m02", "m03"]                              # (32)
-    # new t35 (cross-doc span dedup) + r3-stale text family rotation
-    # (t21/t22/t24..t27 stay local this round)
-    + ["t35", "t01", "t02", "t03", "t04", "t06", "t07", "t08",
-       "t09", "t10", "t12", "t13", "t14", "t15", "t16", "t19",
-       "t20"]                                                   # (50)
+    # new t35/t36 (span + CDC segment dedup) + r3-stale text rotation
+    # (t20/t21/t22/t24..t27 stay local this round)
+    + ["t35", "t36", "t01", "t02", "t03", "t04", "t06", "t07",
+       "t08", "t09", "t10", "t12", "t13", "t14", "t15", "t16",
+       "t19"]                                                   # (50)
 )
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no
