@@ -60,13 +60,15 @@ def main() -> int:
     # Full names to stderr for humans; the stdout JSON line must stay well
     # under the driver's 2000-char tail buffer (round 1's full-name line
     # overflowed it -> "parsed": null), so use each query's unique ID prefix.
-    from stock_crypto_data_pipeline_public_spark.plans import vectorops
+    from stock_crypto_data_pipeline_public_spark.plans import textops, vectorops
 
     extras = {"queries_full": timings}
     if vectorops.X13_BILLING:
-        # x13 bills honest index-BUILD cost into its headline number; the
-        # split shows the query path itself is milliseconds-scale
+        # x13/t31 bill honest index-BUILD cost into their headline
+        # numbers; the splits show what the wall time actually bought
         extras["x13_billing"] = dict(vectorops.X13_BILLING)
+    if textops.T31_BILLING:
+        extras["t31_billing"] = dict(textops.T31_BILLING)
     print(json.dumps(extras), file=sys.stderr)
     short = {name.split("_", 1)[0]: t for name, t in sorted(timings.items())}
     if len(short) != len(timings):  # not assert: must survive python -O

@@ -1702,6 +1702,11 @@ def t30_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would produce. The index lives in a fresh temp dir per call (removed
 # before returning), so the query is pure and replays are deterministic.
 # --------------------------------------------------------------------------
+#: last t31 run's per-increment wall split (bench.py reports it — the
+#: headline number bills TWO full index-building increments, not a query)
+T31_BILLING: dict = {}
+
+
 @query(
     "t31_incremental_vs_batch_neardup",
     oracle=f"""
@@ -1726,17 +1731,24 @@ def t30_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t31_incremental_vs_batch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+    import time
 
     from ..operators.dedup import incremental_neardup
 
     docs = _docs(spark, sf_dir)
     index_dir = tempfile.mkdtemp(prefix="neardup_idx_")
     try:
+        t0 = time.perf_counter()
         e1 = incremental_neardup(
             spark, docs.filter(F.col("doc_id") % 2 == 0), index_dir
         )
+        t1 = time.perf_counter()
         e2 = incremental_neardup(
             spark, docs.filter(F.col("doc_id") % 2 == 1), index_dir
+        )
+        t2 = time.perf_counter()
+        T31_BILLING.update(
+            increment1_s=round(t1 - t0, 3), increment2_s=round(t2 - t1, 3)
         )
         # both edge frames are localCheckpointed (materialized) inside the
         # operator, so the index directory is no longer needed

@@ -215,3 +215,65 @@ def test_history_heals_after_crash_between_flip_and_log(spark, tmp_path, monkeyp
     assert sorted(
         r["id"] for r in MF.read_table(spark, path, generation=2).collect()
     ) == list(range(4))
+
+
+def test_property_random_crash_sequences_never_lose_a_committed_state(
+    spark, tmp_path, monkeypatch
+):
+    """Stateful property: across a random sequence of commits where each
+    may crash in any window (during generation write, before the pointer
+    flip, before the log append), a reader ALWAYS sees exactly the last
+    successfully-flipped state, and the table self-heals on the next
+    successful commit. Deterministic seed, 3 scenarios x 12 steps."""
+    import os
+    import random
+
+    real_replace = os.replace
+    real_open = open
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        expected = None  # ids the reader must see (None = table absent)
+        for step in range(12):
+            n = rng.randrange(1, 30)
+            crash = rng.choice(["none", "write", "flip", "log"])
+
+            def write_fn(gen, n=n, crash=crash):
+                spark.range(n).write.parquet(gen)
+                if crash == "write":
+                    raise RuntimeError("writer crash")
+
+            if crash == "flip":
+                def dying_replace(src, dst):
+                    raise OSError("flip crash")
+                monkeypatch.setattr(MF.os, "replace", dying_replace)
+            elif crash == "log":
+                def dying_open(file, mode="r", *a, **k):
+                    if str(file).endswith(MF.LOG) and "a" in mode:
+                        raise OSError("log crash")
+                    return real_open(file, mode, *a, **k)
+                import builtins
+                monkeypatch.setattr(builtins, "open", dying_open)
+
+            try:
+                MF.commit_generation(path, write_fn)
+                committed = True
+            except (RuntimeError, OSError):
+                committed = False
+            finally:
+                monkeypatch.setattr(MF.os, "replace", real_replace)
+                import builtins
+                monkeypatch.setattr(builtins, "open", real_open)
+
+            # the flip IS the commit: 'log' crashes happen after it
+            if crash in ("none", "log"):
+                assert committed or crash == "log"
+                expected = n
+            if crash == "log":
+                expected = n  # flipped before the crash
+
+            if expected is not None:
+                assert _ids(spark, path) == list(range(expected)), (
+                    seed, step, crash
+                )
