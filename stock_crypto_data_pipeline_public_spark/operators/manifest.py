@@ -87,10 +87,27 @@ def read_table(
         return spark.read.parquet(resolve_table(path))
     gen = f"{_GEN_PREFIX}{generation:06d}"
     gen_path = os.path.join(path, gen)
-    if not os.path.isdir(gen_path):
+    # only COMMITTED generations are readable: a directory left by a
+    # crashed commit (never flipped to, not yet GC'd) may hold a partial
+    # write — membership in the log (or being current) is the proof the
+    # generation was complete when the pointer moved
+    committed: set[str] = set()
+    log_path = os.path.join(path, LOG)
+    if os.path.isfile(log_path):
+        with open(log_path) as f:
+            committed = {line.strip() for line in f if line.strip()}
+    cur = current_generation(path)
+    if cur is not None:
+        committed.add(os.path.basename(cur))
+    if gen not in committed or not os.path.isdir(gen_path):
+        retained = sorted(
+            int(g[len(_GEN_PREFIX):])
+            for g in _generations(path)
+            if g in committed
+        )
         raise ValueError(
-            f"generation {generation} of {path!r} is unknown or already "
-            f"GC'd (retained: {[int(g[len(_GEN_PREFIX):]) for g in _generations(path)]})"
+            f"generation {generation} of {path!r} is unknown, uncommitted, "
+            f"or already GC'd (readable: {retained})"
         )
     return spark.read.parquet(gen_path)
 

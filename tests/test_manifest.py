@@ -175,7 +175,7 @@ def test_time_travel_and_history(spark, tmp_path):
     h = MF.history(path)
     assert [e["generation"] for e in h] == [4, 3, 2, 1]
     assert [e["generation"] for e in h if e["retained"]] == [4, 3]
-    with pytest.raises(ValueError, match="unknown or already"):
+    with pytest.raises(ValueError, match="unknown, uncommitted, or already"):
         MF.read_table(spark, path, generation=1)
     assert _ids(spark, path) == list(range(6))
 
@@ -277,3 +277,27 @@ def test_property_random_crash_sequences_never_lose_a_committed_state(
                 assert _ids(spark, path) == list(range(expected)), (
                     seed, step, crash
                 )
+
+
+def test_time_travel_refuses_uncommitted_orphan_generations(spark, tmp_path, monkeypatch):
+    """A directory left by a crashed commit may hold a PARTIAL write —
+    time travel must refuse it until a successful commit either GCs it or
+    (never) logs it."""
+    path = str(tmp_path / "t")
+    MF.commit_generation(path, _write(spark.range(3)))
+
+    def dying_replace(src, dst):
+        raise OSError("flip crash")
+
+    monkeypatch.setattr(MF.os, "replace", dying_replace)
+    with pytest.raises(OSError):
+        MF.commit_generation(path, _write(spark.range(9)))
+    monkeypatch.setattr(MF.os, "replace", os.replace)
+    # gen-000002 exists on disk but was never committed
+    assert os.path.isdir(os.path.join(path, "gen-000002"))
+    with pytest.raises(ValueError, match="uncommitted"):
+        MF.read_table(spark, path, generation=2)
+    # the committed generation still reads fine
+    assert sorted(
+        r["id"] for r in MF.read_table(spark, path, generation=1).collect()
+    ) == [0, 1, 2]
