@@ -243,3 +243,72 @@ def test_cdc_segment_dedup_is_alignment_invariant(spark, tmp_path):
         got[2]["clean_md5"]
         == hashlib.md5(" ".join(expect_kept2).encode()).hexdigest()
     )
+
+
+def test_cdc_segment_dedup_random_corpus_matches_python_model(spark, tmp_path):
+    """Seeded multi-doc corpus with engineered cross-doc and intra-doc
+    duplication: the full Spark query must equal an exact Python model of
+    segmentation + corpus-wide keeper selection on every output column."""
+    import hashlib
+    import os
+    import random
+
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        t36_cdc_segment_dedup,
+    )
+
+    rng = random.Random(21)
+    vocab = [f"w{n}" for n in range(60)]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(20, 60)))
+        for _ in range(8)
+    ]
+    rows = []
+    for doc_id in range(1, 31):
+        parts = [rng.choice(passages) for _ in range(rng.randrange(1, 4))]
+        if rng.random() < 0.3:
+            parts.append(parts[0])  # intra-doc duplication
+        rows.append((doc_id, " ".join(parts)))
+    rows.append((99, ""))  # empty doc
+
+    def segments(text):
+        toks = [t for t in text.strip().split() if t]
+        segs, cur, start = [], [], 1
+        for i, t in enumerate(toks, 1):
+            if not cur:
+                start = i
+            cur.append(t)
+            if hashlib.md5(t.encode()).hexdigest()[0] in "01":
+                segs.append((start, " ".join(cur)))
+                cur = []
+        if cur:
+            segs.append((start, " ".join(cur)))
+        return segs
+
+    # corpus-wide keeper: min (doc_id, seg_start) per segment value
+    keeper = {}
+    per_doc = {}
+    for doc_id, text in rows:
+        per_doc[doc_id] = segments(text)
+        for start, seg in per_doc[doc_id]:
+            if seg not in keeper or (doc_id, start) < keeper[seg]:
+                keeper[seg] = (doc_id, start)
+    expect = {}
+    for doc_id, segs in per_doc.items():
+        kept = [s for st, s in segs if keeper[s] == (doc_id, st)]
+        expect[doc_id] = (
+            len(segs),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    sf = tmp_path / "sf"
+    os.makedirs(sf)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_md5"])
+        for r in t36_cdc_segment_dedup(spark, str(sf)).collect()
+    }
+    assert got == expect
