@@ -390,6 +390,8 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     feat = _decode_bmp(b)
                 elif mt == "image/png":
                     feat = _decode_png(b)
+                elif mt == "image/gif":
+                    feat = _decode_gif(b)
                 elif fake:
                     d = hashlib.md5(b).digest()
                     feat = {
@@ -404,8 +406,9 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     raise NotImplementedError(
                         f"real decode of {mt!r} requires PIL/libav (not in "
                         "container); audio/wav, image/x-portable-pixmap, "
-                        "image/bmp and image/png decode for real — run with "
-                        "fake=True for deterministic pseudo-features"
+                        "image/bmp, image/png and image/gif decode for real "
+                        "— run with fake=True for deterministic pseudo-"
+                        "features"
                     )
                 feat.setdefault("pixel_sum", None)
                 rows["doc_id"].append(doc_id)
@@ -683,3 +686,225 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fps: int = 30, fake: bool = 
             yield pd.DataFrame(out)
 
     return df.mapInPandas(split, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL GIF codec — stdlib-only GIF87a subset with a full LZW
+# implementation (variable-width codes, LSB-first bit packing, clear/EOI
+# handling, dictionary reset at 4096) — a decode style none of the other
+# real formats exercise: WAV/BMP are fixed-offset fields, PPM is text,
+# PNG is zlib + per-row filters; GIF is an actual dictionary coder built
+# here from the published spec. Scope: single image, global color table,
+# no interlace/extensions; anything else raises.
+# --------------------------------------------------------------------------
+
+
+def _lzw_width(max_code: int, mcs: int) -> int:
+    """Bits needed at a code boundary. BOTH sides derive the width from
+    the largest code value the next read/write could carry — the
+    encoder's is its dict size - 1, the decoder's is its (one-entry-
+    lagged) next_code, and those are the SAME number at every step, so
+    the streams stay in sync by construction (capped at 12 per GIF)."""
+    return min(12, max(mcs + 1, max_code.bit_length()))
+
+
+def _lzw_compress_gif(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: CLEAR first, derived-width codes (see
+    _lzw_width), dictionary frozen at 4096 then reset via CLEAR."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << mcs)}, eoi + 1
+
+    table, next_code = fresh()
+    out_bits.append((clear, _lzw_width(next_code - 1, mcs)))
+    prev = b""
+    for b in indices:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        out_bits.append((table[prev], _lzw_width(next_code - 1, mcs)))
+        if next_code < (1 << 12):
+            table[cur] = next_code
+            next_code += 1
+        if next_code == (1 << 12):
+            # dict full: restart compression so the decoder (one entry
+            # behind, about to fill too) resets in lockstep
+            out_bits.append((clear, _lzw_width(next_code - 1, mcs)))
+            table, next_code = fresh()
+        prev = bytes([b])
+    if prev:
+        out_bits.append((table[prev], _lzw_width(next_code - 1, mcs)))
+    out_bits.append((eoi, _lzw_width(next_code - 1, mcs)))
+    # LSB-first bit packing
+    acc = n = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decompress_gif(data: bytes, mcs: int) -> bytes:
+    """Inverse of :func:`_lzw_compress_gif`; stops at EOI, raises on
+    malformed streams instead of guessing."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n = pos = 0
+
+    def fresh():
+        return {i: bytes([i]) for i in range(1 << mcs)}, eoi + 1
+
+    table, next_code = fresh()
+    prev: bytes | None = None
+    while True:
+        width = _lzw_width(next_code, mcs)
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table, next_code = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and next_code < (1 << 12):
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        prev = entry
+
+
+#: fixed 8-color palette: index i -> (9i, 5i, 3i); rgb sum = 17i, so the
+#: decoded pixel_sum is a pure function of the index raster
+_GIF_MCS = 3
+_GIF_PALETTE = bytes(
+    c for i in range(1 << _GIF_MCS) for c in (9 * i, 5 * i, 3 * i)
+)
+
+
+def _encode_gif(idx, palette: bytes = _GIF_PALETTE) -> bytes:
+    """GIF87a encode of an (h, w) uint8 index raster with the global
+    color table ``palette`` (len must be 3 * 2^mcs)."""
+    import struct
+
+    h, w = idx.shape
+    mcs = _GIF_MCS
+    head = b"GIF87a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | ((mcs - 1) << 4) | (mcs - 1), 0, 0
+    )
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_compress_gif(idx.tobytes(), mcs)
+    blocks = bytearray([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return head + palette + desc + bytes(blocks) + b"\x3b"
+
+
+def _decode_gif(b: bytes) -> dict:
+    """REAL GIF decode: header + screen/image descriptors, global color
+    table, LZW sub-block reassembly and decompression; ``pixel_sum`` is
+    the sum of every PALETTE-MAPPED rgb sample, so the gate covers the
+    dictionary coder end to end, not just the header."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: magic={b[:6]!r}")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    if not w or not h or w * h > (1 << 28):
+        raise ValueError(f"implausible GIF dimensions {w}x{h}")
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table is unsupported")
+    gct_n = 2 << (flags & 0x07)
+    i = 13
+    palette = b[i : i + 3 * gct_n]
+    i += 3 * gct_n
+    if i >= len(b) or b[i : i + 1] != b"\x2c":
+        raise ValueError("unsupported GIF: expected a single image descriptor")
+    left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", b, i + 1)
+    if (left, top, iw, ih) != (0, 0, w, h) or iflags & 0xC0:
+        raise ValueError("unsupported GIF layout (offset/interlace/local table)")
+    i += 10
+    if i >= len(b):
+        raise ValueError("truncated GIF: missing LZW minimum code size")
+    mcs = b[i]
+    i += 1
+    lzw = bytearray()
+    while True:
+        if i >= len(b):
+            raise ValueError("truncated GIF data stream")
+        n = b[i]
+        i += 1
+        if n == 0:
+            break
+        lzw.extend(b[i : i + n])
+        i += n
+    indices = _lzw_decompress_gif(bytes(lzw), mcs)
+    if len(indices) != w * h:
+        raise ValueError(f"GIF decoded {len(indices)} pixels, want {w * h}")
+    psum = sum(
+        palette[3 * ix] + palette[3 * ix + 1] + palette[3 * ix + 2]
+        for ix in indices
+    )
+    return {
+        "width": w,
+        "height": h,
+        "sample_rate": None,
+        "n_channels": 3,
+        "n_samples": None,
+        "duration_ms": None,
+        "pixel_sum": int(psum),
+    }
+
+
+def synthesize_gif(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF87a images, one per document:
+    width = 4 + doc_id % 12, height = 4 + (len(text) % 12), pixel INDEX
+    (x, y) = (x + 2y + doc_id) % 8, palette rgb-sum per index = 17·i — so
+    the decoded pixel_sum is Σ 17·((x + 2y + doc_id) % 8), SQL-computable,
+    and gating it requires a correct LZW decode of every pixel."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(4 + doc_id % 12)
+                h = int(4 + (len(text or "") % 12))
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = ((x + 2 * y + int(doc_id)) % 8).astype(np.uint8)
+                b = _encode_gif(idx)
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("image/gif")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)

@@ -358,3 +358,50 @@ def m08_png_real_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("width").cast("long")).alias("total_width"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# m09 — REAL GIF decode: a pure-Python GIF87a codec (operators/
+# multimodal._encode_gif/_decode_gif) — header + color table + image
+# descriptor + a FULL LZW implementation (variable derived-width codes,
+# LSB-first bit packing, KwKwK case, dictionary reset at 4096). The gated
+# column is total_pixel_sum over PALETTE-MAPPED rgb samples: palette index
+# i maps to rgb summing 17·i and pixel index (x,y) = (x + 2y + doc_id) % 8,
+# so the oracle computes Σ 17·((x + 2y + doc_id) % 8) per document — any
+# LZW mis-decode of any pixel, palette mis-read, or sub-block mis-assembly
+# changes it. File size is LZW-dependent, hence ungated.
+# --------------------------------------------------------------------------
+@query(
+    "m09_gif_real_decode_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               4 + doc_id % 12                         AS w,
+               4 + (coalesce(length(text), 0) % 12)    AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT c.doc_id, c.w,
+               17 * ((x + 2 * y + c.doc_id) % 8) AS v
+        FROM c,
+             unnest(range(0, c.w)) AS gx(x),
+             unnest(range(0, c.h)) AS gy(y)
+    )
+    SELECT CAST(w AS INT)                    AS width,
+           count(DISTINCT doc_id)            AS n_images,
+           CAST(count(*) AS BIGINT)          AS total_pixels,
+           CAST(sum(v) AS BIGINT)            AS total_pixel_sum
+    FROM px
+    GROUP BY 1
+    """,
+)
+def m09_gif_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_gif(docs)
+    feats = M.decode_features(media)  # fake=False: the REAL LZW decode
+    return feats.groupBy("width").agg(
+        F.countDistinct("doc_id").alias("n_images"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+    )

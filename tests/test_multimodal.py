@@ -320,3 +320,71 @@ def test_null_text_documents_decode_identically_to_empty(spark):
         t = {r.doc_id: r for r in M.decode_features(synth(twin)).collect()}
         assert out[1][field] == t[1][field]
         assert out[1].checksum == t[1].checksum, "NULL must equal '' byte-for-byte"
+
+
+def test_gif_real_decode_roundtrip(spark, sf_dir):
+    """synthesize_gif → decode_features runs the REAL GIF87a/LZW codec:
+    dims and the palette-mapped pixel sum must equal their closed forms."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    feats = {r.doc_id: r for r in M.decode_features(M.synthesize_gif(docs)).collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == 30
+    for doc_id, r in feats.items():
+        w = 4 + doc_id % 12
+        h = 4 + (len(src[doc_id] or "") % 12)
+        assert (r.width, r.height, r.n_channels) == (w, h, 3)
+        expect = sum(
+            17 * ((x + 2 * y + doc_id) % 8) for x in range(w) for y in range(h)
+        )
+        assert r.pixel_sum == expect
+
+
+def test_gif_codec_rejects_malformed_inputs():
+    import numpy as np
+    import pytest as _pytest
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+        _lzw_decompress_gif,
+    )
+
+    b = _encode_gif(np.zeros((4, 4), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"PNG" + b[3:])
+    with _pytest.raises(ValueError, match="truncated GIF"):
+        _decode_gif(b[:-8])
+    with _pytest.raises(ValueError, match="ended before EOI"):
+        _lzw_decompress_gif(b"", 3)
+    # pixel-count mismatch (forged dims) fails loudly
+    import struct
+    forged = bytearray(b)
+    struct.pack_into("<H", forged, 6, 5)   # widen screen w
+    struct.pack_into("<H", forged, 13 + 24 + 5, 5)  # widen image w
+    with _pytest.raises(ValueError):
+        _decode_gif(bytes(forged))
+
+
+def test_lzw_property_roundtrip():
+    """LZW compress→decompress is the identity on adversarial index
+    streams: random, all-equal (max dictionary chaining), short-period
+    repeats (KwKwK pressure), and long enough to force width growth and
+    the 4096 dictionary reset."""
+    import numpy as np
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _lzw_compress_gif,
+        _lzw_decompress_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        bytes([0]),
+        bytes([7] * 100000),
+        bytes([0, 1] * 50000),
+        bytes([0, 0, 1, 0, 0, 1, 1] * 30000),
+        bytes(rng.integers(0, 8, size=250000, dtype=np.uint8)),
+    ]
+    for data in cases:
+        assert _lzw_decompress_gif(_lzw_compress_gif(data, 3), 3) == data
