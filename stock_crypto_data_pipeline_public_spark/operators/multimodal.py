@@ -568,6 +568,70 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthesize_animated_gif(docs: DataFrame, n_frames: int = 6) -> DataFrame:
+    """Deterministic REAL animated GIF87a clips, one per document:
+    width = 4 + doc_id % 12, height = 4 + (len(text) % 12), frame f pixel
+    INDEX (x, y) = (x + 2y + doc_id + 3f) % 8 — each frame's decoded
+    palette-mapped pixel sum is SQL-closed-form, so a sampled-frame
+    pipeline can be oracle-gated end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(4 + doc_id % 12)
+                h = int(4 + (len(text or "") % 12))
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                frames = [
+                    ((x + 2 * y + int(doc_id) + 3 * f) % 8).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                b = _encode_gif_frames(frames)
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("image/gif")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+#: per-frame decode output (sample_frames rows → decoded features)
+FRAME_FEATURE_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, width int, height int, "
+    "pixel_sum long"
+)
+
+
+def decode_frames(df: DataFrame) -> DataFrame:
+    """REAL decode of sample_frames output rows (single-frame GIF
+    payloads): keeps the (doc_id, frame_idx) identity decode_features
+    would lose, returning dims + the palette-mapped pixel sum per frame."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "frame_idx", "frame_ts_ms", "width", "height",
+                "pixel_sum",
+            )}
+            for doc_id, fi, ts, frame in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame_ts_ms"], pdf["frame"]
+            ):
+                feat = _decode_gif(frame)
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(fi)
+                out["frame_ts_ms"].append(ts)
+                out["width"].append(feat["width"])
+                out["height"].append(feat["height"])
+                out["pixel_sum"].append(feat["pixel_sum"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(dec, schema=FRAME_FEATURE_SCHEMA)
+
+
 #: resize output: payload replaced by the resized rendition + new dims
 RESIZE_SCHEMA = (
     "doc_id long, media_type string, media binary, width int, height int"
@@ -663,19 +727,42 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fps: int = 30, fake: bool = 
     The output multiplies row count by ``n_frames`` — at scale, size input
     partitions so the *output* fits executor memory (maxPartitionBytes ÷
     n_frames), and write frames partitioned by (doc date, frame bucket).
-    ``fake=True`` slices the payload into n_frames deterministic chunks in
-    place of a libav keyframe decode.
+
+    ``image/gif`` payloads go through the REAL path: the animation's
+    frames are LZW-decoded (_gif_parse), n_frames are picked at evenly
+    spaced source indices (k·total÷n), and each sampled frame re-encodes
+    as a standalone single-frame GIF — so every downstream consumer
+    (decode_features, resize) works on the sampled rows unchanged.
+    ``frame_ts_ms`` = source_index·1000÷fps. MP4 genuinely needs libav:
+    ``fake=True`` slices the payload into deterministic chunks instead.
     """
+    import numpy as np
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame sampling requires libav/ffmpeg (not in "
-                    "container); run with fake=True for deterministic chunks"
-                )
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
-            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            mts = pdf["media_type"] if "media_type" in pdf else ["video/mp4"] * len(pdf)
+            for doc_id, media, mt in zip(pdf["doc_id"], pdf["media"], mts):
+                if mt == "image/gif":
+                    w, h, palette, frames = _gif_parse(media)
+                    total = len(frames)
+                    take = min(n_frames, total)
+                    for k in range(take):
+                        src = k * total // take
+                        raster = np.frombuffer(
+                            frames[src], dtype=np.uint8
+                        ).reshape(h, w)
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(k)
+                        out["frame_ts_ms"].append(src * 1000 // fps)
+                        out["frame"].append(_encode_gif(raster, palette))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling requires libav/ffmpeg (not in "
+                        "container) for video codecs; image/gif samples for "
+                        "real — run with fake=True for deterministic chunks"
+                    )
                 step = max(1, len(media) // n_frames)
                 for i in range(n_frames):
                     chunk = media[i * step : (i + 1) * step] or media[-step:]
@@ -806,31 +893,15 @@ _GIF_PALETTE = bytes(
 
 
 def _encode_gif(idx, palette: bytes = _GIF_PALETTE) -> bytes:
-    """GIF87a encode of an (h, w) uint8 index raster with the global
-    color table ``palette`` (len must be 3 * 2^mcs)."""
-    import struct
-
-    h, w = idx.shape
-    mcs = _GIF_MCS
-    head = b"GIF87a" + struct.pack(
-        "<HHBBB", w, h, 0x80 | ((mcs - 1) << 4) | (mcs - 1), 0, 0
-    )
-    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-    lzw = _lzw_compress_gif(idx.tobytes(), mcs)
-    blocks = bytearray([mcs])
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        blocks.append(len(chunk))
-        blocks.extend(chunk)
-    blocks.append(0)
-    return head + palette + desc + bytes(blocks) + b"\x3b"
+    """GIF87a encode of a single (h, w) uint8 index raster."""
+    return _encode_gif_frames([idx], palette)
 
 
-def _decode_gif(b: bytes) -> dict:
-    """REAL GIF decode: header + screen/image descriptors, global color
-    table, LZW sub-block reassembly and decompression; ``pixel_sum`` is
-    the sum of every PALETTE-MAPPED rgb sample, so the gate covers the
-    dictionary coder end to end, not just the header."""
+def _gif_parse(b: bytes):
+    """(w, h, palette, [frame index rasters]) of a GIF87a payload:
+    header + screen descriptor + global color table, then one LZW
+    sub-block stream per full-frame image descriptor (animations are a
+    sequence of them)."""
     import struct
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -845,30 +916,53 @@ def _decode_gif(b: bytes) -> dict:
     palette = b[i : i + 3 * gct_n]
     i += 3 * gct_n
     if i >= len(b) or b[i : i + 1] != b"\x2c":
-        raise ValueError("unsupported GIF: expected a single image descriptor")
+        raise ValueError("unsupported GIF: expected an image descriptor")
     left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", b, i + 1)
     if (left, top, iw, ih) != (0, 0, w, h) or iflags & 0xC0:
         raise ValueError("unsupported GIF layout (offset/interlace/local table)")
     i += 10
-    if i >= len(b):
-        raise ValueError("truncated GIF: missing LZW minimum code size")
-    mcs = b[i]
-    i += 1
-    lzw = bytearray()
+    frames: list[bytes] = []
     while True:
         if i >= len(b):
-            raise ValueError("truncated GIF data stream")
-        n = b[i]
+            raise ValueError("truncated GIF: missing LZW minimum code size")
+        mcs = b[i]
         i += 1
-        if n == 0:
-            break
-        lzw.extend(b[i : i + n])
-        i += n
-    indices = _lzw_decompress_gif(bytes(lzw), mcs)
-    if len(indices) != w * h:
-        raise ValueError(f"GIF decoded {len(indices)} pixels, want {w * h}")
+        lzw = bytearray()
+        while True:
+            if i >= len(b):
+                raise ValueError("truncated GIF data stream")
+            n = b[i]
+            i += 1
+            if n == 0:
+                break
+            lzw.extend(b[i : i + n])
+            i += n
+        indices = _lzw_decompress_gif(bytes(lzw), mcs)
+        if len(indices) != w * h:
+            raise ValueError(f"GIF decoded {len(indices)} pixels, want {w * h}")
+        frames.append(indices)
+        # next block: another full-frame image descriptor (animation) or
+        # the trailer
+        if i < len(b) and b[i : i + 1] == b"\x2c":
+            left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", b, i + 1)
+            if (left, top, iw, ih) != (0, 0, w, h) or iflags & 0xC0:
+                raise ValueError(
+                    "unsupported GIF layout (offset/interlace/local table)"
+                )
+            i += 10
+            continue
+        break
+    return w, h, palette, frames
+
+
+def _decode_gif(b: bytes) -> dict:
+    """REAL GIF decode (single or animated): ``pixel_sum`` covers the
+    palette-mapped rgb samples of EVERY frame and ``n_samples`` reports
+    the frame count, so the gate covers the whole LZW stream chain."""
+    w, h, palette, frames = _gif_parse(b)
     psum = sum(
         palette[3 * ix] + palette[3 * ix + 1] + palette[3 * ix + 2]
+        for indices in frames
         for ix in indices
     )
     return {
@@ -876,10 +970,37 @@ def _decode_gif(b: bytes) -> dict:
         "height": h,
         "sample_rate": None,
         "n_channels": 3,
-        "n_samples": None,
+        "n_samples": len(frames),
         "duration_ms": None,
         "pixel_sum": int(psum),
     }
+
+
+def _encode_gif_frames(frames, palette: bytes = _GIF_PALETTE) -> bytes:
+    """GIF87a encode of one or more (h, w) uint8 index rasters as a
+    multi-image (animated) payload — the inverse of _gif_parse."""
+    import struct
+
+    h, w = frames[0].shape
+    mcs = _GIF_MCS
+    out = bytearray(
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((mcs - 1) << 4) | (mcs - 1), 0, 0)
+        + palette
+    )
+    for idx in frames:
+        if idx.shape != (h, w):
+            raise ValueError("animated GIF frames must share one geometry")
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        lzw = _lzw_compress_gif(idx.tobytes(), mcs)
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
 
 
 def synthesize_gif(docs: DataFrame) -> DataFrame:

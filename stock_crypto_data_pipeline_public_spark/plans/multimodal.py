@@ -405,3 +405,60 @@ def m09_gif_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# m10 — REAL frame sampling: deterministic 6-frame animated GIFs per
+# document (synthesize_animated_gif), REAL sampling (sample_frames
+# LZW-decodes the animation and re-encodes 3 evenly spaced frames as
+# standalone GIFs — source indices k·6÷3 = 0,2,4), then a REAL per-frame
+# decode (decode_frames) and a per-frame-slot rollup. This makes all
+# three multimodal stages — decode, resize, frame-sample — REAL paths:
+# only true video codecs (MP4) stay stubbed. The oracle reconstructs
+# each sampled frame's palette-mapped pixel sum Σ 17·((x+2y+doc+3f)%8)
+# and the fps-derived timestamps, so mis-sampling (wrong source index),
+# mis-decoding, or timestamp drift all hash-fail.
+# --------------------------------------------------------------------------
+@query(
+    "m10_gif_frame_sample_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               4 + doc_id % 12                         AS w,
+               4 + (coalesce(length(text), 0) % 12)    AS h
+        FROM documents
+    ),
+    frames AS (
+        SELECT c.doc_id, c.w, c.h,
+               CAST(k AS INT)       AS frame_idx,
+               (k * 6 // 3)         AS src
+        FROM c, unnest(range(0, 3)) AS gk(k)
+    ),
+    px AS (
+        SELECT f.doc_id, f.frame_idx, f.src,
+               17 * ((x + 2 * y + f.doc_id + 3 * f.src) % 8) AS v
+        FROM frames f,
+             unnest(range(0, f.w)) AS gx(x),
+             unnest(range(0, f.h)) AS gy(y)
+    )
+    SELECT frame_idx,
+           count(DISTINCT doc_id)                        AS n_docs,
+           CAST(sum(v) AS BIGINT)                        AS total_pixel_sum,
+           CAST(min(src) * 1000 // 10 AS BIGINT)         AS min_ts_ms,
+           CAST(max(src) * 1000 // 10 AS BIGINT)         AS max_ts_ms
+    FROM px
+    GROUP BY 1
+    """,
+)
+def m10_gif_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_animated_gif(docs, n_frames=6)
+    frames = M.sample_frames(media, n_frames=3, fps=10)  # REAL path
+    feats = M.decode_frames(frames)  # REAL per-frame decode
+    return feats.groupBy("frame_idx").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+        F.min("frame_ts_ms").alias("min_ts_ms"),
+        F.max("frame_ts_ms").alias("max_ts_ms"),
+    )

@@ -388,3 +388,35 @@ def test_lzw_property_roundtrip():
     ]
     for data in cases:
         assert _lzw_decompress_gif(_lzw_compress_gif(data, 3), 3) == data
+
+
+def test_gif_real_frame_sampling(spark, sf_dir):
+    """sample_frames on animated GIFs is the REAL path: sampled frames
+    are standalone single-frame GIFs whose decoded rasters equal the
+    source animation's frames at indices k*total//n, timestamps derive
+    from the SOURCE index, and downstream decode_features/resize work on
+    the sampled rows unchanged."""
+    import numpy as np
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _gif_parse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = M.synthesize_animated_gif(docs, n_frames=6)
+    src = {r.doc_id: bytes(r.media) for r in media.collect()}
+    frames = M.sample_frames(media, n_frames=3, fps=10).collect()
+    assert len(frames) == 30
+    for r in frames:
+        w, h, pal, animation = _gif_parse(src[r.doc_id])
+        src_idx = r.frame_idx * len(animation) // 3
+        assert r.frame_ts_ms == src_idx * 1000 // 10
+        fw, fh, fpal, fr = _gif_parse(bytes(r.frame))
+        assert (fw, fh, len(fr)) == (w, h, 1)
+        assert fr[0] == animation[src_idx], "sampled raster must be exact"
+    # sampled rows feed the standard feature extractor unchanged
+    one = M.sample_frames(media, n_frames=2, fps=10).selectExpr(
+        "doc_id", "frame AS media", "'image/gif' AS media_type"
+    )
+    feats = M.decode_features(one).collect()
+    assert len(feats) == 20 and all(f.n_samples == 1 for f in feats)
