@@ -653,6 +653,22 @@ def _resize_png(b: bytes, width: int, height: int) -> bytes:
     return _encode_png(px[yi][:, xi])
 
 
+def _resize_gif(b: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a (single- or multi-frame) GIF:
+    LZW-decode every frame's index raster, subsample INDICES (palette
+    untouched — GIF is an indexed format), re-encode."""
+    import numpy as np
+
+    w, h, palette, frames = _gif_parse(b)
+    yi = np.arange(height) * h // height
+    xi = np.arange(width) * w // width
+    resized = [
+        np.frombuffer(f, dtype=np.uint8).reshape(h, w)[yi][:, xi]
+        for f in frames
+    ]
+    return _encode_gif_frames(resized, palette)
+
+
 def _resize_ppm(b: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resample of a P6 pixel plane (numpy)."""
     import numpy as np
@@ -695,6 +711,8 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
                     media.append(_resize_ppm(b, width, height))
                 elif mt == "image/png":
                     media.append(_resize_png(b, width, height))
+                elif mt == "image/gif":
+                    media.append(_resize_gif(b, width, height))
                 elif fake:
                     media.append(render_fake(b))
                 else:

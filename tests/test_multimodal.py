@@ -420,3 +420,31 @@ def test_gif_real_frame_sampling(spark, sf_dir):
     )
     feats = M.decode_features(one).collect()
     assert len(feats) == 20 and all(f.n_samples == 1 for f in feats)
+
+
+def test_gif_real_resize_exact_indices(spark, sf_dir):
+    """GIF resize resamples the decoded index rasters (every frame of an
+    animation) and re-encodes: the resized payload must decode to the
+    exact nearest-neighbor subsample of each source frame."""
+    import numpy as np
+
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import (
+        _gif_parse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    media = M.synthesize_animated_gif(docs, n_frames=3)
+    src = {r.doc_id: bytes(r.media) for r in media.collect()}
+    resized = {
+        r.doc_id: bytes(r.media)
+        for r in M.resize_images(media, 5, 4).collect()  # real path
+    }
+    for doc_id, b in src.items():
+        w, h, pal, frames = _gif_parse(b)
+        rw, rh, rpal, rframes = _gif_parse(resized[doc_id])
+        assert (rw, rh, len(rframes), rpal) == (5, 4, len(frames), pal)
+        yi = np.arange(4) * h // 4
+        xi = np.arange(5) * w // 5
+        for f, rf in zip(frames, rframes):
+            expect = np.frombuffer(f, np.uint8).reshape(h, w)[yi][:, xi]
+            assert rf == expect.tobytes()
