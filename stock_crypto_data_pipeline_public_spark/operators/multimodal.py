@@ -66,16 +66,6 @@ def attach_media(docs: DataFrame, media_type: str = "image/jpeg") -> DataFrame:
     )
 
 
-def _fake_decode(media: bytes) -> tuple[int, int, int]:
-    """Deterministic pseudo-decode: width/height/sample_rate from the
-    payload digest. Placeholder for a real PIL/libav decode."""
-    d = hashlib.md5(media).digest()
-    width = 64 + d[0] % 192          # 64..255
-    height = 64 + d[1] % 192
-    sample_rate = 8000 + (d[2] % 5) * 8000
-    return width, height, sample_rate
-
-
 def _decode_wav(b: bytes) -> dict:
     """REAL audio decode: stdlib ``wave`` parses the RIFF/PCM header."""
     import io

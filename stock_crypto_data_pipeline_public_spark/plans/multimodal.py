@@ -2,11 +2,13 @@
 exercise the stubbed codec path (deterministic fake decode derived from md5
 digest bytes / payload length arithmetic — SQL-expressible, so the full
 mapInPandas pipelines are oracle-verified end-to-end even without codecs).
-m04-m07 are the REAL paths: stdlib WAV decode, P6 PPM decode + numpy
-nearest-neighbor resize, BMP struct parse, and a full PNG codec
-(CRC-verified chunks, zlib inflate, all five row filters), with oracles
-predicting every decoded field — for PNG the raster pixel sum itself —
-from the source row. NULL text is treated as '' on BOTH engines
+m04-m10 are the REAL paths: stdlib WAV decode, P6 PPM decode + numpy
+nearest-neighbor resize, BMP struct parse, a full PNG codec
+(CRC-verified chunks, zlib inflate, all five row filters — decode m07 and
+codec-round-trip resize m08), and a full GIF87a/LZW codec (decode m09,
+animated-GIF frame sampling m10), with oracles predicting every decoded
+field — for PNG/GIF the raster pixel sums themselves — from the source
+row. NULL text is treated as '' on BOTH engines
 (coalesce in oracles, ``text or ''`` / coalesce in synthesizers)."""
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from .registry import query
 # --------------------------------------------------------------------------
 # m01 — binary payload → Arrow-batched feature extraction (mapInPandas) →
 # per-media-type feature rollup. The fake decode derives width/height from
-# the first md5 digest bytes (operators/multimodal._fake_decode), which IS
+# the first md5 digest bytes (decode_features' fake branch), which IS
 # SQL-expressible — DuckDB parses the hex pairs out of md5(text) — so even
 # the stubbed pipeline gets a value-hash gate, not just a rows-only check.
 # --------------------------------------------------------------------------
