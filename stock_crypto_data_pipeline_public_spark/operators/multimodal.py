@@ -848,9 +848,11 @@ def _lzw_compress_gif(indices: bytes, mcs: int) -> bytes:
     return bytes(data)
 
 
-def _lzw_decompress_gif(data: bytes, mcs: int) -> bytes:
+def _lzw_decompress_gif(data: bytes, mcs: int, max_out: int | None = None) -> bytes:
     """Inverse of :func:`_lzw_compress_gif`; stops at EOI, raises on
-    malformed streams instead of guessing."""
+    malformed streams instead of guessing. ``max_out`` caps the expansion
+    — LZW is a classic decompression bomb (a few KB of codes can expand
+    without bound), so callers that know the expected size MUST pass it."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     out = bytearray()
     acc = n = pos = 0
@@ -886,6 +888,10 @@ def _lzw_decompress_gif(data: bytes, mcs: int) -> bytes:
         else:
             raise ValueError(f"LZW code {code} out of range")
         out.extend(entry)
+        if max_out is not None and len(out) > max_out:
+            raise ValueError(
+                f"LZW output exceeds expected {max_out} bytes (bomb?)"
+            )
         if prev is not None and next_code < (1 << 12):
             table[next_code] = prev + entry[:1]
             next_code += 1
@@ -945,7 +951,7 @@ def _gif_parse(b: bytes):
                 break
             lzw.extend(b[i : i + n])
             i += n
-        indices = _lzw_decompress_gif(bytes(lzw), mcs)
+        indices = _lzw_decompress_gif(bytes(lzw), mcs, max_out=w * h)
         if len(indices) != w * h:
             raise ValueError(f"GIF decoded {len(indices)} pixels, want {w * h}")
         frames.append(indices)
