@@ -1,0 +1,413 @@
+"""Pure-Python baseline JPEG codec (grayscale, stdlib + numpy only).
+
+The container has no PIL/libjpeg, so this module implements the baseline
+sequential DCT process from the published JPEG specification (ITU-T T.81)
+directly: 8x8 block splitting, the orthonormal 2D DCT, Annex-K luminance
+quantization, zigzag ordering, DC differential + AC run-length coding, and
+canonical Huffman entropy coding with the Annex-K "typical" tables. Scope
+is the single-component (grayscale) baseline process — exactly what the
+synthetic media pipeline emits — and the decoder raises a clear error on
+anything outside it (progressive, multi-component, 12-bit) rather than
+guessing.
+
+Reference parity: the reference pipeline treats media as opaque payloads
+handed to external decoders; here the decode is real so the Spark-side
+multimodal plumbing (operators/multimodal.py) can be oracle-gated on
+DECODED pixels, not just container headers.
+
+Exactness contract used by the oracles: JPEG is lossy in general, but a
+block whose 64 samples share one EVEN value round-trips bit-exactly —
+its only nonzero coefficient is DC = 8*(v-128), and the Annex-K DC
+quantizer step is 16, which divides 8*(v-128) when v is even. The
+synthesizers in multimodal.py emit block-constant rasters with even
+values, so the decoded pixel sum is a closed form a SQL oracle can
+predict while the full entropy-decode -> dequantize -> IDCT path still
+runs for real.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 luminance quantization table (row-major 8x8).
+QUANT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# Zigzag scan: ZIGZAG[k] = linear (row-major) index of the k-th coefficient.
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 "typical" luminance Huffman tables: BITS (codes per length
+# 1..16) and HUFFVAL in canonical order.
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix; F = C @ f @ C.T equals the
+    T.81 FDCT (the 1/4·c(u)c(v) scaling folds into the orthonormal
+    alpha(u)alpha(v))."""
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    c = np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c * 0.5
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(value -> (code, length), (length, code) -> value) canonical
+    Huffman tables per T.81 C.2 (codes assigned in length order)."""
+    enc: dict[int, tuple[int, int]] = {}
+    dec: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (code, length)
+            dec[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return enc, dec
+
+
+_DC_ENC, _DC_DEC = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+_AC_ENC, _AC_DEC = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self._out.append(byte)
+            if byte == 0xFF:
+                self._out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def done(self) -> bytes:
+        if self._n:
+            # pad with 1-bits per the spec
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+        return bytes(self._out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data; un-stuffs FF 00 and
+    stops (raises) at any real marker — baseline-without-restarts scope."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self._b = data
+        self._pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self._pos >= len(self._b):
+                raise ValueError("jpeg: entropy data truncated")
+            byte = self._b[self._pos]
+            self._pos += 1
+            if byte == 0xFF:
+                if self._pos >= len(self._b):
+                    raise ValueError("jpeg: dangling FF in entropy data")
+                nxt = self._b[self._pos]
+                if nxt == 0x00:
+                    self._pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"jpeg: unexpected marker FF{nxt:02X} inside scan "
+                        "(restart intervals are out of scope)"
+                    )
+            self._acc = byte
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, dec: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            if (length, code) in dec:
+                return dec[(length, code)]
+        raise ValueError("jpeg: invalid Huffman code in scan")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, bits) magnitude coding per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def encode_jpeg(raster: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 grayscale raster as a baseline JFIF JPEG.
+
+    Edges of images whose dims are not multiples of 8 are padded by
+    replication (the decoder crops back to the SOF0 dims).
+    """
+    px = np.asarray(raster)
+    if px.ndim != 2:
+        raise ValueError("encode_jpeg takes a 2-D grayscale raster")
+    h, w = px.shape
+    if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
+        raise ValueError(f"jpeg: dims out of range: {w}x{h}")
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        px = np.pad(px, ((0, ph), (0, pw)), mode="edge")
+    shifted = px.astype(np.float64) - 128.0
+
+    writer = _BitWriter()
+    prev_dc = 0
+    for by in range(0, px.shape[0], 8):
+        for bx in range(0, px.shape[1], 8):
+            block = shifted[by : by + 8, bx : bx + 8]
+            coeff = _DCT @ block @ _DCT.T
+            q = np.rint(coeff / QUANT_LUM).astype(np.int64)
+            zz = q.ravel()[ZIGZAG]
+            # DC: differential + size category
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, length = _DC_ENC[size]
+            writer.put(code, length)
+            if size:
+                writer.put(bits, size)
+            # AC: (run, size) symbols with ZRL/EOB
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _AC_ENC[0xF0]  # ZRL
+                    writer.put(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = _AC_ENC[(run << 4) | size]
+                writer.put(code, length)
+                writer.put(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, length = _AC_ENC[0x00]  # EOB
+                writer.put(code, length)
+    scan = writer.done()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(int(QUANT_LUM.ravel()[ZIGZAG[k]]) for k in range(64))
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + zz_quant)  # DQT: Pq=0, Tq=0
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
+    out += seg(0xC4, b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xC4, b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS: comp 1 -> DC0/AC0
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _parse_segments(b: bytes):
+    """Yield (marker, payload_start, payload_len) for every marker segment
+    up to SOS; returns (sof, dqt_tables, huff_tables, sos, scan_pos)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    sof = None
+    sos = None
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI with no scan
+            break
+        (length,) = struct.unpack_from(">H", b, pos + 2)
+        payload = b[pos + 4 : pos + 2 + length]
+        if len(payload) != length - 2:
+            raise ValueError("jpeg: truncated segment")
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: only 8-bit quant tables supported")
+                zz = np.frombuffer(payload, dtype=np.uint8, count=64, offset=i + 1)
+                table = np.zeros(64, dtype=np.int32)
+                table[ZIGZAG] = zz
+                quant[tq] = table.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0x0F
+                bits = list(payload[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + n])
+                _, dec = _canonical_codes(bits, vals)
+                huff[(tc, th)] = dec
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
+            sof = payload
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"jpeg: SOF marker FF{marker:02X} is not baseline sequential"
+            )
+        elif marker == 0xDA:
+            sos = payload
+            pos = pos + 2 + length
+            break
+        # APPn / COM / DRI etc.: skipped (DRI with nonzero interval would
+        # surface as an unexpected RSTn in the bit reader)
+        pos = pos + 2 + length
+    if sof is None or sos is None:
+        raise ValueError("jpeg: missing SOF0/SOS")
+    return sof, quant, huff, sos, pos
+
+
+def decode_jpeg(b: bytes) -> dict:
+    """Decode a single-component baseline JPEG; returns
+    {width, height, raster (h,w) uint8}. Multi-component (color) images
+    raise — the pipeline's synthetic media is grayscale, and guessing at
+    chroma upsampling without a conformance corpus would be dishonest.
+    """
+    sof, quant, huff, sos, pos = _parse_segments(b)
+    precision, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
+    if precision != 8:
+        raise ValueError(f"jpeg: {precision}-bit precision unsupported")
+    if ncomp != 1:
+        raise ValueError(
+            f"jpeg: {ncomp}-component images unsupported (grayscale only)"
+        )
+    comp_id, sampling, tq = sof[6], sof[7], sof[8]
+    if sampling != 0x11:
+        raise ValueError("jpeg: subsampling on a 1-component image")
+    if tq not in quant:
+        raise ValueError(f"jpeg: missing quant table {tq}")
+    ns = sos[0]
+    if ns != 1 or sos[1] != comp_id:
+        raise ValueError("jpeg: scan does not cover the single component")
+    td, ta = sos[2] >> 4, sos[2] & 0x0F
+    if (0, td) not in huff or (1, ta) not in huff:
+        raise ValueError("jpeg: missing Huffman table for scan")
+    dc_dec, ac_dec = huff[(0, td)], huff[(1, ta)]
+    qtab = quant[tq].astype(np.float64)
+
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    if bw * bh > 1 << 20:
+        raise ValueError("jpeg: raster too large (decompression guard)")
+    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    reader = _BitReader(b, pos)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.float64)
+            size = reader.huff(dc_dec)
+            prev_dc += _extend(reader.bits(size), size)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = reader.huff(ac_dec)
+                run, size = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("jpeg: AC run past end of block")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+            coeff = np.zeros(64, dtype=np.float64)
+            coeff[ZIGZAG] = zz
+            block = _DCT.T @ (coeff.reshape(8, 8) * qtab) @ _DCT + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return {"width": w, "height": h, "raster": out[:h, :w]}

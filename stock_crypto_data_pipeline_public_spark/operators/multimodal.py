@@ -5,11 +5,11 @@ with typed metadata alongside; decode / feature-extraction runs as
 Arrow-batched pandas transforms via ``mapInPandas`` (the only place Python
 touches the data — everything else stays JVM-side).
 
-Codec-dependent decodes (JPEG via PIL, MP4 via libav) are STUBBED: the
-container has no media libraries, so :func:`decode_features` raises
+Only true VIDEO codecs (MP4/H.26x via libav) are STUBBED: the container
+has no media libraries, so :func:`decode_features` raises
 ``NotImplementedError`` for those types unless ``fake=True``, which derives
 deterministic pseudo-features (dimensions, sample-rate) from the payload
-bytes. Four formats go through the REAL path with no external dependency:
+bytes. Six formats go through the REAL path with no external dependency:
 
 - ``audio/wav`` — parsed with the stdlib ``wave`` module (RIFF header:
   frame rate, channel count, frame count)
@@ -20,6 +20,14 @@ bytes. Four formats go through the REAL path with no external dependency:
 - ``image/png`` — full stdlib codec: CRC-verified chunk walk, IHDR parse,
   multi-IDAT zlib inflate, all five row filters reconstructed, and a
   ``pixel_sum`` over the raster so oracles gate the pixels, not just dims
+- ``image/gif`` — pure-Python GIF87a codec with a full LZW implementation
+  (see the codec section at the bottom of this module)
+- ``image/jpeg`` — baseline sequential JPEG (grayscale) implemented from
+  the published T.81 spec in :mod:`.jpegcodec`: Huffman entropy decode,
+  dequantize, IDCT. The synthesizer emits block-constant even-valued
+  rasters, which round-trip BIT-EXACTLY through the lossy pipeline (only
+  the DC coefficient survives and the Annex-K DC step divides it), so
+  even a lossy format gets a closed-form pixel-sum oracle
 
 The Spark-side plumbing — schema, binary handling, Arrow batch iteration,
 partition-preserving mapInPandas — is identical for real and fake paths.
@@ -48,7 +56,7 @@ FEATURE_SCHEMA = (
     "pixel_sum long, checksum string"
 )
 
-def attach_media(docs: DataFrame, media_type: str = "image/jpeg") -> DataFrame:
+def attach_media(docs: DataFrame, media_type: str = "application/octet-stream") -> DataFrame:
     """Simulate a media table: utf-8 payload bytes + typed metadata columns.
 
     In production this is the parquet/iceberg table the ingestion wrote;
@@ -355,13 +363,32 @@ def _encode_png(px, split_idat: bool = False) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
 
 
+def _decode_jpeg(b: bytes) -> dict:
+    """REAL image decode: baseline JPEG via the pure-Python T.81 codec
+    (operators/jpegcodec.py) — Huffman entropy decode, dequantize, IDCT.
+    Returns dims + ``pixel_sum`` over the reconstructed raster, so the
+    oracle gates the actual decoded pixels through the full lossy path."""
+    from .jpegcodec import decode_jpeg
+
+    d = decode_jpeg(b)
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "sample_rate": None,
+        "n_channels": 1,
+        "n_samples": None,
+        "duration_ms": None,
+        "pixel_sum": int(d["raster"].sum(dtype="int64")),
+    }
+
+
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    ``audio/wav`` and ``image/x-portable-pixmap`` payloads are decoded for
-    REAL (stdlib wave / direct P6 header parse). Codec-dependent types
-    (PNG/JPEG/MP4) raise NotImplementedError unless ``fake=True``, which
-    substitutes deterministic digest-derived pseudo-features.
+    WAV/PPM/BMP/PNG/GIF/JPEG payloads are decoded for REAL (stdlib +
+    numpy codecs). True video codecs (MP4) raise NotImplementedError
+    unless ``fake=True``, which substitutes deterministic digest-derived
+    pseudo-features for any type without a real decoder.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -382,6 +409,8 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     feat = _decode_png(b)
                 elif mt == "image/gif":
                     feat = _decode_gif(b)
+                elif mt == "image/jpeg":
+                    feat = _decode_jpeg(b)
                 elif fake:
                     d = hashlib.md5(b).digest()
                     feat = {
@@ -394,11 +423,11 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     }
                 else:
                     raise NotImplementedError(
-                        f"real decode of {mt!r} requires PIL/libav (not in "
+                        f"real decode of {mt!r} requires libav (not in "
                         "container); audio/wav, image/x-portable-pixmap, "
-                        "image/bmp, image/png and image/gif decode for real "
-                        "— run with fake=True for deterministic pseudo-"
-                        "features"
+                        "image/bmp, image/png, image/gif and image/jpeg "
+                        "decode for real — run with fake=True for "
+                        "deterministic pseudo-features"
                     )
                 feat.setdefault("pixel_sum", None)
                 rows["doc_id"].append(doc_id)
@@ -552,6 +581,44 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 out["media"].append(b)
                 out["media_type"].append("image/png")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_jpeg(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline JPEGs, one per document, built so a
+    LOSSY format still gets an EXACT pixel oracle: the raster is grayscale
+    with 8x8-block-constant EVEN values — block (bx, by) has value
+    2*(bx + 2*by + doc_id % 50) — and a constant even-valued block
+    round-trips bit-exactly through DCT -> Annex-K quantize -> IDCT (only
+    DC survives; step 16 divides 8*(v-128) for even v). Dims are whole
+    blocks: width = 8*(2 + doc_id % 6), height = 8*(2 + len(text) % 6),
+    so with BW/BH = blocks per row/col and k = doc_id % 50 the decoded
+    pixel sum is the closed form
+    128*(BH*BW*(BW-1)/2 + BW*BH*(BH-1) + BW*BH*k).
+    The max block value 2*(5 + 10 + 49) = 128 < 256 keeps every term
+    mod-free on the SQL side. n_bytes is entropy-coded, hence ungated."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpegcodec import encode_jpeg
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bw = int(2 + doc_id % 6)
+                bh = int(2 + len(text or "") % 6)
+                bx = np.arange(bw)[None, :]
+                by = np.arange(bh)[:, None]
+                blocks = (2 * (bx + 2 * by + int(doc_id) % 50)).astype(np.uint8)
+                raster = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                b = encode_jpeg(raster)
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("image/jpeg")
                 out["n_bytes"].append(len(b))
             yield pd.DataFrame(out)
 

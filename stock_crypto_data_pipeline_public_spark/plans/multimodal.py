@@ -36,7 +36,7 @@ from .registry import query
         FROM documents
     ),
     feat AS (
-        SELECT 'image/jpeg' AS media_type, n_bytes, h,
+        SELECT 'application/octet-stream' AS media_type, n_bytes, h,
                64 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 192 AS width,
                64 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 192 AS height
         FROM f
@@ -405,6 +405,55 @@ def m09_gif_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("width").agg(
         F.countDistinct("doc_id").alias("n_images"),
         F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m11 — REAL JPEG decode: deterministic baseline JPEGs per document
+# (operators/multimodal.synthesize_jpeg), decoded through the pure-Python
+# T.81 codec (operators/jpegcodec.py — canonical Huffman entropy decode,
+# dequantize, orthonormal IDCT). JPEG is LOSSY, so the synthesizer is built
+# on the one exactness island the math guarantees: 8x8-block-constant EVEN
+# values round-trip bit-exactly (only the DC coefficient is nonzero, and
+# the Annex-K DC quantizer step 16 divides 8*(v-128) when v is even). Block
+# (bx, by) carries 2*(bx + 2*by + doc_id % 50), dims are whole blocks
+# (BW = 2 + doc_id % 6, BH = 2 + len(text) % 6), so the decoded pixel sum
+# is the closed form 128*(BH*BW*(BW-1)/2 + BW*BH*(BH-1) + BW*BH*k) — the
+# full entropy-decode -> dequantize -> IDCT pipeline runs for real and any
+# Huffman mis-read, zigzag slip, or IDCT scaling error changes the gated
+# sum. File size is entropy-coded, hence deliberately ungated.
+# --------------------------------------------------------------------------
+@query(
+    "m11_jpeg_real_decode_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               2 + doc_id % 6                          AS bw,
+               2 + (coalesce(length(text), 0) % 6)     AS bh,
+               doc_id % 50                             AS k
+        FROM documents
+    )
+    SELECT CAST(8 * bw AS INT)                         AS width,
+           count(*)                                    AS n_images,
+           CAST(sum(8 * bh) AS BIGINT)                 AS total_height,
+           CAST(sum(1) AS BIGINT)                      AS total_channels,
+           CAST(sum(128 * (bh * bw * (bw - 1) // 2
+                           + bw * bh * (bh - 1)
+                           + bw * bh * k)) AS BIGINT)  AS total_pixel_sum
+    FROM c
+    GROUP BY 1
+    """,
+)
+def m11_jpeg_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_jpeg(docs)
+    feats = M.decode_features(media)  # fake=False: the REAL T.81 decode
+    return feats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
+        F.sum(F.col("n_channels").cast("long")).alias("total_channels"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
     )
 

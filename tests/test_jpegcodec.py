@@ -1,0 +1,141 @@
+"""Baseline JPEG codec tests (operators/jpegcodec.py): the T.81 pipeline
+— DCT, Annex-K quantization, zigzag, DC-differential + AC run-length
+Huffman coding — round-trips through real entropy-coded bytes, and every
+out-of-scope input (progressive, color, truncated) fails loudly.
+
+The exactness contract the multimodal oracles lean on is tested as a
+property here: a raster of 8x8-block-constant EVEN values decodes
+BIT-EXACTLY (only the DC coefficient is nonzero and the Annex-K DC step
+16 divides 8*(v-128) when v is even), while arbitrary rasters decode with
+bounded error — JPEG is lossy, and the tests respect that.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stock_crypto_data_pipeline_public_spark.operators.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _block_raster(blocks: np.ndarray) -> np.ndarray:
+    """Expand an (BH, BW) block-value grid to the (8*BH, 8*BW) raster."""
+    return np.kron(blocks.astype(np.uint8), np.ones((8, 8), dtype=np.uint8))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.integers(0, 10**9),
+)
+def test_block_constant_even_rasters_roundtrip_exactly(bw, bh, seed):
+    """The oracle contract: ANY grid of even block values is lossless."""
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 128, size=(bh, bw), dtype=np.uint8) * 2
+    raster = _block_raster(blocks)
+    decoded = decode_jpeg(encode_jpeg(raster))
+    assert decoded["width"] == 8 * bw and decoded["height"] == 8 * bh
+    assert np.array_equal(decoded["raster"], raster)
+
+
+def test_byte_stuffing_survives_ff_heavy_scans():
+    """A scan dominated by large coefficients emits 0xFF bytes that must
+    be stuffed (FF 00) on write and un-stuffed on read; a checkerboard of
+    extreme even values maximizes entropy-coded density."""
+    blocks = np.zeros((5, 7), dtype=np.uint8)
+    blocks[::2, ::2] = 254
+    blocks[1::2, 1::2] = 2
+    raster = _block_raster(blocks)
+    decoded = decode_jpeg(encode_jpeg(raster))
+    assert np.array_equal(decoded["raster"], raster)
+
+
+def test_arbitrary_raster_lossy_but_bounded():
+    """Random noise is JPEG's worst case: decode must still reproduce
+    dims exactly and pixels within the quantizer's energy budget."""
+    rng = np.random.default_rng(7)
+    raster = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+    decoded = decode_jpeg(encode_jpeg(raster))
+    assert decoded["raster"].shape == (37, 53)
+    err = np.abs(decoded["raster"].astype(int) - raster.astype(int))
+    assert err.mean() < 32  # Annex-K tables on noise: heavy but bounded
+
+    # smooth content (the realistic case) stays within a few levels
+    grad = np.clip(
+        np.rint(np.linspace(0, 255, 64))[None, :] * np.ones((48, 1)), 0, 255
+    ).astype(np.uint8)
+    gerr = np.abs(
+        decode_jpeg(encode_jpeg(grad))["raster"].astype(int) - grad.astype(int)
+    )
+    assert gerr.max() <= 8
+
+
+def test_non_multiple_of_8_dims_pad_and_crop():
+    """Encoder pads by edge replication; decoder crops back to SOF dims.
+    A block-constant raster whose visible part is even-valued stays exact
+    because replication keeps the padded blocks constant too."""
+    raster = _block_raster(np.array([[10, 40], [100, 200]]))[:11, :13]
+    decoded = decode_jpeg(encode_jpeg(raster))
+    assert decoded["width"] == 13 and decoded["height"] == 11
+    assert np.array_equal(decoded["raster"], raster)
+
+
+def test_dc_differential_chains_across_blocks():
+    """DC coding is differential: a long strictly-increasing block run
+    exercises every positive diff size category; the reverse run the
+    negative ones."""
+    up = np.arange(0, 128, 2, dtype=np.uint8).reshape(1, 64) * 2
+    for blocks in (up, up[:, ::-1]):
+        raster = _block_raster(blocks)
+        assert np.array_equal(decode_jpeg(encode_jpeg(raster))["raster"], raster)
+
+
+def test_rejects_progressive_and_color_and_truncation():
+    raster = _block_raster(np.array([[60]]))
+    b = bytearray(encode_jpeg(raster))
+
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = bytes(b).index(b"\xff\xc0")
+    prog = bytes(b[:i]) + b"\xff\xc2" + bytes(b[i + 2 :])
+    with pytest.raises(ValueError, match="not baseline"):
+        decode_jpeg(prog)
+
+    # forge a 3-component SOF payload
+    j = i + 4  # payload start (marker + length)
+    forged = bytearray(b)
+    forged[j + 5] = 3
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jpeg(bytes(forged))
+
+    # truncated entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(b[:-8]))
+
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decompression_guard_on_forged_dims():
+    """A tiny file claiming a giant raster must be refused before any
+    allocation proportional to the claim."""
+    b = bytearray(encode_jpeg(_block_raster(np.array([[60]]))))
+    i = bytes(b).index(b"\xff\xc0")
+    struct.pack_into(">HH", b, i + 5, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="guard"):
+        decode_jpeg(bytes(b))
+
+
+def test_encoder_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 8), dtype=np.uint8))

@@ -196,6 +196,24 @@ def test_png_real_decode_roundtrip(spark, sf_dir):
         assert r.pixel_sum == expect
 
 
+def test_jpeg_real_decode_roundtrip(spark, sf_dir):
+    """synthesize_jpeg → decode_features runs the REAL T.81 codec: the
+    decoded dims AND pixel_sum must equal their closed forms — exact even
+    though JPEG is lossy, because block-constant even values keep only the
+    DC coefficient and the Annex-K DC step divides it (jpegcodec.py)."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    feats = {r.doc_id: r for r in M.decode_features(M.synthesize_jpeg(docs)).collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == 40
+    for doc_id, r in feats.items():
+        bw = 2 + doc_id % 6
+        bh = 2 + (len(src[doc_id] or "") % 6)
+        k = doc_id % 50
+        assert (r.width, r.height, r.n_channels) == (8 * bw, 8 * bh, 1)
+        expect = 128 * (bh * bw * (bw - 1) // 2 + bw * bh * (bh - 1) + bw * bh * k)
+        assert r.pixel_sum == expect
+
+
 def test_png_codec_exact_raster_and_filters():
     """_encode_png → _decode_png reconstructs the EXACT raster for images
     tall enough that every filter type (y % 5) appears, including values
