@@ -5,11 +5,12 @@ with typed metadata alongside; decode / feature-extraction runs as
 Arrow-batched pandas transforms via ``mapInPandas`` (the only place Python
 touches the data — everything else stays JVM-side).
 
-Only true VIDEO codecs (MP4/H.26x via libav) are STUBBED: the container
-has no media libraries, so :func:`decode_features` raises
-``NotImplementedError`` for those types unless ``fake=True``, which derives
-deterministic pseudo-features (dimensions, sample-rate) from the payload
-bytes. Six formats go through the REAL path with no external dependency:
+Only interframe VIDEO pixel codecs (H.26x via libav) remain out of scope:
+the container has no media libraries, so types without a real decoder
+(e.g. ``application/octet-stream`` placeholders) raise
+``NotImplementedError`` unless ``fake=True``, which derives deterministic
+pseudo-features (dimensions, sample-rate) from the payload bytes. Seven
+formats go through the REAL path with no external dependency:
 
 - ``audio/wav`` — parsed with the stdlib ``wave`` module (RIFF header:
   frame rate, channel count, frame count)
@@ -28,6 +29,11 @@ bytes. Six formats go through the REAL path with no external dependency:
   rasters, which round-trip BIT-EXACTLY through the lossy pipeline (only
   the DC coefficient survives and the Annex-K DC step divides it), so
   even a lossy format gets a closed-form pixel-sum oracle
+- ``video/mp4`` — REAL ISO-BMFF container demux (:mod:`.mp4codec`):
+  box-tree walk, fixed-point dims, and the stts/stsc/stsz/stco sample
+  tables resolved exactly as a player seeks. Synthesized clips carry
+  Motion-JPEG samples, so demuxed frames ALSO pixel-decode for real
+  through the JPEG codec — container and image layers both gated
 
 The Spark-side plumbing — schema, binary handling, Arrow batch iteration,
 partition-preserving mapInPandas — is identical for real and fake paths.
@@ -382,13 +388,34 @@ def _decode_jpeg(b: bytes) -> dict:
     }
 
 
+def _decode_mp4(b: bytes) -> dict:
+    """REAL video container decode: ISO-BMFF demux (operators/mp4codec)
+    — box walk, tkhd fixed-point dims, mvhd duration, stsz sample count.
+    Frame PIXELS are only decodable when the samples are Motion-JPEG
+    (see sample_frames/decode_frames); the metadata here is real for any
+    conforming file."""
+    from .mp4codec import parse_mp4
+
+    d = parse_mp4(b)
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "sample_rate": None,
+        "n_channels": None,
+        "n_samples": d["n_samples"],
+        "duration_ms": d["duration_ms"],
+    }
+
+
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     WAV/PPM/BMP/PNG/GIF/JPEG payloads are decoded for REAL (stdlib +
-    numpy codecs). True video codecs (MP4) raise NotImplementedError
-    unless ``fake=True``, which substitutes deterministic digest-derived
-    pseudo-features for any type without a real decoder.
+    numpy codecs), and ``video/mp4`` metadata is demuxed for real from
+    the ISO-BMFF sample tables. Types without a real decoder
+    (e.g. ``application/octet-stream`` placeholders) raise
+    NotImplementedError unless ``fake=True``, which substitutes
+    deterministic digest-derived pseudo-features.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -411,6 +438,8 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     feat = _decode_gif(b)
                 elif mt == "image/jpeg":
                     feat = _decode_jpeg(b)
+                elif mt == "video/mp4":
+                    feat = _decode_mp4(b)
                 elif fake:
                     d = hashlib.md5(b).digest()
                     feat = {
@@ -423,11 +452,11 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     }
                 else:
                     raise NotImplementedError(
-                        f"real decode of {mt!r} requires libav (not in "
-                        "container); audio/wav, image/x-portable-pixmap, "
-                        "image/bmp, image/png, image/gif and image/jpeg "
-                        "decode for real — run with fake=True for "
-                        "deterministic pseudo-features"
+                        f"no real decoder for {mt!r}; audio/wav, "
+                        "image/x-portable-pixmap, image/bmp, image/png, "
+                        "image/gif, image/jpeg and video/mp4 (ISO-BMFF "
+                        "metadata) decode for real — run with fake=True "
+                        "for deterministic pseudo-features"
                     )
                 feat.setdefault("pixel_sum", None)
                 rows["doc_id"].append(doc_id)
@@ -625,6 +654,49 @@ def synthesize_jpeg(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthesize_mp4(docs: DataFrame, n_frames: int = 6) -> DataFrame:
+    """Deterministic REAL MP4 clips, one per document: a Motion-JPEG
+    track muxed by operators/mp4codec (real ftyp/mdat/moov + sample
+    tables), whose frames are the baseline JPEGs of synthesize_jpeg with
+    a per-frame offset — frame f's block (bx, by) carries
+    2*(bx + 2*by + doc_id % 40 + f), dims 8*(2 + doc_id % 4) x
+    8*(2 + len(text) % 4), 100 ms per frame. Every term stays < 256 and
+    even, so each DEMUXED + JPEG-DECODED frame's pixel sum is the closed
+    form 128*(BH*BW*(BW-1)/2 + BW*BH*(BH-1) + BW*BH*(k+f)) and the
+    container timestamps are src_index*100 — SQL-predictable end to end
+    through two real codec layers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpegcodec import encode_jpeg
+        from .mp4codec import encode_mp4
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bw = int(2 + doc_id % 4)
+                bh = int(2 + len(text or "") % 4)
+                k = int(doc_id) % 40
+                bx = np.arange(bw)[None, :]
+                by = np.arange(bh)[:, None]
+                ones = np.ones((8, 8), dtype=np.uint8)
+                frames = [
+                    encode_jpeg(
+                        np.kron((2 * (bx + 2 * by + k + f)).astype(np.uint8), ones)
+                    )
+                    for f in range(n_frames)
+                ]
+                b = encode_mp4(frames, 8 * bw, 8 * bh, frame_duration_ms=100)
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("video/mp4")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def synthesize_animated_gif(docs: DataFrame, n_frames: int = 6) -> DataFrame:
     """Deterministic REAL animated GIF87a clips, one per document:
     width = 4 + doc_id % 12, height = 4 + (len(text) % 12), frame f pixel
@@ -664,9 +736,11 @@ FRAME_FEATURE_SCHEMA = (
 
 
 def decode_frames(df: DataFrame) -> DataFrame:
-    """REAL decode of sample_frames output rows (single-frame GIF
-    payloads): keeps the (doc_id, frame_idx) identity decode_features
-    would lose, returning dims + the palette-mapped pixel sum per frame."""
+    """REAL decode of sample_frames output rows: keeps the (doc_id,
+    frame_idx) identity decode_features would lose, returning dims + the
+    pixel sum per frame. The format is sniffed from the payload magic —
+    single-frame GIFs (GIF-sampled animations) and baseline JPEGs
+    (MP4-demuxed Motion-JPEG samples) both decode for real."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -677,7 +751,10 @@ def decode_frames(df: DataFrame) -> DataFrame:
             for doc_id, fi, ts, frame in zip(
                 pdf["doc_id"], pdf["frame_idx"], pdf["frame_ts_ms"], pdf["frame"]
             ):
-                feat = _decode_gif(frame)
+                if bytes(frame[:2]) == b"\xff\xd8":
+                    feat = _decode_jpeg(frame)
+                else:
+                    feat = _decode_gif(frame)
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(fi)
                 out["frame_ts_ms"].append(ts)
@@ -808,8 +885,14 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fps: int = 30, fake: bool = 
     spaced source indices (k·total÷n), and each sampled frame re-encodes
     as a standalone single-frame GIF — so every downstream consumer
     (decode_features, resize) works on the sampled rows unchanged.
-    ``frame_ts_ms`` = source_index·1000÷fps. MP4 genuinely needs libav:
-    ``fake=True`` slices the payload into deterministic chunks instead.
+    ``frame_ts_ms`` = source_index·1000÷fps.
+
+    ``video/mp4`` is REAL too: the ISO-BMFF demux (operators/mp4codec)
+    resolves every sample's bytes and CONTAINER timestamp from the
+    stts/stsc/stsz/stco tables, and evenly spaced samples are emitted as
+    standalone frame payloads (Motion-JPEG samples are directly
+    decodable by decode_frames). Types without a real path slice the
+    payload into deterministic chunks when ``fake=True``, else raise.
     """
     import numpy as np
 
@@ -832,11 +915,24 @@ def sample_frames(df: DataFrame, n_frames: int = 4, fps: int = 30, fake: bool = 
                         out["frame_ts_ms"].append(src * 1000 // fps)
                         out["frame"].append(_encode_gif(raster, palette))
                     continue
+                if mt == "video/mp4":
+                    from .mp4codec import parse_mp4
+
+                    samples = parse_mp4(media)["samples"]
+                    total = len(samples)
+                    take = min(n_frames, total)
+                    for k in range(take):
+                        ts_ms, payload = samples[k * total // take]
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(k)
+                        out["frame_ts_ms"].append(ts_ms)
+                        out["frame"].append(payload)
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "real frame sampling requires libav/ffmpeg (not in "
-                        "container) for video codecs; image/gif samples for "
-                        "real — run with fake=True for deterministic chunks"
+                        f"no real frame-sampling path for {mt!r}; image/gif "
+                        "and video/mp4 (ISO-BMFF) sample for real — run "
+                        "with fake=True for deterministic chunks"
                     )
                 step = max(1, len(media) // n_frames)
                 for i in range(n_frames):

@@ -91,8 +91,10 @@ def m02_media_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# m03 — video frame sampling → per-frame-index rollup: the row-EXPANDING
-# multimodal shape (n_frames output rows per input, Arrow-batched). The
+# m03 — opaque-payload frame sampling → per-frame-index rollup: the
+# row-EXPANDING multimodal shape (n_frames output rows per input,
+# Arrow-batched) on a type with NO real decoder (octet-stream), i.e. the
+# plumbing contract a new format rides on before its codec lands. The
 # fake frame slicer cuts the payload into step = max(len//4, 1) byte chunks
 # with arithmetic timestamps (operators/multimodal.sample_frames) — pure
 # functions of payload length, so the rollup is SQL-expressible and gets a
@@ -127,7 +129,7 @@ def m02_media_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m03_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    media = M.attach_media(docs, media_type="video/mp4")
+    media = M.attach_media(docs, media_type="application/octet-stream")
     frames = M.sample_frames(media, n_frames=4, fake=True)
     return frames.groupBy("frame_idx").agg(
         F.count(F.lit(1)).alias("n_frames"),
@@ -455,6 +457,62 @@ def m11_jpeg_real_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("height").cast("long")).alias("total_height"),
         F.sum(F.col("n_channels").cast("long")).alias("total_channels"),
         F.sum("pixel_sum").alias("total_pixel_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m12 — REAL video demux + REAL frame decode: deterministic Motion-JPEG
+# MP4s per document (synthesize_mp4 — real ISO-BMFF mux via
+# operators/mp4codec), REAL container demux in sample_frames (sample
+# bytes + timestamps resolved from the stts/stsc/stsz/stco tables exactly
+# as a player seeks), then each sampled frame decoded through the REAL
+# T.81 JPEG codec. Two real codec layers, both gated: the oracle predicts
+# the CONTAINER timestamps (src·100 ms from stts) and each frame's decoded
+# pixel sum 128*(BH*BW*(BW-1)/2 + BW*BH*(BH-1) + BW*BH*(k+src)) — a box
+# mis-walk, a wrong chunk offset, a sample/timestamp misalignment, or any
+# JPEG decode slip all hash-fail. Only interframe codecs (H.26x) remain
+# out of scope.
+# --------------------------------------------------------------------------
+@query(
+    "m12_mp4_demux_decode_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               2 + doc_id % 4                          AS bw,
+               2 + (coalesce(length(text), 0) % 4)     AS bh,
+               doc_id % 40                             AS k
+        FROM documents
+    ),
+    frames AS (
+        SELECT c.doc_id, c.bw, c.bh, c.k,
+               CAST(j AS INT)       AS frame_idx,
+               (j * 6 // 3)         AS src
+        FROM c, unnest(range(0, 3)) AS gj(j)
+    )
+    SELECT frame_idx,
+           count(DISTINCT doc_id)                          AS n_docs,
+           CAST(sum(8 * bw) AS BIGINT)                     AS total_width,
+           CAST(sum(128 * (bh * bw * (bw - 1) // 2
+                           + bw * bh * (bh - 1)
+                           + bw * bh * (k + src))) AS BIGINT) AS total_pixel_sum,
+           CAST(min(src) * 100 AS BIGINT)                  AS min_ts_ms,
+           CAST(max(src) * 100 AS BIGINT)                  AS max_ts_ms
+    FROM frames
+    GROUP BY 1
+    """,
+)
+def m12_mp4_demux_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_mp4(docs, n_frames=6)
+    frames = M.sample_frames(media, n_frames=3)  # REAL ISO-BMFF demux
+    feats = M.decode_frames(frames)  # REAL T.81 decode per frame
+    return feats.groupBy("frame_idx").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.col("width").cast("long")).alias("total_width"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+        F.min("frame_ts_ms").alias("min_ts_ms"),
+        F.max("frame_ts_ms").alias("max_ts_ms"),
     )
 
 

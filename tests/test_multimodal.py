@@ -214,6 +214,38 @@ def test_jpeg_real_decode_roundtrip(spark, sf_dir):
         assert r.pixel_sum == expect
 
 
+def test_mp4_real_demux_and_decode(spark, sf_dir):
+    """synthesize_mp4 → sample_frames → decode_frames composes two REAL
+    codec layers: ISO-BMFF demux (container timestamps from stts, sample
+    bytes from stsc/stsz/stco) and T.81 JPEG decode — dims, timestamps
+    AND pixel sums must equal their closed forms. decode_features on the
+    same payloads gates the real container metadata."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = M.synthesize_mp4(docs, n_frames=6)
+    src = {r.doc_id: r.text for r in docs.collect()}
+
+    meta = {r.doc_id: r for r in M.decode_features(media).collect()}
+    frames = M.decode_frames(M.sample_frames(media, n_frames=3))
+    rows = frames.collect()
+    assert len(rows) == 30 * 3
+    for doc_id, r in meta.items():
+        bw = 2 + doc_id % 4
+        bh = 2 + (len(src[doc_id] or "") % 4)
+        assert (r.width, r.height, r.n_samples, r.duration_ms) == (
+            8 * bw, 8 * bh, 6, 600,
+        )
+    for r in rows:
+        bw = 2 + r.doc_id % 4
+        bh = 2 + (len(src[r.doc_id] or "") % 4)
+        k = r.doc_id % 40
+        s = r.frame_idx * 6 // 3
+        assert (r.width, r.height, r.frame_ts_ms) == (8 * bw, 8 * bh, s * 100)
+        expect = 128 * (
+            bh * bw * (bw - 1) // 2 + bw * bh * (bh - 1) + bw * bh * (k + s)
+        )
+        assert r.pixel_sum == expect
+
+
 def test_png_codec_exact_raster_and_filters():
     """_encode_png → _decode_png reconstructs the EXACT raster for images
     tall enough that every filter type (y % 5) appears, including values
@@ -329,6 +361,8 @@ def test_null_text_documents_decode_identically_to_empty(spark):
         (M.synthesize_ppm, "height"),
         (M.synthesize_bmp, "height"),
         (M.synthesize_png, "height"),
+        (M.synthesize_jpeg, "height"),
+        (M.synthesize_mp4, "height"),
     ):
         out = {r.doc_id: r for r in M.decode_features(synth(docs)).collect()}
         assert out[1][field] is not None
