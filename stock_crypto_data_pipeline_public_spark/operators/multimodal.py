@@ -616,6 +616,97 @@ def synthesize_png(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthesize_tone_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL two-tone WAV clips, one per document: 512
+    samples of PCM-16 at 8192 Hz carrying a 6000-amplitude sine on FFT
+    bin b1 = 5 + doc_id % 50 and a 3000-amplitude sine on bin
+    b2 = 60 + doc_id % 100 (disjoint ranges, both < Nyquist bin 256).
+    Bin-centered tones put ALL their energy in one rfft bin, so
+    extract_audio_features' spectral argmax recovers b1/b2 EXACTLY and
+    the oracle is closed-form; sr = 8192 makes hz = 16·bin an integer."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        t = np.arange(512)
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id in pdf["doc_id"]:
+                b1 = int(5 + doc_id % 50)
+                b2 = int(60 + doc_id % 100)
+                x = np.rint(
+                    6000 * np.sin(2 * np.pi * b1 * t / 512)
+                    + 3000 * np.sin(2 * np.pi * b2 * t / 512)
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8192)
+                    w.writeframes(x.tobytes())
+                b = buf.getvalue()
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("audio/wav")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+#: spectral feature schema (extract_audio_features contract)
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, dominant_bin int, "
+    "secondary_bin int, dominant_hz int, rms double"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """REAL signal-level audio analysis (not just header parsing): decode
+    the PCM plane with stdlib ``wave``, run a numpy rFFT, and emit the
+    two strongest spectral bins + the dominant frequency in Hz + RMS.
+    Arrow-batched mapInPandas — the FFT is vectorized C per clip and the
+    stage is map-only (no shuffle), so at 100 TB it scales with input
+    splits like every other decode stage. Stereo is folded to mono by
+    channel mean before the transform."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "dominant_bin",
+                "secondary_bin", "dominant_hz", "rms",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(b))) as w:
+                    sr = w.getframerate()
+                    nc = w.getnchannels()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+                x = pcm.reshape(-1, nc).mean(axis=1) if nc > 1 else pcm.astype(np.float64)
+                spec = np.abs(np.fft.rfft(x))
+                order = np.argsort(spec)
+                dom = int(order[-1])
+                sec = int(order[-2]) if len(order) > 1 else dom
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["dominant_bin"].append(dom)
+                out["secondary_bin"].append(sec)
+                out["dominant_hz"].append(dom * sr // len(x))
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def synthesize_jpeg(docs: DataFrame) -> DataFrame:
     """Deterministic REAL baseline JPEGs, one per document, built so a
     LOSSY format still gets an EXACT pixel oracle: the raster is grayscale

@@ -517,6 +517,49 @@ def m12_mp4_demux_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# m13 — REAL audio SIGNAL analysis (beyond m04's header parse): two-tone
+# PCM clips per document (synthesize_tone_wav — sines centered on FFT
+# bins b1 = 5 + doc_id % 50 at amplitude 6000 and b2 = 60 + doc_id % 100
+# at 3000), then extract_audio_features runs a real numpy rFFT over the
+# decoded PCM and reports the two strongest bins + the dominant Hz. A
+# bin-centered tone concentrates ALL its energy in one rfft bin, so the
+# spectral argmax must recover b1/b2 EXACTLY — a windowing slip, an
+# off-by-one in the bin math, or a byte-order error in the PCM decode
+# all hash-fail. RMS is floating (quantization noise) and deliberately
+# ungated; sr = 8192 makes dominant_hz = 16·b1 an exact integer.
+# --------------------------------------------------------------------------
+@query(
+    "m13_audio_spectral_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               5 + doc_id % 50             AS b1,
+               60 + doc_id % 100           AS b2
+        FROM documents
+    )
+    SELECT CAST(b1 AS INT)                  AS dominant_bin,
+           count(*)                         AS n_clips,
+           CAST(sum(b2) AS BIGINT)          AS total_secondary_bin,
+           CAST(sum(16 * b1) AS BIGINT)     AS total_dominant_hz,
+           CAST(count(*) * 512 AS BIGINT)   AS total_samples
+    FROM c
+    GROUP BY 1
+    """,
+)
+def m13_audio_spectral_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_tone_wav(docs)
+    feats = M.extract_audio_features(media)  # REAL rFFT over decoded PCM
+    return feats.groupBy("dominant_bin").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("secondary_bin").cast("long")).alias("total_secondary_bin"),
+        F.sum(F.col("dominant_hz").cast("long")).alias("total_dominant_hz"),
+        F.sum("n_samples").alias("total_samples"),
+    )
+
+
+# --------------------------------------------------------------------------
 # m10 — REAL frame sampling: deterministic 6-frame animated GIFs per
 # document (synthesize_animated_gif), REAL sampling (sample_frames
 # LZW-decodes the animation and re-encodes 3 evenly spaced frames as

@@ -74,14 +74,14 @@ _GATE_PRIORITY = (
     # code changed this round (m08 PNG resize, m09 GIF/LZW, m10 real
     # frame sampling, m11 JPEG/T.81 decode — all new; m01's media label
     # changed when JPEG became a real decoder)
-    + ["m07", "m08", "m09", "m10", "m11", "m12", "m01", "m03",
-       "m05", "m06", "x13", "x06"]                              # (26)
-    # r3-stale rotation: vector + relational/finance leftovers (m02 and
-    # x07 rotate to the local harness — unchanged, x05 keeps the IVF
-    # family gated; m03 moved up with the changed code: its media label
-    # changed)
+    + ["m07", "m08", "m09", "m10", "m11", "m12", "m13", "m01",
+       "m03", "m05", "m06", "x13", "x06"]                       # (27)
+    # r3-stale rotation: vector + relational/finance leftovers (m02,
+    # x07, x08 rotate to the local harness — unchanged, x05 keeps the
+    # IVF family gated; m03 moved up with the changed code: its media
+    # label changed)
     + ["q01", "f02", "x01", "x02", "x03", "x04", "x05",
-       "x08", "x11"]                                            # (35)
+       "x11"]                                                   # (35)
     # new t35/t36 (span + CDC segment dedup) + r3-stale text rotation
     # (t16/t19/t20/t21/t22/t24..t27 stay local this round)
     + ["t35", "t36", "t01", "t02", "t03", "t04", "t06", "t07",

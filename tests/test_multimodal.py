@@ -214,6 +214,33 @@ def test_jpeg_real_decode_roundtrip(spark, sf_dir):
         assert r.pixel_sum == expect
 
 
+def test_audio_spectral_features(spark, sf_dir):
+    """extract_audio_features runs a REAL rFFT over REAL decoded PCM:
+    bin-centered tones must come back as exact argmax bins, integer Hz,
+    and an RMS within quantization noise of the analytic value; m04's
+    stereo silence clips exercise the channel-fold path (rms 0)."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    feats = {r.doc_id: r for r in M.extract_audio_features(M.synthesize_tone_wav(docs)).collect()}
+    assert len(feats) == 30
+    for doc_id, r in feats.items():
+        b1 = 5 + doc_id % 50
+        b2 = 60 + doc_id % 100
+        assert (r.dominant_bin, r.secondary_bin) == (b1, b2)
+        assert (r.sample_rate, r.n_samples, r.dominant_hz) == (8192, 512, 16 * b1)
+        # analytic RMS of the two-tone mix: sqrt((6000^2 + 3000^2)/2)
+        assert abs(r.rms - math.sqrt((6000**2 + 3000**2) / 2)) < 2.0
+
+    silence = {
+        r.doc_id: r
+        for r in M.extract_audio_features(M.synthesize_wav(docs)).collect()
+    }
+    assert all(r.rms == 0.0 for r in silence.values())
+    # stereo clips (doc_id odd -> 2 channels) folded without error
+    assert any((d % 2) == 1 for d in silence)
+
+
 def test_mp4_real_demux_and_decode(spark, sf_dir):
     """synthesize_mp4 → sample_frames → decode_frames composes two REAL
     codec layers: ISO-BMFF demux (container timestamps from stts, sample
