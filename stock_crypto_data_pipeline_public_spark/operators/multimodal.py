@@ -857,6 +857,70 @@ def decode_frames(df: DataFrame) -> DataFrame:
     return df.mapInPandas(dec, schema=FRAME_FEATURE_SCHEMA)
 
 
+#: temporal-difference output (frame_deltas contract)
+FRAME_DELTA_SCHEMA = (
+    "doc_id long, frame_idx int, frame_ts_ms long, abs_delta long, "
+    "changed_pixels long"
+)
+
+
+def frame_deltas(frames: DataFrame, assume_grouped: bool = False) -> DataFrame:
+    """REAL temporal differencing over decoded frame rows — the primitive
+    under scene-cut detection and static-frame dedup in a video training
+    pipeline. Consecutive frames of the same doc are compared pixel-wise
+    (sum of |Δ| and count of changed pixels); frame 0 has no predecessor
+    and is skipped. Frames are decoded via the same sniffing path as
+    decode_frames (GIF or JPEG payloads).
+
+    Implementation is a partition-local ordered diff INSIDE mapInPandas
+    with one-frame state. ``assume_grouped=True`` (the right call
+    directly downstream of sample_frames, whose row expansion emits
+    every frame of a doc contiguously and in order from one input row)
+    runs ZERO-SHUFFLE; the default repartitions+sorts on
+    (doc_id, frame_idx) first so arbitrary frame tables — e.g. read
+    back from parquet — group correctly. The explicit partition count
+    keeps AQE from coalescing the small-but-compute-heavy shuffle into
+    too few Python decode tasks."""
+    import numpy as np
+
+    def diff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prev_doc = None
+        prev_raster = None
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "frame_idx", "frame_ts_ms", "abs_delta", "changed_pixels",
+        )}
+        for pdf in batches:
+            for doc_id, fi, ts, frame in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame_ts_ms"], pdf["frame"]
+            ):
+                if bytes(frame[:2]) == b"\xff\xd8":
+                    from .jpegcodec import decode_jpeg
+
+                    raster = decode_jpeg(frame)["raster"].astype(np.int64)
+                else:
+                    w, h, _palette, gframes = _gif_parse(frame)
+                    raster = np.frombuffer(gframes[0], dtype=np.uint8).reshape(h, w).astype(np.int64)
+                if prev_doc == doc_id and prev_raster is not None and prev_raster.shape == raster.shape:
+                    delta = raster - prev_raster
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(fi)
+                    rows["frame_ts_ms"].append(ts)
+                    rows["abs_delta"].append(int(np.abs(delta).sum()))
+                    rows["changed_pixels"].append(int((delta != 0).sum()))
+                prev_doc, prev_raster = doc_id, raster
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    if assume_grouped:
+        ordered = frames
+    else:
+        n = frames.sparkSession.sparkContext.defaultParallelism
+        ordered = frames.repartition(n, "doc_id").sortWithinPartitions(
+            "doc_id", "frame_idx"
+        )
+    return ordered.mapInPandas(diff, schema=FRAME_DELTA_SCHEMA)
+
+
 #: resize output: payload replaced by the resized rendition + new dims
 RESIZE_SCHEMA = (
     "doc_id long, media_type string, media binary, width int, height int"

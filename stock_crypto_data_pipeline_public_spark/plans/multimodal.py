@@ -560,6 +560,56 @@ def m13_audio_spectral_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# m14 — REAL temporal differencing (scene-change primitive): demux every
+# Motion-JPEG frame of the m12 clips (sample_frames n_frames=6 = all),
+# JPEG-decode consecutive frames, and emit per-transition |Δ| sums +
+# changed-pixel counts (operators/multimodal.frame_deltas with
+# assume_grouped=True — sample_frames emits each doc's frames
+# contiguously in order, so the diff is ZERO-SHUFFLE map-side state of
+# one frame). Each frame step raises every
+# pixel by exactly 2 (block values 2*(...+f)), so per transition
+# abs_delta = 2·w·h = 128·bw·bh and changed_pixels = 64·bw·bh — a frame
+# mis-order, a dropped/duplicated frame, or any decode slip changes the
+# gated sums. Registered outside the driver window (full); the local
+# strict harness hash-gates it.
+# --------------------------------------------------------------------------
+@query(
+    "m14_video_frame_delta_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               2 + doc_id % 4                          AS bw,
+               2 + (coalesce(length(text), 0) % 4)     AS bh
+        FROM documents
+    ),
+    d AS (
+        SELECT c.doc_id, c.bw, c.bh, CAST(f AS INT) AS frame_idx
+        FROM c, unnest(range(1, 6)) AS gf(f)
+    )
+    SELECT frame_idx,
+           count(DISTINCT doc_id)                      AS n_docs,
+           CAST(sum(128 * bw * bh) AS BIGINT)          AS total_abs_delta,
+           CAST(sum(64 * bw * bh) AS BIGINT)           AS total_changed_pixels,
+           CAST(frame_idx * 100 AS BIGINT)             AS ts_ms
+    FROM d
+    GROUP BY 1
+    """,
+)
+def m14_video_frame_delta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_mp4(docs, n_frames=6)
+    frames = M.sample_frames(media, n_frames=6)  # all frames, REAL demux
+    deltas = M.frame_deltas(frames, assume_grouped=True)  # zero-shuffle diff
+    return deltas.groupBy("frame_idx").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("abs_delta").alias("total_abs_delta"),
+        F.sum("changed_pixels").alias("total_changed_pixels"),
+        F.min("frame_ts_ms").alias("ts_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
 # m10 — REAL frame sampling: deterministic 6-frame animated GIFs per
 # document (synthesize_animated_gif), REAL sampling (sample_frames
 # LZW-decodes the animation and re-encodes 3 evenly spaced frames as

@@ -273,6 +273,30 @@ def test_mp4_real_demux_and_decode(spark, sf_dir):
         assert r.pixel_sum == expect
 
 
+def test_frame_deltas_temporal_differencing(spark, sf_dir):
+    """frame_deltas on demuxed MJPEG frames: every transition's |Δ| sum
+    and changed-pixel count equal their closed forms (+2 per pixel per
+    frame step), on BOTH paths — zero-shuffle assume_grouped directly
+    downstream of sample_frames, and the general repartition+sort path
+    fed deliberately shuffled rows."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    frames = M.sample_frames(M.synthesize_mp4(docs, n_frames=6), n_frames=6)
+    src = {r.doc_id: r.text for r in docs.collect()}
+
+    grouped = M.frame_deltas(frames, assume_grouped=True).collect()
+    general = M.frame_deltas(
+        frames.orderBy(F.rand(seed=5))  # destroy grouping on purpose
+    ).collect()
+    for rows in (grouped, general):
+        assert len(rows) == 20 * 5  # frames 1..5 have predecessors
+        for r in rows:
+            bw = 2 + r.doc_id % 4
+            bh = 2 + (len(src[r.doc_id] or "") % 4)
+            assert r.frame_ts_ms == r.frame_idx * 100
+            assert r.abs_delta == 128 * bw * bh
+            assert r.changed_pixels == 64 * bw * bh
+
+
 def test_png_codec_exact_raster_and_filters():
     """_encode_png → _decode_png reconstructs the EXACT raster for images
     tall enough that every filter type (y % 5) appears, including values
