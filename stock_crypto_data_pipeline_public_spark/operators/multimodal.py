@@ -691,18 +691,28 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     n = w.getnframes()
                     pcm = np.frombuffer(w.readframes(n), dtype="<i2")
                 x = pcm.reshape(-1, nc).mean(axis=1) if nc > 1 else pcm.astype(np.float64)
-                spec = np.abs(np.fft.rfft(x))
-                order = np.argsort(spec)
-                dom = int(order[-1])
-                sec = int(order[-2]) if len(order) > 1 else dom
+                if n:
+                    spec = np.abs(np.fft.rfft(x))
+                    order = np.argsort(spec)
+                    dom = int(order[-1])
+                    sec = int(order[-2]) if len(order) > 1 else dom
+                    hz = dom * sr // n
+                    rms = float(np.sqrt(np.mean(x * x)))
+                else:
+                    # zero-length clip: no spectrum to report, not a crash
+                    dom = sec = hz = None
+                    rms = 0.0
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(sr)
                 out["n_samples"].append(n)
                 out["dominant_bin"].append(dom)
                 out["secondary_bin"].append(sec)
-                out["dominant_hz"].append(dom * sr // len(x))
-                out["rms"].append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
-            yield pd.DataFrame(out)
+                out["dominant_hz"].append(hz)
+                out["rms"].append(rms)
+            pdf_out = pd.DataFrame(out)
+            for c in ("dominant_bin", "secondary_bin", "dominant_hz"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
 
     return df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
 

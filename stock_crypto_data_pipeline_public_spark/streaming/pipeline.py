@@ -188,6 +188,39 @@ def run_ann_index_sink(
     )
 
 
+def run_media_feature_sink(
+    stream: DataFrame,
+    features_path: str,
+    checkpoint: str,
+    fake: bool = False,
+):
+    """writeStream → foreachBatch(decode_features): media payloads stream
+    in as binary rows, the REAL codecs (WAV/PPM/BMP/PNG/GIF/JPEG/MP4 —
+    operators/multimodal) extract features per micro-batch, and the
+    narrow feature table lands partitioned by epoch.
+
+    Exactly-once without an operator-side index: each epoch writes to its
+    own ``epoch=N`` partition with ``overwrite`` mode, so a replayed
+    micro-batch (crash between write and checkpoint commit) rewrites the
+    IDENTICAL partition instead of appending duplicates — the standard
+    idempotent-foreachBatch pattern, and on an object store each epoch
+    directory is immutable after its first successful commit. Decode is
+    map-only (no shuffle), so per-batch work ∝ batch size at any corpus
+    scale; payloads never reach the feature table."""
+    from ..operators.multimodal import decode_features
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        feats = decode_features(batch, fake=fake)
+        feats.write.mode("overwrite").parquet(f"{features_path}/epoch={int(epoch_id)}")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
     """Make ``ts_col`` a valid watermark column.
 

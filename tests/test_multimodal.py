@@ -240,6 +240,22 @@ def test_audio_spectral_features(spark, sf_dir):
     # stereo clips (doc_id odd -> 2 channels) folded without error
     assert any((d % 2) == 1 for d in silence)
 
+    # zero-length clip: null spectrum fields, not a crash
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    empty = spark.createDataFrame(
+        [(99, bytearray(buf.getvalue()))], "doc_id long, media binary"
+    )
+    r = M.extract_audio_features(empty).collect()[0]
+    assert (r.n_samples, r.dominant_bin, r.rms) == (0, None, 0.0)
+
 
 def test_mp4_real_demux_and_decode(spark, sf_dir):
     """synthesize_mp4 → sample_frames → decode_frames composes two REAL
@@ -295,6 +311,51 @@ def test_frame_deltas_temporal_differencing(spark, sf_dir):
             assert r.frame_ts_ms == r.frame_idx * 100
             assert r.abs_delta == 128 * bw * bh
             assert r.changed_pixels == 64 * bw * bh
+
+
+def test_streaming_media_feature_sink(spark, sf_dir, tmp_path):
+    """Media payloads stream through the REAL codecs: file-stream of
+    JPEG rows → run_media_feature_sink → epoch-partitioned feature
+    table. Growing the input and restarting the stream (same checkpoint)
+    processes only the new rows, features stay exact, and no doc
+    duplicates across epochs."""
+    from pyspark.sql import functions as F2
+
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        file_stream,
+        run_media_feature_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    media = M.synthesize_jpeg(docs).cache()
+    in_dir = str(tmp_path / "in")
+    feat_dir = str(tmp_path / "features")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = media.filter(F2.col("doc_id") % 2 == 0)
+    second = media.filter(F2.col("doc_id") % 2 == 1)
+    first.write.mode("append").parquet(in_dir)
+    run_media_feature_sink(
+        file_stream(spark, in_dir, media.schema), feat_dir, ckpt
+    ).awaitTermination()
+    second.write.mode("append").parquet(in_dir)
+    run_media_feature_sink(
+        file_stream(spark, in_dir, media.schema), feat_dir, ckpt
+    ).awaitTermination()
+
+    feats = spark.read.parquet(feat_dir)
+    rows = feats.collect()
+    assert len(rows) == 24
+    assert len({r.doc_id for r in rows}) == 24  # no replay duplicates
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        bw = 2 + r.doc_id % 6
+        bh = 2 + (len(src[r.doc_id] or "") % 6)
+        k = r.doc_id % 50
+        assert (r.width, r.height) == (8 * bw, 8 * bh)
+        assert r.pixel_sum == 128 * (
+            bh * bw * (bw - 1) // 2 + bw * bh * (bh - 1) + bw * bh * k
+        )
 
 
 def test_png_codec_exact_raster_and_filters():
