@@ -982,52 +982,117 @@ def _resize_ppm(b: bytes, width: int, height: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
 
 
-def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+def _resize_jpeg(b: bytes, width: int, height: int) -> bytes:
+    """REAL JPEG resize: full T.81 decode, nearest-neighbor resample,
+    re-encode. Lossy in general (JPEG is); an INTEGER upscale of a
+    block-constant raster stays block-constant, so the synthesizers'
+    payloads round-trip bit-exactly even through the re-encode."""
+    import numpy as np
+
+    from .jpegcodec import decode_jpeg, encode_jpeg
+
+    d = decode_jpeg(b)
+    xi = (np.arange(width) * d["width"]) // width
+    yi = (np.arange(height) * d["height"]) // height
+    return encode_jpeg(d["raster"][yi][:, xi])
+
+
+def _media_dims(mt: str, b: bytes) -> tuple[int, int]:
+    """Source (width, height) probe for the per-row ``scale`` resize."""
+    if mt == "image/x-portable-pixmap":
+        f = _ppm_header_fields(b)
+        return int(f[1]), int(f[2])
+    if mt == "image/png":
+        w, h, _ = _png_parse(b)
+        return w, h
+    if mt == "image/gif":
+        w, h, _, _ = _gif_parse(b)
+        return w, h
+    if mt == "image/jpeg":
+        from .jpegcodec import decode_jpeg
+
+        d = decode_jpeg(b)
+        return d["width"], d["height"]
+    raise NotImplementedError(f"no dimension probe for {mt!r}")
+
+
+def resize_images(
+    df: DataFrame,
+    width: int | None = None,
+    height: int | None = None,
+    fake: bool = False,
+    scale: int | None = None,
+) -> DataFrame:
     """Arrow-batched image resize: binary in → binary out, metadata updated.
 
     Map-only (no shuffle); output rows are smaller than input, so at scale
     this stage also repacks storage (write the rendition table partitioned
-    like the source). ``image/x-portable-pixmap`` and ``image/png``
-    payloads get a REAL nearest-neighbor resample (PNG round-trips the
-    full stdlib codec: inflate + unfilter -> subsample -> refilter +
-    deflate); other formats need PIL, so they raise unless ``fake=True``
-    (deterministic digest-seeded pseudo-rendition of size
+    like the source). ``image/x-portable-pixmap``, ``image/png``,
+    ``image/gif`` and ``image/jpeg`` payloads get a REAL nearest-neighbor
+    resample through their full codecs (PNG: inflate + unfilter ->
+    subsample -> refilter + deflate; JPEG: entropy decode + IDCT ->
+    subsample -> DCT + re-encode); other formats raise unless
+    ``fake=True`` (deterministic digest-seeded pseudo-rendition of size
     width*height//64).
+
+    Either fixed ``(width, height)`` for every row, or ``scale=k`` for a
+    per-row integer upscale to (k·w, k·h) — the form that keeps
+    block-constant JPEG rasters exact through the lossy re-encode.
     """
+    if (scale is None) == (width is None or height is None):
+        raise ValueError("resize_images needs (width, height) XOR scale")
 
     def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = max(1, width * height // 64)
-
-        def render_fake(b: bytes) -> bytes:
+        def render_fake(b: bytes, w: int, h: int) -> bytes:
+            target = max(1, w * h // 64)
             seed = hashlib.md5(b).digest()
             reps = target // len(seed) + 1
             return (seed * reps)[:target]
 
         for pdf in batches:
             media = []
+            widths = []
+            heights = []
             for mt, b in zip(pdf["media_type"], pdf["media"]):
+                if scale is not None:
+                    if fake and mt not in (
+                        "image/x-portable-pixmap", "image/png",
+                        "image/gif", "image/jpeg",
+                    ):
+                        raise NotImplementedError(
+                            "scale mode needs real source dims; no probe "
+                            f"for {mt!r}"
+                        )
+                    sw, sh = _media_dims(mt, b)
+                    w, h = sw * scale, sh * scale
+                else:
+                    w, h = width, height
                 if mt == "image/x-portable-pixmap":
-                    media.append(_resize_ppm(b, width, height))
+                    media.append(_resize_ppm(b, w, h))
                 elif mt == "image/png":
-                    media.append(_resize_png(b, width, height))
+                    media.append(_resize_png(b, w, h))
                 elif mt == "image/gif":
-                    media.append(_resize_gif(b, width, height))
+                    media.append(_resize_gif(b, w, h))
+                elif mt == "image/jpeg":
+                    media.append(_resize_jpeg(b, w, h))
                 elif fake:
-                    media.append(render_fake(b))
+                    media.append(render_fake(b, w, h))
                 else:
                     raise NotImplementedError(
-                        f"real resize of {mt!r} requires PIL (not in "
-                        "container); image/x-portable-pixmap and image/png "
-                        "resize for real — run with fake=True for "
-                        "pseudo-renditions"
+                        f"no real resize path for {mt!r}; "
+                        "image/x-portable-pixmap, image/png, image/gif and "
+                        "image/jpeg resize for real — run with fake=True "
+                        "for pseudo-renditions"
                     )
+                widths.append(w)
+                heights.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "media": media,
-                    "width": width,
-                    "height": height,
+                    "width": widths,
+                    "height": heights,
                 }
             )
 

@@ -610,6 +610,49 @@ def m14_video_frame_delta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# m15 — REAL JPEG resize through the lossy codec, still hash-exact: a 2x
+# nearest-neighbor upscale maps each source 8x8 block onto a 2x2 grid of
+# output blocks that are again CONSTANT with the same even value, so the
+# re-encode (resize_images scale=2 → _resize_jpeg: entropy decode + IDCT
+# → resample → DCT + re-encode) keeps the exactness island of m11 and the
+# second REAL decode gates the resized pixels: sum' = 4·sum, dims double.
+# The only lossy format in the suite now has decode AND resize gated on
+# pixels, like the lossless ones.
+# --------------------------------------------------------------------------
+@query(
+    "m15_jpeg_real_resize_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               2 + doc_id % 6                          AS bw,
+               2 + (coalesce(length(text), 0) % 6)     AS bh,
+               doc_id % 50                             AS k
+        FROM documents
+    )
+    SELECT CAST(16 * bw AS INT)                        AS width,
+           count(*)                                    AS n_images,
+           CAST(sum(16 * bh) AS BIGINT)                AS total_height,
+           CAST(sum(512 * (bh * bw * (bw - 1) // 2
+                           + bw * bh * (bh - 1)
+                           + bw * bh * k)) AS BIGINT)  AS total_pixel_sum
+    FROM c
+    GROUP BY 1
+    """,
+)
+def m15_jpeg_real_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_jpeg(docs)
+    resized = M.resize_images(media, scale=2)  # REAL lossy-codec round-trip
+    rfeat = M.decode_features(resized)  # REAL second decode of renditions
+    return rfeat.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # m10 — REAL frame sampling: deterministic 6-frame animated GIFs per
 # document (synthesize_animated_gif), REAL sampling (sample_frames
 # LZW-decodes the animation and re-encodes 3 evenly spaced frames as

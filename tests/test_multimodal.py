@@ -358,6 +358,35 @@ def test_streaming_media_feature_sink(spark, sf_dir, tmp_path):
         )
 
 
+def test_jpeg_real_resize_scale_mode(spark, sf_dir):
+    """resize_images(scale=2) on JPEGs runs the REAL lossy round-trip
+    (decode → NN upscale → re-encode): 2x upscale keeps block-constant
+    rasters block-constant, so the second decode is bit-exact — dims
+    double, pixel sum quadruples. Arbitrary fixed-target JPEG resize also
+    runs (lossy, dims-gated only)."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = M.synthesize_jpeg(docs).cache()
+    src = {r.doc_id: r.text for r in docs.collect()}
+
+    up = {r.doc_id: r for r in M.decode_features(M.resize_images(media, scale=2)).collect()}
+    for doc_id, r in up.items():
+        bw = 2 + doc_id % 6
+        bh = 2 + (len(src[doc_id] or "") % 6)
+        k = doc_id % 50
+        assert (r.width, r.height) == (16 * bw, 16 * bh)
+        assert r.pixel_sum == 4 * 128 * (
+            bh * bw * (bw - 1) // 2 + bw * bh * (bh - 1) + bw * bh * k
+        )
+
+    # fixed-target path: real but lossy — dims must still be exact
+    fixed = {r.doc_id: r for r in M.decode_features(M.resize_images(media, 24, 24)).collect()}
+    assert all((r.width, r.height) == (24, 24) for r in fixed.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="XOR"):
+        M.resize_images(media, 16, 12, scale=2)
+
+
 def test_png_codec_exact_raster_and_filters():
     """_encode_png → _decode_png reconstructs the EXACT raster for images
     tall enough that every filter type (y % 5) appears, including values
