@@ -207,6 +207,22 @@ def cmd_profile(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_media_features(args, spark: SparkSession) -> int:
+    """Decode a parquet media table (doc_id, media, media_type, ...)
+    through the REAL codecs (operators/multimodal.decode_features) and
+    write the narrow feature table — the batch form of the streaming
+    media sink. ``--fake`` substitutes digest pseudo-features for types
+    without a real decoder instead of failing the job."""
+    from .operators.multimodal import decode_features
+
+    media = spark.read.parquet(args.path)
+    feats = decode_features(media, fake=args.fake)
+    feats.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {n} feature rows -> {args.out}")
+    return 0
+
+
 def cmd_models(args, spark: SparkSession | None = None) -> int:
     """dbt ls; with --write-manifest / --modified-since it is the CI
     selection flow (reference dbt-ci.yml:106-133, `-s state:modified+`):
@@ -291,6 +307,16 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--id-col", default="vec_id")
     dr.add_argument("--vec-col", default="embedding")
 
+    mf = sub.add_parser(
+        "media-features",
+        help="decode a parquet media table through the real codecs "
+        "(WAV/PPM/BMP/PNG/GIF/JPEG/MP4) into a feature table",
+    )
+    mf.add_argument("--path", required=True, help="media parquet dir")
+    mf.add_argument("--out", required=True, help="feature table output dir")
+    mf.add_argument("--fake", action="store_true",
+                    help="pseudo-features for types without a real decoder")
+
     m = sub.add_parser("models", help="list registered models (dbt ls)")
     m.add_argument("--write-manifest", default=None,
                    help="write the model-definition fingerprint manifest (JSON)")
@@ -314,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
         "zorder": cmd_zorder,
         "profile": cmd_profile,
         "drift": cmd_drift,
+        "media-features": cmd_media_features,
     }[args.cmd](args, spark)
 
 

@@ -210,3 +210,25 @@ def test_cli_history(spark, tmp_path, capsys):
     assert "3 commits, 2 retained" in out
     _A.path = str(tmp_path / "nope")
     assert cmd_history(_A) == 1
+
+
+def test_cli_media_features(spark, sf_dir, tmp_path, capsys):
+    """media-features decodes a parquet media table through the real
+    codecs and writes the narrow feature table."""
+    from stock_crypto_data_pipeline_public_spark.__main__ import cmd_media_features
+    from stock_crypto_data_pipeline_public_spark.operators import multimodal as M
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    media_dir = str(tmp_path / "media")
+    out_dir = str(tmp_path / "features")
+    M.synthesize_jpeg(docs).write.parquet(media_dir)
+
+    rc = cmd_media_features(_A(path=media_dir, out=out_dir, fake=False), spark)
+    assert rc == 0
+    assert "wrote 12 feature rows" in capsys.readouterr().out
+    feats = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, r in feats.items():
+        assert r.width == 8 * (2 + doc_id % 6)
+        assert r.height == 8 * (2 + (len(src[doc_id] or "") % 6))
