@@ -555,3 +555,84 @@ def f09_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("r").alias("n_returns"),
         rnd(F.sqrt(F.sum(F.col("r") * F.col("r"))), 6).alias("realized_vol"),
     )
+
+
+# --------------------------------------------------------------------------
+# f10 — 14-period RSI (Cutler's simple-moving-average form) per instrument:
+# tick deltas split into gains/losses, 14-delta rolling means, and
+# RSI = 100·avg_gain/(avg_gain+avg_loss) — algebraically identical to
+# 100 − 100/(1+RS) but with a single guarded division. Cutler's SMA
+# variant (not Wilder's recursive smoothing) is chosen deliberately: it is
+# a pure bounded-ROWS window, exactly expressible in BOTH engines, where
+# Wilder's EWMA is a sequential recurrence that would need an iterative
+# or closed-form-power pass. The window partitions by instrument —
+# bounded state, no global sort (f03's scaling argument applies verbatim:
+# at 100 TB pre-bucket by (symbol, month) and stitch the 14-row seam).
+# Rolling means are rounded (6 dp) BEFORE the ratio on both sides, and
+# overbought/oversold counts compare the ROUNDED rsi, so no float-tie
+# can split the engines.
+# --------------------------------------------------------------------------
+@query(
+    "f10_rsi",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT event_type, event_id,
+               value - lag(value) OVER w AS d,
+               row_number()       OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+    ),
+    flows AS (
+        SELECT event_type, rn,
+               {oracle_rnd('avg(greatest(d, 0))  OVER v', 6)} AS g,
+               {oracle_rnd('avg(greatest(-d, 0)) OVER v', 6)} AS l
+        FROM deltas WHERE d IS NOT NULL
+        WINDOW v AS (PARTITION BY event_type ORDER BY rn ASC
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    rsi AS (
+        SELECT event_type,
+               CASE WHEN g + l = 0 THEN 50.0
+                    ELSE {oracle_rnd('100.0 * g / (g + l)', 4)} END AS r
+        FROM flows WHERE rn >= 15
+    )
+    SELECT event_type                                   AS symbol,
+           count(*)                                     AS n_obs,
+           {oracle_rnd('avg(r)', 4)}                    AS avg_rsi,
+           count(*) FILTER (WHERE r > 70)               AS n_overbought,
+           count(*) FILTER (WHERE r < 30)               AS n_oversold
+    FROM rsi
+    GROUP BY 1
+    """,
+)
+def f10_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period Cutler RSI over the tick stream, rolled up per symbol.
+
+    Reference parity: extends the reference's daily-mean analytics
+    (warehouse analytics queries) with the indicator its analysts compute
+    downstream; same window discipline as f03 (bounded ROWS frame,
+    instrument-partitioned)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    deltas = ev.select(
+        "event_type",
+        (F.col("value") - F.lag("value").over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("d").isNotNull())
+    v = W.partitionBy("event_type").orderBy(F.asc("rn")).rowsBetween(-13, W.currentRow)
+    flows = deltas.select(
+        "event_type",
+        "rn",
+        rnd(F.avg(F.greatest(F.col("d"), F.lit(0.0))).over(v), 6).alias("g"),
+        rnd(F.avg(F.greatest(-F.col("d"), F.lit(0.0))).over(v), 6).alias("l"),
+    ).filter(F.col("rn") >= 15)
+    r = F.when(F.col("g") + F.col("l") == 0, F.lit(50.0)).otherwise(
+        rnd(100.0 * F.col("g") / (F.col("g") + F.col("l")), 4)
+    )
+    rsi = flows.select("event_type", r.alias("r"))
+    return rsi.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        rnd(F.avg("r"), 4).alias("avg_rsi"),
+        F.count_if(F.col("r") > 70).alias("n_overbought"),
+        F.count_if(F.col("r") < 30).alias("n_oversold"),
+    )
