@@ -10,10 +10,13 @@ synthetic media pipeline emits — and the decoder raises a clear error on
 anything outside it (progressive, multi-component, 12-bit) rather than
 guessing.
 
-Reference parity: the reference pipeline treats media as opaque payloads
-handed to external decoders; here the decode is real so the Spark-side
-multimodal plumbing (operators/multimodal.py) can be oracle-gated on
-DECODED pixels, not just container headers.
+Reference parity: the reference hands image decode to OpenCV
+(scripts/chatbot/ocr_tools.py:26-56 `cv2.imread` in preprocess_image) and
+names PNG/JPG/JPEG as its supported formats (ocr_tools.py:80-83); this
+container has no cv2/PIL, so the decode is implemented from the published
+spec instead — which also lets the Spark-side multimodal plumbing
+(operators/multimodal.py) be oracle-gated on DECODED pixels, not just
+container headers.
 
 Exactness contract used by the oracles: JPEG is lossy in general, but a
 block whose 64 samples share one EVEN value round-trips bit-exactly —

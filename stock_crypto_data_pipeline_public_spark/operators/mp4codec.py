@@ -20,9 +20,11 @@ baseline JPEGs the sibling :mod:`.jpegcodec` decodes for real — so the
 "video" path is real container parsing + real image decoding, while true
 interframe codecs (H.26x) remain out of scope and unclaimed.
 
-Reference parity: the reference pipeline never demuxes video itself (it
-ships payloads to external services); this implements the capability its
-users would need from a multimodal training-data engine.
+Reference parity: the reference never touches video — its only media
+ingestion is image OCR through OpenCV (scripts/chatbot/ocr_tools.py); this
+implements the video-container capability a user of a multimodal
+training-data engine needs next, on the same opaque-binary-column design
+as the rest of operators/multimodal.py.
 """
 
 from __future__ import annotations
