@@ -636,3 +636,174 @@ def f10_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("r") > 70).alias("n_overbought"),
         F.count_if(F.col("r") < 30).alias("n_oversold"),
     )
+
+
+# --------------------------------------------------------------------------
+# f11 — 14-period stochastic oscillator (%K with a 3-period %D smoothing)
+# per instrument. %K = 100·(close − LL₁₄)/(HH₁₄ − LL₁₄) over a bounded ROWS
+# frame; %D = 3-tick SMA of the ROUNDED %K. A flat 14-tick range (HH == LL)
+# pins %K at the 50 midpoint — guarded division, same convention as f10's
+# zero-flow RSI. Both smoothing passes are instrument-partitioned bounded
+# windows (f03's 100 TB bucketing argument applies verbatim); the %D pass
+# re-ranks the FILTERED %K stream by its own row number exactly as f10's
+# flows stage does, so its frame never straddles the warm-up rows it
+# discarded. Rollup counts compare the rounded oscillator, so no float tie
+# can split the engines.
+# --------------------------------------------------------------------------
+@query(
+    "f11_stochastic_oscillator",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               min(value)   OVER v AS ll,
+               max(value)   OVER v AS hh,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC),
+               v AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+        SELECT event_type, rn - 13 AS kn,
+               CASE WHEN hh = ll THEN 50.0
+                    ELSE {oracle_rnd('100.0 * (value - ll) / (hh - ll)', 4)}
+               END AS pct_k
+        FROM ranked WHERE rn >= 14
+    ),
+    kd AS (
+        SELECT event_type, kn, pct_k,
+               {oracle_rnd('avg(pct_k) OVER d', 4)} AS pct_d
+        FROM k
+        WINDOW d AS (PARTITION BY event_type ORDER BY kn ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type                                     AS symbol,
+           count(*)                                       AS n_obs,
+           {oracle_rnd('avg(pct_k)', 4)}                  AS avg_k,
+           {oracle_rnd('avg(pct_d) FILTER (WHERE kn >= 3)', 4)} AS avg_d,
+           count(*) FILTER (WHERE pct_k > 80)             AS n_overbought,
+           count(*) FILTER (WHERE pct_k < 20)             AS n_oversold
+    FROM kd
+    GROUP BY 1
+    """,
+)
+def f11_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period stochastic %K / 3-period %D, rolled up per symbol.
+
+    Reference parity: beyond-reference indicator suite (see module
+    docstring); the reference's analytics stop at daily means
+    (warehouse_tools.py price queries)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    v = w.rowsBetween(-13, W.currentRow)
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.min("value").over(v).alias("ll"),
+        F.max("value").over(v).alias("hh"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= 14)
+    pct_k = F.when(F.col("hh") == F.col("ll"), F.lit(50.0)).otherwise(
+        rnd(100.0 * (F.col("value") - F.col("ll")) / (F.col("hh") - F.col("ll")), 4)
+    )
+    k = ranked.select(
+        "event_type", (F.col("rn") - 13).alias("kn"), pct_k.alias("pct_k")
+    )
+    d = W.partitionBy("event_type").orderBy(F.asc("kn")).rowsBetween(-2, W.currentRow)
+    kd = k.select(
+        "event_type",
+        "kn",
+        "pct_k",
+        rnd(F.avg("pct_k").over(d), 4).alias("pct_d"),
+    )
+    return kd.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        rnd(F.avg("pct_k"), 4).alias("avg_k"),
+        rnd(F.avg(F.when(F.col("kn") >= 3, F.col("pct_d"))), 4).alias("avg_d"),
+        F.count_if(F.col("pct_k") > 80).alias("n_overbought"),
+        F.count_if(F.col("pct_k") < 20).alias("n_oversold"),
+    )
+
+
+# --------------------------------------------------------------------------
+# f12 — on-balance volume, closed daily: OBV accumulates +size on an uptick,
+# −size on a downtick, 0 on a flat tick, as a running sum over the whole
+# instrument history; the daily close is max_by(obv, event_id) per
+# (symbol, day) — the same monotone-event_id close selection as f01. All
+# arithmetic is integer (sizes are BIGINT, sign is ±1/0), so the result is
+# EXACT — no rounding discipline needed anywhere. Scale: the running sum is
+# a single forward pass per instrument partition (Spark evaluates an
+# UNBOUNDED PRECEDING..CURRENT ROW sum in O(n) carrying one accumulator);
+# at 100 TB, segment the tape by (symbol, month), compute per-segment sums,
+# and add the exclusive prefix of month totals to each segment — exact
+# associative stitch, shuffle ∝ #segments.
+# --------------------------------------------------------------------------
+@query(
+    "f12_obv_daily_close",
+    oracle="""
+    WITH ticks AS (
+        SELECT event_type, event_id, ts,
+               CAST(date_trunc('day', ts) AS DATE) AS trade_date,
+               value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS size
+        FROM events
+    ),
+    signed AS (
+        SELECT event_type, event_id, trade_date,
+               CASE WHEN value > lag(value) OVER w THEN size
+                    WHEN value < lag(value) OVER w THEN -size
+                    ELSE CAST(0 AS BIGINT) END AS flow
+        FROM ticks
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+    ),
+    obv AS (
+        SELECT event_type, event_id, trade_date,
+               CAST(sum(coalesce(flow, 0)) OVER (
+                   PARTITION BY event_type ORDER BY event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS obv
+        FROM signed
+    )
+    SELECT event_type                        AS symbol,
+           trade_date,
+           CAST(arg_max(obv, event_id) AS BIGINT) AS obv_close,
+           count(*)                          AS n_ticks
+    FROM obv
+    GROUP BY 1, 2
+    """,
+)
+def f12_obv_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume with daily closing snapshots per symbol — exact
+    integer arithmetic end to end."""
+    ev = _t(spark, sf_dir, "events")
+    ticks = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.date_trunc("day", "ts").cast("date").alias("trade_date"),
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("size"),
+    )
+    w = W.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("value").over(w)
+    flow = (
+        F.when(F.col("value") > prev, F.col("size"))
+        .when(F.col("value") < prev, -F.col("size"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    signed = ticks.select("event_type", "event_id", "trade_date", flow.alias("flow"))
+    run = (
+        W.partitionBy("event_type")
+        .orderBy(F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    obv = signed.select(
+        "event_type",
+        "event_id",
+        "trade_date",
+        F.sum(F.coalesce(F.col("flow"), F.lit(0))).over(run).cast("long").alias("obv"),
+    )
+    return obv.groupBy(F.col("event_type").alias("symbol"), "trade_date").agg(
+        F.max_by("obv", "event_id").cast("long").alias("obv_close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

@@ -72,22 +72,24 @@ _GATE_PRIORITY = (
     + ["q02", "q03", "q06", "q07", "q15", "q16", "e02"]
     + ["f03", "f04", "f05", "f06", "f07"]                       # (14)
     # code changed this round (m08 PNG resize, m09 GIF/LZW, m10 real
-    # frame sampling, m11 JPEG/T.81 decode — all new; m01's media label
-    # changed when JPEG became a real decoder)
+    # frame sampling, m11 JPEG/T.81 decode, f10 RSI, f11 stochastic,
+    # f12 OBV — all new; m01's media label changed when JPEG became a
+    # real decoder)
+    + ["f10", "f11", "f12"]
     + ["m07", "m08", "m09", "m10", "m11", "m12", "m13", "m14",
-       "m15", "m01", "m03", "m05", "m06", "x13", "x06"]         # (29)
+       "m15", "m01", "m03", "m05", "m06", "x13", "x06"]         # (32)
     # r3-stale rotation: vector + relational/finance leftovers (m02,
     # x07, x08 rotate to the local harness — unchanged, x05 keeps the
     # IVF family gated; m03 moved up with the changed code: its media
     # label changed)
     + ["q01", "f02", "x01", "x02", "x03", "x04", "x05",
-       "x11"]                                                   # (35)
+       "x11"]                                                   # (40)
     # new t35/t36 (span + CDC segment dedup) + r3-stale text rotation
-    # (t14/t15 join t16/t19/t20/t21/t22/t24..t27 in the local harness
-    # this round — never-gated new code m14/m15 outranks their
-    # unchanged-since-r3 freshness refresh)
+    # (t10/t12/t13 join t14/t15/t16/t19/t20/t21/t22/t24..t27 in the
+    # local harness this round — never-gated new code f10/f11/f12 and
+    # m14/m15 outranks their unchanged-since-r3 freshness refresh)
     + ["t35", "t36", "t01", "t02", "t03", "t04", "t06", "t07",
-       "t08", "t09", "t10", "t12", "t13"]                       # (50)
+       "t08", "t09"]                                            # (50)
 )
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no
