@@ -84,12 +84,12 @@ _GATE_PRIORITY = (
     # label changed)
     + ["q01", "f02", "x01", "x02", "x03", "x04", "x05",
        "x11"]                                                   # (40)
-    # new t35/t36 (span + CDC segment dedup) + r3-stale text rotation
-    # (t10/t12/t13 join t14/t15/t16/t19/t20/t21/t22/t24..t27 in the
-    # local harness this round — never-gated new code f10/f11/f12 and
-    # m14/m15 outranks their unchanged-since-r3 freshness refresh)
-    + ["t35", "t36", "t01", "t02", "t03", "t04", "t06", "t07",
-       "t08", "t09"]                                            # (50)
+    # new t35/t36/t37 (span dedup, CDC segment dedup, seeded shuffle-
+    # shard) + r3-stale text rotation (t09/t10/t12/t13 join t14..t27 in
+    # the local harness this round — never-gated new code f10/f11/f12,
+    # t37, m14/m15 outranks their unchanged-since-r3 freshness refresh)
+    + ["t35", "t36", "t37", "t01", "t02", "t03", "t04", "t06", "t07",
+       "t08"]                                                   # (50)
 )
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no

@@ -2340,3 +2340,64 @@ def t36_cdc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# t37 — seeded shuffle-shard: the reproducible global permutation a training
+# job consumes. Each doc gets a permutation key md5(seed || doc_id) — change
+# the seed literal and the whole corpus reshuffles deterministically — a
+# shard from the key's first byte (mod S), and a position from the key order
+# WITHIN its shard. The training order of shard s is exactly (pos 1..n_s),
+# and concatenating shards 0..S-1 is a true uniform permutation of the
+# corpus. Scale: no global sort anywhere — shard assignment is a map-only
+# hash, and the per-shard rank sorts n/S rows per partition (at 100 TB pick
+# S so a shard fits an executor: S = corpus/10 GB; the per-shard sort IS the
+# byte order the trainer reads, so this work is the minimum possible).
+# Contrast the naive orderBy(rand()) plan: a global sort with a
+# non-reproducible key that changes on every retry/speculative re-execution;
+# md5-of-id is stable across retries, engines, and cluster sizes.
+# --------------------------------------------------------------------------
+_T37_SEED = "shuffle:42:"
+_T37_SHARDS = 8
+
+
+@query(
+    "t37_seeded_shuffle_shard",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('{_T37_SEED}' || CAST(doc_id AS VARCHAR)) AS pkey
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, pkey,
+               ((instr('0123456789abcdef', substr(pkey, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(pkey, 2, 1)) - 1))
+               % {_T37_SHARDS} AS shard
+        FROM keyed
+    )
+    SELECT doc_id,
+           CAST(shard AS INT)  AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY pkey ASC, doc_id ASC
+           ) AS BIGINT)        AS pos
+    FROM sharded
+    """,
+)
+def t37_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle → (shard, position) manifest."""
+    docs = _docs(spark, sf_dir)
+    pkey = F.md5(F.concat(F.lit(_T37_SEED), F.col("doc_id").cast("string")))
+    nib = lambda pos: F.instr(  # noqa: E731 — mirrors the oracle literally
+        F.lit("0123456789abcdef"), F.substring(F.col("pkey"), pos, 1)
+    ) - 1
+    keyed = docs.select("doc_id", pkey.alias("pkey"))
+    sharded = keyed.select(
+        "doc_id",
+        "pkey",
+        F.pmod(nib(1) * 16 + nib(2), F.lit(_T37_SHARDS)).cast("int").alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy(F.asc("pkey"), F.asc("doc_id"))
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
