@@ -82,14 +82,15 @@ _GATE_PRIORITY = (
     # x07, x08 rotate to the local harness — unchanged, x05 keeps the
     # IVF family gated; m03 moved up with the changed code: its media
     # label changed)
+    + ["x15"]                              # new SQ8 rerank search
     + ["q01", "f02", "x01", "x02", "x03", "x04", "x05",
-       "x11"]                                                   # (40)
+       "x11"]                                                   # (41)
     # new t35/t36/t37 (span dedup, CDC segment dedup, seeded shuffle-
     # shard) + r3-stale text rotation (t09/t10/t12/t13 join t14..t27 in
     # the local harness this round — never-gated new code f10/f11/f12,
     # t37, m14/m15 outranks their unchanged-since-r3 freshness refresh)
-    + ["t35", "t36", "t37", "t01", "t02", "t03", "t04", "t06", "t07",
-       "t08"]                                                   # (50)
+    + ["t35", "t36", "t37", "t01", "t02", "t03", "t04", "t06",
+       "t07"]                                                   # (50)
 )
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no

@@ -1360,3 +1360,150 @@ def x14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("vec_id") == F.col("group_id")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# x15 — int8 scalar-quantized (SQ8) search with exact rerank: each UNIT
+# vector is symmetric-quantized to 64 int8 codes + one per-vector scale
+# (max|u_i|/127), approximate cosine is scaleₐ·scale_b·Σ qaᵢ·qb_i — an
+# INTEGER dot whose sum is exact in any order (no IEEE fold discipline
+# needed, unlike the float paths) — the top-10 quantized candidates are
+# reranked with the exact float cosine, top-5 kept. This is the 4×-memory
+# compression tier between full floats (x01/x08) and PQ codes (x09/x10):
+# at 100 TB the codes+scale table (65 B/vector vs 256 B) is the resident
+# scan side, integer SIMD GEMM scores it, and only ~k·|queries| full
+# vectors are fetched for the rerank. Quantization rounding is
+# floor(x+0.5) half-up with a ±127 clamp — identical in both engines by
+# construction, so the candidate set (not just the final answer) is gated.
+# --------------------------------------------------------------------------
+_X15_CAND = 10  # quantized candidates per query entering the exact rerank
+_X15_K = 5      # final neighbors kept
+
+
+def _int_dot(a: str, b: str, dim: int):
+    """Flat integer dot-product chain over two array<long> code columns —
+    pure codegen arithmetic, exact (≤ 64·127² per term sum)."""
+    acc = F.lit(0).cast("long")
+    for i in range(dim):
+        acc = acc + F.col(a).getItem(i) * F.col(b).getItem(i)
+    return acc
+
+
+@query(
+    "x15_sq8_rerank_search",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, label, embedding,
+               {S.oracle_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, label, embedding, nrm,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE) / nrm))) / 127.0 AS scale
+        FROM base WHERE nrm > 0
+    ),
+    codes AS (
+        SELECT vec_id, label, embedding, nrm, scale,
+               list_transform(embedding,
+                   x -> CAST(greatest(-127, least(127,
+                        floor(CAST(x AS DOUBLE) / nrm / scale + 0.5))) AS BIGINT)
+               ) AS q
+        FROM scaled
+    ),
+    cand AS (
+        SELECT qs.vec_id AS query_id,
+               e.vec_id  AS neighbor_id,
+               e.label   AS neighbor_label,
+               {oracle_rnd(
+                   '((qs.scale * e.scale) * CAST(list_sum(list_transform('
+                   'range(len(qs.q)), i -> qs.q[i+1] * e.q[i+1])) AS DOUBLE))',
+                   6,
+               )} AS approx_sim,
+               qs.embedding AS qe, qs.nrm AS qnrm,
+               e.embedding  AS ne, e.nrm  AS nnrm
+        FROM codes qs JOIN codes e ON qs.vec_id < 10 AND e.vec_id <> qs.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id ASC
+        ) <= {_X15_CAND}
+    )
+    SELECT query_id, neighbor_id, neighbor_label, approx_sim, cosine_sim, rk
+    FROM (
+        SELECT query_id, neighbor_id, neighbor_label, approx_sim,
+               {oracle_rnd(S.oracle_dot('qe', 'ne') + ' / nullif(qnrm * nnrm, 0)', 4)}
+                   AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {oracle_rnd(S.oracle_dot('qe', 'ne') + ' / nullif(qnrm * nnrm, 0)', 4)} DESC,
+                            neighbor_id ASC
+               ) AS rk
+        FROM cand
+    )
+    WHERE rk <= {_X15_K}
+    """,
+)
+def x15_sq8_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantize → integer-dot candidate scan → exact-cosine rerank."""
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    emb = emb.filter(F.col("nrm") > 0)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    scaled = emb.withColumn(
+        "scale",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double") / F.col("nrm")))
+        )
+        / F.lit(127.0),
+    )
+    codes = scaled.withColumn(
+        "q",
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x.cast("double") / F.col("nrm") / F.col("scale") + 0.5),
+                ),
+            ),
+        ),
+    )
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("scale").alias("qscale"),
+        F.col("q").alias("qq"),
+    )
+    approx = rnd(
+        (F.col("qscale") * F.col("scale")) * _int_dot("qq", "q", EMB_DIM).cast("double"),
+        6,
+    )
+    cand = (
+        F.broadcast(q)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            approx.alias("approx_sim"),
+            "qe",
+            "qnrm",
+            F.col("embedding").alias("ne"),
+            F.col("nrm").alias("nnrm"),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    top_cand = cand.withColumn("rk_a", F.row_number().over(wa)).filter(
+        F.col("rk_a") <= _X15_CAND
+    )
+    exact = rnd(
+        S.dot("qe", "ne", EMB_DIM) / F.nullif(F.col("qnrm") * F.col("nnrm"), F.lit(0.0)),
+        4,
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        top_cand.withColumn("cosine_sim", exact)
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _X15_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "approx_sim", "cosine_sim", "rk")
+    )
