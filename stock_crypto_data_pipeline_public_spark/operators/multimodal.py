@@ -657,6 +657,53 @@ def synthesize_tone_wav(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def resample_audio(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsampling: decode the PCM plane with stdlib ``wave``,
+    keep every ``factor``-th FRAME (all channels of it — channel alignment
+    is preserved), and re-encode at sample_rate // factor. Plain decimation
+    (no anti-alias filter) is chosen deliberately: its spectral effect is
+    CLOSED-FORM — a bin-centered tone at bin b in an n-sample clip lands on
+    bin b if b < n/(2·factor), else folds to n/factor − b — so the m16
+    oracle predicts the aliased spectrum exactly in SQL, which a filtered
+    resampler's float taps could never do. Arrow-batched mapInPandas,
+    map-only (no shuffle): scales with input splits like every codec stage.
+
+    Reference parity: the reference routes media through OpenCV
+    (scripts/chatbot/document_processor.py) with no signal-processing
+    surface; this is the beyond-reference audio sibling of resize_images.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(b))) as w:
+                    sr, nc, n = w.getframerate(), w.getnchannels(), w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+                frames = pcm.reshape(-1, nc)[::factor]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wo:
+                    wo.setnchannels(nc)
+                    wo.setsampwidth(2)
+                    wo.setframerate(sr // factor)
+                    wo.writeframes(frames.astype("<i2").tobytes())
+                rb = buf.getvalue()
+                out["doc_id"].append(doc_id)
+                out["media"].append(rb)
+                out["media_type"].append("audio/wav")
+                out["n_bytes"].append(len(rb))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "media").mapInPandas(gen, MEDIA_SCHEMA)
+
+
 #: spectral feature schema (extract_audio_features contract)
 AUDIO_FEATURE_SCHEMA = (
     "doc_id long, sample_rate int, n_samples long, dominant_bin int, "

@@ -707,3 +707,60 @@ def m10_gif_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("frame_ts_ms").alias("min_ts_ms"),
         F.max("frame_ts_ms").alias("max_ts_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# m16 — REAL audio downsampling with an ALIASING-EXACT oracle: the m13
+# two-tone clips (bins b1 = 5 + doc_id % 50 @6000, b2 = 60 + doc_id % 100
+# @3000, 512 samples @8192 Hz) are decimated 2:1 (operators/multimodal.
+# resample_audio — no anti-alias filter, deliberately), then re-analyzed
+# with the real rFFT. Decimation's spectral effect on a bin-centered tone
+# is closed-form: in the 256-sample result b1 (< 128 always) stays put and
+# b2 FOLDS to 256 − b2 whenever it exceeds the new Nyquist bin 128 — so
+# the oracle predicts the aliased spectrum, per bin, in SQL. Docs whose b2
+# lands EXACTLY on Nyquist (doc_id % 100 = 68 → b2 = 128) are excluded on
+# both sides: a Nyquist-centered sine is sampled at its zero crossings and
+# its energy vanishes, leaving no closed-form secondary bin. A wrong
+# decimation phase, a dropped frame, channel misalignment, or an off-by-one
+# in the fold all hash-fail. dominant_hz = b1·4096//256 = 16·b1 — same
+# integer form as m13, now from the HALVED rate, so a sample-rate slip in
+# the re-encode also hash-fails.
+# --------------------------------------------------------------------------
+@query(
+    "m16_audio_resample_alias_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               5 + doc_id % 50             AS b1,
+               60 + doc_id % 100           AS b2
+        FROM documents
+        WHERE doc_id % 100 <> 68
+    ),
+    f AS (
+        SELECT doc_id, b1,
+               CASE WHEN b2 < 128 THEN b2 ELSE 256 - b2 END AS alias_bin
+        FROM c
+    )
+    SELECT CAST(b1 AS INT)                  AS dominant_bin,
+           count(*)                         AS n_clips,
+           CAST(sum(alias_bin) AS BIGINT)   AS total_secondary_bin,
+           CAST(sum(16 * b1) AS BIGINT)     AS total_dominant_hz,
+           CAST(count(*) * 256 AS BIGINT)   AS total_samples
+    FROM f
+    GROUP BY 1
+    """,
+)
+def m16_audio_resample_alias_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 100 != 68  # Nyquist-kill tone: no closed-form bin
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_tone_wav(docs)
+    halved = M.resample_audio(media, factor=2)  # REAL decimation + re-encode
+    feats = M.extract_audio_features(halved)  # REAL rFFT over the new PCM
+    return feats.groupBy("dominant_bin").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("secondary_bin").cast("long")).alias("total_secondary_bin"),
+        F.sum(F.col("dominant_hz").cast("long")).alias("total_dominant_hz"),
+        F.sum("n_samples").alias("total_samples"),
+    )

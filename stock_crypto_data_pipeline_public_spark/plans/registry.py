@@ -77,7 +77,7 @@ _GATE_PRIORITY = (
     # real decoder)
     + ["f10", "f11", "f12"]
     + ["m07", "m08", "m09", "m10", "m11", "m12", "m13", "m14",
-       "m15", "m01", "m03", "m05", "m06", "x13", "x06"]         # (32)
+       "m15", "m16", "m01", "m03", "m05", "m06", "x13", "x06"]  # (33)
     # r3-stale rotation: vector + relational/finance leftovers (m02,
     # x07, x08 rotate to the local harness — unchanged, x05 keeps the
     # IVF family gated; m03 moved up with the changed code: its media
@@ -89,8 +89,8 @@ _GATE_PRIORITY = (
     # shard) + r3-stale text rotation (t09/t10/t12/t13 join t14..t27 in
     # the local harness this round — never-gated new code f10/f11/f12,
     # t37, m14/m15 outranks their unchanged-since-r3 freshness refresh)
-    + ["t35", "t36", "t37", "t01", "t02", "t03", "t04", "t06",
-       "t07"]                                                   # (50)
+    + ["t35", "t36", "t37", "t01", "t02", "t03", "t04",
+       "t06"]                                                   # (50)
 )
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no

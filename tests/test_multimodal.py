@@ -641,3 +641,40 @@ def test_gif_real_resize_exact_indices(spark, sf_dir):
         for f, rf in zip(frames, rframes):
             expect = np.frombuffer(f, np.uint8).reshape(h, w)[yi][:, xi]
             assert rf == expect.tobytes()
+
+
+def test_resample_audio_decimates_stereo_frames_aligned(spark):
+    """2:1 decimation keeps FRAMES (both channels of the kept sample) —
+    channel L/R values must stay paired, the rate halves, and the kept
+    samples are exactly the even-index frames of the source."""
+    import io
+    import wave
+
+    import numpy as np
+
+    nc, n, sr = 2, 64, 8000
+    # frame i carries (L, R) = (2i, 2i+1): any de-interleave slip shows up
+    pcm = np.arange(n * nc, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nc)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio/wav", len(buf.getvalue()))],
+        "doc_id long, media binary, media_type string, n_bytes int",
+    )
+    out = M.resample_audio(media, factor=2).collect()[0]
+    with wave.open(io.BytesIO(bytes(out.media))) as w:
+        assert w.getframerate() == sr // 2
+        assert w.getnchannels() == nc
+        assert w.getnframes() == n // 2
+        got = np.frombuffer(w.readframes(n // 2), dtype="<i2")
+    want = np.arange(n * nc, dtype="<i2").reshape(n, nc)[::2].ravel()
+    assert np.array_equal(got, want)
+
+
+def test_resample_audio_rejects_bad_factor(spark):
+    with pytest.raises(ValueError, match="factor"):
+        M.resample_audio(None, factor=0)
