@@ -372,3 +372,84 @@ def e08_purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFra
         F.countDistinct("purchase_id").alias("n_windows_hit"),
         rnd(F.avg("value"), 4).alias("avg_window_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# e09 — event-rate anomaly score (the data-side analog of the reference's
+# Grafana/Prometheus monitoring, which watches infrastructure, not data):
+# hourly event counts per type, z-scored against the trailing 24 OBSERVED
+# hours (ROWS frame excluding the current hour). The rolling variance is
+# deliberately computed from EXACT integer window sums — s1=Σc, s2=Σc² are
+# BIGINTs, var = (s2 − s1²/24)/23 — instead of stddev_samp(), whose
+# streaming estimators (Welford vs textbook) differ between engines in the
+# last float bits; here every double op is written identically on both
+# sides, so the z-scores are bit-identical and hash-gateable. A flat
+# baseline (var 0) yields NULL z (guarded nullif), not ±inf. Scale: one
+# hash agg tape→(type, hour) — thousands of rows per year regardless of
+# tick volume — then a bounded window per type; the agg-before-window
+# ordering is the same join-after-aggregation discipline as f05/q02.
+# --------------------------------------------------------------------------
+@query(
+    "e09_hourly_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, c,
+               row_number() OVER w AS rn,
+               sum(c)     OVER v   AS s1,
+               sum(c * c) OVER v   AS s2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC),
+               v AS (PARTITION BY event_type ORDER BY hour ASC
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT event_type,
+               floor(((c - s1 / 24.0)
+                      / nullif(sqrt(greatest((s2 - (s1 * s1) / 24.0) / 23.0, 0.0)), 0.0))
+                     * 10000 + 0.5) / 10000.0 AS z
+        FROM scored WHERE rn >= 25
+    )
+    SELECT event_type,
+           count(*)                                   AS n_hours_scored,
+           count(*) FILTER (WHERE abs(z) > 3)         AS n_anomalies,
+           floor(max(z) * 10000 + 0.5) / 10000.0      AS max_z,
+           floor(min(z) * 10000 + 0.5) / 10000.0      AS min_z
+    FROM z
+    GROUP BY 1
+    """,
+)
+def e09_hourly_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h z-score per (event_type, hour), rolled up per type."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy(F.asc("hour"))
+    v = w.rowsBetween(-24, -1)
+    scored = hourly.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(v).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(v).alias("s2"),
+    ).filter(F.col("rn") >= 25)
+    var = F.greatest(
+        (F.col("s2") - (F.col("s1") * F.col("s1")) / 24.0) / 23.0, F.lit(0.0)
+    )
+    z = rnd(
+        (F.col("c") - F.col("s1") / 24.0) / F.nullif(F.sqrt(var), F.lit(0.0)), 4
+    )
+    zs = scored.select("event_type", z.alias("z"))
+    return zs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours_scored"),
+        F.count_if(F.abs(F.col("z")) > 3).alias("n_anomalies"),
+        rnd(F.max("z"), 4).alias("max_z"),
+        rnd(F.min("z"), 4).alias("min_z"),
+    )
