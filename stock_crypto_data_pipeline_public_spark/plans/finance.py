@@ -807,3 +807,132 @@ def f12_obv_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("obv", "event_id").cast("long").alias("obv_close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+# --------------------------------------------------------------------------
+# f13 — MACD (12/26 EMA spread + 9-EMA signal) with a CROSS-ENGINE-EXACT
+# EMA: the recursive EWMA is re-expressed in its finite "adjust" form
+# EMA_t = Σ_{j<n} β^j·x_{t−j} / Σ_{j<n} β^j truncated at 64 ticks
+# (β^64 < 4·10⁻⁵ for the slowest span, 26), which is a FLAT lag chain —
+# and every β^j coefficient and denominator prefix-sum is PYTHON-computed
+# once and embedded as the same float literal in BOTH the Spark expression
+# and the SQL oracle. No runtime pow() anywhere: JVM Math.pow and C libm
+# can disagree in the last ulp, which a hash gate cannot tolerate; float
+# literals round-trip identically through both parsers (shortest-repr).
+# The fold order of the 64-term sum is the written order on both sides.
+# Scale: one window pass per instrument computes all 128 lag terms + rn
+# (bounded frame state); the signal pass is a second 9-lag window over the
+# ROUNDED macd column. Same (symbol, month) seam-stitch story as f03/f10.
+# --------------------------------------------------------------------------
+_F13_TRUNC = 64
+
+
+def _f13_tables(alpha: float, n: int) -> tuple[list[float], list[float]]:
+    """(β^j coefficients j<n, denominator prefix sums Σ_{j<k} β^j k=1..n)."""
+    beta = 1.0 - alpha
+    pows = [1.0]
+    for _ in range(n - 1):
+        pows.append(pows[-1] * beta)
+    dens, acc = [], 0.0
+    for p in pows:
+        acc += p
+        dens.append(acc)
+    return pows, dens
+
+
+_F13_P12, _F13_D12 = _f13_tables(2.0 / 13.0, _F13_TRUNC)
+_F13_P26, _F13_D26 = _f13_tables(2.0 / 27.0, _F13_TRUNC)
+_F13_P9, _F13_D9 = _f13_tables(2.0 / 10.0, 9)
+
+
+def _f13_sql_num(col: str, win: str, pows: list[float]) -> str:
+    terms = [f"({col} * {pows[0]!r})"] + [
+        f"(coalesce(lag({col}, {j}) OVER {win}, 0.0) * {pows[j]!r})"
+        for j in range(1, len(pows))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _f13_sql_den(dens: list[float], rn: str = "rn") -> str:
+    lits = ", ".join(repr(d) for d in dens)
+    return f"([{lits}])[least({rn}, {len(dens)})]"
+
+
+def _f13_spark_num(col: str, w, pows: list[float]):
+    acc = F.col(col) * F.lit(pows[0])
+    for j in range(1, len(pows)):
+        acc = acc + F.coalesce(F.lag(col, j).over(w), F.lit(0.0)) * F.lit(pows[j])
+    return acc
+
+
+def _f13_spark_den(dens: list[float], rn: str = "rn"):
+    arr = F.array(*[F.lit(d) for d in dens])
+    return F.element_at(arr, F.least(F.col(rn), F.lit(len(dens))).cast("int"))
+
+
+@query(
+    "f13_macd",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               row_number() OVER w AS rn,
+               {_f13_sql_num('value', 'w', _F13_P12)} AS num12,
+               {_f13_sql_num('value', 'w', _F13_P26)} AS num26
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
+    ),
+    m AS (
+        SELECT event_type, rn,
+               {oracle_rnd(
+                   oracle_rnd('num12 / ' + _f13_sql_den(_F13_D12), 6)
+                   + ' - ' + oracle_rnd('num26 / ' + _f13_sql_den(_F13_D26), 6),
+                   6,
+               )} AS macd
+        FROM base
+    ),
+    s AS (
+        SELECT event_type, rn, macd,
+               {oracle_rnd(
+                   '(' + _f13_sql_num('macd', 'w2', _F13_P9) + ') / '
+                   + _f13_sql_den(_F13_D9),
+                   6,
+               )} AS signal
+        FROM m
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY rn ASC)
+    )
+    SELECT event_type                                        AS symbol,
+           count(*)                                          AS n_obs,
+           {oracle_rnd('avg(macd)', 4)}                      AS avg_macd,
+           {oracle_rnd('avg(signal)', 4)}                    AS avg_signal,
+           count(*) FILTER (WHERE macd > signal)             AS n_bullish,
+           count(*) FILTER (WHERE macd < signal)             AS n_bearish
+    FROM s
+    GROUP BY 1
+    """,
+)
+def f13_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD line, signal line, and bullish/bearish tick counts per symbol."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    base = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        _f13_spark_num("value", w, _F13_P12).alias("num12"),
+        _f13_spark_num("value", w, _F13_P26).alias("num26"),
+    )
+    macd = rnd(
+        rnd(F.col("num12") / _f13_spark_den(_F13_D12), 6)
+        - rnd(F.col("num26") / _f13_spark_den(_F13_D26), 6),
+        6,
+    )
+    m = base.select("event_type", "rn", macd.alias("macd"))
+    w2 = W.partitionBy("event_type").orderBy(F.asc("rn"))
+    signal = rnd(_f13_spark_num("macd", w2, _F13_P9) / _f13_spark_den(_F13_D9), 6)
+    s = m.select("event_type", "rn", "macd", signal.alias("signal"))
+    return s.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        rnd(F.avg("macd"), 4).alias("avg_macd"),
+        rnd(F.avg("signal"), 4).alias("avg_signal"),
+        F.count_if(F.col("macd") > F.col("signal")).alias("n_bullish"),
+        F.count_if(F.col("macd") < F.col("signal")).alias("n_bearish"),
+    )
