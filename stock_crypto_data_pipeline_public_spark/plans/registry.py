@@ -82,7 +82,7 @@ _GATE_PRIORITY = (
     # x07, x08 rotate to the local harness — unchanged, x05 keeps the
     # IVF family gated; m03 moved up with the changed code: its media
     # label changed)
-    + ["x15"]                              # new SQ8 rerank search
+    + ["x15", "x16"]                # new SQ8 rerank search + its recall gate
     + ["q01", "f02", "x01", "x02", "x03", "x04", "x05",
        "x11"]                                                   # (41)
     # new t35/t36/t37 (span dedup, CDC segment dedup, seeded shuffle-
@@ -90,7 +90,7 @@ _GATE_PRIORITY = (
     # the local harness this round — never-gated new code f10/f11/f12,
     # t37, m14/m15 outranks their unchanged-since-r3 freshness refresh)
     + ["e09"]                     # new hourly-rate anomaly score
-    + ["t35", "t36", "t37", "t01", "t02", "t03"]                # (50)
+    + ["t35", "t36", "t37", "t01", "t02"]                       # (50)
 )
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no

@@ -1389,6 +1389,35 @@ def _int_dot(a: str, b: str, dim: int):
     return acc
 
 
+def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + (nrm, scale, q int8-code array) — the shared SQ8
+    quantization stage of x15/x16. Zero-norm vectors are excluded (they
+    have no direction to quantize; parity with the oracle's WHERE nrm > 0)."""
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    emb = emb.filter(F.col("nrm") > 0)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    scaled = emb.withColumn(
+        "scale",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double") / F.col("nrm")))
+        )
+        / F.lit(127.0),
+    )
+    return scaled.withColumn(
+        "q",
+        F.transform(
+            "embedding",
+            lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x.cast("double") / F.col("nrm") / F.col("scale") + 0.5),
+                ),
+            ),
+        ),
+    )
+
+
 @query(
     "x15_sq8_rerank_search",
     oracle=f"""
@@ -1444,29 +1473,7 @@ def _int_dot(a: str, b: str, dim: int):
 )
 def x15_sq8_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 quantize → integer-dot candidate scan → exact-cosine rerank."""
-    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
-    emb = emb.filter(F.col("nrm") > 0)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    scaled = emb.withColumn(
-        "scale",
-        F.array_max(
-            F.transform("embedding", lambda x: F.abs(x.cast("double") / F.col("nrm")))
-        )
-        / F.lit(127.0),
-    )
-    codes = scaled.withColumn(
-        "q",
-        F.transform(
-            "embedding",
-            lambda x: F.greatest(
-                F.lit(-127).cast("long"),
-                F.least(
-                    F.lit(127).cast("long"),
-                    F.floor(x.cast("double") / F.col("nrm") / F.col("scale") + 0.5),
-                ),
-            ),
-        ),
-    )
+    codes = _sq8_codes(spark, sf_dir)
     q = codes.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1506,4 +1513,121 @@ def x15_sq8_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _X15_K)
         .select("query_id", "neighbor_id", "neighbor_label", "approx_sim", "cosine_sim", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# x16 — SQ8 candidate-quality contract (t34's LSH recall gate, applied to
+# the x15 quantization): for each query, how many of the EXACT top-5
+# neighbors appear in the quantized top-10 candidate list? Recall and the
+# per-query minimum are hash-gated NUMBERS, so a quantization change that
+# silently degrades candidate quality (coarser clamp, wrong rounding, a
+# scale bug) becomes a visible diff even while x15's final output happens
+# to survive. Both rankings are computed from ONE scored pair pass (two
+# window ranks over the same exchange); the quality claim this gates at
+# sf0.01 is what justifies the 100 TB architecture of scanning codes
+# instead of floats.
+# --------------------------------------------------------------------------
+@query(
+    "x16_sq8_recall",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding, {S.oracle_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, embedding, nrm,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE) / nrm))) / 127.0 AS scale
+        FROM base WHERE nrm > 0
+    ),
+    codes AS (
+        SELECT vec_id, embedding, nrm, scale,
+               list_transform(embedding,
+                   x -> CAST(greatest(-127, least(127,
+                        floor(CAST(x AS DOUBLE) / nrm / scale + 0.5))) AS BIGINT)
+               ) AS q
+        FROM scaled
+    ),
+    ranked AS (
+        SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY qs.vec_id
+                   ORDER BY {oracle_rnd(
+                       '((qs.scale * e.scale) * CAST(list_sum(list_transform('
+                       'range(len(qs.q)), i -> qs.q[i+1] * e.q[i+1])) AS DOUBLE))',
+                       6,
+                   )} DESC, e.vec_id ASC
+               ) AS rk_q,
+               row_number() OVER (
+                   PARTITION BY qs.vec_id
+                   ORDER BY {oracle_rnd(
+                       S.oracle_dot('qs.embedding', 'e.embedding')
+                       + ' / nullif(qs.nrm * e.nrm, 0)',
+                       4,
+                   )} DESC, e.vec_id ASC
+               ) AS rk_e
+        FROM codes qs JOIN codes e ON qs.vec_id < 10 AND e.vec_id <> qs.vec_id
+    ),
+    per_q AS (
+        SELECT query_id,
+               CAST(count(*) FILTER (WHERE rk_q <= {_X15_CAND}) AS BIGINT) AS hits
+        FROM ranked WHERE rk_e <= {_X15_K}
+        GROUP BY 1
+    )
+    SELECT count(*)                                        AS n_queries,
+           CAST(count(*) * {_X15_K} AS BIGINT)             AS n_expected,
+           CAST(sum(hits) AS BIGINT)                       AS n_hits,
+           {oracle_rnd(f'sum(hits) / ({_X15_K}.0 * count(*))', 4)} AS recall,
+           CAST(min(hits) AS BIGINT)                       AS min_hits_per_query
+    FROM per_q
+    """,
+)
+def x16_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{cand} of SQ8 candidates against the exact top-k — gated."""
+    codes = _sq8_codes(spark, sf_dir)
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("scale").alias("qscale"),
+        F.col("q").alias("qq"),
+    )
+    approx = rnd(
+        (F.col("qscale") * F.col("scale")) * _int_dot("qq", "q", EMB_DIM).cast("double"),
+        6,
+    )
+    exact = rnd(
+        S.dot("qe", "embedding", EMB_DIM)
+        / F.nullif(F.col("qnrm") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            approx.alias("approx_sim"),
+            exact.alias("cosine_sim"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    we = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(wq).alias("rk_q"),
+        F.row_number().over(we).alias("rk_e"),
+    )
+    per_q = (
+        ranked.filter(F.col("rk_e") <= _X15_K)
+        .groupBy("query_id")
+        .agg(F.count_if(F.col("rk_q") <= _X15_CAND).alias("hits"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.count(F.lit(1)) * _X15_K).cast("long").alias("n_expected"),
+        F.sum("hits").cast("long").alias("n_hits"),
+        rnd(F.sum("hits") / (float(_X15_K) * F.count(F.lit(1))), 4).alias("recall"),
+        F.min("hits").cast("long").alias("min_hits_per_query"),
     )
