@@ -12,7 +12,9 @@ probe → ADC over codes), x11 sampled pair histogram (x04's documented
 x12 k-means codebook refinement (Lloyd's iterations — the offline
 training pass that upgrades x05/x09's seed centroids), x13 persisted-index
 probed search, x14 semantic dedup (SemDeDup shape: within-cluster near-dup
-components, keep the min-id representative).
+components, keep the min-id representative), x15 SQ8 int8-quantized search
+with exact rerank (the 4x-memory tier between floats and PQ), x16 the SQ8
+candidate recall contract (exact-top-k coverage, hash-gated).
 See operators/similarity.py for the cross-engine math contract.
 """
 
