@@ -2385,19 +2385,12 @@ _T37_SHARDS = 8
     """,
 )
 def t37_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic seeded corpus shuffle → (shard, position) manifest."""
-    docs = _docs(spark, sf_dir)
-    pkey = F.md5(F.concat(F.lit(_T37_SEED), F.col("doc_id").cast("string")))
-    nib = lambda pos: F.instr(  # noqa: E731 — mirrors the oracle literally
-        F.lit("0123456789abcdef"), F.substring(F.col("pkey"), pos, 1)
-    ) - 1
-    keyed = docs.select("doc_id", pkey.alias("pkey"))
-    sharded = keyed.select(
-        "doc_id",
-        "pkey",
-        F.pmod(nib(1) * 16 + nib(2), F.lit(_T37_SHARDS)).cast("int").alias("shard"),
-    )
-    w = W.partitionBy("shard").orderBy(F.asc("pkey"), F.asc("doc_id"))
-    return sharded.select(
-        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    """Deterministic seeded corpus shuffle → (shard, position) manifest.
+    Build path shared with the append-only growth operator
+    (operators/sharding.extend_shuffle_manifest — old coordinates are
+    byte-stable as the corpus grows; see test_sharding)."""
+    from ..operators.sharding import build_shuffle_manifest
+
+    return build_shuffle_manifest(
+        _docs(spark, sf_dir), seed=_T37_SEED, n_shards=_T37_SHARDS
     )
