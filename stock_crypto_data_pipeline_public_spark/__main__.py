@@ -223,6 +223,32 @@ def cmd_media_features(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_shuffle_manifest(args, spark: SparkSession) -> int:
+    """Build or grow a seeded shuffle-shard manifest (training-order
+    coordinates). Without --manifest: full build. With --manifest: append
+    the new docs after each shard's current maximum position — existing
+    coordinates are byte-stable and replayed batches are no-ops
+    (operators/sharding.extend_shuffle_manifest). Output is written
+    partitioned by shard, so a trainer reads shard s with one directory
+    scan in pos order."""
+    from .operators.sharding import build_shuffle_manifest, extend_shuffle_manifest
+
+    docs = spark.read.parquet(args.docs).select(args.id_col).withColumnRenamed(
+        args.id_col, "doc_id"
+    )
+    if args.manifest:
+        base = spark.read.parquet(args.manifest)
+        out_df = extend_shuffle_manifest(
+            base, docs, seed=args.seed, n_shards=args.shards
+        )
+    else:
+        out_df = build_shuffle_manifest(docs, seed=args.seed, n_shards=args.shards)
+    out_df.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote manifest of {n} docs across {args.shards} shards -> {args.out}")
+    return 0
+
+
 def cmd_models(args, spark: SparkSession | None = None) -> int:
     """dbt ls; with --write-manifest / --modified-since it is the CI
     selection flow (reference dbt-ci.yml:106-133, `-s state:modified+`):
@@ -317,6 +343,19 @@ def main(argv: list[str] | None = None) -> int:
     mf.add_argument("--fake", action="store_true",
                     help="pseudo-features for types without a real decoder")
 
+    sm = sub.add_parser(
+        "shuffle-manifest",
+        help="build or append-grow a seeded shuffle-shard manifest "
+        "(reproducible training order; existing coordinates never move)",
+    )
+    sm.add_argument("--docs", required=True, help="parquet with the id column")
+    sm.add_argument("--out", required=True, help="manifest output dir (partitioned by shard)")
+    sm.add_argument("--manifest", default=None,
+                    help="existing manifest to grow (omit for a full build)")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--seed", default="shuffle:42:")
+    sm.add_argument("--shards", type=int, default=8)
+
     m = sub.add_parser("models", help="list registered models (dbt ls)")
     m.add_argument("--write-manifest", default=None,
                    help="write the model-definition fingerprint manifest (JSON)")
@@ -341,6 +380,7 @@ def main(argv: list[str] | None = None) -> int:
         "profile": cmd_profile,
         "drift": cmd_drift,
         "media-features": cmd_media_features,
+        "shuffle-manifest": cmd_shuffle_manifest,
     }[args.cmd](args, spark)
 
 

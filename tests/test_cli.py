@@ -232,3 +232,41 @@ def test_cli_media_features(spark, sf_dir, tmp_path, capsys):
     for doc_id, r in feats.items():
         assert r.width == 8 * (2 + doc_id % 6)
         assert r.height == 8 * (2 + (len(src[doc_id] or "") % 6))
+
+
+def test_cli_shuffle_manifest_build_and_grow(spark, sf_dir, tmp_path, capsys):
+    """shuffle-manifest builds a shard-partitioned manifest, then grows it
+    append-only: existing coordinates unchanged, replay a no-op."""
+    from stock_crypto_data_pipeline_public_spark.__main__ import cmd_shuffle_manifest
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_dir = str(tmp_path / "docs_old")
+    new_dir = str(tmp_path / "docs_new")
+    docs.filter("doc_id % 3 != 0").select("doc_id").write.parquet(old_dir)
+    docs.select("doc_id").write.parquet(new_dir)  # includes already-manifested
+
+    m1 = str(tmp_path / "m1")
+    rc = cmd_shuffle_manifest(
+        _A(docs=old_dir, out=m1, manifest=None, id_col="doc_id",
+           seed="shuffle:42:", shards=4),
+        spark,
+    )
+    assert rc == 0 and "across 4 shards" in capsys.readouterr().out
+    base = {r.doc_id: (r.shard, r.pos) for r in spark.read.parquet(m1).collect()}
+
+    m2 = str(tmp_path / "m2")
+    rc = cmd_shuffle_manifest(
+        _A(docs=new_dir, out=m2, manifest=m1, id_col="doc_id",
+           seed="shuffle:42:", shards=4),
+        spark,
+    )
+    assert rc == 0
+    grown = {r.doc_id: (r.shard, r.pos) for r in spark.read.parquet(m2).collect()}
+    assert len(grown) == docs.count()
+    for doc_id, coord in base.items():
+        assert grown[doc_id] == coord
+    # shard partitioning is physical: directory-per-shard layout
+    import os
+
+    assert any(d.startswith("shard=") for d in os.listdir(m2))
