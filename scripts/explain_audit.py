@@ -34,6 +34,10 @@ EXPECTED_NESTED_LOOP = {
     # broadcast corpus — the deliberate exactness/distribution baselines the
     # LSH-bucketed variants (x02/t07) approximate
     "x01_knn_cosine",
+    # SQ8 tier: same 10-query broadcast non-equi scan as x01 (the quantized
+    # candidate pass), plus its recall-contract twin ranking both ways
+    "x15_sq8_rerank_search",
+    "x16_sq8_recall",
     "x04_cosine_pair_histogram",
     "x11_sampled_pair_histogram",
     "t08_simhash_hamming",
