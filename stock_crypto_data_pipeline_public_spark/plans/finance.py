@@ -936,3 +936,90 @@ def f13_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("macd") > F.col("signal")).alias("n_bullish"),
         F.count_if(F.col("macd") < F.col("signal")).alias("n_bearish"),
     )
+
+
+# --------------------------------------------------------------------------
+# f14 — 14-bar ATR (average true range) on hourly OHLC bars: bars come from
+# the f01 aggregation (min_by/max_by on the monotone event_id — one hash
+# shuffle), TR = max(high−low, |high−prev_close|, |low−prev_close|) with
+# the conventional first-bar fallback to high−low, ATR = 14-bar rolling
+# mean. TR itself is EXACT float arithmetic (differences and maxima of raw
+# doubles, no accumulation), so only the rolling mean needs the rounding
+# discipline. Window partitions by symbol over ~calendar-bounded bar
+# counts — the heavy lifting happened in the bar aggregation, same
+# join-after-aggregation shape as f05/e09.
+# --------------------------------------------------------------------------
+@query(
+    "f14_atr",
+    oracle=f"""
+    WITH bars AS (
+        SELECT event_type AS symbol, date_trunc('hour', ts) AS bar_hour,
+               max(value) AS high, min(value) AS low,
+               arg_max(value, event_id) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT symbol,
+               row_number() OVER w AS rn,
+               CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                    ELSE greatest(high - low,
+                                  abs(high - lag(close) OVER w),
+                                  abs(low  - lag(close) OVER w))
+               END AS tr
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY bar_hour ASC)
+    ),
+    atr AS (
+        SELECT symbol, tr,
+               {oracle_rnd('avg(tr) OVER (PARTITION BY symbol ORDER BY rn ASC '
+                           'ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)', 6)} AS atr
+        FROM tr QUALIFY rn >= 14
+    )
+    SELECT symbol,
+           count(*)                       AS n_bars,
+           {oracle_rnd('avg(atr)', 4)}    AS avg_atr,
+           {oracle_rnd('max(tr)', 4)}     AS max_tr,
+           {oracle_rnd('min(atr)', 4)}    AS min_atr
+    FROM atr
+    GROUP BY 1
+    """,
+)
+def f14_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-bar average true range per symbol over hourly bars."""
+    ev = _t(spark, sf_dir, "events")
+    bars = (
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            "value",
+            "event_id",
+        )
+        .groupBy("symbol", "bar_hour")
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+        )
+    )
+    w = W.partitionBy("symbol").orderBy(F.asc("bar_hour"))
+    prev = F.lag("close").over(w)
+    tr_expr = F.when(prev.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev),
+            F.abs(F.col("low") - prev),
+        )
+    )
+    tr = bars.select(
+        "symbol", F.row_number().over(w).alias("rn"), tr_expr.alias("tr")
+    )
+    v = W.partitionBy("symbol").orderBy(F.asc("rn")).rowsBetween(-13, W.currentRow)
+    atr = tr.select(
+        "symbol", "tr", rnd(F.avg("tr").over(v), 6).alias("atr")
+    ).filter(F.col("rn") >= 14)
+    return atr.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        rnd(F.avg("atr"), 4).alias("avg_atr"),
+        rnd(F.max("tr"), 4).alias("max_tr"),
+        rnd(F.min("atr"), 4).alias("min_atr"),
+    )

@@ -75,7 +75,7 @@ _GATE_PRIORITY = (
     # frame sampling, m11 JPEG/T.81 decode, f10 RSI, f11 stochastic,
     # f12 OBV — all new; m01's media label changed when JPEG became a
     # real decoder)
-    + ["f10", "f11", "f12", "f13"]
+    + ["f10", "f11", "f12", "f13", "f14"]
     + ["m07", "m08", "m09", "m10", "m11", "m12", "m13", "m14",
        "m15", "m16", "m01", "m03", "m05", "m06", "x13", "x06"]  # (33)
     # r3-stale rotation: vector + relational/finance leftovers (m02,
@@ -90,7 +90,7 @@ _GATE_PRIORITY = (
     # the local harness this round — never-gated new code f10/f11/f12,
     # t37, m14/m15 outranks their unchanged-since-r3 freshness refresh)
     + ["e09"]                     # new hourly-rate anomaly score
-    + ["t35", "t36", "t37", "t01", "t02"]                       # (50)
+    + ["t35", "t36", "t37", "t01"]                              # (50)
 )
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no
