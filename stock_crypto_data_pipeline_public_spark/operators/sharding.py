@@ -71,15 +71,16 @@ def build_shuffle_manifest(
     )
 
 
-def extend_shuffle_manifest(
+def _appended_rows(
     manifest: DataFrame,
     new_docs: DataFrame,
     seed: str = DEFAULT_SEED,
     n_shards: int = DEFAULT_SHARDS,
 ) -> DataFrame:
-    """Append ``new_docs`` to an existing manifest without disturbing any
-    existing coordinate. Already-manifested doc_ids are ignored (replay-safe
-    anti-join). Returns the full grown manifest."""
+    """The NEW (doc_id, shard, pos) rows that growing ``manifest`` by
+    ``new_docs`` produces — already-manifested ids drop out (replay-safe
+    anti-join), the rest rank by permutation key after their shard's
+    current maximum position."""
     fresh = new_docs.select("doc_id").join(
         manifest.select("doc_id"), "doc_id", "left_anti"
     )
@@ -89,7 +90,7 @@ def extend_shuffle_manifest(
     )
     base_max = manifest.groupBy("shard").agg(F.max("pos").alias("max_pos"))
     w = W.partitionBy("shard").orderBy(F.asc("pkey"), F.asc("doc_id"))
-    appended = (
+    return (
         sharded.join(F.broadcast(base_max), "shard", "left")
         .select(
             "doc_id",
@@ -102,4 +103,51 @@ def extend_shuffle_manifest(
             .alias("pos"),
         )
     )
-    return manifest.select("doc_id", "shard", "pos").unionByName(appended)
+
+
+def extend_shuffle_manifest(
+    manifest: DataFrame,
+    new_docs: DataFrame,
+    seed: str = DEFAULT_SEED,
+    n_shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Append ``new_docs`` to an existing manifest without disturbing any
+    existing coordinate. Already-manifested doc_ids are ignored (replay-safe
+    anti-join). Returns the full grown manifest."""
+    return manifest.select("doc_id", "shard", "pos").unionByName(
+        _appended_rows(manifest, new_docs, seed, n_shards)
+    )
+
+
+def append_to_manifest(
+    spark,
+    new_docs: DataFrame,
+    manifest_dir: str,
+    seed: str = DEFAULT_SEED,
+    n_shards: int = DEFAULT_SHARDS,
+) -> int:
+    """Persisted form: grow the shard-partitioned manifest at
+    ``manifest_dir`` by appending ONLY the new rows — per-batch work and
+    write volume ∝ batch size, never the corpus. A replayed batch (crash
+    after the append, before the stream checkpoint commit) anti-joins to
+    nothing and appends zero rows, so the persisted manifest never holds
+    duplicate coordinates. Returns the number of rows appended."""
+    try:
+        base = spark.read.parquet(manifest_dir).select("doc_id", "shard", "pos")
+    except Exception:
+        base = new_docs.select("doc_id").limit(0).select(
+            "doc_id",
+            F.lit(0).cast("int").alias("shard"),
+            F.lit(0).cast("long").alias("pos"),
+        )
+    appended = _appended_rows(base, new_docs, seed, n_shards)
+    # bounded: one batch of rows — count then write via a cached frame so
+    # the anti-join/rank runs once
+    appended = appended.persist()
+    try:
+        n = appended.count()
+        if n:
+            appended.write.mode("append").partitionBy("shard").parquet(manifest_dir)
+    finally:
+        appended.unpersist()
+    return n

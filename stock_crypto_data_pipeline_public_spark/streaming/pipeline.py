@@ -188,6 +188,38 @@ def run_ann_index_sink(
     )
 
 
+def run_shuffle_manifest_sink(
+    stream: DataFrame,
+    manifest_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    seed: str = "shuffle:42:",
+    n_shards: int = 8,
+):
+    """writeStream → foreachBatch(sharding.append_to_manifest): the
+    training-order manifest grows WITH the document stream. Each
+    micro-batch's docs hash to their shard and append after the shard's
+    current maximum position — existing coordinates are byte-stable, so a
+    trainer mid-epoch is never invalidated by ingest. Replayed epochs
+    no-op (already-manifested ids anti-join to nothing inside the
+    operator), so restarts don't duplicate or move coordinates; per-batch
+    work and write volume ∝ batch size, never the corpus."""
+    from ..operators.sharding import append_to_manifest
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        docs = batch.select(F.col(id_col).alias("doc_id"))
+        append_to_manifest(
+            batch.sparkSession, docs, manifest_dir, seed=seed, n_shards=n_shards
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_media_feature_sink(
     stream: DataFrame,
     features_path: str,

@@ -90,5 +90,51 @@ def test_extend_into_empty_shard_starts_at_one(spark):
     assert len(grown) == 5
 
 
+
+def test_streaming_manifest_sink_grows_append_only(spark, sf_dir, tmp_path):
+    """The manifest grows WITH the doc stream: two availableNow drains
+    (restart on the same checkpoint between them) leave a valid manifest
+    covering every doc, with the first drain's coordinates byte-stable."""
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        file_stream,
+        run_shuffle_manifest_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    in_dir = str(tmp_path / "in")
+    man_dir = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(in_dir)
+    run_shuffle_manifest_sink(
+        file_stream(spark, in_dir, docs.schema), man_dir, ckpt, n_shards=4
+    ).awaitTermination()
+    first = {r.doc_id: (r.shard, r.pos) for r in spark.read.parquet(man_dir).collect()}
+    _assert_valid_manifest(spark.read.parquet(man_dir).collect())
+
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    run_shuffle_manifest_sink(
+        file_stream(spark, in_dir, docs.schema), man_dir, ckpt, n_shards=4
+    ).awaitTermination()
+    rows = spark.read.parquet(man_dir).collect()
+    _assert_valid_manifest(rows)
+    grown = {r.doc_id: (r.shard, r.pos) for r in rows}
+    assert len(grown) == docs.count()
+    for doc_id, coord in first.items():
+        assert grown[doc_id] == coord
+
+
+def test_append_to_manifest_replay_appends_zero(spark, sf_dir, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators.sharding import (
+        append_to_manifest,
+    )
+
+    docs = _docs(spark, sf_dir)
+    man_dir = str(tmp_path / "m")
+    n1 = append_to_manifest(spark, docs, man_dir, n_shards=4)
+    assert n1 == docs.count()
+    n2 = append_to_manifest(spark, docs, man_dir, n_shards=4)  # replay
+    assert n2 == 0
+    _assert_valid_manifest(spark.read.parquet(man_dir).collect())
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
