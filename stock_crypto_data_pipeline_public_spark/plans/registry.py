@@ -89,8 +89,8 @@ _GATE_PRIORITY = (
     # shard) + r3-stale text rotation (t09/t10/t12/t13 join t14..t27 in
     # the local harness this round — never-gated new code f10/f11/f12,
     # t37, m14/m15 outranks their unchanged-since-r3 freshness refresh)
-    + ["e09"]                     # new hourly-rate anomaly score
-    + ["t35", "t36", "t37", "t01"]                              # (50)
+    + ["e09", "q23"]   # new: hourly-rate anomaly score, unpivot/melt
+    + ["t35", "t36", "t37"]                                     # (50)
 )
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no

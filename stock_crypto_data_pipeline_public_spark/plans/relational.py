@@ -745,3 +745,46 @@ def q22_status_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q23 — unpivot/melt (the inverse of A2's conditional-agg pivot): q08's
+# wide (year × priority-count) grid back to long (year, bucket, n) rows
+# via the REAL DataFrame.unpivot relational operator — ids stay, value
+# columns become (variable, value) pairs. The oracle spells the same
+# relation as a 5-way UNION ALL, which is also the logical plan Spark
+# lowers Expand/unpivot to — so the gate pins the operator's semantics,
+# not a coincidence of output. Unpivot is zero-shuffle (a projection-side
+# Expand over the already-aggregated grid); the only exchange is q08's.
+# --------------------------------------------------------------------------
+@query(
+    "q23_priority_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+               CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+               CAST(sum(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        FROM orders GROUP BY 1
+    )
+    SELECT order_year, 'n_urgent'  AS priority_bucket, n_urgent  AS n FROM wide
+    UNION ALL
+    SELECT order_year, 'n_high'    AS priority_bucket, n_high    AS n FROM wide
+    UNION ALL
+    SELECT order_year, 'n_medium'  AS priority_bucket, n_medium  AS n FROM wide
+    UNION ALL
+    SELECT order_year, 'n_notspec' AS priority_bucket, n_notspec AS n FROM wide
+    UNION ALL
+    SELECT order_year, 'n_low'     AS priority_bucket, n_low     AS n FROM wide
+    """,
+)
+def q23_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q08_priority_pivot_by_year(spark, sf_dir)
+    return wide.unpivot(
+        ids=["order_year"],
+        values=["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"],
+        variableColumnName="priority_bucket",
+        valueColumnName="n",
+    )
