@@ -233,10 +233,18 @@ def cmd_shuffle_manifest(args, spark: SparkSession) -> int:
     scan in pos order."""
     from .operators.sharding import build_shuffle_manifest, extend_shuffle_manifest
 
+    import os
+
     docs = spark.read.parquet(args.docs).select(args.id_col).withColumnRenamed(
         args.id_col, "doc_id"
     )
     if args.manifest:
+        # reading the base lazily while overwriting the same directory
+        # would corrupt it mid-plan — growth must land in a new location
+        # (or use operators/sharding.append_to_manifest for in-place)
+        if os.path.realpath(args.manifest) == os.path.realpath(args.out):
+            print("error: --out must differ from --manifest (use a new dir)")
+            return 1
         base = spark.read.parquet(args.manifest)
         out_df = extend_shuffle_manifest(
             base, docs, seed=args.seed, n_shards=args.shards

@@ -131,10 +131,18 @@ def append_to_manifest(
     write volume ∝ batch size, never the corpus. A replayed batch (crash
     after the append, before the stream checkpoint commit) anti-joins to
     nothing and appends zero rows, so the persisted manifest never holds
-    duplicate coordinates. Returns the number of rows appended."""
-    try:
+    duplicate coordinates. Returns the number of rows appended.
+
+    The first-run check is an explicit path-existence test, NOT a bare
+    except around the read: swallowing a transient/corrupt read error as
+    "empty manifest" would re-append every doc from position 1 — duplicate
+    coordinates, the one thing this operator exists to prevent. A real
+    read failure therefore propagates."""
+    import os
+
+    if os.path.exists(manifest_dir):
         base = spark.read.parquet(manifest_dir).select("doc_id", "shard", "pos")
-    except Exception:
+    else:
         base = new_docs.select("doc_id").limit(0).select(
             "doc_id",
             F.lit(0).cast("int").alias("shard"),

@@ -136,5 +136,41 @@ def test_append_to_manifest_replay_appends_zero(spark, sf_dir, tmp_path):
     n2 = append_to_manifest(spark, docs, man_dir, n_shards=4)  # replay
     assert n2 == 0
     _assert_valid_manifest(spark.read.parquet(man_dir).collect())
+
+def test_append_to_manifest_propagates_read_errors(spark, tmp_path):
+    """A corrupt/unreadable existing manifest must RAISE, not be treated
+    as empty — silently restarting positions at 1 would mint duplicate
+    coordinates."""
+    from stock_crypto_data_pipeline_public_spark.operators.sharding import (
+        append_to_manifest,
+    )
+
+    man_dir = tmp_path / "m"
+    man_dir.mkdir()
+    (man_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(Exception):
+        append_to_manifest(spark, docs, str(man_dir))
+
+
+def test_cli_shuffle_manifest_refuses_self_overwrite(spark, tmp_path, capsys):
+    from stock_crypto_data_pipeline_public_spark.__main__ import cmd_shuffle_manifest
+
+    class _A:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    d = str(tmp_path / "docs")
+    spark.range(3).select(F.col("id").alias("doc_id")).write.parquet(d)
+    m = str(tmp_path / "m")
+    rc = cmd_shuffle_manifest(
+        _A(docs=d, out=m, manifest=m, id_col="doc_id",
+           seed="shuffle:42:", shards=4),
+        spark,
+    )
+    assert rc == 1
+    assert "must differ" in capsys.readouterr().out
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
