@@ -445,3 +445,114 @@ def v09_link_company_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "record_source",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# v10 — PIT (point-in-time) table: the canonical Data Vault 2.0 query-
+# assist construct the raw vault needs for fast temporal joins. For every
+# (hub key × weekly snapshot date) the PIT pins the sat version in effect
+# at that instant — dim/fact queries then equi-join (hk, snapshot) instead
+# of re-running an as-of probe per query. Built ON the as-of operator
+# (operators/asof.asof_join_backward — one shuffle per side, running
+# last-struct, no candidate-pair blowup): the snapshot spine (distinct
+# hub users × generated weekly dates — calendar-bounded) is the left,
+# v03's hashdiff-deduped sat timeline the right. Users keyed before their
+# first version carry NULLs (left semantics — a PIT row exists for every
+# hub key at every snapshot, as DV2 prescribes). The weekly grid derives
+# from the events' own min/max (date_trunc week = Monday in both
+# engines); sequence()/generate_series are both inclusive.
+# --------------------------------------------------------------------------
+@query(
+    "v10_pit_user_activity",
+    oracle=f"""
+    WITH versions AS (
+        SELECT {oracle_surrogate_key('user_id')} AS hk_user,
+               user_id,
+               {oracle_surrogate_key('event_type')} AS hashdiff,
+               event_type,
+               ts AS load_ts,
+               lag({oracle_surrogate_key('event_type')}) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_hashdiff
+        FROM events
+    ),
+    sat AS (
+        SELECT hk_user, user_id, hashdiff, event_type, load_ts
+        FROM versions
+        WHERE prev_hashdiff IS NULL OR hashdiff <> prev_hashdiff
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, load_ts ORDER BY hashdiff DESC
+        ) = 1
+    ),
+    bounds AS (
+        SELECT CAST(date_trunc('week', min(ts)) AS DATE) AS d0,
+               CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ),
+    dates AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 7 DAY)) AS DATE)
+               AS snapshot_date
+        FROM bounds
+    ),
+    spine AS (
+        SELECT u.hk_user, u.user_id, d.snapshot_date
+        FROM (SELECT DISTINCT hk_user, user_id FROM sat) u
+        CROSS JOIN dates d
+    ),
+    pit AS (
+        SELECT s.hk_user, s.user_id, s.snapshot_date,
+               v.load_ts AS sat_load_ts, v.event_type AS sat_event_type
+        FROM spine s
+        LEFT JOIN sat v
+          ON v.user_id = s.user_id
+         AND v.load_ts <= CAST(s.snapshot_date AS TIMESTAMP)
+        QUALIFY row_number() OVER (
+            PARTITION BY s.user_id, s.snapshot_date
+            ORDER BY v.load_ts DESC NULLS LAST
+        ) = 1
+    )
+    SELECT hk_user, user_id, snapshot_date, sat_load_ts, sat_event_type
+    FROM pit
+    """,
+)
+def v10_pit_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    sat_raw = v03_sat_user_activity(spark, sf_dir)
+    dw = W.partitionBy("user_id", "load_ts").orderBy(F.desc("hashdiff"))
+    sat = (
+        sat_raw.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("d0"),
+        F.max("ts").cast("date").alias("d1"),
+    )
+    dates = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 7 DAY"))).alias(
+            "snapshot_date"
+        )
+    )
+    users = sat.select("hk_user", "user_id").distinct()
+    spine = users.crossJoin(F.broadcast(dates)).withColumn(
+        "snap_ts", F.col("snapshot_date").cast("timestamp")
+    )
+    right = sat.select(
+        "user_id",
+        "load_ts",
+        F.col("load_ts").alias("sat_load_ts"),
+        F.col("event_type").alias("sat_event_type"),
+    )
+    pit = asof_join_backward(
+        spine,
+        right,
+        on=["user_id"],
+        left_ts="snap_ts",
+        right_ts="load_ts",
+        payload=["sat_load_ts", "sat_event_type"],
+    )
+    return pit.select(
+        "hk_user", "user_id", "snapshot_date", "sat_load_ts", "sat_event_type"
+    )
