@@ -556,3 +556,46 @@ def v10_pit_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit.select(
         "hk_user", "user_id", "snapshot_date", "sat_load_ts", "sat_event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# v11 — bridge table: the second DV2 query-assist construct (with v10's
+# PIT): a pre-flattened hub-to-hub path across MULTIPLE links — here
+# customer ←(order link)← orders ←(supply link)← lineitem → supplier —
+# with the traversal measures denormalized in. Marts then reach across
+# the vault with ONE equi-join on the bridge instead of a 4-way hub/link
+# chain per query. One shuffle per join on already-hashed uniform keys +
+# one hash aggregation; the orders⋈lineitem join co-partitions on
+# orderkey (the key both sides hash on at write time in the bucketed
+# layout — catalog.py).
+# --------------------------------------------------------------------------
+@query(
+    "v11_bridge_customer_supplier",
+    oracle=f"""
+    SELECT {oracle_surrogate_key('o.o_custkey')}  AS hk_customer,
+           {oracle_surrogate_key('l.l_suppkey')}  AS hk_supplier,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           count(*)                                     AS n_lineitems,
+           CAST(min(l.l_shipdate) AS DATE)              AS first_ship,
+           CAST(max(l.l_shipdate) AS DATE)              AS last_ship
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def v11_bridge_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").alias("o")
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    return (
+        o.join(li, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .groupBy(
+            surrogate_key("o.o_custkey").alias("hk_customer"),
+            surrogate_key("l.l_suppkey").alias("hk_supplier"),
+        )
+        .agg(
+            F.countDistinct("o.o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.min("l.l_shipdate").cast("date").alias("first_ship"),
+            F.max("l.l_shipdate").cast("date").alias("last_ship"),
+        )
+    )
