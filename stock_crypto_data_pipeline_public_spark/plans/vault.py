@@ -5,7 +5,9 @@ semantic views (reference dbt_project.yml:25-42, README.md:72-131). These
 queries re-express that layer's operator shapes over the test tables:
 hash-keyed hubs with dedup-keep-first, links with compound SHA-256 keys,
 insert-only satellites with hashdiff change detection, merge/last-wins upsert
-emulation, incremental anti-join appends, and the semantic KPI rollup.
+emulation, incremental anti-join appends, the semantic KPI rollup, and the
+DV2 query-assist layer (v10 PIT snapshots, v11 bridge) that turns temporal
+vault queries into plain equi-joins.
 
 Scale notes: hub/link key joins are on md5/sha2 strings — high-cardinality,
 uniformly distributed, skew-free by construction (that's *why* DV2 hashes its
