@@ -83,13 +83,14 @@ _GATE_PRIORITY = (
     # IVF family gated; m03 moved up with the changed code: its media
     # label changed)
     + ["x15", "x16"]                # new SQ8 rerank search + its recall gate
-    + ["q01", "f02", "x01", "x02", "x03",
-       "x04"]                                                   # (41)
+    + ["q01", "f02", "x01", "x02",
+       "x03"]                                                   # (41)
     # new t35/t36/t37 (span dedup, CDC segment dedup, seeded shuffle-
     # shard) + r3-stale text rotation (t09/t10/t12/t13 join t14..t27 in
     # the local harness this round — never-gated new code f10/f11/f12,
     # t37, m14/m15 outranks their unchanged-since-r3 freshness refresh)
-    + ["e09", "q23", "v10", "v11"]  # new: anomaly, unpivot, PIT+bridge
+    + ["e09", "q23", "q24", "v10", "v11"]  # new: anomaly, unpivot,
+                                           # set ops, PIT+bridge
     + ["t35", "t36", "t37"]                                     # (50)
 )
 

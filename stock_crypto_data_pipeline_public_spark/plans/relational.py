@@ -788,3 +788,45 @@ def q23_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="priority_bucket",
         valueColumnName="n",
     )
+
+
+# --------------------------------------------------------------------------
+# q24 — INTERSECT / EXCEPT set semantics (completing the §2.7 set-operator
+# family beyond U1–U3's unions): customers who ordered in BOTH 1996 and
+# 1997 (intersect) and those who ordered in 1996 but never again
+# (except), labeled and unioned into one result. Spark lowers
+# intersect/exceptAll to left-semi/left-anti joins after aggregation —
+# the same plan a hand-written semi/anti join would get — so the shuffle
+# is one hash exchange per side on the already-projected key.
+# --------------------------------------------------------------------------
+@query(
+    "q24_customer_set_ops",
+    oracle="""
+    WITH y96 AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    y97 AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    ),
+    both_years AS (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97),
+    churned AS (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    SELECT o_custkey AS custkey, 'retained' AS cohort FROM both_years
+    UNION ALL
+    SELECT o_custkey AS custkey, 'churned'  AS cohort FROM churned
+    """,
+)
+def q24_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    y97 = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    retained = y96.intersect(y97).select("custkey", F.lit("retained").alias("cohort"))
+    churned = y96.exceptAll(y97).select("custkey", F.lit("churned").alias("cohort"))
+    return retained.unionByName(churned)
