@@ -41,6 +41,9 @@ EXPECTED_NESTED_LOOP = {
     "x04_cosine_pair_histogram",
     "x11_sampled_pair_histogram",
     "t08_simhash_hamming",
+    # PIT spine: hub keys × the broadcast weekly snapshot calendar — a
+    # deliberate tiny-broadcast cross product (the PIT table IS that grid)
+    "v10_pit_user_activity",
     # IVF assignment: every vector scores against K=8 broadcast centroids —
     # a deliberate tiny-broadcast cross product (map-only, K rows)
     "x05_ivf_assign",
