@@ -1023,3 +1023,115 @@ def f14_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max("tr"), 4).alias("max_tr"),
         rnd(F.min("atr"), 4).alias("min_atr"),
     )
+
+
+# --------------------------------------------------------------------------
+# f15 — trailing 10-day rolling beta of each instrument vs an equal-weight
+# market index (the cross-sectional mean of daily returns). Beta comes from
+# the closed-form OLS slope over explicit bounded window sums —
+# (nΣxy − ΣxΣy) / (nΣxx − (Σx)²) — NOT covar_samp/var_samp, whose streaming
+# estimators accumulate differently across engines. The only cross-engine
+# float hazards are the two aggregations (daily mean price, cross-sectional
+# mean return), both rounded at the boundary like f05; every window term is
+# a product/sum of identical doubles over an identical frame order. The
+# market index table is days×1 rows — broadcast; windows partition by
+# symbol. At 100 TB the daily-aggregated series is thousands of rows
+# regardless of tick volume (f05's argument), so everything after the first
+# hash aggregation is broadcast-join + bounded-window cheap.
+# --------------------------------------------------------------------------
+_BETA_N = 10
+
+
+@query(
+    "f15_rolling_beta",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+               {oracle_rnd('avg(value)', 4)} AS px
+        FROM events GROUP BY 1, 2
+    ),
+    ret AS (
+        SELECT symbol, day,
+               {oracle_rnd('px / lag(px) OVER w - 1', 6)} AS r
+        FROM daily
+        WINDOW w AS (PARTITION BY symbol ORDER BY day ASC)
+        QUALIFY lag(px) OVER w IS NOT NULL
+    ),
+    mkt AS (
+        SELECT day, {oracle_rnd('avg(r)', 6)} AS m FROM ret GROUP BY 1
+    ),
+    j AS (
+        SELECT ret.symbol, ret.day, ret.r, mkt.m
+        FROM ret JOIN mkt ON ret.day = mkt.day
+    ),
+    winsum AS (
+        SELECT symbol,
+               row_number() OVER w AS rn,
+               sum(r * m) OVER (w ROWS BETWEEN {_BETA_N - 1} PRECEDING AND CURRENT ROW) AS sxy,
+               sum(m)     OVER (w ROWS BETWEEN {_BETA_N - 1} PRECEDING AND CURRENT ROW) AS sx,
+               sum(r)     OVER (w ROWS BETWEEN {_BETA_N - 1} PRECEDING AND CURRENT ROW) AS sy,
+               sum(m * m) OVER (w ROWS BETWEEN {_BETA_N - 1} PRECEDING AND CURRENT ROW) AS sxx
+        FROM j WINDOW w AS (PARTITION BY symbol ORDER BY day ASC)
+    ),
+    beta AS (
+        SELECT symbol,
+               {oracle_rnd(f'({_BETA_N} * sxy - sx * sy) / nullif({_BETA_N} * sxx - sx * sx, 0)', 6)} AS beta
+        FROM winsum WHERE rn >= {_BETA_N}
+    )
+    SELECT symbol,
+           count(*)                        AS n_windows,
+           {oracle_rnd('avg(beta)', 4)}    AS avg_beta,
+           {oracle_rnd('max(beta)', 4)}    AS max_beta,
+           {oracle_rnd('min(beta)', 4)}    AS min_beta
+    FROM beta
+    GROUP BY 1
+    """,
+)
+def f15_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS beta per instrument against the equal-weight market
+    index (beyond-reference: the reference's price analytics stop at daily
+    means — fct_asset_price_comparison.sql:9-32)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .agg(rnd(F.avg("value"), 4).alias("px"))
+    )
+    w = W.partitionBy("symbol").orderBy(F.asc("day"))
+    ret = (
+        daily.select(
+            "symbol",
+            "day",
+            rnd(F.col("px") / F.lag("px").over(w) - 1, 6).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    mkt = ret.groupBy("day").agg(rnd(F.avg("r"), 6).alias("m"))
+    j = ret.join(F.broadcast(mkt), "day")
+    wf = w.rowsBetween(-(_BETA_N - 1), W.currentRow)
+    winsum = j.select(
+        "symbol",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("r") * F.col("m")).over(wf).alias("sxy"),
+        F.sum("m").over(wf).alias("sx"),
+        F.sum("r").over(wf).alias("sy"),
+        F.sum(F.col("m") * F.col("m")).over(wf).alias("sxx"),
+    )
+    beta = winsum.filter(F.col("rn") >= _BETA_N).select(
+        "symbol",
+        rnd(
+            (_BETA_N * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                _BETA_N * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+            ),
+            6,
+        ).alias("beta"),
+    )
+    return beta.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        rnd(F.avg("beta"), 4).alias("avg_beta"),
+        rnd(F.max("beta"), 4).alias("max_beta"),
+        rnd(F.min("beta"), 4).alias("min_beta"),
+    )

@@ -830,3 +830,69 @@ def q24_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained = y96.intersect(y97).select("custkey", F.lit("retained").alias("cohort"))
     churned = y96.exceptAll(y97).select("custkey", F.lit("churned").alias("cohort"))
     return retained.unionByName(churned)
+
+
+# --------------------------------------------------------------------------
+# q25 — ranking-function family (completing §2.5 windows beyond
+# row_number/lag/lead): per-nation customer activity ranked with ntile
+# quartiles, percent_rank, cume_dist, rank and dense_rank in one pass.
+# Two window specs share ONE partitioning (c_nationkey) and therefore one
+# exchange + one sort: ntile/percent_rank/cume_dist need a TOTAL order
+# (ties would make bucket assignment engine-dependent), so they order by
+# (n_orders DESC, custkey ASC) — unique; rank/dense_rank deliberately
+# order by n_orders alone so ties produce the gap/no-gap semantics the
+# functions exist for (their output depends only on n_orders, so it is
+# deterministic). percent_rank/cume_dist are exact integer ratios
+# ((pos-1)/(n-1), pos/n) evaluated as double division of identical ints on
+# both engines — bit-equal, rnd(6) is belt-and-braces. Windows are always
+# nation-partitioned: no global-order single-partition trap at 100 TB.
+# --------------------------------------------------------------------------
+@query(
+    "q25_customer_rank_family",
+    oracle="""
+    WITH activity AS (
+        SELECT o.o_custkey AS custkey,
+               c.c_nationkey AS nationkey,
+               count(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT custkey, nationkey, n_orders,
+           CAST(ntile(4) OVER w_total AS INT)                          AS spend_quartile,
+           floor((percent_rank() OVER w_total) * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+           floor((cume_dist()    OVER w_total) * 1000000 + 0.5) / 1000000.0 AS cume,
+           rank()       OVER w_ties AS rnk,
+           dense_rank() OVER w_ties AS drnk
+    FROM activity
+    WINDOW w_total AS (PARTITION BY nationkey ORDER BY n_orders DESC, custkey ASC),
+           w_ties  AS (PARTITION BY nationkey ORDER BY n_orders DESC)
+    """,
+)
+def q25_customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    activity = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w_total = W.partitionBy("nationkey").orderBy(
+        F.desc("n_orders"), F.asc("custkey")
+    )
+    w_ties = W.partitionBy("nationkey").orderBy(F.desc("n_orders"))
+    return activity.select(
+        "custkey",
+        "nationkey",
+        "n_orders",
+        F.ntile(4).over(w_total).cast("int").alias("spend_quartile"),
+        rnd(F.percent_rank().over(w_total), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w_total), 6).alias("cume"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+    )
