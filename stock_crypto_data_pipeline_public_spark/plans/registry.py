@@ -85,9 +85,11 @@ _GATE_PRIORITY = (
     + ["x15", "x16"]                # new SQ8 rerank search + its recall gate
     # x04 (block-pair rewrite) and t12 (r4 perf fix) changed AFTER their
     # last r3 driver rows — evidence gap, they outrank unchanged-code
-    # refreshes; q01/f02/x01 fill the remaining slots as r3-stale
-    # freshness refresh (x02/x03/x05/x11 rotate to the local harness)
-    + ["x04", "t12", "q01", "f02", "x01"]                       # (42)
+    # refreshes; the new never-gated q25 (ranking family), f15 (rolling
+    # beta), t38 (BPE accounting) take the slots q01/f02/x01 held as
+    # freshness refreshes (those are unchanged since their green r3 rows
+    # and stay covered by the local strict harness, like x02/x03/x05/x11)
+    + ["x04", "t12", "q25", "f15", "t38"]                       # (42)
     # new t35/t36/t37 (span dedup, CDC segment dedup, seeded shuffle-
     # shard) + r3-stale text rotation (t09/t10/t12/t13 join t14..t27 in
     # the local harness this round — never-gated new code f10/f11/f12,

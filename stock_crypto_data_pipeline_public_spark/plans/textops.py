@@ -2394,3 +2394,64 @@ def t37_seeded_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_shuffle_manifest(
         _docs(spark, sf_dir), seed=_T37_SEED, n_shards=_T37_SHARDS
     )
+
+
+# --------------------------------------------------------------------------
+# t38 — BPE tokenization accounting: symbolize every document, apply a
+# merge table through the cross-engine-exact 2-pass literal-replace chain
+# (operators/bpe — the full rationale, incl. where this semantic diverges
+# from canonical greedy BPE, lives there), and gate per-(lang, source)
+# token totals + the merge compression ratio. The gate uses a FIXED
+# 8-merge table (an oracle SQL string is static, so it cannot see merges
+# learned from the data at hand); the distributed TRAINER that learns
+# merges from the corpus word-frequency vocabulary is pinned against a
+# pure-Python reference in tests/test_bpe.py instead. Encode is pure
+# built-in string expressions — zero shuffle before the final small
+# aggregation, whole-stage codegen, no UDF. At 100 TB, encode the distinct
+# vocab once and broadcast-join counts back instead of re-walking every
+# occurrence (operators/bpe docstring); here docs are the unit of
+# accounting so the direct form is the honest one.
+# --------------------------------------------------------------------------
+_T38_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("r", "e"), ("e", "r"), ("o", "n"), ("a", "t"),
+]
+
+
+def _t38_oracle() -> str:
+    from ..operators import bpe as B
+
+    sym = B.symbolize_sql("text")
+    n_sym = B.token_count_sql(sym)
+    n_bpe = B.token_count_sql(B.merge_chain_sql(sym, _T38_MERGES))
+    return f"""
+    WITH enc AS (
+        SELECT lang, source, {n_sym} AS n_symbols, {n_bpe} AS n_bpe_tokens
+        FROM documents
+    )
+    SELECT lang, source,
+           count(*)                               AS n_docs,
+           CAST(sum(n_symbols) AS BIGINT)         AS total_symbols,
+           CAST(sum(n_bpe_tokens) AS BIGINT)      AS total_bpe_tokens,
+           {oracle_rnd('sum(n_bpe_tokens) * 1.0 / nullif(sum(n_symbols), 0)', 4)}
+                                                  AS compression
+    FROM enc
+    GROUP BY 1, 2
+    """
+
+
+@query("t38_bpe_token_accounting", oracle=_t38_oracle())
+def t38_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as B
+
+    enc = B.encode_tokens(_docs(spark, sf_dir), _T38_MERGES)
+    return enc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_symbols").alias("total_symbols"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        rnd(
+            F.sum("n_bpe_tokens")
+            / F.nullif(F.sum("n_symbols").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("compression"),
+    )
