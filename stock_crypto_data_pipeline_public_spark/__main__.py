@@ -152,6 +152,22 @@ def cmd_zorder(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_delete(args, spark: SparkSession) -> int:
+    """DELETE FROM a parquet/manifest table WHERE the given SQL predicate
+    holds (maintenance.delete_where) — committed atomically like compact."""
+    from .operators.maintenance import delete_where
+
+    if not args.where.strip():
+        print("delete: --where must be a non-empty SQL predicate", file=sys.stderr)
+        return 2
+    stats = delete_where(spark, args.path, args.where)
+    print(
+        f"deleted {stats['n_deleted']} of {stats['n_before']} rows from "
+        f"{args.path} ({stats['n_after']} remain)"
+    )
+    return 0
+
+
 def cmd_drift(args, spark: SparkSession) -> int:
     """Measured retrain trigger for a persisted ANN index: assign the given
     batch against the sidecar centroids and compare its mean assignment
@@ -324,6 +340,10 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--by", nargs="+", required=True, help="columns to cluster on")
     z.add_argument("--files", type=int, default=32, help="output file count")
 
+    de = sub.add_parser("delete", help="DELETE FROM a parquet/manifest table WHERE <sql predicate>")
+    de.add_argument("--path", required=True)
+    de.add_argument("--where", required=True, help="SQL predicate; TRUE rows are deleted (NULL kept)")
+
     pr = sub.add_parser("profile", help="one-pass column profile of a parquet table")
     pr.add_argument("--path", required=True)
 
@@ -385,6 +405,7 @@ def main(argv: list[str] | None = None) -> int:
         "incremental": cmd_incremental,
         "compact": cmd_compact,
         "zorder": cmd_zorder,
+        "delete": cmd_delete,
         "profile": cmd_profile,
         "drift": cmd_drift,
         "media-features": cmd_media_features,

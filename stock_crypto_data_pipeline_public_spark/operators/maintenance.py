@@ -279,3 +279,55 @@ def zorder_table(
         "n_files_after": after["n_files"],
         "bytes": after["bytes"],
     }
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+) -> dict:
+    """``DELETE FROM <path> WHERE <condition>`` over a plain-parquet or
+    manifest table — the GDPR/right-to-erasure maintenance primitive the
+    compact/zorder family was missing. SQL DELETE semantics: rows where
+    ``condition`` evaluates TRUE are removed; FALSE **and NULL** rows are
+    kept (``~coalesce(cond, false)``). The surviving table is fully
+    written outside the live state and committed with the same
+    always-a-complete-table protocols as ``compact_table`` — rename-aside
+    swap for plain tables, next-generation pointer flip for manifest
+    tables (where the pre-delete state stays readable via
+    ``manifest.read_table(path, generation=...)`` until GC, which is the
+    audit trail a deletion workflow wants... and the retention knob a
+    STRICT erasure wants turned to ``keep_history=0`` + compaction).
+
+    ``condition`` is a Column or a SQL string (``F.expr``-parsed). Row
+    counts come from parquet count pushdown (footer metadata), not full
+    scans. Returns {"n_before", "n_deleted", "n_after"}.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+    from . import manifest as MF
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if not isinstance(cond, Column):
+        raise TypeError(f"condition must be a Column or SQL string, got {condition!r}")
+    live = MF.resolve_table(path)
+    _reject_partitioned_root(live, "delete_where(spark, f'{path}/<partition>', ...)")
+    df = spark.read.parquet(live)
+    n_before = df.count()  # parquet count pushdown — metadata only
+    kept = df.filter(~F.coalesce(cond, F.lit(False)))
+
+    if live != path:  # manifest table: the delete is the next generation
+        after_dir = MF.commit_generation(
+            path, lambda out: kept.write.mode("overwrite").parquet(out)
+        )
+    else:
+        staging = path.rstrip("/") + ".__staging__"
+        kept.write.mode("overwrite").parquet(staging)
+        swap_into_place(staging, path)
+        after_dir = path
+    n_after = spark.read.parquet(after_dir).count()
+    return {
+        "n_before": n_before,
+        "n_deleted": n_before - n_after,
+        "n_after": n_after,
+    }

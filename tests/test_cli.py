@@ -270,3 +270,26 @@ def test_cli_shuffle_manifest_build_and_grow(spark, sf_dir, tmp_path, capsys):
     import os
 
     assert any(d.startswith("shard=") for d in os.listdir(m2))
+
+
+def test_cli_delete(spark, tmp_path, capsys):
+    """`delete` removes predicate-TRUE rows atomically and reports counts;
+    an empty predicate is refused before touching the table."""
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.__main__ import cmd_delete
+
+    path = str(tmp_path / "t")
+    (
+        spark.range(40)
+        .select(F.col("id"), (F.col("id") % 4).alias("k"))
+        .write.parquet(path)
+    )
+    rc = cmd_delete(_A(path=path, where="k = 3"), spark)
+    assert rc == 0
+    assert "deleted 10 of 40 rows" in capsys.readouterr().out
+    assert spark.read.parquet(path).count() == 30
+
+    rc = cmd_delete(_A(path=path, where="   "), spark)
+    assert rc == 2
+    assert spark.read.parquet(path).count() == 30

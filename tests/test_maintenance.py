@@ -203,3 +203,90 @@ def test_zorder_refuses_partitioned_root_but_takes_partition_dir(spark, tmp_path
     stats = zorder_table(spark, part, ["x", "y"], n_partitions=4)
     assert stats["n_files_after"] >= 1
     assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == rows_before
+
+
+# --------------------------------------------------------------------------
+# delete_where: SQL DELETE semantics over plain and manifest tables
+# --------------------------------------------------------------------------
+def _keyed_table(spark, path, n=100):
+    (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 10 == 0, F.lit(None))
+            .otherwise(F.col("id") % 3)
+            .alias("k"),
+        )
+        .write.parquet(path, mode="overwrite")
+    )
+
+
+def test_delete_where_plain_table(spark, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import delete_where
+
+    path = str(tmp_path / "t")
+    _keyed_table(spark, path)
+    stats = delete_where(spark, path, "k = 1")
+    # k = 1 is TRUE for ids where id%3==1 and id%10!=0: DELETE removes
+    # exactly those; NULL-k rows (id%10==0) must survive a k=1 predicate
+    survivors = spark.read.parquet(path)
+    assert survivors.filter("k = 1").count() == 0
+    assert survivors.filter("k IS NULL").count() == 10
+    assert stats["n_before"] == 100
+    assert stats["n_after"] == survivors.count() == 100 - stats["n_deleted"]
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import delete_where
+
+    path = str(tmp_path / "t")
+    _keyed_table(spark, path)
+    # "k < 0" is NULL for NULL-k rows -> kept (SQL DELETE), FALSE elsewhere
+    stats = delete_where(spark, path, "k < 0")
+    assert stats["n_deleted"] == 0 and stats["n_after"] == 100
+
+
+def test_delete_where_all_rows_leaves_valid_empty_table(spark, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import delete_where
+
+    path = str(tmp_path / "t")
+    _keyed_table(spark, path)
+    stats = delete_where(spark, path, "id >= 0")
+    assert stats["n_after"] == 0
+    df = spark.read.parquet(path)  # schema survives, table stays readable
+    assert df.count() == 0 and set(df.columns) == {"id", "k"}
+
+
+def test_delete_where_manifest_table_commits_next_generation(spark, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators import manifest as MF
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import delete_where
+
+    path = str(tmp_path / "mt")
+    src = spark.range(50).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    MF.commit_generation(path, lambda gen: src.write.parquet(gen))
+    gens_before = [h["generation"] for h in MF.history(path)]
+    stats = delete_where(spark, path, "k = 2")
+    assert stats["n_deleted"] == 10
+    assert MF.read_table(spark, path).filter("k = 2").count() == 0
+    # the pre-delete state is still readable (audit trail) until GC
+    prev_gen = max(gens_before)
+    assert MF.read_table(spark, path, generation=prev_gen).count() == 50
+    assert max(h["generation"] for h in MF.history(path)) == prev_gen + 1
+
+
+def test_delete_where_rejects_partitioned_root_and_bad_condition(spark, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import delete_where
+
+    root = str(tmp_path / "hive")
+    (
+        spark.range(20)
+        .select(F.col("id"), (F.col("id") % 2).alias("p"))
+        .write.partitionBy("p")
+        .parquet(root, mode="overwrite")
+    )
+    with pytest.raises(ValueError, match="partition"):
+        delete_where(spark, root, "id = 1")
+    flat = str(tmp_path / "flat")
+    _keyed_table(spark, flat)
+    with pytest.raises(TypeError):
+        delete_where(spark, flat, 42)
