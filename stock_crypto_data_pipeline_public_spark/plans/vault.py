@@ -601,3 +601,80 @@ def v11_bridge_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l.l_shipdate").cast("date").alias("last_ship"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# v12 — effectivity satellite (the remaining classic DV2 construct after
+# v10's PIT and v11's bridge): tracks WHEN each driving-key relationship
+# was active. Driving key = the user hub; related key = the activity type.
+# Every change of the user's active type (v03's hashdiff spine) closes the
+# previous relationship episode and opens a new one; a user RETURNING to
+# an earlier type re-opens it as a NEW episode (episode_n counts re-opens
+# per link — the bookkeeping that distinguishes an effectivity sat from a
+# plain SCD2 on the sat payload). Open episodes carry eff_to = NULL +
+# is_current = true rather than a far-future sentinel (q14's 9999-12-31
+# overflows pandas datetime64). One partitioned-window pass over the
+# change spine — same single shuffle as v03; link hash keys are md5 of
+# the driving+related pair, so downstream joins are skew-free.
+# Reference: the dbt vault layer has hubs/links/sats only
+# (models/vault/*.sql) — effectivity tracking is the standard DV2
+# extension a relationship-history consumer needs.
+# --------------------------------------------------------------------------
+@query(
+    "v12_eff_sat_user_activity",
+    oracle=f"""
+    WITH versions AS (
+        SELECT user_id, event_type, ts,
+               lag({oracle_surrogate_key('event_type')}) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_hd,
+               {oracle_surrogate_key('event_type')} AS hd
+        FROM events
+    ),
+    episodes AS (
+        SELECT user_id, event_type, ts AS eff_from
+        FROM versions WHERE prev_hd IS NULL OR hd <> prev_hd
+    )
+    SELECT {oracle_surrogate_key('user_id', 'event_type')} AS hk_link,
+           {oracle_surrogate_key('user_id')}               AS hk_user,
+           user_id, event_type, eff_from,
+           lead(eff_from) OVER (
+               PARTITION BY user_id ORDER BY eff_from ASC
+           ) AS eff_to,
+           lead(eff_from) OVER (
+               PARTITION BY user_id ORDER BY eff_from ASC
+           ) IS NULL AS is_current,
+           CAST(row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY eff_from ASC
+           ) AS BIGINT) AS episode_n
+    FROM episodes
+    """,
+)
+def v12_eff_sat_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    hd = surrogate_key("event_type")
+    episodes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("eff_from"),
+            hd.alias("hd"),
+            F.lag(hd).over(w).alias("prev_hd"),
+        )
+        .filter(F.col("prev_hd").isNull() | (F.col("hd") != F.col("prev_hd")))
+        .drop("hd", "prev_hd")
+    )
+    w_user = W.partitionBy("user_id").orderBy(F.asc("eff_from"))
+    w_link = W.partitionBy("user_id", "event_type").orderBy(F.asc("eff_from"))
+    eff_to = F.lead("eff_from").over(w_user)
+    return episodes.select(
+        surrogate_key("user_id", "event_type").alias("hk_link"),
+        surrogate_key("user_id").alias("hk_user"),
+        "user_id",
+        "event_type",
+        "eff_from",
+        eff_to.alias("eff_to"),
+        eff_to.isNull().alias("is_current"),
+        F.row_number().over(w_link).cast("long").alias("episode_n"),
+    )
