@@ -453,3 +453,63 @@ def e09_hourly_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max("z"), 4).alias("max_z"),
         rnd(F.min("z"), 4).alias("min_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# e10 — NATIVE session windows: Spark's built-in session_window operator
+# (the Structured Streaming session primitive, runnable in batch) gated
+# against the classic gaps-and-islands construction the oracle spells out.
+# e01 proves the islands logic; e10 proves the BUILT-IN operator has the
+# same semantics — session = maximal event chain with < 30 min gaps,
+# window end = last event + gap — so the streaming path
+# (readStream.groupBy(session_window(...)) under a watermark) is covered
+# by a hash gate, not just unit tests. One shuffle on (user, session);
+# at 100 TB this is the shape to prefer over e01's two window passes
+# because session_window aggregates map-side within partitions before
+# merging overlapping candidate sessions.
+# --------------------------------------------------------------------------
+@query(
+    "e10_native_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL 30 MINUTE     AS session_end,
+           count(*)                         AS n_events,
+           CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) - epoch_us(min(ts))
+                AS BIGINT)                  AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def e10_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            F.timestamp_diff("MICROSECOND", F.col("sw.start"), F.col("sw.end"))
+            .cast("long")
+            .alias("duration_us"),
+        )
+    )
