@@ -79,11 +79,13 @@ _GATE_PRIORITY = (
     # (m03's only change was its media label; its frame-sample path is
     # re-proven by m10's real-frame-sampling row, so the new never-gated
     # v12 effectivity sat takes its slot and m03 joins the local harness.
-    # m06's only change is the NULL-text oracle coalesce — the identical
-    # one-line pattern m01's row evidences — so the new never-gated e10
-    # native-session-window gate takes its slot, m06 to the local harness)
+    # m05/m06's only change is the NULL-text oracle coalesce — the
+    # identical one-line pattern m01's row evidences, and both formats'
+    # real decodes have green r4 rows — so the new never-gated e10
+    # (native session windows) and x17 (HOF lambda forms) take their
+    # slots; m05/m06 rotate to the local harness)
     + ["m07", "m08", "m09", "m10", "m11", "m12", "m13", "m14",
-       "m15", "m16", "m01", "v12", "m05", "e10", "x13", "x06"]  # (33)
+       "m15", "m16", "m01", "v12", "x17", "e10", "x13", "x06"]  # (33)
     # r3-stale rotation: vector + relational/finance leftovers (m02,
     # x07, x08 rotate to the local harness — unchanged, x05 keeps the
     # IVF family gated; m03 moved up with the changed code: its media

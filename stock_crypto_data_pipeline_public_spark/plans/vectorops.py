@@ -1633,3 +1633,84 @@ def x16_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("hits") / (float(_X15_K) * F.count(F.lit(1))), 4).alias("recall"),
         F.min("hits").cast("long").alias("min_hits_per_query"),
     )
+
+
+# --------------------------------------------------------------------------
+# x17 — higher-order array functions as first-class gated surface:
+# aggregate (left-fold sum), transform (element map), filter + size
+# (predicate count), zip_with (pairwise combine) over the embedding
+# column, rolled up per label. The x-series uses the flat dim=64 chains in
+# hot paths (similarity.py's rationale); this query gates the LAMBDA forms
+# — the ones a user writes for variable-width arrays — against DuckDB's
+# list_* equivalents, pinning that both engines fold left-to-right in
+# double (similarity.py's cross-engine math contract, here proven on all
+# four HOF shapes, not just dot/norm). Map-only per row, one small hash
+# aggregation — nothing here shuffles more than the final per-label rollup.
+# --------------------------------------------------------------------------
+@query(
+    "x17_hof_vector_stats",
+    oracle=f"""
+    WITH per_vec AS (
+        SELECT label,
+               {oracle_rnd("sqrt(list_sum(list_transform(embedding,"
+                           " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))", 4)}
+                   AS nrm,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+                   AS n_pos,
+               {oracle_rnd("list_sum(list_transform(embedding,"
+                           " x -> abs(CAST(x AS DOUBLE))))", 4)}
+                   AS l1,
+               {oracle_rnd("list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),"
+                           " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))", 4)}
+                   AS rev_dot
+        FROM embeddings
+    )
+    SELECT label,
+           count(*)                         AS n_vecs,
+           {oracle_rnd('avg(nrm)', 4)}      AS avg_norm,
+           CAST(sum(n_pos) AS BIGINT)       AS total_pos,
+           {oracle_rnd('avg(l1)', 4)}       AS avg_l1,
+           {oracle_rnd('max(rev_dot)', 4)}  AS max_rev_dot
+    FROM per_vec
+    GROUP BY 1
+    """,
+)
+def x17_hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: dbl(x) * dbl(x)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n_pos = F.size(F.filter("embedding", lambda x: x > 0)).cast("long")
+    l1 = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(dbl(x))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rev_dot = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.reverse(F.col("embedding")),
+            lambda x, y: dbl(x) * dbl(y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    per_vec = emb.select(
+        "label",
+        rnd(nrm, 4).alias("nrm"),
+        n_pos.alias("n_pos"),
+        rnd(l1, 4).alias("l1"),
+        rnd(rev_dot, 4).alias("rev_dot"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.avg("nrm"), 4).alias("avg_norm"),
+        F.sum("n_pos").alias("total_pos"),
+        rnd(F.avg("l1"), 4).alias("avg_l1"),
+        rnd(F.max("rev_dot"), 4).alias("max_rev_dot"),
+    )
