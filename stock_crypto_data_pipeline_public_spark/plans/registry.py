@@ -106,6 +106,10 @@ _GATE_PRIORITY = (
                                            # set ops, PIT+bridge
     + ["t35", "t36", "t37"]                                     # (50)
 )
+#: Next-round rotation candidates (registered after the window filled):
+#: q26 (SQL front-end parity) — never driver-gated, green in the local
+#: strict sweep at sf0.001/0.01; promote it ahead of any unchanged-code
+#: freshness refresh next round.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no
 #: oracle on purpose (approximate answers; their exact twins t18/t17 are

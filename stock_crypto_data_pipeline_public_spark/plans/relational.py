@@ -896,3 +896,53 @@ def q25_customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w_ties).alias("rnk"),
         F.dense_rank().over(w_ties).alias("drnk"),
     )
+
+
+# --------------------------------------------------------------------------
+# q26 — the SQL FRONT-END as a gated surface: every other query builds its
+# plan through the DataFrame API; this one is a single spark.sql() text
+# (CTE + 3-way join + agg + ranking window) over temp views, so the SQL
+# parser/analyzer path a BI user hits is value-hash-pinned too, not just
+# the DataFrame builders. Same plan discipline as the DataFrame twins:
+# revenue aggregates below the join output, the nation dim broadcasts
+# (AQE sees the tiny build side), the ranking window partitions by year.
+# rev ranks on the ROUNDED value (like q01, rounding absorbs engine
+# summation-order noise) with the nation name as deterministic tiebreak.
+# --------------------------------------------------------------------------
+_Q26_SQL = """
+    WITH revenue AS (
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) AS order_year,
+               floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+                   / 100.0 AS revenue
+        FROM {li} l
+        JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+        JOIN {cust} c ON o.o_custkey = c.c_custkey
+        JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, order_year, revenue,
+           rank() OVER (
+               PARTITION BY order_year ORDER BY revenue DESC, nation ASC
+           ) AS rev_rank
+    FROM revenue
+"""
+
+
+@query(
+    "q26_sql_api_nation_revenue",
+    oracle=_Q26_SQL.format(
+        li="lineitem", orders="orders", cust="customer", nation="nation"
+    ),
+)
+def q26_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q26_{t}")
+    return spark.sql(
+        _Q26_SQL.format(
+            li="q26_lineitem",
+            orders="q26_orders",
+            cust="q26_customer",
+            nation="q26_nation",
+        )
+    )
