@@ -586,19 +586,33 @@ def v10_pit_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v11_bridge_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").alias("o")
-    li = _t(spark, sf_dir, "lineitem").alias("l")
+    # lineitem pre-aggregates to its (orderkey, suppkey) grain BEFORE the
+    # join: the join input shrinks ~4x AND — because each (order, supplier)
+    # is now exactly one row — the oracle's count(DISTINCT o_orderkey)
+    # becomes a plain count(*), dropping the distinct-aggregate Expand the
+    # original plan paid (measured 2.6 -> 1.3 s at sf0.1). Same
+    # aggregate-below-join move as q02.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
     return (
-        o.join(li, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        per_order_supp.join(
+            o.select("o_orderkey", "o_custkey"),
+            per_order_supp.l_orderkey == F.col("o_orderkey"),
+        )
         .groupBy(
-            surrogate_key("o.o_custkey").alias("hk_customer"),
-            surrogate_key("l.l_suppkey").alias("hk_supplier"),
+            surrogate_key("o_custkey").alias("hk_customer"),
+            surrogate_key("l_suppkey").alias("hk_supplier"),
         )
         .agg(
-            F.countDistinct("o.o_orderkey").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-            F.min("l.l_shipdate").cast("date").alias("first_ship"),
-            F.max("l.l_shipdate").cast("date").alias("last_ship"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_li").alias("n_lineitems"),
+            F.min("min_ship").cast("date").alias("first_ship"),
+            F.max("max_ship").cast("date").alias("last_ship"),
         )
     )
 
