@@ -168,6 +168,18 @@ def cmd_delete(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_vacuum(args, spark: SparkSession | None = None) -> int:
+    """Tighten manifest-table retention without a commit (Delta VACUUM)."""
+    from .operators.manifest import vacuum
+
+    stats = vacuum(args.path, keep_history=args.keep)
+    print(
+        f"vacuumed {args.path}: removed {len(stats['removed'])} "
+        f"generation(s), retained {', '.join(stats['retained'])}"
+    )
+    return 0
+
+
 def cmd_drift(args, spark: SparkSession) -> int:
     """Measured retrain trigger for a persisted ANN index: assign the given
     batch against the sidecar centroids and compare its mean assignment
@@ -340,6 +352,10 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--by", nargs="+", required=True, help="columns to cluster on")
     z.add_argument("--files", type=int, default=32, help="output file count")
 
+    va = sub.add_parser("vacuum", help="GC retained manifest generations beyond --keep (Delta VACUUM)")
+    va.add_argument("--path", required=True)
+    va.add_argument("--keep", type=int, default=1, help="committed predecessors to retain")
+
     de = sub.add_parser("delete", help="DELETE FROM a parquet/manifest table WHERE <sql predicate>")
     de.add_argument("--path", required=True)
     de.add_argument("--where", required=True, help="SQL predicate; TRUE rows are deleted (NULL kept)")
@@ -397,6 +413,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_models(args)
     if args.cmd == "history":  # pure filesystem — no Spark session needed
         return cmd_history(args)
+    if args.cmd == "vacuum":  # pure filesystem — no Spark session needed
+        return cmd_vacuum(args)
     spark = _spark(args.cpus)
     return {
         "generate": cmd_generate,

@@ -205,3 +205,36 @@ def commit_generation(
         if d not in survivors:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return gen_path
+
+
+def vacuum(path: str, keep_history: int = 1) -> dict:
+    """Standalone generation GC (Delta VACUUM parity): delete retained
+    generations beyond the ``keep_history`` most recent committed
+    predecessors — and any never-committed orphans from crashed writers —
+    WITHOUT making a commit. Commit-time GC already enforces the same
+    policy; vacuum is for tightening retention after the fact (e.g.
+    ``keep_history=0`` following a ``delete_where`` erasure, so the
+    pre-delete audit generation stops existing). The live generation is
+    never removed; the ``_log`` history is kept (``history()`` flags
+    vacuumed entries as ``retained: False``). Returns
+    ``{"removed": [...], "retained": [...]}`` generation names.
+    """
+    if not is_manifest_table(path):
+        raise ValueError(f"{path!r} is not a manifest table (no {CURRENT} file)")
+    cur = os.path.basename(current_generation(path))
+    committed: list[str] = []
+    log_path = os.path.join(path, LOG)
+    if os.path.isfile(log_path):
+        with open(log_path) as f:
+            committed = [line.strip() for line in f if line.strip()]
+    if cur not in committed:  # heal the crash-between-flip-and-log window
+        committed.append(cur)
+    survivors = {cur} | set(committed[-(keep_history + 1):])
+    removed, retained = [], []
+    for d in _generations(path):
+        if d in survivors:
+            retained.append(d)
+        else:
+            removed.append(d)
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return {"removed": removed, "retained": retained}

@@ -301,3 +301,44 @@ def test_time_travel_refuses_uncommitted_orphan_generations(spark, tmp_path, mon
     assert sorted(
         r["id"] for r in MF.read_table(spark, path, generation=1).collect()
     ) == [0, 1, 2]
+
+
+# --------------------------------------------------------------------------
+# vacuum: standalone retention tightening (no commit)
+# --------------------------------------------------------------------------
+def test_vacuum_tightens_retention(spark, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators import manifest as MF
+
+    path = str(tmp_path / "t")
+    for k in range(3):  # gens 1..3, default keep_history=1 retains 2 and 3
+        MF.commit_generation(
+            path, lambda gen, k=k: spark.range(10 + k).write.parquet(gen)
+        )
+    assert [h["generation"] for h in MF.history(path) if h["retained"]] == [3, 2]
+    stats = MF.vacuum(path, keep_history=0)
+    assert stats["removed"] == ["gen-000002"]
+    assert stats["retained"] == ["gen-000003"]
+    # live table unaffected; the vacuumed generation is no longer readable
+    assert MF.read_table(spark, path).count() == 12
+    with pytest.raises(ValueError, match="GC'd"):
+        MF.read_table(spark, path, generation=2)
+    # history keeps the full commit record, flagged unretained
+    assert [h["generation"] for h in MF.history(path)] == [3, 2, 1]
+    assert [h["generation"] for h in MF.history(path) if h["retained"]] == [3]
+
+
+def test_vacuum_removes_crashed_orphan_and_guards_plain_tables(spark, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators import manifest as MF
+
+    path = str(tmp_path / "t")
+    MF.commit_generation(path, lambda gen: spark.range(5).write.parquet(gen))
+    orphan = os.path.join(path, "gen-000099")  # crashed writer, never flipped
+    os.makedirs(orphan)
+    stats = MF.vacuum(path, keep_history=1)
+    assert stats["removed"] == ["gen-000099"]
+    assert MF.read_table(spark, path).count() == 5
+
+    plain = str(tmp_path / "plain")
+    spark.range(3).write.parquet(plain)
+    with pytest.raises(ValueError, match="not a manifest table"):
+        MF.vacuum(plain)
