@@ -107,9 +107,9 @@ _GATE_PRIORITY = (
     + ["t35", "t36", "t37"]                                     # (50)
 )
 #: Next-round rotation candidates (registered after the window filled):
-#: q26 (SQL front-end parity) and g01 (PageRank) — never driver-gated,
-#: green in the local strict sweep (q26 at sf0.001/0.01; g01 at
-#: sf0.001/0.01/0.1); promote them ahead of any unchanged-code freshness
+#: q26 (SQL front-end parity), g01 (PageRank), x18 (MMR re-rank) — never
+#: driver-gated, green in the local strict sweep at sf0.001/0.01 (g01
+#: also at sf0.1); promote them ahead of any unchanged-code freshness
 #: refresh next round.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no

@@ -1714,3 +1714,182 @@ def x17_hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.avg("l1"), 4).alias("avg_l1"),
         rnd(F.max("rev_dot"), 4).alias("max_rev_dot"),
     )
+
+
+# --------------------------------------------------------------------------
+# x18 — MMR diversity re-rank (maximal marginal relevance, Carbonell &
+# Goldstein '98): from each query's top-10 cosine candidates, greedily
+# select 5 maximizing λ·relevance − μ·(max similarity to the already-
+# selected set). The greedy loop is FIVE bounded DataFrame rounds — each
+# round one anti-join (remaining), one join+max agg (similarity to the
+# selected set), one partitioned rank-1 pick — nothing collects to the
+# driver; all relations are (queries × ≤10) rows after the candidate cut,
+# so every round is broadcast-cheap at any corpus size. The oracle runs
+# the SAME greedy policy as a recursive CTE with a LATERAL argmax step.
+# Float contract: λ and μ are SEPARATE literals on both sides (1 − 0.7 is
+# NOT the double 0.3 — computing μ would diverge the engines); rel and
+# pair sims are pre-rounded at 4 dp, so every score is the same two-term
+# expression over identical doubles, and ties break on candidate id.
+# --------------------------------------------------------------------------
+_MMR_LAM = "0.7"
+_MMR_MU = "0.3"
+_MMR_POOL = 10
+_MMR_K = 5
+
+
+@query(
+    "x18_mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS cid, e.embedding AS ce,
+               {oracle_rnd(S.oracle_cosine('q.qe', 'e.embedding'), 4)} AS rel
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    pool AS (
+        SELECT query_id, cid, ce, rel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, cid ASC
+            ) AS rk FROM scored
+        ) WHERE rk <= {_MMR_POOL}
+    ),
+    pairs AS (
+        SELECT a.query_id, a.cid AS ia, b.cid AS ib,
+               {oracle_rnd(S.oracle_cosine('a.ce', 'b.ce'), 4)} AS s
+        FROM pool a JOIN pool b
+          ON a.query_id = b.query_id AND a.cid <> b.cid
+    ),
+    sel AS (
+        SELECT query_id, 1 AS k, cid, {_MMR_LAM} * rel AS score,
+               CAST(cid AS VARCHAR) AS chosen
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, cid ASC
+            ) AS rk FROM pool
+        ) WHERE rk = 1
+      UNION ALL
+        SELECT sel.query_id, sel.k + 1, nxt.cid, nxt.score,
+               sel.chosen || ',' || CAST(nxt.cid AS VARCHAR)
+        FROM sel, LATERAL (
+            SELECT c.cid,
+                   {_MMR_LAM} * c.rel - {_MMR_MU} * (
+                       SELECT max(p.s) FROM pairs p
+                       WHERE p.query_id = sel.query_id AND p.ia = c.cid
+                         AND list_contains(
+                               string_split(sel.chosen, ','),
+                               CAST(p.ib AS VARCHAR))
+                   ) AS score
+            FROM pool c
+            WHERE c.query_id = sel.query_id
+              AND NOT list_contains(
+                        string_split(sel.chosen, ','), CAST(c.cid AS VARCHAR))
+            ORDER BY score DESC, c.cid ASC
+            LIMIT 1
+        ) nxt
+        WHERE sel.k < {_MMR_K}
+    )
+    SELECT query_id, CAST(k AS INT) AS k, cid AS neighbor_id,
+           {oracle_rnd('score', 6)} AS mmr_score
+    FROM sel
+    """,
+)
+def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam, mu = float(_MMR_LAM), float(_MMR_MU)
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rel = S.dot("qe", "embedding", EMB_DIM) / F.nullif(
+        F.col("qnrm") * F.col("nrm"), F.lit(0.0)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+            rnd(rel, 4).alias("rel"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
+    pool = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .drop("rk")
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    psim = S.dot("a.ce", "b.ce", EMB_DIM) / F.nullif(
+        F.col("a.cnrm") * F.col("b.cnrm"), F.lit(0.0)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cid") != F.col("b.cid")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cid").alias("ia"),
+            F.col("b.cid").alias("ib"),
+            rnd(psim, 4).alias("s"),
+        )
+    )
+    pool = pool.select("query_id", "cid", "rel").localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)  # tiny; stops 5x recompute
+
+    sel = (
+        pool.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("k"),
+            "cid",
+            (F.lit(lam) * F.col("rel")).alias("score"),
+        )
+    )
+    selected = sel.select("query_id", "cid")
+    for k in range(2, _MMR_K + 1):
+        remaining = pool.join(selected, ["query_id", "cid"], "left_anti")
+        maxsim = (
+            pairs.join(
+                selected.select("query_id", F.col("cid").alias("ib")),
+                ["query_id", "ib"],
+            )
+            .groupBy("query_id", F.col("ia").alias("cid"))
+            .agg(F.max("s").alias("maxsim"))
+        )
+        pick = (
+            remaining.join(maxsim, ["query_id", "cid"])
+            .select(
+                "query_id",
+                "cid",
+                (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")).alias(
+                    "score"
+                ),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.desc("score"), F.asc("cid")
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("query_id", F.lit(k).alias("k"), "cid", "score")
+        )
+        sel = sel.unionByName(pick)
+        selected = selected.unionByName(pick.select("query_id", "cid"))
+    return sel.select(
+        "query_id",
+        F.col("k").cast("int").alias("k"),
+        F.col("cid").alias("neighbor_id"),
+        rnd("score", 6).alias("mmr_score"),
+    )
