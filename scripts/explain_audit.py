@@ -71,6 +71,10 @@ EXPECTED_NESTED_LOOP = {
     # pattern-similarity search: the query pattern is a broadcast 1-ROW
     # window (crossJoin) — map-only distance scan over the candidates
     "f07_pattern_similarity",
+    # PageRank: the node count is a broadcast 1-row aggregate crossed into
+    # every iterate (the repo's standard broadcast-scalar shape, once per
+    # unrolled iteration) — same rationale as t10/t12/q17
+    "g01_pagerank_trade_graph",
 }
 
 
