@@ -1819,12 +1819,18 @@ def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
-    pool = (
+    # ONE checkpoint, placed so the corpus-wide scoring join runs exactly
+    # once: the pool (≤ queries × 10 rows, embeddings included) is
+    # materialized first, and pairs derive from the checkpointed pool — a
+    # ≤ 90-pairs-per-query self-join cheap enough to recompute per greedy
+    # round without a second materialization job
+    pool_ck = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MMR_POOL)
         .drop("rk")
+        .localCheckpoint(eager=True)
     )
-    a, b = pool.alias("a"), pool.alias("b")
+    a, b = pool_ck.alias("a"), pool_ck.alias("b")
     psim = S.dot("a.ce", "b.ce", EMB_DIM) / F.nullif(
         F.col("a.cnrm") * F.col("b.cnrm"), F.lit(0.0)
     )
@@ -1841,8 +1847,13 @@ def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(psim, 4).alias("s"),
         )
     )
-    pool = pool.select("query_id", "cid", "rel").localCheckpoint(eager=True)
-    pairs = pairs.localCheckpoint(eager=True)  # tiny; stops 5x recompute
+    # pairs also checkpoint — a ≤ 90-rows-per-query job off the pool leaf —
+    # so every greedy round reads two flat leaves instead of re-embedding
+    # the join subplan (plan DEPTH, not data volume, is the cost driver
+    # here: without flattening, round k's plan contains every previous
+    # round's, and optimizer + task-binary overhead dominates)
+    pairs = pairs.localCheckpoint(eager=True)
+    pool = pool_ck.select("query_id", "cid", "rel")
 
     sel = (
         pool.withColumn("rk", F.row_number().over(w))
@@ -1884,6 +1895,9 @@ def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("rk") == 1)
             .select("query_id", F.lit(k).alias("k"), "cid", "score")
+            # one row per query: flatten the round into a leaf so the next
+            # round's plan doesn't nest this one (see the pairs note above)
+            .localCheckpoint(eager=True)
         )
         sel = sel.unionByName(pick)
         selected = selected.unionByName(pick.select("query_id", "cid"))
