@@ -300,8 +300,10 @@ def delete_where(
     STRICT erasure wants turned to ``keep_history=0`` + compaction).
 
     ``condition`` is a Column or a SQL string (``F.expr``-parsed). Row
-    counts come from parquet count pushdown (footer metadata), not full
-    scans. Returns {"n_before", "n_deleted", "n_after"}.
+    counts cost a zero-column parquet scan each (cheap — no data pages
+    decoded, but proportional to row-group count; drop them behind a flag
+    if footer walks ever matter at your scale). Returns
+    {"n_before", "n_deleted", "n_after"}.
     """
     from pyspark.sql import Column
     from pyspark.sql import functions as F
