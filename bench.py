@@ -43,8 +43,14 @@ def main() -> int:
     PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     # Queries whose plan BUILD does the real work (operators with side
     # effects — t31 materializes edges and writes the inverted index before
-    # returning): time the whole call, or the bench would bill them ~0.
-    EAGER = {"t31_incremental_vs_batch_neardup", "x13_persisted_ann_search"}
+    # returning; x18/g01 run eager localCheckpoint jobs for their iterative
+    # rounds): time the whole call, or the bench would bill them ~0.
+    EAGER = {
+        "t31_incremental_vs_batch_neardup",
+        "x13_persisted_ann_search",
+        "x18_mmr_rerank",
+        "g01_pagerank_trade_graph",
+    }
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         best = float("inf")
