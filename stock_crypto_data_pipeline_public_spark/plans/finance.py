@@ -1135,3 +1135,126 @@ def f15_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max("beta"), 4).alias("max_beta"),
         rnd(F.min("beta"), 4).alias("min_beta"),
     )
+
+
+# --------------------------------------------------------------------------
+# f16 — gap-filled rollup with LINEAR INTERPOLATION: TimescaleDB's
+# `time_bucket_gapfill(...) + interpolate(...)`, the sibling of f08's locf.
+# Same generated hour spine and left join; each missing bucket then takes
+# v_prev + (v_next − v_prev) · (i − i_prev)/(i_next − i_prev), where the
+# prev/next anchors come from one backward ignorenulls window and one
+# forward ignorenulls window over the SAME per-instrument partitioning
+# (one exchange, two sorts). Gap positions use the spine's contiguous hour
+# INDEX (row_number), not epoch arithmetic — the fraction is a ratio of
+# small integers, exact in both engines. Buckets before the first or after
+# the last observation stay NULL (TimescaleDB semantics). Calendar-bounded
+# like f08: everything after the hourly aggregation is instruments × hours.
+# --------------------------------------------------------------------------
+@query(
+    "f16_gapfill_interpolate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+               count(*) AS n_events,
+               {oracle_rnd(oracle_rnd('sum(value)', 2) + ' / count(*)', 4)} AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(bucket_hour) AS mn, max(bucket_hour) AS mx
+        FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT b.event_type,
+               unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS bucket_hour
+        FROM bounds b
+    ),
+    joined AS (
+        SELECT s.event_type, s.bucket_hour,
+               coalesce(h.n_events, 0) AS n_events, h.avg_value,
+               row_number() OVER (
+                   PARTITION BY s.event_type ORDER BY s.bucket_hour
+               ) AS idx
+        FROM spine s LEFT JOIN hourly h USING (event_type, bucket_hour)
+    ),
+    anchored AS (
+        SELECT *,
+               last_value(avg_value IGNORE NULLS) OVER wb AS v_prev,
+               last_value(CASE WHEN avg_value IS NOT NULL THEN idx END IGNORE NULLS)
+                   OVER wb AS i_prev,
+               first_value(avg_value IGNORE NULLS) OVER wf AS v_next,
+               first_value(CASE WHEN avg_value IS NOT NULL THEN idx END IGNORE NULLS)
+                   OVER wf AS i_next
+        FROM joined
+        WINDOW wb AS (PARTITION BY event_type ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY idx
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_hour, n_events,
+           {oracle_rnd("CASE WHEN avg_value IS NOT NULL THEN avg_value "
+                       "WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN "
+                       "v_prev + (v_next - v_prev) * "
+                       "((idx - i_prev) * 1.0 / (i_next - i_prev)) "
+                       "ELSE NULL END", 6)} AS value_interp,
+           (n_events = 0) AS was_filled
+    FROM anchored
+    """,
+)
+def f16_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket_hour").alias("mn"), F.max("bucket_hour").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, INTERVAL 1 HOUR)")).alias("bucket_hour"),
+    )
+    w_idx = W.partitionBy("event_type").orderBy("bucket_hour")
+    joined = (
+        spine.join(hourly, ["event_type", "bucket_hour"], "left")
+        .select(
+            "event_type",
+            "bucket_hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "avg_value",
+        )
+        .withColumn("idx", F.row_number().over(w_idx))
+    )
+    wb = w_idx.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = w_idx.rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_idx = F.when(F.col("avg_value").isNotNull(), F.col("idx"))
+    anchored = joined.select(
+        "event_type",
+        "bucket_hour",
+        "n_events",
+        "avg_value",
+        "idx",
+        F.last("avg_value", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(obs_idx, ignorenulls=True).over(wb).alias("i_prev"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("v_next"),
+        F.first(obs_idx, ignorenulls=True).over(wf).alias("i_next"),
+    )
+    frac = (F.col("idx") - F.col("i_prev")) * F.lit(1.0) / (
+        F.col("i_next") - F.col("i_prev")
+    )
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(
+            F.col("v_prev").isNotNull() & F.col("v_next").isNotNull(),
+            F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac,
+        )
+        .otherwise(F.lit(None))
+    )
+    return anchored.select(
+        "event_type",
+        "bucket_hour",
+        "n_events",
+        rnd(interp, 6).alias("value_interp"),
+        (F.col("n_events") == 0).alias("was_filled"),
+    )

@@ -107,7 +107,8 @@ _GATE_PRIORITY = (
     + ["t35", "t36", "t37"]                                     # (50)
 )
 #: Next-round rotation candidates (registered after the window filled):
-#: q26 (SQL front-end parity), g01 (PageRank), x18 (MMR re-rank) — never
+#: q26 (SQL front-end parity), g01 (PageRank), x18 (MMR re-rank), f16
+#: (gapfill linear interpolation) — never
 #: driver-gated, green in the local strict sweep at sf0.001/0.01 (g01
 #: also at sf0.1); promote them ahead of any unchanged-code freshness
 #: refresh next round.
