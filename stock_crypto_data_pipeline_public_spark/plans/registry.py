@@ -113,12 +113,13 @@ _GATE_PRIORITY = (
 #: also at sf0.1); promote them ahead of any unchanged-code freshness
 #: refresh next round.
 
-#: Rows-only-BY-DESIGN sketches: t28 (HLL) and t29 (GK quantiles) have no
-#: oracle on purpose (approximate answers; their exact twins t18/t17 are
-#: hash-gated and each sketch carries an error-bound property test). They
+#: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
+#: (DataSketches HLL union) have no oracle on purpose (approximate
+#: answers; the exact twins t18/t17 are hash-gated and each sketch
+#: carries an error-bound/mergeability property test). They
 #: must NEVER rotate into the driver window — a rows-only row there would
 #: read as red for a non-defect. load_all() enforces this mechanically.
-_NEVER_GATE = frozenset({"t28", "t29"})
+_NEVER_GATE = frozenset({"t28", "t29", "t39"})
 
 
 def load_all() -> None:

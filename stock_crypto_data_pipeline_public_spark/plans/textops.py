@@ -2455,3 +2455,49 @@ def t38_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("compression"),
     )
+
+
+# --------------------------------------------------------------------------
+# t39 — MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+# hll_sketch_agg / hll_union_agg): the distributed-rollup property t28's
+# approx_count_distinct cannot expose — its HLL++ state is internal to one
+# aggregation. Here each (lang, source) partition builds an independent
+# binary sketch, and the per-lang rollup UNIONS the stored sketches
+# instead of rescanning tokens — the daily/partition-cube pattern at
+# 100 TB (sketch once per partition at write time, answer any rollup by
+# merging KB-sized states). The query emits BOTH the direct per-lang
+# estimate and the merged-union estimate; test_properties asserts they are
+# IDENTICAL (same sketch algorithm, union-of-parts ≡ one-shot — the
+# mergeability contract) and within 5% of the exact count riding along.
+#
+# Rows-only gate (t28's precedent): DataSketches estimates are
+# engine-specific, so no DuckDB oracle; the sketch lands in _NEVER_GATE.
+# --------------------------------------------------------------------------
+@query("t39_hll_sketch_union", oracle=None)
+def t39_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        "source",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("tok"),
+    )
+    # partition sketches: one binary HLL state per (lang, source)
+    part = toks.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("tok").alias("sk"),
+        F.countDistinct("tok").alias("exact_part"),
+    )
+    # rollup by MERGING stored sketches — no token rescan
+    merged = part.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        F.sum("exact_part").alias("sum_part_exact"),  # > exact (overlap)
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    # direct per-lang sketch + exact, for the identity/error contracts
+    direct = toks.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est_direct"),
+        F.countDistinct("tok").alias("exact_distinct"),
+    )
+    return merged.join(direct, "lang").select(
+        "lang", "n_parts", "est_merged", "est_direct", "exact_distinct",
+        "sum_part_exact",
+    )

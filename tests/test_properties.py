@@ -446,6 +446,27 @@ def test_hll_distinct_within_error_bound(spark, sf_dir):
         assert abs(r["approx_distinct_tokens"] - exact) / exact <= 0.05, r
 
 
+def test_hll_sketch_union_mergeable_and_bounded(spark, sf_dir):
+    """t39's mergeability contract: unioning the stored per-(lang, source)
+    DataSketches HLL states gives the IDENTICAL estimate as sketching the
+    whole lang directly (same algorithm, union-of-parts = one-shot), and
+    both stay within 5% of the exact count. This is the property that lets
+    a 100 TB pipeline sketch each partition once at write time and answer
+    any rollup by merging KB-sized states."""
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["t39_hll_sketch_union"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_merged"] == r["est_direct"], r  # exact identity
+        exact = r["exact_distinct"]
+        assert exact > 0
+        assert abs(r["est_direct"] - exact) / exact <= 0.05, r
+        # parts overlap, so their exact sum over-counts the union
+        assert r["sum_part_exact"] >= exact
+
+
 def test_token_stream_packing_invariants(spark, sf_dir):
     """t22's chunk spans must describe one contiguous token stream per shard:
     chunk indices advance exactly with the cumulative token count, the
