@@ -124,3 +124,133 @@ def g01_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", rnd("rank", 8).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# g02 — triangle counting + local clustering coefficient on the supplier
+# co-trade graph. Nodes: suppliers; an edge (s1 < s2) is weighted by the
+# number of ORDERS in which both supplied a line item; only the top-K
+# heaviest edges (K = _TOP_EDGES, ties broken by (s1, s2)) form the graph —
+# the threshold that keeps triangle enumeration bounded at ANY scale factor
+# (the raw co-trade graph is near-complete: 453k pairs over 1k suppliers at
+# sf0.1). Triangles are enumerated once each via the ordered wedge join
+# (a<b<c: (a,b) ⋈ (b,c) closed by (a,c)) — the standard
+# degree-ordered-direction trick that makes the join output linear in
+# wedge count instead of 6x per triangle. Clustering coefficient
+# c(v) = 2·T(v) / (deg(v)·(deg(v)−1)), NULL when deg < 2.
+#
+# 100 TB: per-order supplier sets are bounded (≤7 line items per order),
+# so the pair fan-out is ≤21 rows per order — linear in lineitem; the
+# global top-K is a TakeOrdered (no full sort materialized); the triangle
+# join touches only K edges. Exact division 2T/(deg(deg-1)) is one IEEE
+# op — bit-equal across engines — rounded to 8 dp for the hash anyway.
+# --------------------------------------------------------------------------
+_TOP_EDGES = 2000
+
+
+def _g02_oracle() -> str:
+    coef = oracle_rnd("2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1))", 8)
+    return f"""
+    WITH os AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    co AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT s1, s2 FROM co ORDER BY w DESC, s1, s2 LIMIT {_TOP_EDGES}
+    ),
+    tri AS (
+        SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        FROM e e1
+        JOIN e e2 ON e2.s1 = e1.s2
+        JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    pertri AS (
+        SELECT a AS s FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (SELECT s, count(*) AS tri FROM pertri GROUP BY s),
+    deg AS (
+        SELECT s, count(*) AS deg FROM (
+            SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e
+        ) GROUP BY s
+    )
+    SELECT d.s AS suppkey, d.deg AS degree,
+           coalesce(t.tri, 0) AS triangles,
+           CASE WHEN d.deg >= 2 THEN {coef} END AS clustering
+    FROM deg d LEFT JOIN tcount t ON t.s = d.s
+    """
+
+
+@query("g02_supplier_triangles", oracle=_g02_oracle())
+def g02_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    os_ = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = os_.alias("a"), os_.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # global top-K with a total-order tiebreak → Spark plans a TakeOrdered,
+    # never a full sort; the kept-edge subgraph bounds everything downstream
+    e = (
+        co.orderBy(F.col("w").desc(), "s1", "s2")
+        .limit(_TOP_EDGES)
+        .select("s1", "s2")
+    )
+    # K rows: broadcast both probe sides of the wedge join
+    e1, e2, e3 = e.alias("e1"), F.broadcast(e.alias("e2")), F.broadcast(e.alias("e3"))
+    tri = (
+        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .select(
+            F.col("e1.s1").alias("a"),
+            F.col("e1.s2").alias("b"),
+            F.col("e2.s2").alias("c"),
+        )
+    )
+    pertri = (
+        tri.select(F.col("a").alias("s"))
+        .unionByName(tri.select(F.col("b").alias("s")))
+        .unionByName(tri.select(F.col("c").alias("s")))
+    )
+    tcount = pertri.groupBy("s").agg(F.count(F.lit(1)).alias("tri"))
+    deg = (
+        e.select(F.col("s1").alias("s"))
+        .unionByName(e.select(F.col("s2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.join(tcount, "s", "left")
+        .select(
+            F.col("s").alias("suppkey"),
+            F.col("deg").alias("degree"),
+            F.coalesce("tri", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                rnd(
+                    F.lit(2.0) * F.coalesce("tri", F.lit(0)) / (F.col("deg") * (F.col("deg") - 1)),
+                    8,
+                ),
+            ).alias("clustering"),
+        )
+    )

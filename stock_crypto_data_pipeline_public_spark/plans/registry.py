@@ -108,10 +108,10 @@ _GATE_PRIORITY = (
 )
 #: Next-round rotation candidates (registered after the window filled):
 #: q26 (SQL front-end parity), g01 (PageRank), x18 (MMR re-rank), f16
-#: (gapfill linear interpolation) — never
-#: driver-gated, green in the local strict sweep at sf0.001/0.01 (g01
-#: also at sf0.1); promote them ahead of any unchanged-code freshness
-#: refresh next round.
+#: (gapfill linear interpolation), g02 (triangle counting), q27
+#: (GROUPING SETS), t40 (priority sampling) — never driver-gated, green
+#: in the local strict sweep at sf0.001/0.01 (g01/g02 also at sf0.1);
+#: promote them ahead of any unchanged-code freshness refresh next round.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate

@@ -946,3 +946,65 @@ def q26_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation="q26_nation",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q27 — explicit GROUPING SETS (the general form q21's ROLLUP and q22's
+# CUBE are special cases of): an arbitrary, non-lattice set list —
+# (status, year), (status, priority), (status) — that neither rollup nor
+# cube can spell, through the Spark 4 DataFrame.groupingSets API, plus the
+# composite GROUPING_ID bitmask (grouping() per column only identifies one
+# dimension at a time; grouping_id() names the whole set). One scan, one
+# Expand, ONE hash aggregation for all three levels — the same single-
+# shuffle shape as q22, not three group-bys unioned.
+# --------------------------------------------------------------------------
+@query(
+    "q27_status_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')                       AS grp_status,
+           coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL')  AS grp_year,
+           coalesce(o_orderpriority, 'ALL')                     AS grp_priority,
+           CAST(GROUPING(o_orderstatus, year(o_orderdate), o_orderpriority) AS BIGINT)
+                                                                AS set_id,
+           count(*)                                             AS n_orders,
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0       AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS (
+        (o_orderstatus, year(o_orderdate)),
+        (o_orderstatus, o_orderpriority),
+        (o_orderstatus)
+    )
+    """,
+)
+def q27_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderstatus", "o_year"],
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+            ],
+            "o_orderstatus",
+            "o_year",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping_id().cast("bigint").alias("set_id"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("grp_status"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias("grp_year"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("grp_priority"),
+            "set_id",
+            "n_orders",
+            "total_price",
+        )
+    )

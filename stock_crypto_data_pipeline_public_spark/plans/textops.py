@@ -2501,3 +2501,115 @@ def t39_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_parts", "est_merged", "est_direct", "exact_distinct",
         "sum_part_exact",
     )
+
+
+# --------------------------------------------------------------------------
+# t40 — deterministic weighted priority sampling (Duffield–Lund–Thorup,
+# "Priority sampling for estimation of arbitrary subset sums", JACM 2007):
+# per language keep the k docs with the largest priority q = w / u, where
+# w = n_chars (the doc's weight) and u ∈ (0,1] is a hash-derived uniform —
+# weighted sampling without replacement PLUS an unbiased total-weight
+# estimator Σ max(w_i, τ) over the sample, τ = the (k+1)-th largest
+# priority. The scheme is exactly reproducible across engines because
+# every float op involved is a single IEEE-correctly-rounded step on
+# exactly-representable inputs: u = (h+1)/2^48 (h a 48-bit md5 prefix,
+# 2^48 a power of two → exact), q = (w·1.0)/u (one division) — no ln/pow,
+# whose last-ulp behavior differs between libm and the JVM. When a group
+# has ≤ k docs, τ = 0 and the estimate equals the true total exactly (the
+# scheme's signature property — gated here since sf0.001 langs are small).
+#
+# 100 TB: the per-row hash/priority is map-only; top-(k+1) per language is
+# a bounded per-group heap (expressed as the row_number window here; at
+# real group sizes swap in the t15 histogram-boundary trick or a
+# per-partition heap + merge — the priorities, and thus the chosen
+# sample, are identical by construction under any plan).
+# --------------------------------------------------------------------------
+_T40_K = 50
+_U48_DEN = "281474976710656.0"  # 2^48, exact as a double
+
+
+def _hex48_sql(str_t: str, col: str = "doc_id") -> str:
+    """Portable SQL: first 12 md5 nibbles of ``col`` as a 48-bit integer."""
+    # each nibble is CAST to BIGINT before scaling: Spark's instr() is
+    # INT-typed and 15 * 16^7 already overflows int32 under ANSI mode
+    terms = [
+        f"CAST({_NIB.format(col=col, str_t=str_t, pos=i + 1)} AS BIGINT)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _t40_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+               {_hex48_sql('VARCHAR')} AS h
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, lang, w,
+               (w * 1.0) / ((h + 1) / {_U48_DEN}) AS q
+        FROM b
+    ),
+    r AS (
+        SELECT doc_id, lang, w, q,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY q DESC, doc_id) AS INT) AS rnk
+        FROM p
+    ),
+    tau AS (
+        SELECT lang,
+               coalesce(max(CASE WHEN rnk = {_T40_K + 1} THEN q END), 0.0) AS tau
+        FROM r GROUP BY lang
+    ),
+    tot AS (SELECT lang, CAST(sum(w) AS BIGINT) AS true_total FROM b GROUP BY lang),
+    s AS (SELECT * FROM r WHERE rnk <= {_T40_K}),
+    est AS (
+        SELECT s.lang,
+               {oracle_rnd('sum(greatest(s.w * 1.0, t.tau))', 4)} AS est_total
+        FROM s JOIN tau t ON t.lang = s.lang GROUP BY s.lang
+    )
+    SELECT s.doc_id, s.lang, s.w, s.rnk, e.est_total, tt.true_total
+    FROM s
+    JOIN est e ON e.lang = s.lang
+    JOIN tot tt ON tt.lang = s.lang
+    """
+
+
+@query("t40_priority_sample", oracle=_t40_oracle())
+def t40_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.expr(_hex48_sql("STRING")).alias("h"),
+    )
+    p = b.select(
+        "doc_id",
+        "lang",
+        "w",
+        ((F.col("w") * 1.0) / ((F.col("h") + 1) / F.expr(_U48_DEN))).alias("q"),
+    )
+    r = p.withColumn(
+        "rnk",
+        F.row_number().over(W.partitionBy("lang").orderBy(F.desc("q"), "doc_id")),
+    )
+    tau = r.groupBy("lang").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == _T40_K + 1, F.col("q"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    tot = b.groupBy("lang").agg(F.sum("w").alias("true_total"))
+    s = r.filter(F.col("rnk") <= _T40_K)
+    est = (
+        s.join(F.broadcast(tau), "lang")
+        .groupBy("lang")
+        .agg(rnd(F.sum(F.greatest(F.col("w") * 1.0, F.col("tau"))), 4).alias("est_total"))
+    )
+    return (
+        s.join(F.broadcast(est), "lang")
+        .join(F.broadcast(tot), "lang")
+        .select("doc_id", "lang", "w", "rnk", "est_total", "true_total")
+    )
