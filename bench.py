@@ -50,6 +50,7 @@ def main() -> int:
         "x13_persisted_ann_search",
         "x18_mmr_rerank",
         "g01_pagerank_trade_graph",
+        "g03_bfs_trade_hops",
     }
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

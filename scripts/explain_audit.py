@@ -75,6 +75,9 @@ EXPECTED_NESTED_LOOP = {
     # every iterate (the repo's standard broadcast-scalar shape, once per
     # unrolled iteration) — same rationale as t10/t12/q17
     "g01_pagerank_trade_graph",
+    # token-frequency spectrum: total corpus mass is a broadcast 1-row
+    # aggregate crossed into the (tiny) spectrum — same shape as t10/t12
+    "t41_token_freq_spectrum",
 }
 
 

@@ -1258,3 +1258,70 @@ def f16_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(interp, 6).alias("value_interp"),
         (F.col("n_events") == 0).alias("was_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# f17 — cross-sectional momentum ranking: each day, rank every instrument
+# by its trailing-N-day return (close-to-close), the signal behind
+# momentum portfolio construction. Two window families over DIFFERENT
+# partitionings: the trailing return partitions by SYMBOL (time series),
+# the rank partitions by DAY (cross section) — exactly one exchange each.
+# Daily close is arg_max(value, event_id) — exact, no float aggregation;
+# the return is rounded to 6 dp BEFORE ranking so the rank's order is over
+# engine-identical values (ties then broken by symbol for total order).
+#
+# 100 TB: the daily-close aggregation is the only pass over raw ticks
+# (single hash agg, map-side partials); everything after is
+# instruments × days. The cross-sectional window's partition count equals
+# the number of days — thousands of independent partitions, no global sort.
+# --------------------------------------------------------------------------
+_MOM_N = 5
+
+
+@query(
+    "f17_cross_sectional_momentum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type AS symbol,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               arg_max(value, event_id) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT symbol, day,
+               {oracle_rnd(f'close / lag(close, {_MOM_N}) OVER w - 1', 6)} AS mom_ret
+        FROM daily
+        WINDOW w AS (PARTITION BY symbol ORDER BY day ASC)
+        QUALIFY lag(close, {_MOM_N}) OVER w IS NOT NULL
+    )
+    SELECT symbol, day, mom_ret,
+           rank() OVER (PARTITION BY day ORDER BY mom_ret DESC, symbol ASC)
+               AS mom_rank,
+           CAST(ntile(3) OVER (PARTITION BY day ORDER BY mom_ret DESC, symbol ASC)
+               AS INT) AS tercile
+    FROM mom
+    """,
+)
+def f17_cross_sectional_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cross-sectional momentum rank (beyond-reference: the
+    reference compares each asset only to its own +N-day price —
+    fct_asset_price_comparison.sql:9-32 — never across assets)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.max_by("value", "event_id").alias("close"))
+    w = W.partitionBy("symbol").orderBy(F.asc("day"))
+    mom = daily.select(
+        "symbol",
+        "day",
+        rnd(F.col("close") / F.lag("close", _MOM_N).over(w) - 1, 6).alias("mom_ret"),
+    ).filter(F.col("mom_ret").isNotNull())
+    xs = W.partitionBy("day").orderBy(F.desc("mom_ret"), F.asc("symbol"))
+    return mom.select(
+        "symbol",
+        "day",
+        "mom_ret",
+        F.rank().over(xs).alias("mom_rank"),
+        F.ntile(3).over(xs).cast("int").alias("tercile"),
+    )

@@ -254,3 +254,104 @@ def g02_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# g03 — multi-source BFS hop distance over the trade graph: the shortest
+# number of trade hops from ANY seed supplier (every 5th suppkey — a
+# deterministic ~20% multi-source seed set that is non-empty at every
+# scale factor) to every reachable node, capped at _HOPS levels. Same
+# bipartite symmetrized edge list as g01.
+# The loop is the textbook scalable frontier BFS: per level ONE equi-join
+# (frontier ⋈ edges on src) + distinct + ONE left-anti join against the
+# visited set — the frontier carries only NEWLY discovered nodes, so total
+# work across all levels is O(edges touched), not O(reach² ) as a naive
+# reach-set re-expansion would be. Fixed unrolling (like g01/x12) keeps the
+# DuckDB oracle plain chained CTEs: min(hop) over the per-level discovery
+# union is the same dedup the anti-join does incrementally.
+#
+# 100 TB: each level shuffles on the node key only (equi-join + hash agg);
+# the visited set grows monotonically and stays partitioned by node, so
+# the anti-join co-partitions with the new frontier — no broadcast of
+# anything unbounded, no driver collect; at real diameters the loop adds
+# localCheckpoint every few levels exactly like bpe.train_bpe.
+# --------------------------------------------------------------------------
+_HOPS = 3
+_SEED_MOD = 5
+
+
+def _g03_oracle() -> str:
+    lvl = """
+    f{K} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f{P} f ON f.node = e.src
+    )"""
+    chain = ",".join(lvl.format(K=k, P=k - 1) for k in range(1, _HOPS + 1))
+    unions = "\n        UNION ALL ".join(
+        f"SELECT node, {k} AS hop FROM f{k}" for k in range(_HOPS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT 'c:' || CAST(ck AS VARCHAR) AS src, 's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
+        UNION ALL
+        SELECT 's:' || CAST(sk AS VARCHAR) AS src, 'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs
+    ),
+    f0 AS (
+        SELECT DISTINCT 's:' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier
+        WHERE s_suppkey % {_SEED_MOD} = 0
+          AND 's:' || CAST(s_suppkey AS VARCHAR) IN (SELECT src FROM edges)
+    ),
+    {chain},
+    discovered AS (
+        {unions}
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hops
+    FROM discovered GROUP BY node
+    """
+
+
+@query("g03_bfs_trade_hops", oracle=_g03_oracle())
+def g03_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    # every level probes the edge list; materialize it once (g01's lesson)
+    edges = edges.localCheckpoint(eager=True)
+    seed_nodes = sup.filter(F.col("s_suppkey") % _SEED_MOD == 0).select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    # seeds restricted to nodes that exist in the graph (a supplier with no
+    # line items is not a node; the oracle's IN (SELECT src...) mirrors this)
+    frontier = seed_nodes.join(
+        edges.select(F.col("src").alias("node")).distinct(), "node", "semi"
+    ).localCheckpoint(eager=True)
+    visited = frontier.select("node", F.lit(0).cast("int").alias("hops"))
+    for k in range(1, _HOPS + 1):
+        nxt = (
+            edges.join(frontier, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(k).cast("int").alias("hops"))
+        )
+        frontier = nxt
+    return visited

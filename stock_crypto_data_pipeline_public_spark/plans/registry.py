@@ -109,8 +109,10 @@ _GATE_PRIORITY = (
 #: Next-round rotation candidates (registered after the window filled):
 #: q26 (SQL front-end parity), g01 (PageRank), x18 (MMR re-rank), f16
 #: (gapfill linear interpolation), g02 (triangle counting), q27
-#: (GROUPING SETS), t40 (priority sampling) — never driver-gated, green
-#: in the local strict sweep at sf0.001/0.01 (g01/g02 also at sf0.1);
+#: (GROUPING SETS), t40 (priority sampling), f17 (cross-sectional
+#: momentum), g03 (multi-source BFS), q28 (correlated scalar subquery),
+#: t41 (token-frequency spectrum) — never driver-gated, green in the
+#: local strict sweep at sf0.001/0.01;
 #: promote them ahead of any unchanged-code freshness refresh next round.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39

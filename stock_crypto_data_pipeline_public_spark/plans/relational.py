@@ -1008,3 +1008,43 @@ def q27_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q28 — CORRELATED SCALAR SUBQUERY: orders priced above their own
+# customer's average order value, with the subquery appearing in both the
+# projection and the WHERE clause — the classic analyst form Catalyst must
+# DECORRELATE (RewriteCorrelatedScalarSubquery turns it into one aggregate
+# over orders + one equi-join; `.explain` shows no per-row subquery
+# execution, and both subquery instances share the same decorrelated
+# aggregate). Driven through spark.sql like q26 so the analyzer's subquery
+# path is the surface under test. The per-customer average is rounded to
+# 4 dp BEFORE the comparison on both engines — comparisons against an
+# unrounded float aggregate would be boundary-nondeterministic across
+# summation orders. Single-order customers compare price > its own exact
+# average → false identically on both engines.
+#
+# 100 TB: decorrelation means ONE map-side-partial hash aggregation over
+# orders + ONE shuffle join on o_custkey — the same cost as writing the
+# groupBy+join by hand; nothing per-row, nothing recursive.
+# --------------------------------------------------------------------------
+_Q28_SQL = """
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           o.o_totalprice,
+           (SELECT floor(avg(i.o_totalprice) * 10000 + 0.5) / 10000.0
+            FROM {orders} i WHERE i.o_custkey = o.o_custkey) AS cust_avg
+    FROM {orders} o
+    WHERE o.o_totalprice >
+          (SELECT floor(avg(i.o_totalprice) * 10000 + 0.5) / 10000.0
+           FROM {orders} i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@query(
+    "q28_orders_above_customer_avg",
+    oracle=_Q28_SQL.format(orders="orders"),
+)
+def q28_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q28_orders")
+    return spark.sql(_Q28_SQL.format(orders="q28_orders"))

@@ -2613,3 +2613,70 @@ def t40_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot), "lang")
         .select("doc_id", "lang", "w", "rnk", "est_total", "true_total")
     )
+
+
+# --------------------------------------------------------------------------
+# t41 — corpus token-frequency SPECTRUM (frequency-of-frequencies), the
+# Zipf diagnostic every corpus report leads with: for each occurrence
+# count c, how many distinct token types occur exactly c times, what share
+# of the total token mass they carry, and the cumulative mass coverage of
+# all types at least that frequent. Two chained hash aggregations — the
+# classic wordcount (map-side partials over the exploded token stream)
+# then a tiny agg over the (type, freq) table — plus one window over the
+# SPECTRUM, which has at most as many rows as distinct frequency values
+# (hundreds even at 100 TB: spectra are long-tailed in types, short in
+# distinct counts). Nothing after the first aggregation scales with corpus
+# size. Integer counts are exact; the two mass ratios are rounded to 6 dp.
+# --------------------------------------------------------------------------
+@query(
+    "t41_token_freq_spectrum",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+    spectrum AS (
+        SELECT freq,
+               CAST(count(*) AS BIGINT)        AS n_types,
+               CAST(freq * count(*) AS BIGINT) AS mass
+        FROM tf GROUP BY freq
+    ),
+    total AS (SELECT sum(mass) AS total_mass FROM spectrum)
+    SELECT s.freq, s.n_types, s.mass,
+           floor((s.mass * 1.0 / t.total_mass) * 1000000 + 0.5) / 1000000.0
+               AS mass_frac,
+           floor((sum(s.mass) OVER (ORDER BY s.freq DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * 1.0 / t.total_mass) * 1000000 + 0.5) / 1000000.0
+               AS cum_mass_frac
+    FROM spectrum s CROSS JOIN total t
+    """,
+)
+def t41_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    spectrum = tf.groupBy("freq").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.col("freq") * F.count(F.lit(1))).alias("mass"),
+    )
+    # scalar total mass as a broadcast 1-row relation (repo standard)
+    total = spectrum.agg(F.sum("mass").alias("total_mass"))
+    # the spectrum is tiny (distinct frequency VALUES, not types); the
+    # unpartitioned window is over those few hundred rows only
+    w = W.orderBy(F.desc("freq")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spectrum.crossJoin(F.broadcast(total))
+        .select(
+            "freq",
+            "n_types",
+            "mass",
+            rnd(F.col("mass") * 1.0 / F.col("total_mass"), 6).alias("mass_frac"),
+            rnd(
+                F.sum("mass").over(w) * 1.0 / F.col("total_mass"), 6
+            ).alias("cum_mass_frac"),
+        )
+    )

@@ -36,14 +36,14 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 
 
 def test_rows_only_sketches_never_enter_gate_window():
-    """t28/t29 are rows-only BY DESIGN (approximate; exact twins t18/t17
-    are hash-gated) — the registry must mechanically refuse a rotation
-    that would put them in the driver's first-50 hash window."""
+    """t28/t29/t39 are rows-only BY DESIGN (approximate sketches; exact
+    twins t18/t17 are hash-gated) — the registry must mechanically refuse
+    a rotation that would put them in the driver's first-50 hash window."""
     import pytest
 
     from stock_crypto_data_pipeline_public_spark.plans import registry as R
 
-    assert R._NEVER_GATE == {"t28", "t29"}
+    assert R._NEVER_GATE == {"t28", "t29", "t39"}
     window = list(R.QUERIES)[:50]
     assert not [n for n in window if n.split("_", 1)[0] in R._NEVER_GATE]
     orig = R._GATE_PRIORITY
