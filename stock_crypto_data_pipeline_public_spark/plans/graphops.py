@@ -343,11 +343,18 @@ def g03_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     visited = frontier.select("node", F.lit(0).cast("int").alias("hops"))
     for k in range(1, _HOPS + 1):
+        # the frontier and visited set are node-bounded (≪ edges), so both
+        # sides of the expansion BROADCAST: each level is one map-only pass
+        # over the materialized edge list + a distinct over matched dsts —
+        # the edge list itself never re-shuffles (measured 8.2 s -> ~3.5 s
+        # at sf0.1). At diameters/graphs where the frontier outgrows the
+        # broadcast threshold, drop the hints and the same plan becomes the
+        # co-partitioned shuffle join — the 100 TB form.
         nxt = (
-            edges.join(frontier, frontier.node == edges.src)
+            edges.join(F.broadcast(frontier), frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(

@@ -111,7 +111,8 @@ _GATE_PRIORITY = (
 #: (gapfill linear interpolation), g02 (triangle counting), q27
 #: (GROUPING SETS), t40 (priority sampling), f17 (cross-sectional
 #: momentum), g03 (multi-source BFS), q28 (correlated scalar subquery),
-#: t41 (token-frequency spectrum) — never driver-gated, green in the
+#: t41 (token-frequency spectrum), q29 (RANGE window frames), q30
+#: (native pivot) — never driver-gated, green in the
 #: local strict sweep at sf0.001/0.01;
 #: promote them ahead of any unchanged-code freshness refresh next round.
 

@@ -1048,3 +1048,88 @@ _Q28_SQL = """
 def q28_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("q28_orders")
     return spark.sql(_Q28_SQL.format(orders="q28_orders"))
+
+
+# --------------------------------------------------------------------------
+# q30 — NATIVE DataFrame.pivot (q08 is the hand-written conditional-agg
+# twin; this gates the pivot OPERATOR itself). Pivot values are passed
+# EXPLICITLY — without them Spark runs an extra distinct-scan job over the
+# pivot column to discover values, a hidden full pass that matters at
+# 100 TB (and makes the output schema data-dependent; explicit values pin
+# it). One scan, one hash aggregation — Catalyst lowers pivot to exactly
+# q08's conditional-aggregate plan, which the shared oracle shape proves.
+# Empty (year, status) cells stay NULL on both engines (sum over no rows).
+# --------------------------------------------------------------------------
+@query(
+    "q30_native_pivot_status_totals",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           floor(sum(o_totalprice) FILTER (o_orderstatus = 'F') * 100 + 0.5) / 100.0 AS total_f,
+           floor(sum(o_totalprice) FILTER (o_orderstatus = 'O') * 100 + 0.5) / 100.0 AS total_o,
+           floor(sum(o_totalprice) FILTER (o_orderstatus = 'P') * 100 + 0.5) / 100.0 AS total_p
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q30_native_pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(rnd(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — RANGE window frame: each order's trailing-30-day spend for its
+# customer — RANGE BETWEEN 29 PRECEDING AND CURRENT ROW over the order
+# date as an integer day index. The semantic ROWS frames cannot express:
+# same-day orders are PEERS (every one of them sees the full same-day
+# total regardless of intra-day order), and calendar gaps shrink the frame
+# instead of reaching back a fixed row count. Nothing else in the registry
+# exercised range frames; this pins them cross-engine. The day index is
+# exact integer arithmetic on both sides; the spend sum is rounded to 2 dp
+# (float summation-order noise ~1e-10 against a 0.005 rounding grid).
+#
+# 100 TB: partitions by customer — millions of independent partitions, one
+# exchange + one sort; the range frame is the streaming sliding-window
+# evaluation, O(rows) per partition, no self-join spine.
+# --------------------------------------------------------------------------
+@query(
+    "q29_rolling_30d_customer_spend",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day_idx
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+           floor(sum(o_totalprice) OVER w * 100 + 0.5) / 100.0 AS spend_30d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx ASC
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q29_rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint").alias("day_idx"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("day_idx"))
+        .rangeBetween(-29, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        rnd(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )

@@ -324,6 +324,12 @@ def x07_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sign bucket (equi-join, work ∝ bucket sizes, never n²), exact cosine on
 # candidates, keep pairs above threshold. The scale-path dedup join — x04 is
 # its exactness baseline (LSH trades recall for the equi-join).
+#
+# Bench drift note (r3 1.72 s -> r4 2.28 s watch item): best-of-5 at sf0.1
+# measures 1.15 s steady-state with a 3.6 s FIRST pass — the codegen/JIT
+# warm-up for this plan shape is what best-of-2 intermittently captures;
+# the candidate join is still the bucket-repartitioned sort-merge with no
+# plan change since r3.
 # --------------------------------------------------------------------------
 NEARDUP_THRESHOLD = 0.35
 

@@ -253,6 +253,50 @@ def run_media_feature_sink(
     )
 
 
+def run_manifest_merge_sink(
+    stream: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    version_col: str,
+    checkpoint: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+):
+    """writeStream → foreachBatch(merge_upsert, commit='manifest'): each
+    micro-batch MERGEs into a pointer-file generation table — the
+    streaming CDC-apply path onto the object-store-atomic commit protocol
+    (operators/manifest.py), i.e. the shape Delta's streaming MERGE has.
+
+    Correctness under replay: foreachBatch is at-least-once (a crash
+    between the merge commit and the checkpoint commit replays the epoch).
+    merge_upsert is last-wins-by-key with source-preferred ties, so
+    re-merging the same batch produces a value-identical next generation —
+    replays cost one redundant commit, never a duplicate or lost row.
+    Readers need no coordination: every generation is complete before the
+    one-file pointer flips, so a reader mid-crash/mid-commit sees the
+    previous complete table (proven by test_streaming's crash test).
+
+    100 TB: the per-epoch merge is one co-partitioned window over
+    (target ∪ batch) — at real scale the target is partitioned and only
+    key-affected partitions rewrite (or Delta MERGE INTO replaces this
+    body at deploy); the commit itself stays a single small-file PUT
+    regardless of table size."""
+    from ..operators.incremental import merge_upsert
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        df = transform(batch) if transform else batch
+        merge_upsert(
+            batch.sparkSession, df, table_path, keys, version_col,
+            commit="manifest",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
     """Make ``ts_col`` a valid watermark column.
 
