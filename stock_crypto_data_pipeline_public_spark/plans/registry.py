@@ -112,7 +112,8 @@ _GATE_PRIORITY = (
 #: (GROUPING SETS), t40 (priority sampling), f17 (cross-sectional
 #: momentum), g03 (multi-source BFS), q28 (correlated scalar subquery),
 #: t41 (token-frequency spectrum), q29 (RANGE window frames), q30
-#: (native pivot) — never driver-gated, green in the
+#: (native pivot), t42 (fuzzy decontamination), x19 (IVF recall-vs-
+#: nprobe sweep) — never driver-gated, green in the
 #: local strict sweep at sf0.001/0.01;
 #: promote them ahead of any unchanged-code freshness refresh next round.
 

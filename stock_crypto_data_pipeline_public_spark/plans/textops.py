@@ -2680,3 +2680,134 @@ def t41_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_mass_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t42 — FUZZY benchmark decontamination: t20 catches exact 5-gram overlap;
+# paraphrased or lightly-edited eval rows evade it. This is the MinHash
+# route: both corpora sign (k=8 min-md5 over word 3-shingles, banded 2
+# hashes/band — t06/t07's machinery), candidate (candidate, benchmark)
+# pairs come from a BAND EQUI-JOIN (work ∝ bucket co-occupancy, never
+# |cand| × |bench|), and exact Jaccard runs ONLY on candidates via per-doc
+# shingle-array intersection — a per-pair array op, no second shuffle
+# chain. A candidate is contaminated when its best benchmark Jaccard
+# clears _T42_TAU.
+#
+# 100 TB: the benchmark side is eval-sized (thousands of docs) so its
+# banded signature table broadcasts; the corpus side streams through the
+# band hash-join map-side. The expensive exact check touches only band
+# survivors — the same candidates-then-verify discipline as x06/t05, and
+# the LSH quality itself is the gated t34 contract.
+# --------------------------------------------------------------------------
+_T42_TAU = 0.5
+
+
+def _t42_oracle() -> str:
+    bands = D.oracle_band_cols()
+    nb = D.MINHASH_K // D.BAND_SIZE
+    band_pairs = "\n        UNION ALL ".join(
+        f"SELECT c.doc_id AS cand_id, b.doc_id AS bench_id "
+        f"FROM csig c JOIN bsig b ON c.band{i} = b.band{i}"
+        for i in range(nb)
+    )
+    return f"""
+    WITH bsh AS (
+        SELECT doc_id, {D.oracle_shingles('text')} AS sh
+        FROM documents WHERE source = 'src0'
+    ),
+    csh AS (
+        SELECT doc_id, {D.oracle_shingles('text')} AS sh
+        FROM documents WHERE source <> 'src0'
+    ),
+    bsig AS (
+        SELECT doc_id, {bands} FROM (
+            SELECT doc_id, {D.oracle_minhash_aggs()}
+            FROM (SELECT doc_id, unnest(sh) AS shingle FROM bsh)
+            GROUP BY doc_id
+        )
+    ),
+    csig AS (
+        SELECT doc_id, {bands} FROM (
+            SELECT doc_id, {D.oracle_minhash_aggs()}
+            FROM (SELECT doc_id, unnest(sh) AS shingle FROM csh)
+            GROUP BY doc_id
+        )
+    ),
+    cand_pairs AS (
+        SELECT DISTINCT cand_id, bench_id FROM (
+            {band_pairs}
+        )
+    ),
+    jac AS (
+        SELECT p.cand_id, p.bench_id,
+               len(list_filter(c.sh, x -> list_contains(b.sh, x))) AS inter,
+               len(c.sh) + len(b.sh)
+                   - len(list_filter(c.sh, x -> list_contains(b.sh, x))) AS uni
+        FROM cand_pairs p
+        JOIN csh c ON c.doc_id = p.cand_id
+        JOIN bsh b ON b.doc_id = p.bench_id
+        WHERE len(c.sh) > 0 AND len(b.sh) > 0
+    )
+    SELECT cand_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_band_candidates,
+           floor((max(inter * 1.0 / uni)) * 1000000 + 0.5) / 1000000.0
+               AS max_jaccard,
+           max(inter * 1.0 / uni) >= {_T42_TAU} AS contaminated
+    FROM jac GROUP BY cand_id
+    """
+
+
+@query("t42_fuzzy_decontamination", oracle=_t42_oracle())
+def t42_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", D.tokens("text").alias("_toks")
+    ).select("doc_id", "source", D.word_shingles("_toks", 3).alias("sh"))
+    bench = docs.filter(F.col("source") == "src0").filter(F.size("sh") > 0)
+    cand = docs.filter(F.col("source") != "src0").filter(F.size("sh") > 0)
+
+    def sig(side: DataFrame) -> DataFrame:
+        sh = side.select("doc_id", F.explode("sh").alias("shingle"))
+        return sh.groupBy("doc_id").agg(*D.minhash_aggs()).select(
+            "doc_id", *D.band_cols()
+        )
+
+    bsig, csig = sig(bench), sig(cand)
+    nb = D.MINHASH_K // D.BAND_SIZE
+    pairs = None
+    for i in range(nb):
+        p = csig.select(F.col("doc_id").alias("cand_id"), f"band{i}").join(
+            F.broadcast(
+                bsig.select(F.col("doc_id").alias("bench_id"), f"band{i}")
+            ),
+            f"band{i}",
+        ).select("cand_id", "bench_id")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand_pairs = pairs.distinct()
+
+    inter = F.size(F.array_intersect(F.col("c_sh"), F.col("b_sh")))
+    jac = (
+        cand_pairs.join(
+            cand.select(F.col("doc_id").alias("cand_id"), F.col("sh").alias("c_sh")),
+            "cand_id",
+        )
+        .join(
+            F.broadcast(
+                bench.select(
+                    F.col("doc_id").alias("bench_id"), F.col("sh").alias("b_sh")
+                )
+            ),
+            "bench_id",
+        )
+        .select(
+            "cand_id",
+            "bench_id",
+            (
+                inter * 1.0 / (F.size("c_sh") + F.size("b_sh") - inter)
+            ).alias("j"),
+        )
+    )
+    return jac.groupBy(F.col("cand_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_band_candidates"),
+        rnd(F.max("j"), 6).alias("max_jaccard"),
+        (F.max("j") >= _T42_TAU).alias("contaminated"),
+    )

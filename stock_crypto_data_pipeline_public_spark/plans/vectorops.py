@@ -1913,3 +1913,189 @@ def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("neighbor_id"),
         rnd("score", 6).alias("mmr_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# x19 — IVF recall-vs-nprobe SWEEP: the quality/cost curve that justifies
+# every probed-search setting in this file. For each nprobe ∈ {1, 2, 4}:
+# how many of each query's EXACT top-5 neighbors live in its nprobe
+# nearest clusters (recall@5), and what fraction of the corpus those
+# clusters hold (scan cost). One row per nprobe — x07's IVF_NPROBE=2 and
+# x13's persisted-index probe settings stop being folklore and become a
+# gated number, the same contract style as t34 (LSH) and x16 (SQ8).
+#
+# Plan: corpus→centroid assignment and query→centroid probe ranks are the
+# K-row broadcast scorings x05/x07 use; the exact ground-truth block is
+# queries × corpus (10 × n at the gate SF — the same bounded truth block
+# x16 scores). All three nprobe settings read ONE assignment + ONE probe
+# ranking via conditional aggregation — the sweep adds no extra passes.
+# At 100 TB the ground truth comes from the x08 GEMM path over a query
+# SAMPLE; the sweep report stays centroids × queries sized.
+# --------------------------------------------------------------------------
+_X19_K = 5
+_X19_PROBES = (1, 2, 4)
+
+
+def _x19_oracle() -> str:
+    hits_cols = ",\n               ".join(
+        f"CAST(count(*) FILTER (WHERE pr <= {p}) AS BIGINT) AS hits{p}"
+        for p in _X19_PROBES
+    )
+    scan_cols = ",\n               ".join(
+        f"CAST(sum(csize) FILTER (WHERE pr <= {p}) AS BIGINT) AS scan{p}"
+        for p in _X19_PROBES
+    )
+    rows = "\n        UNION ALL ".join(
+        f"""SELECT {p} AS nprobe,
+               (SELECT CAST(sum(hits{p}) AS BIGINT) FROM perq) AS n_hits,
+               (SELECT {oracle_rnd(f'sum(hits{p}) / ({_X19_K}.0 * count(*))', 4)} FROM perq) AS recall,
+               (SELECT {oracle_rnd(f'avg(scan{p} * 1.0 / (SELECT count(*) FROM embeddings))', 4)} FROM perscan) AS avg_scan_frac"""
+        for p in _X19_PROBES
+    )
+    return f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    assigned AS (
+        SELECT e.vec_id, s.centroid_id FROM embeddings e
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {S.oracle_cosine('e.embedding', 's.ce')} DESC, s.centroid_id ASC
+        ) = 1
+    ),
+    csizes AS (SELECT centroid_id, count(*) AS csize FROM assigned GROUP BY 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 110),
+    probes AS (
+        SELECT q.query_id, s.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {S.oracle_cosine('q.qe', 's.ce')} DESC, s.centroid_id ASC
+               ) AS pr
+        FROM q JOIN seeds s ON true
+    ),
+    truth AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {oracle_rnd(S.oracle_cosine('q.qe', 'e.embedding'), 4)} DESC,
+                     e.vec_id ASC
+        ) <= {_X19_K}
+    ),
+    hitranks AS (
+        SELECT t.query_id, p.pr
+        FROM truth t
+        JOIN assigned a ON a.vec_id = t.neighbor_id
+        JOIN probes p ON p.query_id = t.query_id AND p.centroid_id = a.centroid_id
+    ),
+    perq AS (
+        SELECT query_id, {hits_cols}
+        FROM hitranks GROUP BY query_id
+    ),
+    perscan AS (
+        SELECT p.query_id, {scan_cols}
+        FROM probes p JOIN csizes c ON c.centroid_id = p.centroid_id
+        GROUP BY p.query_id
+    )
+    {rows}
+    """
+
+
+@query("x19_ivf_recall_sweep", oracle=_x19_oracle())
+def x19_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    seeds = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    csim = S.dot("embedding", "ce", EMB_DIM) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "centroid_id", csim.alias("sim"))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    csizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("csize"))
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    psim = S.dot("qe", "ce", EMB_DIM) / F.nullif(
+        F.col("qnrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("query_id", "centroid_id", psim.alias("sim"))
+        .withColumn("pr", F.row_number().over(wq))
+        .select("query_id", "centroid_id", "pr")
+    )
+    esim = rnd(
+        S.dot("qe", "embedding", EMB_DIM)
+        / F.nullif(F.col("qnrm") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    wt = W.partitionBy("query_id").orderBy(F.desc("esim"), F.asc("neighbor_id"))
+    truth = (
+        F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", esim.alias("esim"))
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= _X19_K)
+    )
+    hitranks = (
+        truth.join(assigned, assigned.vec_id == truth.neighbor_id)
+        .select("query_id", "centroid_id")
+        .join(F.broadcast(probes), ["query_id", "centroid_id"])
+        .select("query_id", "pr")
+    )
+    perq = hitranks.groupBy("query_id").agg(
+        *[
+            F.count(F.when(F.col("pr") <= p, 1)).alias(f"hits{p}")
+            for p in _X19_PROBES
+        ]
+    )
+    n_emb = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    perscan = (
+        probes.join(F.broadcast(csizes), "centroid_id")
+        .groupBy("query_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("pr") <= p, F.col("csize"))).alias(f"scan{p}")
+                for p in _X19_PROBES
+            ]
+        )
+    )
+    out = None
+    for p in _X19_PROBES:
+        row = (
+            perq.agg(
+                F.sum(f"hits{p}").alias("n_hits"),
+                rnd(
+                    F.sum(f"hits{p}") / (float(_X19_K) * F.count(F.lit(1))), 4
+                ).alias("recall"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    perscan.crossJoin(F.broadcast(n_emb)).agg(
+                        rnd(
+                            F.avg(F.col(f"scan{p}") * 1.0 / F.col("n_corpus")), 4
+                        ).alias("avg_scan_frac")
+                    )
+                )
+            )
+            .select(
+                F.lit(p).alias("nprobe"), "n_hits", "recall", "avg_scan_frac"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
