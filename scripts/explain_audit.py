@@ -78,6 +78,10 @@ EXPECTED_NESTED_LOOP = {
     # token-frequency spectrum: total corpus mass is a broadcast 1-row
     # aggregate crossed into the (tiny) spectrum — same shape as t10/t12
     "t41_token_freq_spectrum",
+    # IVF recall sweep: the K-row centroid broadcast scorings (x05/x07's
+    # shape), the bounded 10-query ground-truth block (x01/x16's deliberate
+    # exactness baseline), and 1-row corpus-count scalars — all broadcast
+    "x19_ivf_recall_sweep",
 }
 
 

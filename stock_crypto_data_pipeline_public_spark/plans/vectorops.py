@@ -2014,13 +2014,18 @@ def x19_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     csim = S.dot("embedding", "ce", EMB_DIM) / F.nullif(
         F.col("nrm") * F.col("cnrm"), F.lit(0.0)
     )
-    wv = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    # argmax as ONE hash aggregation (max_by over (sim, -centroid) breaks
+    # ties toward the lower centroid id, matching the oracle's rank-1
+    # window) — no window exchange+sort, and this branch is consumed twice
     assigned = (
         emb.crossJoin(F.broadcast(seeds))
         .select("vec_id", "centroid_id", csim.alias("sim"))
-        .withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("sim"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
     )
     csizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("csize"))
     q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
@@ -2075,27 +2080,35 @@ def x19_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    out = None
-    for p in _X19_PROBES:
-        row = (
-            perq.agg(
-                F.sum(f"hits{p}").alias("n_hits"),
-                rnd(
-                    F.sum(f"hits{p}") / (float(_X19_K) * F.count(F.lit(1))), 4
-                ).alias("recall"),
-            )
-            .crossJoin(
-                F.broadcast(
-                    perscan.crossJoin(F.broadcast(n_emb)).agg(
-                        rnd(
-                            F.avg(F.col(f"scan{p}") * 1.0 / F.col("n_corpus")), 4
-                        ).alias("avg_scan_frac")
-                    )
+    # ONE aggregated row carries every probe setting's sums, then a literal
+    # struct-array explode fans it into the 3 report rows — a per-probe
+    # union would re-execute the expensive truth block once per setting
+    hits_row = perq.agg(
+        F.count(F.lit(1)).alias("nq"),
+        *[F.sum(f"hits{p}").alias(f"n_hits{p}") for p in _X19_PROBES],
+    )
+    scan_row = (
+        perscan.crossJoin(F.broadcast(n_emb)).agg(
+            *[
+                rnd(F.avg(F.col(f"scan{p}") * 1.0 / F.col("n_corpus")), 4).alias(
+                    f"sf{p}"
                 )
-            )
-            .select(
-                F.lit(p).alias("nprobe"), "n_hits", "recall", "avg_scan_frac"
-            )
+                for p in _X19_PROBES
+            ]
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    combined = hits_row.crossJoin(F.broadcast(scan_row))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("nprobe"),
+                F.col(f"n_hits{p}").alias("n_hits"),
+                rnd(F.col(f"n_hits{p}") / (float(_X19_K) * F.col("nq")), 4).alias(
+                    "recall"
+                ),
+                F.col(f"sf{p}").alias("avg_scan_frac"),
+            )
+            for p in _X19_PROBES
+        ]
+    )
+    return combined.select(F.explode(rows).alias("r")).select("r.*")
