@@ -1133,3 +1133,97 @@ def q29_rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
         rnd(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — the dbt generic-test suite as a GATED artifact: unique / not_null /
+# accepted_values / relationships (quality.py's helpers — the reference's
+# sources.yml + schema.yml test blocks) run over the warehouse tables and
+# land as one summary row per check, so the quality run itself is
+# cross-engine verifiable, not just executable. Each check is a scalar
+# aggregate over its violation set; the FK checks are left-anti joins
+# (never NOT IN — J5's NULL trap); the 6-row report assembles via unions
+# of 1-row aggregates.
+#
+# 100 TB: each check is one scan + one (or zero) shuffle — the unique
+# check's groupBy carries map-side partials, the anti-joins broadcast the
+# distinct key side when small and shuffle-join otherwise; checks share
+# nothing so the scheduler runs them concurrently.
+# --------------------------------------------------------------------------
+@query(
+    "q31_data_quality_summary",
+    oracle="""
+    SELECT 'unique' AS check_name, 'orders.o_orderkey' AS target,
+           (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (
+               SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+           )) AS n_violations
+    UNION ALL
+    SELECT 'not_null', 'orders.o_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'accepted_values', 'orders.o_orderstatus',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P') AND o_orderstatus IS NOT NULL)
+    UNION ALL
+    SELECT 'relationships', 'orders.o_custkey -> customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'relationships', 'lineitem.l_orderkey -> orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'accepted_values', 'lineitem.l_returnflag',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_returnflag NOT IN ('A', 'N', 'R') AND l_returnflag IS NOT NULL)
+    """,
+)
+def q31_data_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def row(check: str, target: str, viol: DataFrame, extra=None) -> DataFrame:
+        agg = (
+            viol.agg(F.coalesce(F.sum(extra), F.lit(0)).alias("n_violations"))
+            if extra is not None
+            else viol.agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        return agg.select(
+            F.lit(check).alias("check_name"),
+            F.lit(target).alias("target"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+
+    rows = [
+        # duplicate keys counted as (multiplicity - 1), matching the oracle
+        row(
+            "unique", "orders.o_orderkey",
+            Q.unique(orders, ["o_orderkey"]), extra=F.col("n") - 1,
+        ),
+        row("not_null", "orders.o_custkey", Q.not_null(orders, ["o_custkey"])),
+        row(
+            "accepted_values", "orders.o_orderstatus",
+            Q.accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
+        ),
+        row(
+            "relationships", "orders.o_custkey -> customer",
+            Q.relationships(orders, "o_custkey", cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"),
+        ),
+        row(
+            "relationships", "lineitem.l_orderkey -> orders",
+            Q.relationships(li, "l_orderkey", orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"),
+        ),
+        row(
+            "accepted_values", "lineitem.l_returnflag",
+            Q.accepted_values(li, "l_returnflag", ["A", "N", "R"]),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
