@@ -57,15 +57,33 @@ def main() -> int:
     # passes of one query both land inside the same burst and the min
     # doesn't help; with eras the second measurement lands several minutes
     # away and survives it.
+    #
+    # Wall-clock BUDGET: era 1 alone is complete coverage — later eras only
+    # refine the minima. On a degraded box a fixed 2-era run of ~150
+    # queries can outlast the harness that invoked us and be recorded as a
+    # failure; better to ship era-1 numbers than none. The budget gates
+    # each refinement era (and each query within it) — era 1 always runs
+    # to completion regardless.
+    BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    started = time.perf_counter()
     timings: dict[str, float] = {}
-    for _ in range(PASSES):
+    passes_done = 0
+    for era in range(PASSES):
+        if era > 0 and time.perf_counter() - started > BUDGET_S:
+            break
+        era_complete = True
         for name in sorted(registry.QUERIES):
+            if era > 0 and time.perf_counter() - started > BUDGET_S:
+                era_complete = False
+                break
             t_build = time.perf_counter()
             df = registry.QUERIES[name](spark, sf_dir)
             t0 = time.perf_counter() if name not in EAGER else t_build
             df.write.format("noop").mode("overwrite").save()
             took = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, float("inf")), took), 3)
+        if era_complete:
+            passes_done = era + 1
 
     total = round(sum(timings.values()), 3)
     # Full names to stderr for humans; the stdout JSON line must stay well
@@ -89,7 +107,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
-        "passes": PASSES,
+        "passes": passes_done,
         "queries": short,
         "sf": sf,
     }

@@ -108,6 +108,11 @@ def g01_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.crossJoin(F.broadcast(n)).select(
         "node", rnd(F.lit(1.0) / F.col("n"), 12).alias("rank")
     )
+    # NOTE: unlike g03's static frontier, `ranks` is re-DERIVED each
+    # iteration — broadcasting it forces a serialized
+    # materialize-collect-rebroadcast of every iterate's whole lineage
+    # (measured 2.4x SLOWER than letting the shuffle join pipeline);
+    # the shuffle join stays.
     for _ in range(_ITERS):
         contrib = (
             edges.join(ranks, ranks.node == edges.src)
