@@ -513,3 +513,71 @@ def e10_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e11 — COHORT RETENTION TRIANGLE: the full signup-week × week-offset
+# matrix (e05 measures one fixed offset; this is the cohort table every
+# growth dashboard draws). Cohort = a user's FIRST active week (a min
+# aggregation, not a window); each (user, active-week) row then lands in
+# cell (cohort_week, offset = weeks since cohort). Cohort size is the
+# offset-0 diagonal by construction, joined back (broadcast — the matrix
+# is weeks² rows) for the retention rate. Exact integer week arithmetic
+# on epoch-day / 7 keeps the bucketing engine-identical; rates round 4 dp.
+#
+# 100 TB: two hash aggregations over (user, week) — distinct activity and
+# min-week — both map-side-partial on the user key; everything after is
+# weeks × weeks. No self-join over raw events, no window over users.
+# --------------------------------------------------------------------------
+@query(
+    "e11_cohort_retention_triangle",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(floor((CAST(date_trunc('day', ts) AS DATE)
+                           - DATE '1970-01-05') / 7.0) AS BIGINT) AS wk
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+    cells AS (
+        SELECT c.cw AS cohort_week, CAST(u.wk - c.cw AS BIGINT) AS week_offset,
+               count(DISTINCT u.user_id) AS n_active
+        FROM uw u JOIN cohort c ON c.user_id = u.user_id
+        GROUP BY 1, 2
+    ),
+    size0 AS (
+        SELECT cohort_week, n_active AS cohort_size FROM cells WHERE week_offset = 0
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+           floor((c.n_active * 1.0 / s.cohort_size) * 10000 + 0.5) / 10000.0
+               AS retention
+    FROM cells c JOIN size0 s ON s.cohort_week = c.cohort_week
+    """,
+)
+def e11_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # ISO-ish week index anchored on Monday 1970-01-05: exact integer
+    # floor((epoch_day - 4) / 7) on both engines
+    wk = F.floor(
+        (F.unix_date(F.date_trunc("day", "ts").cast("date")) - F.lit(4)) / 7.0
+    ).cast("bigint")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    cells = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    size0 = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(size0), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        rnd(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias("retention"),
+    )
