@@ -114,7 +114,7 @@ _GATE_PRIORITY = (
 #: t41 (token-frequency spectrum), q29 (RANGE window frames), q30
 #: (native pivot), t42 (fuzzy decontamination), x19 (IVF recall-vs-
 #: nprobe sweep), q31 (dbt generic-test summary), e11 (cohort retention
-#: triangle) — never driver-gated,
+#: triangle), q32 (Spark 4 VARIANT path) — never driver-gated,
 #: green in the local strict sweep at sf0.001/0.01;
 #: promote them ahead of any unchanged-code freshness refresh next round.
 

@@ -1227,3 +1227,51 @@ def q31_data_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# q32 — Spark 4 VARIANT semi-structured path: `parse_json` → binary
+# variant → typed `try_variant_get` extraction, aggregated per event
+# type. q19/f02 read JSON through string functions (get_json_object);
+# this gates the VARIANT encoding itself — the Spark 4 answer to
+# schema-on-read (the open-format twin of Snowflake's VARIANT, the
+# reference's warehouse type for raw JSON payloads). Missing paths
+# surface as NULL through try_variant_get (counted, not thrown — ANSI
+# mode stays on); the typed getter yields a BIGINT that aggregates
+# without a cast chain. At scale the variant binary is columnar-shredded
+# by the parquet writer, so `$.k`-only readers don't parse full JSON.
+# --------------------------------------------------------------------------
+@query(
+    "q32_variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                           AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                                                              AS total_k,
+           floor((sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0
+                  / count(*)) * 10000 + 0.5) / 10000.0        AS avg_k,
+           CAST(count(*) FILTER (json_extract_string(props, '$.k') IS NULL)
+                AS BIGINT)                                    AS n_missing_k,
+           CAST(count(*) FILTER (json_extract_string(props, '$.absent') IS NULL)
+                AS BIGINT)                                    AS n_missing_absent
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q32_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.absent", "string").alias("absent"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("total_k"),
+        rnd(F.sum("k") * 1.0 / F.count(F.lit(1)), 4).alias("avg_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_missing_k"),
+        F.count(F.when(F.col("absent").isNull(), 1)).alias("n_missing_absent"),
+    )
