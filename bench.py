@@ -119,7 +119,7 @@ def main() -> int:
         # map always goes to stderr above)
         by_cost = sorted(short.items(), key=lambda kv: -kv[1])
         while len(line) >= 1900 and by_cost:
-            by_cost = by_cost[: max(0, len(by_cost) - 10)]
+            by_cost = by_cost[:-1]
             payload["queries"] = dict(sorted(by_cost))
             payload["queries_truncated"] = len(timings) - len(by_cost)
             line = json.dumps(payload, separators=(",", ":"))

@@ -1292,7 +1292,7 @@ _MOM_N = 5
                {oracle_rnd(f'close / lag(close, {_MOM_N}) OVER w - 1', 6)} AS mom_ret
         FROM daily
         WINDOW w AS (PARTITION BY symbol ORDER BY day ASC)
-        QUALIFY lag(close, {_MOM_N}) OVER w IS NOT NULL
+        QUALIFY lag(close, {_MOM_N}) OVER w IS NOT NULL AND close IS NOT NULL
     )
     SELECT symbol, day, mom_ret,
            rank() OVER (PARTITION BY day ORDER BY mom_ret DESC, symbol ASC)

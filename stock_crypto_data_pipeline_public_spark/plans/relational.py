@@ -1246,11 +1246,12 @@ def q31_data_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT)                           AS n_events,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
                                                               AS total_k,
-           floor((sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0
+           floor((sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0
                   / count(*)) * 10000 + 0.5) / 10000.0        AS avg_k,
-           CAST(count(*) FILTER (json_extract_string(props, '$.k') IS NULL)
+           CAST(count(*) FILTER (TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                 IS NULL)
                 AS BIGINT)                                    AS n_missing_k,
            CAST(count(*) FILTER (json_extract_string(props, '$.absent') IS NULL)
                 AS BIGINT)                                    AS n_missing_absent
