@@ -764,3 +764,88 @@ def m16_audio_resample_alias_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.col("dominant_hz").cast("long")).alias("total_dominant_hz"),
         F.sum("n_samples").alias("total_samples"),
     )
+
+
+# --------------------------------------------------------------------------
+# m17 — REAL DOCX extraction: a deterministic OOXML zip per document
+# (operators/chunking.synthesize_docx — 1 + doc_id % 4 paragraphs, each
+# split across multiple <w:t> runs plus a blank paragraph extraction must
+# drop), then the REAL stdlib zip+XML extractor (chunking._extract_docx —
+# python-docx `paragraph.text` semantics per reference
+# text_extractors.py:72-90). The oracle reconstructs the full extracted
+# string character-for-character in SQL, so a run-joining bug, a blank-
+# paragraph leak, an entity mis-escape, or a paragraph-order slip all
+# hash-fail on the text column itself.
+# --------------------------------------------------------------------------
+@query(
+    "m17_docx_real_extract",
+    oracle="""
+    WITH p AS (
+        SELECT d.doc_id, r.i AS i,
+               'Para ' || r.i || ' of doc ' || d.doc_id || '.' AS para
+        FROM documents d JOIN range(0, 4) r(i) ON r.i < 1 + d.doc_id % 4
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY i)                      AS text,
+           CAST(strlen(string_agg(para, chr(10) ORDER BY i)) AS INT) AS n_chars,
+           CAST(count(*) AS INT)                                     AS n_paras
+    FROM p
+    GROUP BY doc_id
+    """,
+)
+def m17_docx_real_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import chunking as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    extracted = C.extract_text(C.synthesize_docx(docs))  # REAL zip+XML parse
+    return extracted.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        F.size(F.split("text", "\n")).cast("int").alias("n_paras"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m18 — REAL PDF extraction: a deterministic PDF 1.4 per document
+# (operators/chunking.synthesize_pdf — 1 + doc_id % 3 pages, every page a
+# Flate-compressed content stream exercising Tj, kerned-TJ-array and '
+# show operators), then the REAL stdlib extractor (chunking._extract_pdf —
+# /Pages /Kids page walk, zlib inflate, BT/ET text-op scan, the reference
+# PDFPlumberExtractor's exact "--- Page N ---" assembly,
+# text_extractors.py:23-42). Oracle rebuilds the full extracted string in
+# SQL: an inflate slip, an escape mis-decode, a TJ concatenation bug, a
+# lost line break, or pages walked out of order all hash-fail.
+# --------------------------------------------------------------------------
+@query(
+    "m18_pdf_real_extract",
+    oracle="""
+    WITH pg AS (
+        SELECT d.doc_id, r.p AS p,
+               '--- Page ' || (r.p + 1) || ' ---' || chr(10) ||
+               'Doc ' || d.doc_id || ' page ' || (r.p + 1) || chr(10) ||
+               'Flate body ' || (r.p + 1) || '-' || d.doc_id AS seg
+        FROM documents d JOIN range(0, 3) r(p) ON r.p < 1 + d.doc_id % 3
+    )
+    SELECT doc_id,
+           string_agg(seg, chr(10) || chr(10) ORDER BY p)  AS text,
+           CAST(strlen(string_agg(seg, chr(10) || chr(10) ORDER BY p)) AS INT)
+                                                           AS n_chars,
+           CAST(count(*) AS INT)                           AS n_pages
+    FROM pg
+    GROUP BY doc_id
+    """,
+)
+def m18_pdf_real_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import chunking as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    extracted = C.extract_text(C.synthesize_pdf(docs))  # REAL Flate+BT/ET scan
+    return extracted.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        (F.size(F.split("text", "--- Page ")) - 1).cast("int").alias("n_pages"),
+    )

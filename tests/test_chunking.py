@@ -133,27 +133,63 @@ def test_process_documents_rejects_unknown_strategy(docs):
         C.process_documents(docs, strategy="token")
 
 
-def test_extract_text_txt_real_pdf_stubbed(spark):
+def test_extract_text_txt_docx_pdf_real_ocr_stubbed(spark):
     bin_docs = spark.createDataFrame(
         [
             (1, "txt", bytearray(b"plain text payload")),
-            (2, "pdf", bytearray(b"%PDF-1.4 fake")),
+            (2, "pdf", bytearray(C._make_pdf([["hello pdf", "line (two)"]]))),
+            (3, "docx", bytearray(C._make_docx(["first para", "second para"]))),
+            (4, "png", bytearray(b"\x89PNG fake scan")),
         ],
         "doc_id long, doc_type string, content binary",
     )
-    txt_only = bin_docs.filter(F.col("doc_type") == "txt")
-    [r] = C.extract_text(txt_only).collect()
-    assert r.text == "plain text payload" and r.n_chars == 18
+    real = bin_docs.filter(F.col("doc_type") != "png")
+    got = {r.doc_id: r.text for r in C.extract_text(real).collect()}
+    assert got[1] == "plain text payload"
+    assert got[2] == "--- Page 1 ---\nhello pdf\nline (two)"
+    assert got[3] == "first para\nsecond para"
 
-    with pytest.raises(Exception, match="NotImplementedError|pdfplumber"):
+    # image OCR stays stubbed (tesseract absent): raises unless fake=True
+    with pytest.raises(Exception, match="NotImplementedError|tesseract"):
         C.extract_text(bin_docs).collect()
-
     fake = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
-    assert fake[1] == "plain text payload"
-    assert fake[2].startswith("pdf document ")
-    # deterministic: same payload -> same fake text
+    assert fake[2] == got[2] and fake[3] == got[3]  # real formats unaffected
+    assert fake[4].startswith("png document ")
     again = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
     assert fake == again
+
+
+def test_docx_codec_round_trip():
+    for d in (0, 7, 123, 4567):
+        paras = [f"Para {i} of doc {d}." for i in range(1 + d % 4)]
+        assert C._extract_docx(C._make_docx(paras)) == "\n".join(paras)
+    # XML entity escaping + run re-joining survive round trip
+    tricky = ["a < b & c > d", 'quotes "x" and \'y\'']
+    assert C._extract_docx(C._make_docx(tricky)) == "\n".join(tricky)
+
+
+def test_pdf_codec_round_trip():
+    for d in (0, 1, 55, 1234):
+        pages = [
+            [f"Doc {d} page {p}", f"Flate body {p}-{d}"] for p in range(1, 2 + d % 3)
+        ]
+        want = "\n\n".join(
+            f"--- Page {p} ---\n" + "\n".join(pg) for p, pg in enumerate(pages, 1)
+        )
+        assert C._extract_pdf(C._make_pdf(pages)) == want
+    # full literal-string escape grammar + 4-line pages (Tj, TJ, ', T*)
+    tricky = r"a(b)c\d \( nested (deep)"
+    got = C._extract_pdf(C._make_pdf([["l0", tricky, "l2", "l3"]]))
+    assert got == f"--- Page 1 ---\nl0\n{tricky}\nl2\nl3"
+
+
+def test_pdf_string_token_grammar():
+    s, _ = C._pdf_string_token(r"(a\101\n\(x\)\\) rest", 0)
+    assert s == "aA\n(x)\\"
+    s, _ = C._pdf_string_token("<48656C 6C6F7>x", 0)  # odd hex pads a 0
+    assert s == "Hellop"
+    s, _ = C._pdf_string_token("(nested (deep) ok)", 0)
+    assert s == "nested (deep) ok"
 
 
 def test_crossdoc_span_dedup_keeper_semantics(spark, tmp_path):
