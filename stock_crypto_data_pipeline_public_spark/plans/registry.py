@@ -140,6 +140,7 @@ def load_all() -> None:
         relational,
         vault,
         graphops,
+        streamops,
     )
 
     by_prefix = {name.split("_", 1)[0]: name for name in QUERIES}

@@ -28,7 +28,7 @@ from ..functions.keys import (
     surrogate_key,
 )
 from ..sources.tables import load_table
-from ..functions.numeric import rnd
+from ..functions.numeric import oracle_rnd, rnd
 from .registry import query
 
 
@@ -691,4 +691,202 @@ def v12_eff_sat_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff_to.alias("eff_to"),
         eff_to.isNull().alias("is_current"),
         F.row_number().over(w_link).cast("long").alias("episode_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# v13 — the ENTIRE dbt DAG as one gated artifact: TPC-derived raw fixtures
+# → dag.py's topological executor over plans/market.py's model registry
+# (the reference's 27-model Raw → DV2 → Marts → Semantic chain,
+# dbt_project.yml:25-42) → `semantic_customer_overview`
+# (semantic_customer_overview.sql:3-46) compared value-for-value.
+#
+# The executor builds the real subgraph: 8 raw sources → hub_customer /
+# hub_company / hub_asset (via the 6-way ephemeral_asset union) /
+# hub_transaction → link_customer_company / link_customer_transaction /
+# link_transaction_asset (case-normalized J2 join) → sat_customer_profile
+# (hashdiff change capture) / sat_company_profile / sat_transaction_detail
+# → dim_company → dim_customer (latest-wins) → fct_transactions (4-way J3)
+# → semantic. The fixtures bake in the classic vault hazards: an
+# at-least-once REPLAY row per customer (c_custkey % 7 = 0 — same attrs,
+# later load_timestamp: changes_only must drop it), a real PROFILE CHANGE
+# (c_custkey % 10 = 0 → tier 'Platinum' v2: latest-wins must surface it),
+# replayed transactions (o_orderkey % 13 = 0: dedup-keep-first must land
+# them once), and lowercase asset feeds (the link's upper() normalization
+# must still match). The oracle states the NET semantics in closed form —
+# if ANY model, the hashdiff capture, the SCD window, a link join, or the
+# DAG resolver regresses, the hash breaks. This is the engine's
+# `dbt build` as a single driver-gated row.
+#
+# Scale: the chain is the production DAG itself — hub/link joins broadcast
+# the hub side, satellites window per business key (hash-distributed,
+# skew-free by construction), fct is a 4-way equi-join on md5 keys.
+# --------------------------------------------------------------------------
+@query(
+    "v13_full_dag_semantic_overview",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey AS k,
+               md5('CUST' || c_custkey)                               AS hk_customer,
+               'FN' || (c_custkey % 97) || ' ' || 'LN' || (c_custkey % 31)
+                                                                      AS customer_name,
+               CASE WHEN c_custkey % 10 = 0 THEN 'Platinum'
+                    WHEN c_custkey % 3 = 0  THEN 'Bronze'
+                    WHEN c_custkey % 3 = 1  THEN 'Silver'
+                    ELSE 'Gold' END                                   AS customer_tier,
+               CASE WHEN c_custkey % 3 = 0 THEN 'Low'
+                    WHEN c_custkey % 3 = 1 THEN 'Moderate'
+                    ELSE 'High' END                                   AS risk_tolerance,
+               CASE WHEN c_custkey % 4 = 0 THEN 'CORPORATE'
+                    ELSE 'PERSONAL' END                               AS customer_type,
+               c_mktsegment                                           AS country
+        FROM customer
+    ),
+    txn AS (
+        SELECT o_custkey AS k,
+               count(*) AS n_transactions,
+               sum((o_orderkey % 100 + 1) * (o_custkey % 500 + 10) * 1.0)
+                                                                      AS total_amount,
+               sum((o_orderkey % 50) * 0.25)                          AS total_fees,
+               max(CAST(o_orderdate AS TIMESTAMP)
+                   + (o_orderkey % 86400) * INTERVAL 1 SECOND)        AS last_transaction_at
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT c.hk_customer,
+           c.customer_name,
+           c.customer_tier,
+           c.risk_tolerance,
+           c.customer_type,
+           c.country,
+           CAST(coalesce(t.n_transactions, 0) AS BIGINT)              AS n_transactions,
+           {oracle_rnd('t.total_amount', 2)}                          AS total_amount,
+           {oracle_rnd('t.total_fees', 2)}                            AS total_fees,
+           t.last_transaction_at
+    FROM cust c LEFT JOIN txn t ON c.k = t.k
+    """,
+)
+def v13_full_dag_semantic_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .market import registry as market_models
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    t0 = "TIMESTAMP '2024-01-01 00:00:00'"
+
+    base = cust.selectExpr(
+        "c_custkey AS k",
+        "concat('CUST', cast(c_custkey as string)) AS customer_id",
+        "concat('FN', cast(c_custkey % 97 as string)) AS first_name",
+        "concat('LN', cast(c_custkey % 31 as string)) AS last_name",
+        "concat('cust', cast(c_custkey as string), '@example.com') AS email",
+        "CASE cast(c_custkey % 3 as int) WHEN 0 THEN 'F' WHEN 1 THEN 'M' "
+        "ELSE 'X' END AS gender",
+        "CASE cast(c_custkey % 4 as int) WHEN 0 THEN '18-25' WHEN 1 THEN '26-35' "
+        "WHEN 2 THEN '36-50' ELSE '51+' END AS age_group",
+        "c_mktsegment AS country",
+        "date_add(DATE '2020-01-01', cast(c_custkey % 365 as int)) AS registration_date",
+        "CASE cast(c_custkey % 3 as int) WHEN 0 THEN 'Low' WHEN 1 THEN 'Moderate' "
+        "ELSE 'High' END AS risk_tolerance",
+        "CASE WHEN c_custkey % 4 = 0 THEN 'CORPORATE' ELSE 'PERSONAL' END AS customer_type",
+        "CASE WHEN c_custkey % 4 = 0 THEN concat('CORP', cast(c_custkey % 50 as string)) "
+        "END AS company_id",
+    )
+    v1 = base.selectExpr(
+        "*",
+        "CASE cast(k % 3 as int) WHEN 0 THEN 'Bronze' WHEN 1 THEN 'Silver' "
+        "ELSE 'Gold' END AS customer_tier",
+        "'BATCH_DATA' AS source",
+        f"{t0} AS load_timestamp",
+    )
+    # at-least-once replay: identical attrs, later load — changes_only drops
+    replay = v1.filter("k % 7 = 0").withColumn(
+        "load_timestamp", F.expr("TIMESTAMP '2024-01-15 00:00:00'")
+    ).withColumn("source", F.lit("KAFKA_DATA"))
+    # real profile change: tier upgrade — a second satellite version
+    v2 = base.filter("k % 10 = 0").selectExpr(
+        "*",
+        "'Platinum' AS customer_tier",
+        "'KAFKA_DATA' AS source",
+        "TIMESTAMP '2024-02-01 00:00:00' AS load_timestamp",
+    )
+    raw_customers = v1.unionByName(replay).unionByName(v2).drop("k")
+
+    raw_corporates = spark.range(50).selectExpr(
+        "concat('CORP', cast(id as string)) AS company_id",
+        "concat('Company ', cast(id as string)) AS company_name",
+        "CASE WHEN id % 2 = 0 THEN 'LLC' ELSE 'PLC' END AS company_type",
+        "concat('corp', cast(id as string), '@example.com') AS company_email",
+        "CASE cast(id % 5 as int) WHEN 0 THEN 'US' WHEN 1 THEN 'GB' WHEN 2 THEN 'DE' "
+        "WHEN 3 THEN 'SG' ELSE 'JP' END AS country",
+        "cast(1950 + id as int) AS year_founded",
+        "concat('TAX', cast(id as string)) AS tax_number",
+        "concat('City', cast(id % 10 as string)) AS office_primary_location",
+        "date_add(DATE '1990-01-01', cast(id as int)) AS registration_date",
+        "'BATCH_DATA' AS source",
+        f"{t0} AS load_timestamp",
+    )
+
+    txn_base = orders.selectExpr(
+        "o_orderkey AS tk",
+        "concat('TXN', cast(o_orderkey as string)) AS transaction_id",
+        "concat('CUST', cast(o_custkey as string)) AS customer_id",
+        "CASE cast(o_orderkey % 5 as int) WHEN 0 THEN 'btc' WHEN 1 THEN 'eth' "
+        "WHEN 2 THEN 'aapl' WHEN 3 THEN 'msft' ELSE 'googl' END AS asset_symbol",
+        "CASE WHEN o_orderkey % 5 < 2 THEN 'crypto' ELSE 'stock' END AS asset_type",
+        "CASE WHEN o_custkey % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS transaction_type",
+        "cast(o_orderkey % 100 + 1 as double) AS quantity",
+        "cast(o_custkey % 500 + 10 as double) AS price_per_unit",
+        "cast(o_orderkey % 100 + 1 as double) * cast(o_custkey % 500 + 10 as double)"
+        " AS transaction_amount",
+        "cast(o_orderkey % 50 as double) * 0.25 AS fee_amount",
+        "cast(o_orderdate as timestamp) + make_interval(0, 0, 0, 0, 0, 0, "
+        "o_orderkey % 86400) AS transaction_timestamp",
+        "o_orderdate AS data_date",
+        "'BATCH_DATA' AS source",
+        f"{t0} AS load_timestamp",
+    )
+    txn_replay = txn_base.filter("tk % 13 = 0").withColumn(
+        "load_timestamp", F.expr("TIMESTAMP '2024-01-20 00:00:00'")
+    ).withColumn("source", F.lit("KAFKA_DATA"))
+    personal = txn_base.filter("tk % 2 = 1").unionByName(
+        txn_replay.filter("tk % 2 = 1")
+    ).drop("tk")
+    corporate = txn_base.filter("tk % 2 = 0").unionByName(
+        txn_replay.filter("tk % 2 = 0")
+    ).drop("tk")
+
+    def crypto_feed(src: str) -> DataFrame:
+        return spark.range(2).selectExpr(
+            "CASE WHEN id = 0 THEN 'BTC-USD' ELSE 'ETH-USD' END AS symbol",
+            f"'{src}' AS source",
+            f"{t0} AS load_timestamp",
+        )
+
+    ctx = {
+        "raw_customers": raw_customers,
+        "raw_corporates": raw_corporates,
+        "raw_transaction_personal": personal,
+        "raw_transaction_corporate": corporate,
+        "raw_cryptoprices_binance": crypto_feed("BINANCE"),
+        "raw_cryptoprices_coingecko": crypto_feed("COINGECKO"),
+        "raw_cryptoprices_yfinance": crypto_feed("YFINANCE"),
+        "raw_stockprices_yfinance": spark.range(2).selectExpr(
+            "CASE WHEN id = 0 THEN 'AAPL' ELSE 'MSFT' END AS ticker",
+            "'YFINANCE' AS source",
+            f"{t0} AS load_timestamp",
+        ),
+    }
+    built = market_models.run(ctx, select=["semantic_customer_overview"])
+    sem = built["semantic_customer_overview"]
+    return sem.select(
+        "hk_customer",
+        "customer_name",
+        "customer_tier",
+        "risk_tolerance",
+        "customer_type",
+        "country",
+        "n_transactions",
+        rnd(F.col("total_amount"), 2).alias("total_amount"),
+        rnd(F.col("total_fees"), 2).alias("total_fees"),
+        "last_transaction_at",
     )
