@@ -54,69 +54,44 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-5 gate window, ranked by "code changed since last driver hash row":
-#: first the EVIDENCE-GAP queries (round-4 verdict #1) — f09/t33 registered
-#: after the r4 window was fixed and never driver-gated, plus the 12 queries
-#: whose last driver row is r2 (q02 — the entry() flagship whose plan was
-#: rewritten in r3 AFTER its row; q03/q06/q07/e02; q15/q16 whose oracles
-#: were BIGINT-cast in r3; f03..f07) — then the queries whose CODE changes
-#: this round (m07 new real-PNG decode; m01/m05/m06 NULL-text oracle
-#: alignment; x13 zero-norm guard + build/query billing split; x06 candidate
-#: join re-check), then the r3-gated series rotating forward for freshness
-#: (x01..x08/x11, m02/m03, q01, f02, and the t01..t22 text family). The
-#: long-stable r4-green q/v/e series rotates back to the local strict
-#: harness, which mirrors the driver's pandas comparison exactly.
+#: round-6 gate window, ranked by "code changed since last driver hash
+#: row":
+#: 1. NEW round-6 code, never gated: m17/m18 (real stdlib DOCX/PDF
+#:    extraction), s01 (streaming ingest end state — foreachBatch +
+#:    checkpoint restart), v13 (full vault DAG at mart grain).
+#: 2. The 18 round-5-new queries the r5 verdict flagged as the only
+#:    evidence gap (green locally, never driver-gated): graph family
+#:    g01-g03, SQL-surface family q26-q32 (q32's oracle also changed
+#:    this round: TRY_CAST parity fix), e11 retention triangle,
+#:    f16 interpolation + f17 momentum (f17's oracle also changed this
+#:    round: NULL-close QUALIFY parity fix), t40-t42 sampling/Zipf/fuzzy-
+#:    decontamination, x18 MMR + x19 IVF recall sweep.
+#: 3. Freshness rotation for the 28 remaining slots: the queries whose
+#:    last driver row is r3 (everything r4/r5-green rotates to the local
+#:    strict harness, which mirrors the driver's comparison exactly).
+#:    32 candidates, 28 slots — x05/x07/x08/x11 stay local (unchanged
+#:    since r3; the vector family keeps seven r5/r6-gated rows:
+#:    x13/x15/x16/x17/x18/x19/x06) and rotate in next round.
 _GATE_PRIORITY = (
-    # evidence gap: never-gated + r2-stale (verdict r4 item 1)
-    ["f09", "t33"]
-    + ["q02", "q03", "q06", "q07", "q15", "q16", "e02"]
-    + ["f03", "f04", "f05", "f06", "f07"]                       # (14)
-    # code changed this round (m08 PNG resize, m09 GIF/LZW, m10 real
-    # frame sampling, m11 JPEG/T.81 decode, f10 RSI, f11 stochastic,
-    # f12 OBV — all new; m01's media label changed when JPEG became a
-    # real decoder)
-    + ["f10", "f11", "f12", "f13", "f14"]
-    # (m03's only change was its media label; its frame-sample path is
-    # re-proven by m10's real-frame-sampling row, so the new never-gated
-    # v12 effectivity sat takes its slot and m03 joins the local harness.
-    # m05/m06's only change is the NULL-text oracle coalesce — the
-    # identical one-line pattern m01's row evidences, and both formats'
-    # real decodes have green r4 rows — so the new never-gated e10
-    # (native session windows) and x17 (HOF lambda forms) take their
-    # slots; m05/m06 rotate to the local harness)
-    + ["m07", "m08", "m09", "m10", "m11", "m12", "m13", "m14",
-       "m15", "m16", "m01", "v12", "x17", "e10", "x13", "x06"]  # (33)
-    # r3-stale rotation: vector + relational/finance leftovers (m02,
-    # x07, x08 rotate to the local harness — unchanged, x05 keeps the
-    # IVF family gated; m03 moved up with the changed code: its media
-    # label changed)
-    + ["x15", "x16"]                # new SQ8 rerank search + its recall gate
-    # x04 (block-pair rewrite) and t12 (r4 perf fix) changed AFTER their
-    # last r3 driver rows — evidence gap, they outrank unchanged-code
-    # refreshes; the new never-gated q25 (ranking family), f15 (rolling
-    # beta), t38 (BPE accounting) take the slots q01/f02/x01 held as
-    # freshness refreshes (those are unchanged since their green r3 rows
-    # and stay covered by the local strict harness, like x02/x03/x05/x11)
-    + ["x04", "t12", "q25", "f15", "t38"]                       # (42)
-    # new t35/t36/t37 (span dedup, CDC segment dedup, seeded shuffle-
-    # shard) + r3-stale text rotation (t09/t10/t12/t13 join t14..t27 in
-    # the local harness this round — never-gated new code f10/f11/f12,
-    # t37, m14/m15 outranks their unchanged-since-r3 freshness refresh)
-    + ["e09", "q23", "q24", "v10", "v11"]  # new: anomaly, unpivot,
-                                           # set ops, PIT+bridge
-    + ["t35", "t36", "t37"]                                     # (50)
+    # new round-6 code (never gated)
+    ["m17", "m18", "s01", "v13"]                                # (4)
+    # round-5-new evidence gap (r5 verdict item 1) + this round's two
+    # oracle parity fixes (q32, f17)
+    + ["g01", "g02", "g03"]
+    + ["q26", "q27", "q28", "q29", "q30", "q31", "q32"]
+    + ["e11", "f16", "f17"]
+    + ["t40", "t41", "t42", "x18", "x19"]                       # (22)
+    # r3-stale freshness rotation (last driver row r3, code unchanged)
+    + ["q01", "f02", "m02", "m03", "x01", "x02", "x03"]
+    + ["t01", "t02", "t03", "t04", "t06", "t07", "t08", "t09",
+       "t10", "t13", "t14", "t15", "t16", "t19", "t20", "t21",
+       "t22", "t24", "t25", "t26", "t27"]                       # (50)
 )
-#: Next-round rotation candidates (registered after the window filled):
-#: q26 (SQL front-end parity), g01 (PageRank), x18 (MMR re-rank), f16
-#: (gapfill linear interpolation), g02 (triangle counting), q27
-#: (GROUPING SETS), t40 (priority sampling), f17 (cross-sectional
-#: momentum), g03 (multi-source BFS), q28 (correlated scalar subquery),
-#: t41 (token-frequency spectrum), q29 (RANGE window frames), q30
-#: (native pivot), t42 (fuzzy decontamination), x19 (IVF recall-vs-
-#: nprobe sweep), q31 (dbt generic-test summary), e11 (cohort retention
-#: triangle), q32 (Spark 4 VARIANT path) — never driver-gated,
-#: green in the local strict sweep at sf0.001/0.01;
-#: promote them ahead of any unchanged-code freshness refresh next round.
+#: Next-round rotation candidates: x05/x07/x08/x11 (last driver row r3 —
+#: the only sub-r4 rows left after this window lands), then the r4-green
+#: series (e01..e08, f01/f08, m04/m05/m06, q04..q22, t05/t11/t17/t18/
+#: t23/t30/t31/t32/t34, v01..v09, x09/x10/x12/x14) by age. Everything
+#: else is r5/r6-fresh.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate
