@@ -6,6 +6,30 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the noop sink (all columns computed, no
 driver collection) — the honest executor-side cost, not toPandas overhead.
+
+Measurement policy (cross-referenced from BASELINE.md — keep in sync):
+
+- **Eras, not back-to-back repeats.** ``SPARK_GRAFT_BENCH_PASSES`` (default
+  2) full passes over the sorted registry run INTERLEAVED — whole registry
+  era 1, then era 2 — and each query reports the MIN across eras. This box
+  has documented multi-minute 3–30x host-steal bursts; two back-to-back
+  runs of one query land inside the same burst, while era-separated runs
+  sit minutes apart and the min survives it.
+- **Wall-clock budget gates refinement only.** Era 1 always runs to
+  completion (it alone is full coverage); era 2+ starts — and each query
+  within it continues — only while total wall time is under
+  ``SPARK_GRAFT_BENCH_BUDGET_S`` (default 900 s). ``"passes"`` in the JSON
+  reports how many eras COMPLETED, so a budget-truncated era is visible
+  (passes stays at the last complete era; minima from the partial era are
+  still kept).
+- **EAGER queries bill plan-build.** Operators whose work happens at
+  DataFrame-construction time (persisted-index builds, iterative
+  localCheckpoint rounds, streaming drains) are timed over the whole query
+  call; everything else is timed over the noop write only.
+- **Split billing to stderr.** x13/t31 report build_s vs query_s in the
+  stderr extras so index construction isn't misread as query cost; the
+  stdout JSON stays one driver-parseable line (short query-ID keys,
+  slowest-first truncation if it would exceed the 1900-char line budget).
 """
 
 from __future__ import annotations
@@ -51,6 +75,7 @@ def main() -> int:
         "x18_mmr_rerank",
         "g01_pagerank_trade_graph",
         "g03_bfs_trade_hops",
+        "s01_streaming_ingest_end_state",  # streaming drains run in the call
     }
     # passes are INTERLEAVED (whole registry pass 1, then pass 2, min per
     # query): host-steal bursts on this box last minutes, so back-to-back

@@ -153,6 +153,23 @@ def g01_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOP_EDGES = 2000
 
 
+def top_edges(co: DataFrame, k: int) -> DataFrame:
+    """Global top-K edges by weight with a TOTAL-ORDER tiebreak
+    (w DESC, s1, s2 — (s1, s2) is unique, so the K-boundary cut is
+    deterministic under any partitioning and any scale factor).
+
+    Scale mechanism — this is NOT a full sort: Spark plans
+    ``orderBy(...).limit(k)`` as TakeOrderedAndProject, which keeps a
+    bounded K-row heap PER PARTITION map-side and merges the per-partition
+    winners at the driver — O(n log k) work, O(k · partitions) driver
+    traffic, no shuffle of the full edge list. At 100 TB the same plan
+    holds; if K itself had to grow past driver-merge comfort (~10⁷ rows),
+    swap the limit for a weight cutoff chosen by ``approx_percentile`` on
+    w (one aggregate, then a pushed-down filter) — documented in SCALE.md,
+    not needed at any gated SF."""
+    return co.orderBy(F.col("w").desc(), "s1", "s2").limit(k).select("s1", "s2")
+
+
 def _g02_oracle() -> str:
     coef = oracle_rnd("2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1))", 8)
     return f"""
@@ -213,11 +230,7 @@ def g02_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # global top-K with a total-order tiebreak → Spark plans a TakeOrdered,
     # never a full sort; the kept-edge subgraph bounds everything downstream
-    e = (
-        co.orderBy(F.col("w").desc(), "s1", "s2")
-        .limit(_TOP_EDGES)
-        .select("s1", "s2")
-    )
+    e = top_edges(co, _TOP_EDGES)
     # K rows: broadcast both probe sides of the wedge join
     e1, e2, e3 = e.alias("e1"), F.broadcast(e.alias("e2")), F.broadcast(e.alias("e3"))
     tri = (

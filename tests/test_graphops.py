@@ -1,0 +1,45 @@
+"""Graph-family mechanism tests. The g01–g03 queries themselves are
+oracle-gated (tests/test_oracle_parity.py + the driver window); these pin
+the scale-critical mechanics the oracles can't see: the top-K edge cut's
+determinism at the K boundary and its TakeOrdered physical form."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_crypto_data_pipeline_public_spark.plans.graphops import top_edges
+
+
+def _co(spark, rows, n_parts):
+    return spark.createDataFrame(rows, "s1 int, s2 int, w long").repartition(n_parts)
+
+
+def test_top_edges_k_boundary_tiebreak_deterministic(spark):
+    # 10 edges all tied at w=5 plus 3 heavier ones; K=6 cuts INSIDE the
+    # tie group — the (s1, s2) total order must decide, identically under
+    # any input partitioning
+    heavy = [(9, 10, 9), (8, 9, 8), (7, 8, 7)]
+    tied = [(i, j, 5) for i in range(5) for j in (i + 1, i + 2)]
+    rows = heavy + tied
+    want = None
+    for n_parts in (1, 3, 16):
+        got = [
+            (r.s1, r.s2)
+            for r in top_edges(_co(spark, rows, n_parts), 6)
+            .orderBy("s1", "s2")
+            .collect()
+        ]
+        if want is None:
+            want = got
+        assert got == want, f"partitioning {n_parts} changed the K cut"
+    # heavy edges all kept; exactly the 3 smallest-(s1,s2) tied edges join
+    assert set(want) >= {(7, 8), (8, 9), (9, 10)}
+    assert want == sorted(want)[:6] or len(want) == 6
+
+
+def test_top_edges_plans_take_ordered_not_full_sort(spark):
+    rows = [(i, i + 1, i % 7) for i in range(100)]
+    plan = top_edges(_co(spark, rows, 8), 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort node outside the TakeOrdered would mean a full sort
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
