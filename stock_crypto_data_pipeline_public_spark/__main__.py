@@ -180,6 +180,110 @@ def cmd_vacuum(args, spark: SparkSession | None = None) -> int:
     return 0
 
 
+def cmd_lifecycle(args, spark: SparkSession) -> int:
+    """One-shot health check of the whole manifest commit protocol: chain
+    write → MERGE → compact → zorder → DELETE → VACUUM on a scratch
+    manifest table, asserting reader-visible state after EVERY step and a
+    full-content equivalence at the end. Exit 0 = every step visible and
+    correct; exit 1 lists the failing steps — the ops smoke to run after
+    any storage/commit-protocol change or before a deploy."""
+    import shutil
+    import tempfile
+
+    from .operators import manifest as MF
+    from .operators.incremental import merge_upsert
+    from .operators.maintenance import compact_table, delete_where, zorder_table
+
+    path = args.path or tempfile.mkdtemp(prefix="lifecycle_")
+    owns_tmp = args.path is None
+    failures: list[str] = []
+
+    def check(step: str, ok: bool, detail: str) -> None:
+        print(f"[{step:8s}] {'ok  ' if ok else 'FAIL'} {detail}")
+        if not ok:
+            failures.append(step)
+
+    try:
+        # 1. seed write (generation 0)
+        seed = spark.range(100).selectExpr(
+            "id AS k", "cast(id % 7 as double) AS v", "CAST(1 AS BIGINT) AS ver"
+        )
+        merge_upsert(spark, seed, path, ["k"], "ver", commit="manifest")
+        n = MF.read_table(spark, path).count()
+        check("write", n == 100, f"seeded rows={n} (want 100)")
+
+        # 2. MERGE: 20 updates (k<20 -> v=99, ver=2) + 10 inserts (k 100..109)
+        upd = spark.range(20).selectExpr(
+            "id AS k", "cast(99 as double) AS v", "CAST(2 AS BIGINT) AS ver"
+        )
+        ins = spark.range(100, 110).selectExpr(
+            "id AS k", "cast(5 as double) AS v", "CAST(1 AS BIGINT) AS ver"
+        )
+        merge_upsert(spark, upd.unionByName(ins), path, ["k"], "ver", commit="manifest")
+        df = MF.read_table(spark, path)
+        n, n_upd = df.count(), df.filter("v = 99.0").count()
+        check("merge", n == 110 and n_upd == 20, f"rows={n} updated={n_upd} (want 110/20)")
+
+        # 3. compact — content must be untouched
+        st = compact_table(spark, path, target_bytes=64 * 1024 * 1024)
+        n = MF.read_table(spark, path).count()
+        check(
+            "compact",
+            n == 110,
+            f"rows={n} files {st['n_files_before']}->{st['n_files_after']}",
+        )
+
+        # 4. zorder on the key — content must be untouched
+        st = zorder_table(spark, path, ["k"], n_partitions=2)
+        n = MF.read_table(spark, path).count()
+        check(
+            "zorder",
+            n == 110,
+            f"rows={n} files {st['n_files_before']}->{st['n_files_after']}",
+        )
+
+        # 5. DELETE k % 10 = 9 → 11 rows (9, 19, …, 109)
+        st = delete_where(spark, path, "k % 10 = 9")
+        n = MF.read_table(spark, path).count()
+        check(
+            "delete",
+            st["n_deleted"] == 11 and n == 99,
+            f"deleted={st['n_deleted']} rows={n} (want 11/99)",
+        )
+
+        # 6. VACUUM to retention 0 (commit-time GC already holds 1
+        # predecessor, so this removes exactly it — the post-erasure
+        # tighten that makes the pre-delete audit generation stop existing)
+        before = sum(e["retained"] for e in MF.history(path))
+        rep = MF.vacuum(path, keep_history=0)
+        df = MF.read_table(spark, path)
+        # full-content equivalence vs the independently computed expectation
+        expected = (
+            seed.filter("k >= 20")
+            .unionByName(upd)
+            .unionByName(ins)
+            .filter("k % 10 <> 9")
+        )
+        sym_diff = df.exceptAll(expected).count() + expected.exceptAll(df).count()
+        check(
+            "vacuum",
+            len(rep["removed"]) == before - 1 and sym_diff == 0,
+            f"removed={len(rep['removed'])} of {before} gens, content_diff={sym_diff}",
+        )
+        for e in MF.history(path):
+            flag = "retained" if e["retained"] else "vacuumed"
+            print(f"  generation {e['generation']:6d}  {flag}")
+    finally:
+        if owns_tmp:
+            shutil.rmtree(path, ignore_errors=True)
+
+    if failures:
+        print(f"lifecycle: FAILED steps: {', '.join(failures)}", file=sys.stderr)
+        return 1
+    print("lifecycle: all 6 steps reader-visible and content-exact")
+    return 0
+
+
 def cmd_drift(args, spark: SparkSession) -> int:
     """Measured retrain trigger for a persisted ANN index: assign the given
     batch against the sidecar centroids and compare its mean assignment
@@ -400,6 +504,15 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--seed", default="shuffle:42:")
     sm.add_argument("--shards", type=int, default=8)
 
+    lc = sub.add_parser(
+        "lifecycle",
+        help="E2E smoke of the manifest commit protocol: "
+        "write->merge->compact->zorder->delete->vacuum with per-step "
+        "reader-visibility assertions (exit 1 on any violation)",
+    )
+    lc.add_argument("--path", default=None,
+                    help="table directory (default: a scratch tmp dir, removed after)")
+
     m = sub.add_parser("models", help="list registered models (dbt ls)")
     m.add_argument("--write-manifest", default=None,
                    help="write the model-definition fingerprint manifest (JSON)")
@@ -428,6 +541,7 @@ def main(argv: list[str] | None = None) -> int:
         "drift": cmd_drift,
         "media-features": cmd_media_features,
         "shuffle-manifest": cmd_shuffle_manifest,
+        "lifecycle": cmd_lifecycle,
     }[args.cmd](args, spark)
 
 

