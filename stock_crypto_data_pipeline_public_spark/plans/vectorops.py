@@ -1223,6 +1223,15 @@ X13_BILLING: dict = {}
     """,
 )
 def x13_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_s billing note (r6 measurement): the query path is
+    corpus-size-INDEPENDENT — best-of-3 query_s is 2.16 s at sf0.01 vs
+    2.01 s at sf0.1 (10x the corpus, same time), so the ~2 s is fixed
+    per-invocation cost (driver round-trips: sidecar probe reads,
+    createDataFrame, the eager localCheckpoint materialization — a
+    trivial 50-row checkpoint+noop floors at ~0.1 s, the rest is plan/
+    probe setup), NOT a scan growing with the table. The scan itself
+    touches only the probed partitions (PartitionFilters +
+    input_file_name proof in test_annindex)."""
     import shutil
     import tempfile
 
