@@ -120,3 +120,109 @@ def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFram
         return out.localCheckpoint(eager=True)  # materialize before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s02 — event-time WATERMARK semantics end to end: daily windowed counts
+# (streaming/pipeline.windowed_counts — window + withWatermark + append
+# mode) over three checkpoint-resumed drains:
+#
+#   drain 1: everything except the late set (event_id % 17 = 3), ONE file
+#            → one micro-batch; watermark lands at max(on-time ts) − 1 day.
+#   drain 2: the late set, ONE file. Spark's contract (pinned empirically
+#            before this query was written): a late row is DROPPED iff its
+#            window.end <= watermark, admitted into the still-open window
+#            otherwise. Nothing emits (watermark doesn't advance).
+#   drain 3: one sentinel row 30 days past max(ts) → watermark sweeps past
+#            every real window and append-mode EMITS them exactly once;
+#            the sentinel's own window stays open and must NOT appear.
+#
+# The sink's final content is therefore a pure function of the source
+# table: daily counts over on-time rows plus exactly the late rows whose
+# window end exceeded the drain-1 watermark. The oracle states that
+# closed form — a drop-rule regression (admitting expired rows or
+# dropping admissible ones), a watermark that fails to persist across the
+# restarts, a double emission, or a leaked open window all hash-fail.
+# (Precision note: Spark tracks watermarks in ms, the oracle in µs —
+# divergence needs max(ts)−1d within 1 ms of a midnight boundary; the
+# fixture max is hours away at every SF, checked when this was built.)
+#
+# Scale: windowed agg state is hash-partitioned by (window, event_type);
+# the watermark bounds state to ~1 day of open windows regardless of
+# stream length — this is THE mechanism that makes infinite streams
+# finite-state, and it is now a gated number, not a doc claim.
+# --------------------------------------------------------------------------
+@query(
+    "s02_streaming_watermark_end_state",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE ts IS NOT NULL
+    ),
+    w1 AS (
+        SELECT max(ts) - INTERVAL 1 DAY AS wm FROM src WHERE event_id % 17 <> 3
+    ),
+    kept AS (
+        SELECT * FROM src
+        WHERE event_id % 17 <> 3
+           OR date_trunc('day', ts) + INTERVAL 1 DAY > (SELECT wm FROM w1)
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)   AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)                   AS n_events,
+           {oracle_rnd('sum(value)', 4)}              AS total_value
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import file_stream, windowed_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="s02_stream_")
+    landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
+
+    def drain() -> None:
+        stream = file_stream(spark, landing, ev.schema)
+        q = (
+            windowed_counts(stream, "ts", "1 day", "1 day")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        on_time = ev.filter("event_id % 17 <> 3")
+        late = ev.filter("event_id % 17 = 3")
+        # single file per phase => exactly one micro-batch per drain, so
+        # the watermark position between drains is fully determined
+        on_time.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        late.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        mx = ev.agg(F.max("ts")).first()[0]  # bounded 1-row pull
+        sentinel = spark.createDataFrame(
+            [(-1, "sentinel", 0.0, mx + datetime.timedelta(days=30))], ev.schema
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+
+        out = spark.read.parquet(sink).select(
+            "window_start",
+            "event_type",
+            "n_events",
+            rnd(F.col("total_value"), 4).alias("total_value"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
