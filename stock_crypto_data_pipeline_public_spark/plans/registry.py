@@ -74,7 +74,7 @@ def query(name: str, oracle: str | None = None):
 #:    x13/x15/x16/x17/x18/x19/x06) and rotate in next round.
 _GATE_PRIORITY = (
     # new round-6 code (never gated)
-    ["m17", "m18", "s01", "s02", "v13"]                         # (5)
+    ["m17", "m18", "s01", "s02", "v13", "v14"]                  # (6)
     # round-5-new evidence gap (r5 verdict item 1) + this round's two
     # oracle parity fixes (q32, f17)
     + ["g01", "g02", "g03"]
@@ -85,11 +85,11 @@ _GATE_PRIORITY = (
     + ["q01", "f02", "m02", "m03", "x01", "x02", "x03"]
     + ["t01", "t02", "t03", "t04", "t06", "t07", "t08", "t09",
        "t10", "t13", "t14", "t15", "t16", "t19", "t20", "t21",
-       "t22", "t24", "t25", "t26"]                              # (50)
+       "t22", "t24", "t26"]                                     # (50)
 )
-#: (t27 ceded its freshness slot to s02 — unchanged since its green r3
-#: row, stays covered by the local strict harness; next-round candidate
-#: alongside x05/x07/x08/x11.)
+#: (t27 and t25 ceded their freshness slots to s02 and v14 — both
+#: unchanged since their green r3 rows, stay covered by the local strict
+#: harness; next-round candidates alongside x05/x07/x08/x11.)
 #: Next-round rotation candidates: x05/x07/x08/x11 (last driver row r3 —
 #: the only sub-r4 rows left after this window lands), then the r4-green
 #: series (e01..e08, f01/f08, m04/m05/m06, q04..q22, t05/t11/t17/t18/

@@ -722,53 +722,11 @@ def v12_eff_sat_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the hub side, satellites window per business key (hash-distributed,
 # skew-free by construction), fct is a 4-way equi-join on md5 keys.
 # --------------------------------------------------------------------------
-@query(
-    "v13_full_dag_semantic_overview",
-    oracle=f"""
-    WITH cust AS (
-        SELECT c_custkey AS k,
-               md5('CUST' || c_custkey)                               AS hk_customer,
-               'FN' || (c_custkey % 97) || ' ' || 'LN' || (c_custkey % 31)
-                                                                      AS customer_name,
-               CASE WHEN c_custkey % 10 = 0 THEN 'Platinum'
-                    WHEN c_custkey % 3 = 0  THEN 'Bronze'
-                    WHEN c_custkey % 3 = 1  THEN 'Silver'
-                    ELSE 'Gold' END                                   AS customer_tier,
-               CASE WHEN c_custkey % 3 = 0 THEN 'Low'
-                    WHEN c_custkey % 3 = 1 THEN 'Moderate'
-                    ELSE 'High' END                                   AS risk_tolerance,
-               CASE WHEN c_custkey % 4 = 0 THEN 'CORPORATE'
-                    ELSE 'PERSONAL' END                               AS customer_type,
-               c_mktsegment                                           AS country
-        FROM customer
-    ),
-    txn AS (
-        SELECT o_custkey AS k,
-               count(*) AS n_transactions,
-               sum((o_orderkey % 100 + 1) * (o_custkey % 500 + 10) * 1.0)
-                                                                      AS total_amount,
-               sum((o_orderkey % 50) * 0.25)                          AS total_fees,
-               max(CAST(o_orderdate AS TIMESTAMP)
-                   + (o_orderkey % 86400) * INTERVAL 1 SECOND)        AS last_transaction_at
-        FROM orders
-        GROUP BY o_custkey
-    )
-    SELECT c.hk_customer,
-           c.customer_name,
-           c.customer_tier,
-           c.risk_tolerance,
-           c.customer_type,
-           c.country,
-           CAST(coalesce(t.n_transactions, 0) AS BIGINT)              AS n_transactions,
-           {oracle_rnd('t.total_amount', 2)}                          AS total_amount,
-           {oracle_rnd('t.total_fees', 2)}                            AS total_fees,
-           t.last_transaction_at
-    FROM cust c LEFT JOIN txn t ON c.k = t.k
-    """,
-)
-def v13_full_dag_semantic_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .market import registry as market_models
-
+def _dag_fixtures(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """TPC-derived raw-layer fixtures for the full market DAG (shared by
+    v13/v14). Every column is a closed form of the TPC row so the oracles
+    can restate the whole chain in SQL; the baked-in hazards (replays,
+    profile change, lowercase asset feeds) are documented at v13."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     t0 = "TIMESTAMP '2024-01-01 00:00:00'"
@@ -858,11 +816,14 @@ def v13_full_dag_semantic_overview(spark: SparkSession, sf_dir: str) -> DataFram
     def crypto_feed(src: str) -> DataFrame:
         return spark.range(2).selectExpr(
             "CASE WHEN id = 0 THEN 'BTC-USD' ELSE 'ETH-USD' END AS symbol",
+            "cast(100 + id as double) AS price",
+            "cast(10 as double) AS volume",
             f"'{src}' AS source",
+            f"{t0} + make_interval(0, 0, 0, 0, cast(id as int), 0, 0) AS observed_at",
             f"{t0} AS load_timestamp",
         )
 
-    ctx = {
+    return {
         "raw_customers": raw_customers,
         "raw_corporates": raw_corporates,
         "raw_transaction_personal": personal,
@@ -872,10 +833,70 @@ def v13_full_dag_semantic_overview(spark: SparkSession, sf_dir: str) -> DataFram
         "raw_cryptoprices_yfinance": crypto_feed("YFINANCE"),
         "raw_stockprices_yfinance": spark.range(2).selectExpr(
             "CASE WHEN id = 0 THEN 'AAPL' ELSE 'MSFT' END AS ticker",
+            "DATE '2024-01-02' AS date",
+            f"{t0} + make_interval(0, 0, 0, 0, cast(id as int), 0, 0) AS observed_at",
+            "cast(1 as double) AS open_price",
+            "cast(2 as double) AS high_price",
+            "cast(0.5 as double) AS low_price",
+            "cast(1.5 as double) AS close_price",
+            "cast(100 as double) AS volume",
+            "cast(3 as double) AS week_52_high",
+            "cast(0.1 as double) AS week_52_low",
+            "cast(1000000 as double) AS market_cap",
             "'YFINANCE' AS source",
             f"{t0} AS load_timestamp",
         ),
     }
+
+
+@query(
+    "v13_full_dag_semantic_overview",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey AS k,
+               md5('CUST' || c_custkey)                               AS hk_customer,
+               'FN' || (c_custkey % 97) || ' ' || 'LN' || (c_custkey % 31)
+                                                                      AS customer_name,
+               CASE WHEN c_custkey % 10 = 0 THEN 'Platinum'
+                    WHEN c_custkey % 3 = 0  THEN 'Bronze'
+                    WHEN c_custkey % 3 = 1  THEN 'Silver'
+                    ELSE 'Gold' END                                   AS customer_tier,
+               CASE WHEN c_custkey % 3 = 0 THEN 'Low'
+                    WHEN c_custkey % 3 = 1 THEN 'Moderate'
+                    ELSE 'High' END                                   AS risk_tolerance,
+               CASE WHEN c_custkey % 4 = 0 THEN 'CORPORATE'
+                    ELSE 'PERSONAL' END                               AS customer_type,
+               c_mktsegment                                           AS country
+        FROM customer
+    ),
+    txn AS (
+        SELECT o_custkey AS k,
+               count(*) AS n_transactions,
+               sum((o_orderkey % 100 + 1) * (o_custkey % 500 + 10) * 1.0)
+                                                                      AS total_amount,
+               sum((o_orderkey % 50) * 0.25)                          AS total_fees,
+               max(CAST(o_orderdate AS TIMESTAMP)
+                   + (o_orderkey % 86400) * INTERVAL 1 SECOND)        AS last_transaction_at
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT c.hk_customer,
+           c.customer_name,
+           c.customer_tier,
+           c.risk_tolerance,
+           c.customer_type,
+           c.country,
+           CAST(coalesce(t.n_transactions, 0) AS BIGINT)              AS n_transactions,
+           {oracle_rnd('t.total_amount', 2)}                          AS total_amount,
+           {oracle_rnd('t.total_fees', 2)}                            AS total_fees,
+           t.last_transaction_at
+    FROM cust c LEFT JOIN txn t ON c.k = t.k
+    """,
+)
+def v13_full_dag_semantic_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .market import registry as market_models
+
+    ctx = _dag_fixtures(spark, sf_dir)
     built = market_models.run(ctx, select=["semantic_customer_overview"])
     sem = built["semantic_customer_overview"]
     return sem.select(
@@ -889,4 +910,78 @@ def v13_full_dag_semantic_overview(spark: SparkSession, sf_dir: str) -> DataFram
         rnd(F.col("total_amount"), 2).alias("total_amount"),
         rnd(F.col("total_fees"), 2).alias("total_fees"),
         "last_transaction_at",
+    )
+
+
+# --------------------------------------------------------------------------
+# v14 — the DAG's second semantic view, gated at TRANSACTION grain:
+# `semantic_transactions` (reference semantic_transactions.sql:3-45) through
+# the same topological executor and fixtures as v13. Where v13's rollup
+# could mask a per-row error that cancels in aggregation, v14 compares the
+# flat analyst view row-for-row — and it exercises the DAG branches v13's
+# closure never builds: sat_asset_price_crypto / sat_asset_price_stock →
+# dim_asset (latest-price union across feeds), plus dim_customer's
+# company_name enrichment surfacing in the output. Every column is the
+# closed form of its TPC source row; the hub's record_source proves
+# dedup-keep-first picked the FIRST delivery ('BATCH_DATA') for replayed
+# transactions, and customer_tier proves latest-wins picked the SECOND
+# profile version. Output ~1 row per order (15k at sf0.01).
+# --------------------------------------------------------------------------
+@query(
+    "v14_full_dag_semantic_transactions",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey AS tk, o_custkey AS k, o_orderdate,
+               CASE CAST(o_orderkey % 5 AS INT)
+                    WHEN 0 THEN 'BTC' WHEN 1 THEN 'ETH' WHEN 2 THEN 'AAPL'
+                    WHEN 3 THEN 'MSFT' ELSE 'GOOGL' END AS sym,
+               CASE WHEN o_orderkey % 5 < 2 THEN 'CRYPTO' ELSE 'STOCK' END AS typ
+        FROM orders
+    )
+    SELECT md5('TXN' || tk)                                    AS hk_transaction,
+           'TXN' || tk                                         AS transaction_id,
+           md5('CUST' || k)                                    AS hk_customer,
+           'CUST' || k                                         AS customer_id,
+           CASE WHEN k % 10 = 0 THEN 'Platinum'
+                WHEN k % 3 = 0  THEN 'Bronze'
+                WHEN k % 3 = 1  THEN 'Silver'
+                ELSE 'Gold' END                                AS customer_tier,
+           CASE WHEN k % 4 = 0 THEN 'Company ' || (k % 50) END AS company_name,
+           md5(sym || '-' || typ)                              AS hk_asset,
+           sym                                                 AS asset_symbol,
+           typ                                                 AS asset_type,
+           CASE WHEN k % 2 = 0 THEN 'BUY' ELSE 'SELL' END      AS transaction_type,
+           CAST(tk % 100 + 1 AS DOUBLE)                        AS quantity,
+           CAST(k % 500 + 10 AS DOUBLE)                        AS price_per_unit,
+           {oracle_rnd('(tk % 100 + 1) * (k % 500 + 10) * 1.0', 2)}
+                                                               AS transaction_amount,
+           {oracle_rnd('(tk % 50) * 0.25', 2)}                 AS fee_amount,
+           CAST(o_orderdate AS DATE)                           AS data_date,
+           'BATCH_DATA'                                        AS record_source
+    FROM t
+    """,
+)
+def v14_full_dag_semantic_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .market import registry as market_models
+
+    ctx = _dag_fixtures(spark, sf_dir)
+    built = market_models.run(ctx, select=["semantic_transactions"])
+    sem = built["semantic_transactions"]
+    return sem.select(
+        "hk_transaction",
+        "transaction_id",
+        "hk_customer",
+        "customer_id",
+        "customer_tier",
+        "company_name",
+        "hk_asset",
+        "asset_symbol",
+        "asset_type",
+        "transaction_type",
+        "quantity",
+        "price_per_unit",
+        rnd(F.col("transaction_amount"), 2).alias("transaction_amount"),
+        rnd(F.col("fee_amount"), 2).alias("fee_amount"),
+        "data_date",
+        "record_source",
     )
