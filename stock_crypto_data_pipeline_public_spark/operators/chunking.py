@@ -470,6 +470,7 @@ def extract_text(
     type_col: str = "doc_type",
     id_col: str = "doc_id",
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Extract text from binary documents via mapInPandas (Arrow batches).
 
@@ -479,7 +480,18 @@ def extract_text(
     reference's tesseract OCR path (ocr_tools.py) — absent from this
     container — so they raise ``NotImplementedError`` unless ``fake=True``
     supplies the deterministic sha256-derived placeholder (schema,
-    batching and partitioning stay real). Unknown types yield ''."""
+    batching and partitioning stay real). Unknown types yield ''.
+
+    ``on_error``: ``'raise'`` propagates decode errors (the reference's
+    per-file behavior, text_extractors.py:40-42 — right for interactive
+    use); ``'skip'`` yields ``text=NULL`` for the failing ROW and keeps
+    the job alive — at corpus scale one corrupt document must not kill a
+    million-task job (the PERMISSIVE-mode analog of the CSV loader).
+    NULL (not '') so downstream can tell "failed" from "legitimately
+    empty"; the ``NotImplementedError`` honesty guard raises regardless.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches):
         import hashlib
@@ -490,23 +502,30 @@ def extract_text(
             texts = []
             for content, dtype in zip(pdf[content_col], pdf[type_col]):
                 payload = bytes(content) if content is not None else b""
-                if dtype == "txt":
-                    texts.append(payload.decode("utf-8", errors="replace"))
-                elif dtype == "docx":
-                    texts.append(_extract_docx(payload))
-                elif dtype == "pdf":
-                    texts.append(_extract_pdf(payload))
-                elif dtype in ("png", "jpg", "jpeg"):
-                    if not fake:
-                        raise NotImplementedError(
-                            f"{dtype} OCR needs tesseract (reference "
-                            "ocr_tools.py; not in this container); pass "
-                            "fake=True for the deterministic stand-in"
-                        )
-                    digest = hashlib.sha256(payload).hexdigest()
-                    texts.append(f"{dtype} document {digest[:16]}")
-                else:
-                    texts.append("")
+                try:
+                    if dtype == "txt":
+                        texts.append(payload.decode("utf-8", errors="replace"))
+                    elif dtype == "docx":
+                        texts.append(_extract_docx(payload))
+                    elif dtype == "pdf":
+                        texts.append(_extract_pdf(payload))
+                    elif dtype in ("png", "jpg", "jpeg"):
+                        if not fake:
+                            raise NotImplementedError(
+                                f"{dtype} OCR needs tesseract (reference "
+                                "ocr_tools.py; not in this container); pass "
+                                "fake=True for the deterministic stand-in"
+                            )
+                        digest = hashlib.sha256(payload).hexdigest()
+                        texts.append(f"{dtype} document {digest[:16]}")
+                    else:
+                        texts.append("")
+                except NotImplementedError:
+                    raise  # honesty guard: never maskable
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    texts.append(None)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -514,10 +533,16 @@ def extract_text(
                     "text": texts,
                 }
             )
-            out["n_chars"] = out["text"].str.len().astype("int32")
+            lens = out["text"].str.len()
+            out["n_chars"] = lens.fillna(-1).astype("int32")
             yield out
 
-    return df.mapInPandas(run, _EXTRACT_SCHEMA)
+    out = df.mapInPandas(run, _EXTRACT_SCHEMA)
+    # n_chars: NULL when text is NULL (pandas int col can't carry NaN
+    # through Arrow cleanly, so the sentinel is mapped back JVM-side)
+    return out.withColumn(
+        "n_chars", F.when(F.col("text").isNull(), F.lit(None)).otherwise(F.col("n_chars"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -348,3 +348,39 @@ def test_cdc_segment_dedup_random_corpus_matches_python_model(spark, tmp_path):
         for r in t36_cdc_segment_dedup(spark, str(sf)).collect()
     }
     assert got == expect
+
+
+def test_extract_text_on_error_skip(spark):
+    """At corpus scale one corrupt document must not kill the job:
+    on_error='skip' NULLs the failing row, healthy rows still decode,
+    and the OCR honesty guard is NOT maskable."""
+    docs = spark.createDataFrame(
+        [
+            (1, "docx", bytearray(C._make_docx(["good para"]))),
+            (2, "docx", bytearray(b"not a zip at all")),
+            (3, "pdf", bytearray(C._make_pdf([["good pdf line"]]))),
+            (4, "pdf", bytearray(b"%PDF-1.4 truncated garbage (")),
+        ],
+        "doc_id long, doc_type string, content binary",
+    )
+    # default: the corrupt zip propagates (reference per-file behavior)
+    with pytest.raises(Exception, match="BadZipFile|zip"):
+        C.extract_text(docs).collect()
+
+    rows = {r.doc_id: r for r in C.extract_text(docs, on_error="skip").collect()}
+    assert rows[1].text == "good para" and rows[1].n_chars == 9
+    assert rows[2].text is None and rows[2].n_chars is None
+    assert rows[3].text == "--- Page 1 ---\ngood pdf line"
+    # doc 4: no parseable objects -> honest empty extraction, not an error
+    assert rows[4].text == ""
+
+    with pytest.raises(ValueError, match="on_error"):
+        C.extract_text(docs, on_error="ignore")
+
+    # honesty guard survives skip mode
+    ocr = spark.createDataFrame(
+        [(9, "png", bytearray(b"\x89PNG"))],
+        "doc_id long, doc_type string, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|tesseract"):
+        C.extract_text(ocr, on_error="skip").collect()
