@@ -76,6 +76,7 @@ def main() -> int:
         "g01_pagerank_trade_graph",
         "g03_bfs_trade_hops",
         "s01_streaming_ingest_end_state",  # streaming drains run in the call
+        "s02_streaming_watermark_end_state",
     }
     # passes are INTERLEAVED (whole registry pass 1, then pass 2, min per
     # query): host-steal bursts on this box last minutes, so back-to-back

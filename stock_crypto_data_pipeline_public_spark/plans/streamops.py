@@ -129,13 +129,17 @@ def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFram
 #
 #   drain 1: everything except the late set (event_id % 17 = 3), ONE file
 #            → one micro-batch; watermark lands at max(on-time ts) − 1 day.
-#   drain 2: the late set, ONE file. Spark's contract (pinned empirically
-#            before this query was written): a late row is DROPPED iff its
-#            window.end <= watermark, admitted into the still-open window
-#            otherwise. Nothing emits (watermark doesn't advance).
-#   drain 3: one sentinel row 30 days past max(ts) → watermark sweeps past
-#            every real window and append-mode EMITS them exactly once;
-#            the sentinel's own window stays open and must NOT appear.
+#   drain 2: the late set PLUS one sentinel row 30 days past max(ts),
+#            ONE file → one micro-batch resumed from drain 1's checkpoint.
+#            Spark's contract (pinned empirically before this query was
+#            written): rows are filtered against the watermark from the
+#            PREVIOUS batch — so every late row is judged against the
+#            drain-1 watermark (DROPPED iff window.end <= it, admitted
+#            into the still-open window otherwise) even though the
+#            sentinel rides in the same batch; the watermark then advances
+#            at batch END, sweeping past every real window, and append
+#            mode EMITS them exactly once. The sentinel's own window
+#            stays open and must NOT appear.
 #
 # The sink's final content is therefore a pure function of the source
 # table: daily counts over on-time rows plus exactly the late rows whose
@@ -208,13 +212,11 @@ def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataF
         # the watermark position between drains is fully determined
         on_time.coalesce(1).write.mode("append").parquet(landing)
         drain()
-        late.coalesce(1).write.mode("append").parquet(landing)
-        drain()
         mx = ev.agg(F.max("ts")).first()[0]  # bounded 1-row pull
         sentinel = spark.createDataFrame(
             [(-1, "sentinel", 0.0, mx + datetime.timedelta(days=30))], ev.schema
         )
-        sentinel.coalesce(1).write.mode("append").parquet(landing)
+        late.unionByName(sentinel).coalesce(1).write.mode("append").parquet(landing)
         drain()
 
         out = spark.read.parquet(sink).select(
