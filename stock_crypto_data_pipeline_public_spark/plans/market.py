@@ -218,7 +218,10 @@ def link_customer_transaction(ctx) -> DataFrame:
     return (
         pairs.join(F.broadcast(ctx["hub_customer"]), pairs.customer_id == F.col("customer_bk"))
         .join(
-            F.broadcast(ctx["hub_transaction"]), pairs.transaction_id == F.col("transaction_bk")
+            ctx["hub_transaction"], pairs.transaction_id == F.col("transaction_bk")
+            # NOT broadcast: hub_transaction is TRANSACTION-grain (fact-sized,
+            # not dim-sized) — a forced broadcast OOMs at scale; the key is a
+            # uniform id, so AQE picks broadcast when small, SMJ when not
         )
         .select(
             hash_key("transaction_id", "customer_id").alias("lk_customer_transaction"),
@@ -252,7 +255,10 @@ def link_transaction_asset(ctx) -> DataFrame:
             & (F.upper(pairs.asset_type) == hub.asset_type),
         )
         .join(
-            F.broadcast(ctx["hub_transaction"]), pairs.transaction_id == F.col("transaction_bk")
+            ctx["hub_transaction"], pairs.transaction_id == F.col("transaction_bk")
+            # NOT broadcast: hub_transaction is TRANSACTION-grain (fact-sized,
+            # not dim-sized) — a forced broadcast OOMs at scale; the key is a
+            # uniform id, so AQE picks broadcast when small, SMJ when not
         )
         .select(
             hash_key(pairs.transaction_id, pairs.asset_symbol, pairs.asset_type).alias(
@@ -331,7 +337,10 @@ def link_company_transaction(ctx) -> DataFrame:
     return (
         pairs.join(F.broadcast(ctx["hub_company"]), pairs.company_id == F.col("company_bk"))
         .join(
-            F.broadcast(ctx["hub_transaction"]), pairs.transaction_id == F.col("transaction_bk")
+            ctx["hub_transaction"], pairs.transaction_id == F.col("transaction_bk")
+            # NOT broadcast: hub_transaction is TRANSACTION-grain (fact-sized,
+            # not dim-sized) — a forced broadcast OOMs at scale; the key is a
+            # uniform id, so AQE picks broadcast when small, SMJ when not
         )
         .select(
             surrogate_key("hk_company", "hk_transaction").alias("lk_company_transaction"),
