@@ -291,7 +291,9 @@ def link_news_asset(ctx) -> DataFrame:
         # join the news hub on its FULL grain: url alone would match every
         # hub row of a multi-asset story and fan the link out
         pairs.join(
-            F.broadcast(news),
+            # NOT broadcast: hub_news is news-grain (unbounded corpus at
+            # scale); uniform hash key, AQE picks the strategy
+            news,
             (pairs.url == news.news_bk)
             & (pairs.ticker == news.asset_symbol)
             & (pairs.asset_type == news.asset_type),
@@ -821,7 +823,10 @@ def semantic_transactions(ctx) -> DataFrame:
     asset = ctx["dim_asset"].select("hk_asset", "asset_symbol", "asset_type")
     return (
         ctx["fct_transactions"]
-        .join(F.broadcast(cust), "hk_customer", "left")
+        # dim_customer is customer-grain — the classic LARGE dim; forcing a
+        # broadcast OOMs at real customer counts, so AQE decides. dim_asset
+        # is symbol-grain (bounded) and stays hinted.
+        .join(cust, "hk_customer", "left")
         .join(F.broadcast(asset), "hk_asset", "left")
         .select(
             "hk_transaction",
