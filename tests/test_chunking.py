@@ -384,3 +384,33 @@ def test_extract_text_on_error_skip(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|tesseract"):
         C.extract_text(ocr, on_error="skip").collect()
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _line = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=1,
+        max_size=60,
+    ).map(str.strip).filter(lambda s: s)
+
+    @given(pages=st.lists(st.lists(_line, min_size=1, max_size=5), min_size=1, max_size=3))
+    @settings(max_examples=60, deadline=None)
+    def test_pdf_codec_round_trip_property(pages):
+        """Any printable-ASCII page content survives encode→extract exactly
+        (escapes, kerned TJ splits, all three show operators)."""
+        want = "\n\n".join(
+            f"--- Page {p} ---\n" + "\n".join(pg) for p, pg in enumerate(pages, 1)
+        )
+        assert C._extract_pdf(C._make_pdf(pages)) == want
+
+    @given(paras=st.lists(_line, min_size=1, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def test_docx_codec_round_trip_property(paras):
+        """Any printable-ASCII paragraphs survive encode→extract exactly
+        (XML escaping, run splits, blank-paragraph drop)."""
+        assert C._extract_docx(C._make_docx(paras)) == "\n".join(paras)
+
+except ImportError:  # pragma: no cover - hypothesis is baked into this env
+    pass
