@@ -170,6 +170,28 @@ def top_edges(co: DataFrame, k: int) -> DataFrame:
     return co.orderBy(F.col("w").desc(), "s1", "s2").limit(k).select("s1", "s2")
 
 
+def top_edges_by_cutoff(co: DataFrame, k: int, accuracy: int = 10_000) -> DataFrame:
+    """The documented 100 TB swap for :func:`top_edges` when K outgrows
+    driver-merge comfort: choose a WEIGHT CUTOFF at the (1 − k/n) quantile
+    of w via ``approx_percentile`` (one map-side-mergeable aggregate, GK
+    sketch, bounded error 1/accuracy), then keep edges with w ≥ cutoff —
+    a pushed-down filter, zero driver involvement, no ordering anywhere.
+
+    Boundary semantics differ from the exact top-K by design: ALL edges
+    tied at the cutoff weight survive (deterministic — membership depends
+    only on each edge's own weight), so the kept count is ≥ k up to the
+    tie group plus the sketch's rank error. Downstream wedge-join cost
+    scales with the kept count, not with the boundary's exactness."""
+    n = co.count()
+    if n <= k:
+        return co.select("s1", "s2")
+    q = 1.0 - k / n
+    cutoff = co.agg(
+        F.expr(f"approx_percentile(w, {q}, {accuracy})").alias("c")
+    ).first()["c"]  # bounded 1-row pull (the quantile scalar)
+    return co.filter(F.col("w") >= cutoff).select("s1", "s2")
+
+
 def _g02_oracle() -> str:
     coef = oracle_rnd("2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1))", 8)
     return f"""

@@ -43,3 +43,29 @@ def test_top_edges_plans_take_ordered_not_full_sort(spark):
     assert "TakeOrderedAndProject" in plan
     # a global Sort node outside the TakeOrdered would mean a full sort
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_top_edges_by_cutoff_matches_topk_superset(spark):
+    """The scale-path cutoff selection keeps a deterministic superset of
+    the exact top-K whose overshoot is bounded by the cutoff tie group."""
+    from stock_crypto_data_pipeline_public_spark.plans.graphops import top_edges_by_cutoff
+
+    # 200 edges, weights 0..49 with 4-way ties
+    rows = [(i, i + 1000, i % 50) for i in range(200)]
+    co = _co(spark, rows, 8)
+    k = 30
+    exact = {(r.s1, r.s2) for r in top_edges(co, k).collect()}
+    kept = {(r.s1, r.s2) for r in top_edges_by_cutoff(co, k).collect()}
+    assert kept >= exact                      # never loses a top-K edge
+    # overshoot bounded: everything kept is within the cutoff tie group
+    w = {(s1, s2): ww for s1, s2, ww in rows}
+    min_kept = min(w[e] for e in kept)
+    assert all(w[e] >= min_kept for e in kept)
+    assert len(kept) <= k + 4 + co.count() // 100  # tie group + sketch slack
+
+    # degenerate: k >= n keeps everything, no aggregate needed
+    assert top_edges_by_cutoff(co, 500).count() == 200
+
+    # deterministic under repartitioning (membership is per-edge weight)
+    kept2 = {(r.s1, r.s2) for r in top_edges_by_cutoff(_co(spark, rows, 3), k).collect()}
+    assert kept2 == kept
