@@ -312,9 +312,11 @@ def _pdf_string_token(data: str, i: int) -> tuple[str, int]:
                 i += 2
             elif nxt == "\r":
                 i += 3 if data[i + 2 : i + 3] == "\n" else 2
-            elif nxt.isdigit():
+            elif nxt in "01234567":
+                # ISO 32000 octal escapes are 1-3 OCTAL digits; '8'/'9' (and
+                # Unicode digits) after a backslash decode as literal chars.
                 j = i + 1
-                while j < i + 4 and data[j : j + 1].isdigit():
+                while j < i + 4 and data[j : j + 1] in "01234567":
                     j += 1
                 out.append(chr(int(data[i + 1 : j], 8) & 0xFF))
                 i = j
@@ -371,6 +373,10 @@ def _pdf_content_text(content: bytes) -> str:
                     continue
                 s, i = _pdf_string_token(block, i)
                 operands.append(s)
+            elif c == ">":
+                # '>>' dict close (marked-content BDC params); also any stray
+                # '>' — must advance or the scanner stalls (ADVICE r6).
+                i += 2 if block[i : i + 2] == ">>" else 1
             elif c in "[]":
                 i += 1  # TJ arrays: strings already collect on the stack
             elif c == "/":
@@ -384,6 +390,12 @@ def _pdf_content_text(content: bytes) -> str:
                 while j < n and not block[j].isspace() and block[j] not in "()<>[]/":
                     j += 1
                 tok = block[i:j]
+                if j == i:
+                    # unknown single char (')', '}', …) — always advance so
+                    # no input can stall the scanner (ADVICE r6: hang, not
+                    # exception, so on_error='skip' couldn't catch it).
+                    i += 1
+                    continue
                 i = j
                 if _PDF_NUM_RE.fullmatch(tok):
                     operands.append(float(tok))

@@ -80,7 +80,7 @@ _GATE_PRIORITY = (
     + ["g01", "g02", "g03"]
     + ["q26", "q27", "q28", "q29", "q30", "q31", "q32"]
     + ["e11", "f16", "f17"]
-    + ["t40", "t41", "t42", "x18", "x19"]                       # (22)
+    + ["t40", "t41", "t42", "x18", "x19"]                       # (24)
     # r3-stale freshness rotation (last driver row r3, code unchanged)
     + ["q01", "f02", "m02", "m03", "x01", "x02", "x03"]
     + ["t01", "t02", "t03", "t04", "t06", "t07", "t08", "t09",

@@ -190,6 +190,35 @@ def test_pdf_string_token_grammar():
     assert s == "Hellop"
     s, _ = C._pdf_string_token("(nested (deep) ok)", 0)
     assert s == "nested (deep) ok"
+    # \8 / \9 are NOT octal (ISO 32000): decode as literal chars, no crash
+    s, _ = C._pdf_string_token(r"(a\8b\9c\0777)", 0)
+    assert s == "a8b9c" + chr(0o77) + "7"
+
+
+def test_pdf_content_scanner_never_stalls():
+    """Marked-content dicts inside BT…ET (Word/LibreOffice tagged PDFs)
+    and stray single chars must not hang the scanner (ADVICE r6 high:
+    the bare-token branch looped forever on '>' / ')')."""
+    import multiprocessing
+
+    blocks = [
+        b"BT /P <</MCID 0>> BDC (x) Tj EMC ET",        # dict close '>>'
+        b"BT ) (y) Tj ET",                               # stray ')'
+        b"BT > } (z) Tj ET",                             # lone '>' and '}'
+    ]
+
+    def run(q):
+        q.put([C._pdf_content_text(b) for b in blocks])
+
+    q = multiprocessing.Queue()
+    p = multiprocessing.Process(target=run, args=(q,))
+    p.start()
+    p.join(timeout=30)
+    alive = p.is_alive()
+    if alive:
+        p.terminate()
+    assert not alive, "PDF content scanner hung on marked-content input"
+    assert q.get() == ["x", "y", "z"]
 
 
 def test_crossdoc_span_dedup_keeper_semantics(spark, tmp_path):

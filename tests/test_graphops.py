@@ -32,9 +32,9 @@ def test_top_edges_k_boundary_tiebreak_deterministic(spark):
         if want is None:
             want = got
         assert got == want, f"partitioning {n_parts} changed the K cut"
-    # heavy edges all kept; exactly the 3 smallest-(s1,s2) tied edges join
-    assert set(want) >= {(7, 8), (8, 9), (9, 10)}
-    assert want == sorted(want)[:6] or len(want) == 6
+    # heavy edges all kept; the deterministic (weight desc, s1, s2)
+    # tie-break admits exactly the 3 smallest-(s1,s2) pairs of the tie group
+    assert want == [(0, 1), (0, 2), (1, 2), (7, 8), (8, 9), (9, 10)]
 
 
 def test_top_edges_plans_take_ordered_not_full_sort(spark):
