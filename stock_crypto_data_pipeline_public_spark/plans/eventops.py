@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.numeric import rnd
+from ..functions.numeric import dec, money_sum, rnd
 from ..functions.timeops import epoch_us
 from .registry import query
 
@@ -96,8 +96,8 @@ def e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            event_type,
            count(*)              AS n_events,
-           floor((sum(value)) * 100 + 0.5) / 100.0  AS total_value,
-           floor((floor((sum(value)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0  AS avg_value
+           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0  AS total_value,
+           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0  AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -108,8 +108,8 @@ def e02_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum("value"), 2).alias("total_value"),
-            rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+            rnd(money_sum("value"), 2).alias("total_value"),
+            rnd(money_sum("value") / F.count(F.lit(1)), 4).alias("avg_value"),
         )
         .select(
             F.col("win.start").cast("date").alias("day"),
@@ -181,7 +181,7 @@ def e03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(hour(ts) AS INT) AS hour_of_day,
            event_type,
            count(*)             AS n_events,
-           floor((floor((sum(value)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
+           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -192,7 +192,7 @@ def e04_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+        rnd(money_sum("value") / F.count(F.lit(1)), 4).alias("avg_value"),
     )
 
 
@@ -256,7 +256,7 @@ def e05_d7_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', local_time) AS DATE)  AS local_date,
            CAST(hour(local_time) AS INT)                AS local_hour,
            count(*)                                     AS n_events,
-           floor((sum(value)) * 100 + 0.5) / 100.0      AS total_value
+           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0      AS total_value
     FROM local_ts
     GROUP BY 1, 2
     """,
@@ -273,7 +273,7 @@ def e06_bangkok_wall_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(F.sum("value"), 2).alias("total_value"),
+            rnd(money_sum("value"), 2).alias("total_value"),
         )
     )
 
@@ -295,8 +295,8 @@ def e06_bangkok_wall_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderstatus                            AS order_status,
            count(*)                                   AS n_orders,
            count(e.ts)                                AS n_matched,
-           floor((avg(e.value)) * 10000 + 0.5) / 10000.0 AS avg_prior_value,
-           floor((sum(e.value)) * 100 + 0.5) / 100.0     AS total_prior_value
+           floor((CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / count(e.value)) * 10000 + 0.5) / 10000.0 AS avg_prior_value,
+           floor((CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0     AS total_prior_value
     FROM orders o
     ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
     GROUP BY 1
@@ -321,8 +321,8 @@ def e07_asof_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("o_orderstatus").alias("order_status")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.count("ts").alias("n_matched"),
-        rnd(F.avg("value"), 4).alias("avg_prior_value"),
-        rnd(F.sum("value"), 2).alias("total_prior_value"),
+        rnd(money_sum("value") / F.count("value"), 4).alias("avg_prior_value"),
+        rnd(money_sum("value"), 2).alias("total_prior_value"),
     )
 
 
@@ -344,7 +344,7 @@ def e07_asof_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            count(*)                         AS n_pairs,
            count(DISTINCT w.purchase_id)    AS n_windows_hit,
-           floor((avg(e.value)) * 10000 + 0.5) / 10000.0 AS avg_window_value
+           floor((CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / count(e.value)) * 10000 + 0.5) / 10000.0 AS avg_window_value
     FROM events e
     JOIN win w
       ON e.user_id = w.user_id
@@ -370,7 +370,7 @@ def e08_purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFra
     return pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("purchase_id").alias("n_windows_hit"),
-        rnd(F.avg("value"), 4).alias("avg_window_value"),
+        rnd(money_sum("value") / F.count("value"), 4).alias("avg_window_value"),
     )
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.numeric import oracle_rnd, rnd
+from ..functions.numeric import dec, dsum, oracle_dec, oracle_dsum, oracle_rnd, rnd
 from ..sources.tables import load_table
 from .registry import query
 
@@ -82,8 +82,9 @@ def f01_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # f02 — daily VWAP per instrument: sum(price*size)/sum(size), size from the
 # props JSON payload (P15/q19-style extraction feeding a weighted mean).
-# Single shuffle; the weighted sum is rounded before the division so the
-# quotient is computed on an engine-identical numerator.
+# Single shuffle; the weighted sum runs in DECIMAL (order-independent) and
+# is rounded before the division so the quotient is computed on an
+# engine-identical numerator.
 # --------------------------------------------------------------------------
 @query(
     "f02_daily_vwap",
@@ -95,8 +96,8 @@ def f01_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type AS symbol, trade_date,
            CAST(sum(size) AS BIGINT) AS volume,
-           {oracle_rnd('sum(value * size)', 2)} AS notional,
-           {oracle_rnd(oracle_rnd('sum(value * size)', 2) + ' / sum(size)', 4)} AS vwap
+           {oracle_rnd(oracle_dsum(oracle_dec('value') + ' * size'), 2)} AS notional,
+           {oracle_rnd(oracle_rnd(oracle_dsum(oracle_dec('value') + ' * size'), 2) + ' / sum(size)', 4)} AS vwap
     FROM sized
     GROUP BY 1, 2
     """,
@@ -109,7 +110,7 @@ def f02_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.k").cast("long").alias("size"),
     )
-    notional = rnd(F.sum(F.col("value") * F.col("size")), 2)
+    notional = rnd(dsum(dec("value") * F.col("size")), 2)
     return sized.groupBy("symbol", "trade_date").agg(
         F.sum("size").alias("volume"),
         notional.alias("notional"),

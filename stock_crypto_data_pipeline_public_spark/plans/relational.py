@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.numeric import rnd
+from ..functions.numeric import (
+    RATE,
+    dec,
+    dsum,
+    money_sum,
+    oracle_dec,
+    oracle_dsum,
+    oracle_money_sum,
+    rnd,
+)
 from .registry import query
 
 
@@ -38,13 +47,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           floor((sum(l_quantity)) * 100 + 0.5) / 100.0                                        AS sum_qty,
-           floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0                                   AS sum_base_price,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0                AS sum_disc_price,
-           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100.0  AS sum_charge,
-           floor((floor((sum(l_quantity)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0                   AS avg_qty,
-           floor((floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0              AS avg_price,
-           floor((floor((sum(l_discount)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0                   AS avg_disc,
+           floor((CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0        AS sum_qty,
+           floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0   AS sum_base_price,
+           floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)) * 100 + 0.5) / 100.0 AS sum_disc_price,
+           floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                           * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)) * 100 + 0.5) / 100.0 AS sum_charge,
+           floor((CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0       AS avg_qty,
+           floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0  AS avg_price,
+           floor((CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0       AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -53,18 +65,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal-exact money sums: order-independent, so the rnd() boundary can
+    # never flip with summation order (functions/numeric.py policy note)
+    disc1 = (F.lit(1) - dec("l_discount", RATE)).cast(RATE)
+    tax1 = (F.lit(1) + dec("l_tax", RATE)).cast(RATE)
+    disc_price = dec("l_extendedprice") * disc1
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
-            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
-            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            rnd(rnd(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4).alias("avg_qty"),
-            rnd(rnd(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4).alias("avg_price"),
-            rnd(rnd(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4).alias("avg_disc"),
+            rnd(money_sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(money_sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(dsum(disc_price), 2).alias("sum_disc_price"),
+            rnd(dsum(disc_price * tax1), 2).alias("sum_charge"),
+            rnd(money_sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            rnd(money_sum("l_extendedprice") / F.count(F.lit(1)), 4).alias("avg_price"),
+            rnd(money_sum("l_discount") / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -81,7 +97,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_top_revenue_orders",
     oracle="""
     SELECT o.o_orderkey, c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS order_date,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100.0 AS revenue
+           floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE)) * 100 + 0.5) / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -99,7 +116,10 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates through joins); the oracle's post-join GROUP BY is identical
     # because segment/date are functionally dependent on the order key
     rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        rnd(
+            dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE)).cast(RATE)),
+            2,
+        ).alias("revenue")
     )
     return (
         rev.join(orders, "o_orderkey")
@@ -125,8 +145,8 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name, n.n_name,
            count(*)                     AS n_customers,
-           floor((sum(c.c_acctbal)) * 100 + 0.5) / 100.0   AS total_acctbal,
-           floor((floor((sum(c.c_acctbal)) * 100 + 0.5) / 100.0 / count(*)) * 10000 + 0.5) / 10000.0 AS avg_acctbal
+           floor((CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0   AS total_acctbal,
+           floor((CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -143,8 +163,8 @@ def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            rnd(F.sum("c_acctbal"), 2).alias("total_acctbal"),
-            rnd(rnd(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 4).alias("avg_acctbal"),
+            rnd(money_sum("c_acctbal"), 2).alias("total_acctbal"),
+            rnd(money_sum("c_acctbal") / F.count(F.lit(1)), 4).alias("avg_acctbal"),
         )
     )
 
@@ -159,7 +179,7 @@ def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name,
            count(o.o_orderkey)                         AS n_orders,
-           coalesce(floor((sum(o.o_totalprice)) * 100 + 0.5) / 100.0, 0)  AS total_spent
+           coalesce(floor((CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0, 0)  AS total_spent
     FROM customer c
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
@@ -173,7 +193,7 @@ def q04_customer_order_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(rnd(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
+            F.coalesce(rnd(money_sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spent"),
         )
     )
 
@@ -568,7 +588,7 @@ def q16_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*)                       AS n_new_orders,
-           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0    AS new_total
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0    AS new_total
     FROM orders
     WHERE o_orderdate > (SELECT max(o_orderdate) - INTERVAL 180 DAY FROM orders)
     GROUP BY o_orderstatus
@@ -583,7 +603,7 @@ def q17_incremental_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_new_orders"),
-            rnd(F.sum("o_totalprice"), 2).alias("new_total"),
+            rnd(money_sum("o_totalprice"), 2).alias("new_total"),
         )
     )
 
@@ -684,7 +704,7 @@ def q20_distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFr
            CAST(GROUPING(year(o_orderdate)) AS INT)            AS is_year_total,
            CAST(GROUPING(o_orderpriority) AS INT)              AS is_priority_total,
            count(*)                                            AS n_orders,
-           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0      AS total_price
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0      AS total_price
     FROM orders
     GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
     """,
@@ -719,7 +739,7 @@ def q21_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) AS INT)               AS is_status_total,
            CAST(GROUPING(year(o_orderdate)) AS INT)           AS is_year_total,
            count(*)                                           AS n_orders,
-           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0     AS total_price
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0     AS total_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, year(o_orderdate))
     """,
@@ -732,7 +752,7 @@ def q22_status_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_year")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+            rnd(money_sum("o_totalprice"), 2).alias("total_price"),
             F.grouping("o_orderstatus").cast("int").alias("is_status_total"),
             F.grouping("o_year").cast("int").alias("is_year_total"),
         )
@@ -906,14 +926,18 @@ def q25_customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the DataFrame builders. Same plan discipline as the DataFrame twins:
 # revenue aggregates below the join output, the nation dim broadcasts
 # (AQE sees the tiny build side), the ranking window partitions by year.
-# rev ranks on the ROUNDED value (like q01, rounding absorbs engine
-# summation-order noise) with the nation name as deterministic tiebreak.
+# revenue sums in DECIMAL (summation-order-independent — r6 proved mere
+# rounding does NOT absorb float-sum order noise at the half-up boundary,
+# and rank() amplifies a one-cent flip into multiple differing rows);
+# the nation name is the deterministic tiebreak.
 # --------------------------------------------------------------------------
 _Q26_SQL = """
     WITH revenue AS (
         SELECT n.n_name AS nation,
                year(o.o_orderdate) AS order_year,
-               floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+               floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
+                          AS DOUBLE) * 100 + 0.5)
                    / 100.0 AS revenue
         FROM {li} l
         JOIN {orders} o ON l.l_orderkey = o.o_orderkey
@@ -967,7 +991,7 @@ def q26_sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus, year(o_orderdate), o_orderpriority) AS BIGINT)
                                                                 AS set_id,
            count(*)                                             AS n_orders,
-           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0       AS total_price
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0       AS total_price
     FROM orders
     GROUP BY GROUPING SETS (
         (o_orderstatus, year(o_orderdate)),
@@ -996,7 +1020,7 @@ def q27_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+            rnd(money_sum("o_totalprice"), 2).alias("total_price"),
             F.grouping_id().cast("bigint").alias("set_id"),
         )
         .select(
@@ -1018,11 +1042,12 @@ def q27_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over orders + one equi-join; `.explain` shows no per-row subquery
 # execution, and both subquery instances share the same decorrelated
 # aggregate). Driven through spark.sql like q26 so the analyzer's subquery
-# path is the surface under test. The per-customer average is rounded to
-# 4 dp BEFORE the comparison on both engines — comparisons against an
-# unrounded float aggregate would be boundary-nondeterministic across
-# summation orders. Single-order customers compare price > its own exact
-# average → false identically on both engines.
+# path is the surface under test. The per-customer average is computed as
+# a DECIMAL-exact sum over count (order-independent) and rounded to 4 dp
+# BEFORE the comparison on both engines — r6 showed a float avg() is
+# boundary-nondeterministic across summation orders even when rounded.
+# Single-order customers compare price > its own exact average → false
+# identically on both engines.
 #
 # 100 TB: decorrelation means ONE map-side-partial hash aggregation over
 # orders + ONE shuffle join on o_custkey — the same cost as writing the
@@ -1032,11 +1057,13 @@ _Q28_SQL = """
     SELECT o.o_orderkey,
            o.o_custkey,
            o.o_totalprice,
-           (SELECT floor(avg(i.o_totalprice) * 10000 + 0.5) / 10000.0
+           (SELECT floor(CAST(sum(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                         / count(*) * 10000 + 0.5) / 10000.0
             FROM {orders} i WHERE i.o_custkey = o.o_custkey) AS cust_avg
     FROM {orders} o
     WHERE o.o_totalprice >
-          (SELECT floor(avg(i.o_totalprice) * 10000 + 0.5) / 10000.0
+          (SELECT floor(CAST(sum(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                        / count(*) * 10000 + 0.5) / 10000.0
            FROM {orders} i WHERE i.o_custkey = o.o_custkey)
 """
 
@@ -1064,9 +1091,9 @@ def q28_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     "q30_native_pivot_status_totals",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-           floor(sum(o_totalprice) FILTER (o_orderstatus = 'F') * 100 + 0.5) / 100.0 AS total_f,
-           floor(sum(o_totalprice) FILTER (o_orderstatus = 'O') * 100 + 0.5) / 100.0 AS total_o,
-           floor(sum(o_totalprice) FILTER (o_orderstatus = 'P') * 100 + 0.5) / 100.0 AS total_p
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) * 100 + 0.5) / 100.0 AS total_f,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) * 100 + 0.5) / 100.0 AS total_o,
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) * 100 + 0.5) / 100.0 AS total_p
     FROM orders
     GROUP BY 1
     """,
@@ -1076,7 +1103,7 @@ def q30_native_pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(rnd(F.sum("o_totalprice"), 2))
+        .agg(rnd(money_sum("o_totalprice"), 2))
         .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
     )
 
@@ -1107,7 +1134,7 @@ def q30_native_pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT o_orderkey, o_custkey, o_orderdate,
            CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
-           floor(sum(o_totalprice) OVER w * 100 + 0.5) / 100.0 AS spend_30d
+           floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) * 100 + 0.5) / 100.0 AS spend_30d
     FROM o
     WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx ASC
                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
@@ -1131,7 +1158,7 @@ def q29_rolling_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFram
         "o_custkey",
         "o_orderdate",
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
-        rnd(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        rnd(F.sum(dec("o_totalprice")).over(w).cast("double"), 2).alias("spend_30d"),
     )
 
 

@@ -28,7 +28,7 @@ from ..functions.keys import (
     surrogate_key,
 )
 from ..sources.tables import load_table
-from ..functions.numeric import oracle_rnd, rnd
+from ..functions.numeric import dec, dsum, money_sum, oracle_rnd, rnd
 from .registry import query
 
 
@@ -239,7 +239,7 @@ def v05_dim_customer_latest_activity(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT c.c_custkey,
            concat_ws(' - ', c.c_name, c.c_mktsegment)   AS display_name,
            count(o.o_orderkey)                          AS n_orders,
-           coalesce(floor((sum(o.o_totalprice)) * 100 + 0.5) / 100.0, 0)   AS lifetime_value,
+           coalesce(floor((CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0, 0)   AS lifetime_value,
            count(DISTINCT o.o_orderpriority)            AS n_priorities,
            CAST(max(o.o_orderdate) AS DATE)             AS last_order_date
     FROM customer c
@@ -255,7 +255,7 @@ def v06_semantic_customer_overview(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(rnd(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("lifetime_value"),
+            F.coalesce(rnd(money_sum("o_totalprice"), 2), F.lit(0.0)).alias("lifetime_value"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
             F.max("o_orderdate").cast("date").alias("last_order_date"),
         )
@@ -281,10 +281,14 @@ def v06_semantic_customer_overview(spark: SparkSession, sf_dir: str) -> DataFram
     "v07_merge_last_wins",
     oracle="""
     WITH target AS (
-        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS batch FROM orders
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(15,3)) AS o_totalprice, 1 AS batch
+        FROM orders
     ),
     staged AS (
-        SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice, 2 AS batch
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1))
+                   AS o_totalprice, 2 AS batch
         FROM orders WHERE o_orderkey % 10 = 0
     ),
     merged AS (
@@ -294,20 +298,27 @@ def v06_semantic_customer_overview(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT o_orderstatus,
            count(*)                     AS n_rows,
            CAST(sum(batch - 1) AS BIGINT) AS n_updated,
-           floor((sum(o_totalprice)) * 100 + 0.5) / 100.0  AS total_after_merge
+           floor((CAST(sum(o_totalprice) AS DOUBLE)) * 100 + 0.5) / 100.0  AS total_after_merge
     FROM merged
     GROUP BY o_orderstatus
     """,
 )
 def v07_merge_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    target = orders.select("o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("batch"))
+    # exact decimals end-to-end: the 10%-uplift branch multiplies in decimal
+    # so the merged sum stays summation-order-independent (numeric.py policy)
+    target = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(15,3)").alias("o_totalprice"),
+        F.lit(1).alias("batch"),
+    )
     staged = (
         orders.filter(F.col("o_orderkey") % 10 == 0)
         .select(
             "o_orderkey",
             "o_orderstatus",
-            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            (dec("o_totalprice") * F.lit("1.1").cast("decimal(2,1)")).alias("o_totalprice"),
             F.lit(2).alias("batch"),
         )
     )
@@ -320,7 +331,7 @@ def v07_merge_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("batch") - 1).alias("n_updated"),
-        rnd(F.sum("o_totalprice"), 2).alias("total_after_merge"),
+        rnd(dsum(F.col("o_totalprice")), 2).alias("total_after_merge"),
     )
 
 
