@@ -75,6 +75,8 @@ def main() -> int:
         "x18_mmr_rerank",
         "g01_pagerank_trade_graph",
         "g03_bfs_trade_hops",
+        "m05_ppm_real_resize_rollup",  # r7: eager localCheckpoint of the
+        # synthesized media (two consumers, no cross-consumer CSE in Spark)
         "s01_streaming_ingest_end_state",  # streaming drains run in the call
         "s02_streaming_watermark_end_state",
     }
@@ -93,12 +95,23 @@ def main() -> int:
     BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
     started = time.perf_counter()
     timings: dict[str, float] = {}
+    eras_done: dict[str, int] = {}
     passes_done = 0
     for era in range(PASSES):
         if era > 0 and time.perf_counter() - started > BUDGET_S:
             break
         era_complete = True
-        for name in sorted(registry.QUERIES):
+        # Era 1 covers everything in name order. Refinement eras run
+        # SLOWEST-FIRST: a single-era value is indistinguishable from a
+        # burst artifact (r6's m05 17.5s), so when the budget truncates a
+        # refinement era it should have re-measured the big, burst-prone
+        # numbers first — the sub-second tail loses least from staying
+        # single-era.
+        if era == 0:
+            order = sorted(registry.QUERIES)
+        else:
+            order = sorted(timings, key=timings.get, reverse=True)
+        for name in order:
             if era > 0 and time.perf_counter() - started > BUDGET_S:
                 era_complete = False
                 break
@@ -108,6 +121,7 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             took = time.perf_counter() - t0
             timings[name] = round(min(timings.get(name, float("inf")), took), 3)
+            eras_done[name] = eras_done.get(name, 0) + 1
         if era_complete:
             passes_done = era + 1
 
@@ -118,6 +132,13 @@ def main() -> int:
     from stock_crypto_data_pipeline_public_spark.plans import textops, vectorops
 
     extras = {"queries_full": timings}
+    # truncation honesty (r6 verdict #3): a min-of-1 value got no chance to
+    # shed a host burst — name them so an m05-style artifact is mechanically
+    # distinguishable from a real regression in the recorded JSON
+    single_era = sorted(n for n, c in eras_done.items() if c == 1)
+    if passes_done < PASSES or single_era:
+        extras["query_eras"] = eras_done
+        extras["single_era"] = single_era
     if vectorops.X13_BILLING:
         # x13/t31 bill honest index-BUILD cost into their headline
         # numbers; the splits show what the wall time actually bought

@@ -487,12 +487,15 @@ def extract_text(
     """Extract text from binary documents via mapInPandas (Arrow batches).
 
     Mirrors text_extractors.py's extractor registry: ``txt`` (UTF-8),
-    ``docx`` (real zip+XML parse) and ``pdf`` (real Flate + text-op scan)
-    decode for REAL. Image types (``png``/``jpg``/``jpeg``) would need the
-    reference's tesseract OCR path (ocr_tools.py) — absent from this
-    container — so they raise ``NotImplementedError`` unless ``fake=True``
-    supplies the deterministic sha256-derived placeholder (schema,
-    batching and partitioning stay real). Unknown types yield ''.
+    ``docx`` (real zip+XML parse), ``pdf`` (real Flate + text-op scan) and
+    ``png`` (REAL glyph-raster OCR: full PNG decode + bitmap-font template
+    match, operators/ocr.py) decode for REAL. A png that is NOT a
+    machine-rendered glyph raster raises ValueError (honest: photographic
+    OCR is tesseract's job — reference ocr_tools.py — and tesseract is
+    absent from this container); ``jpg``/``jpeg`` raise
+    ``NotImplementedError`` unless ``fake=True`` supplies the
+    deterministic sha256-derived placeholder (schema, batching and
+    partitioning stay real). Unknown types yield ''.
 
     ``on_error``: ``'raise'`` propagates decode errors (the reference's
     per-file behavior, text_extractors.py:40-42 — right for interactive
@@ -521,6 +524,14 @@ def extract_text(
                         texts.append(_extract_docx(payload))
                     elif dtype == "pdf":
                         texts.append(_extract_pdf(payload))
+                    elif dtype == "png" and not fake:
+                        from .ocr import ocr_png_bytes
+
+                        # REAL for glyph rasters; ValueError for anything
+                        # else (photographic OCR stays environmental) —
+                        # which PERMISSIVE mode maps to NULL like any
+                        # other undecodable row
+                        texts.append(ocr_png_bytes(payload))
                     elif dtype in ("png", "jpg", "jpeg"):
                         if not fake:
                             raise NotImplementedError(

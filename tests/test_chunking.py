@@ -133,30 +133,52 @@ def test_process_documents_rejects_unknown_strategy(docs):
         C.process_documents(docs, strategy="token")
 
 
-def test_extract_text_txt_docx_pdf_real_ocr_stubbed(spark):
+def test_extract_text_txt_docx_pdf_png_real_jpg_stubbed(spark):
+    from stock_crypto_data_pipeline_public_spark.operators import ocr
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import _encode_png
+
+    glyph_png = _encode_png(
+        ocr._render_raster(ocr.normalize_for_raster("Scan 42!", 12))
+    )
     bin_docs = spark.createDataFrame(
         [
             (1, "txt", bytearray(b"plain text payload")),
             (2, "pdf", bytearray(C._make_pdf([["hello pdf", "line (two)"]]))),
             (3, "docx", bytearray(C._make_docx(["first para", "second para"]))),
-            (4, "png", bytearray(b"\x89PNG fake scan")),
+            (4, "png", bytearray(glyph_png)),
+            (5, "jpg", bytearray(b"\xff\xd8 fake scan")),
         ],
         "doc_id long, doc_type string, content binary",
     )
-    real = bin_docs.filter(F.col("doc_type") != "png")
+    real = bin_docs.filter(F.col("doc_type") != "jpg")
     got = {r.doc_id: r.text for r in C.extract_text(real).collect()}
     assert got[1] == "plain text payload"
     assert got[2] == "--- Page 1 ---\nhello pdf\nline (two)"
     assert got[3] == "first para\nsecond para"
+    # png is REAL now: full decode + glyph template match (operators/ocr.py)
+    assert got[4] == "SCAN 42     "
 
-    # image OCR stays stubbed (tesseract absent): raises unless fake=True
+    # jpg OCR stays stubbed (lossy codec vs exact template matching;
+    # tesseract absent): raises unless fake=True
     with pytest.raises(Exception, match="NotImplementedError|tesseract"):
         C.extract_text(bin_docs).collect()
     fake = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
     assert fake[2] == got[2] and fake[3] == got[3]  # real formats unaffected
-    assert fake[4].startswith("png document ")
+    assert fake[5].startswith("jpg document ")
     again = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
     assert fake == again
+
+    # a png that is NOT a glyph raster fails honestly (no fabricated text):
+    # raise mode propagates, PERMISSIVE mode nulls the row like any other
+    # undecodable payload
+    photo = spark.createDataFrame(
+        [(8, "png", bytearray(b"\x89PNG photographic"))],
+        "doc_id long, doc_type string, content binary",
+    )
+    with pytest.raises(Exception, match="IHDR|glyph|raster|not a PNG"):
+        C.extract_text(photo).collect()
+    skipped = C.extract_text(photo, on_error="skip").collect()
+    assert skipped[0].text is None
 
 
 def test_docx_codec_round_trip():
@@ -406,9 +428,9 @@ def test_extract_text_on_error_skip(spark):
     with pytest.raises(ValueError, match="on_error"):
         C.extract_text(docs, on_error="ignore")
 
-    # honesty guard survives skip mode
+    # honesty guard survives skip mode (jpg: the remaining stubbed type)
     ocr = spark.createDataFrame(
-        [(9, "png", bytearray(b"\x89PNG"))],
+        [(9, "jpg", bytearray(b"\xff\xd8"))],
         "doc_id long, doc_type string, content binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|tesseract"):

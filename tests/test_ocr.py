@@ -1,0 +1,77 @@
+"""Glyph-raster OCR operator (operators/ocr.py): font integrity, local
+roundtrips through the real PNG codec, honest failure on non-raster
+images, and the distributed render->OCR pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_crypto_data_pipeline_public_spark.operators import ocr
+from stock_crypto_data_pipeline_public_spark.operators.multimodal import _encode_png
+
+
+def test_font_glyphs_pairwise_distinct_and_complete():
+    vals = list(ocr.FONT_5X7.values())
+    assert len(set(vals)) == len(vals), "two glyphs share a bitmap"
+    assert set(ocr.FONT_5X7) == set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+    )
+    # every glyph fits the 5-bit cell
+    assert all(0 <= r < 32 for rows in vals for r in rows)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "HELLO WORLD 123",
+        "",
+        "mixed Case & punct!?",
+        "x" * 200,  # truncation
+        "   leading and trailing   ",
+    ],
+)
+def test_png_roundtrip_exact(text):
+    n = ocr.normalize_for_raster(text, 48)
+    assert len(n) == 48
+    png = _encode_png(ocr._render_raster(n))
+    assert ocr.ocr_png_bytes(png) == n
+
+
+def test_non_raster_png_raises_not_fabricates():
+    import numpy as np
+
+    # a real PNG that is NOT a glyph raster (wrong geometry)
+    photo = _encode_png(np.full((16, 16, 3), 7, dtype=np.uint8))
+    with pytest.raises(ValueError, match="glyph raster"):
+        ocr.ocr_png_bytes(photo)
+    # right geometry, junk pixels -> unrecognized cell, still honest
+    junk = np.zeros((ocr.GLYPH_H, ocr.CELL_W, 3), dtype=np.uint8)
+    junk[:, :, :] = 255
+    with pytest.raises(ValueError, match="unrecognized glyph"):
+        ocr.ocr_png_bytes(_encode_png(junk))
+
+
+def test_normalization_matches_duckdb_rpad_chain():
+    """The Python normalization must equal the m19 oracle's SQL chain
+    char-for-char (incl. the ß->SS trap: filtering BEFORE uppercasing
+    keeps both engines in pure ASCII)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [None, "", "Hello, W0rld! ", "çafé ß 123", "tab\tnl\nmix", "ümlaut"]:
+        sql = con.execute(
+            "SELECT rpad(upper(substr(regexp_replace(coalesce(?,''),"
+            " '[^A-Za-z0-9 ]', ' ', 'g'), 1, 48)), 48, ' ')",
+            [t],
+        ).fetchone()[0]
+        assert sql == ocr.normalize_for_raster(t, 48), t
+
+
+def test_distributed_render_then_ocr(spark):
+    rows = [(1, "Alpha one"), (2, None), (3, "B" * 90), (4, "42!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    imgs = ocr.render_text_png(docs, n_chars=24)
+    got = {r.doc_id: r.text for r in ocr.ocr_images(imgs).collect()}
+    assert got == {
+        doc_id: ocr.normalize_for_raster(text, 24) for doc_id, text in rows
+    }
