@@ -383,22 +383,27 @@ def g03_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     visited = frontier.select("node", F.lit(0).cast("int").alias("hops"))
     for k in range(1, _HOPS + 1):
-        # the frontier and visited set are node-bounded (≪ edges), so both
-        # sides of the expansion BROADCAST: each level is one map-only pass
-        # over the materialized edge list + a distinct over matched dsts —
-        # the edge list itself never re-shuffles (measured 8.2 s -> ~3.5 s
-        # at sf0.1). At diameters/graphs where the frontier outgrows the
-        # broadcast threshold, drop the hints and the same plan becomes the
-        # co-partitioned shuffle join — the 100 TB form.
-        nxt = (
-            edges.join(F.broadcast(frontier), frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(F.broadcast(visited.select("node")), "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        nxt = bfs_expand(edges, frontier, visited).localCheckpoint(eager=True)
         visited = visited.unionByName(
             nxt.select("node", F.lit(k).cast("int").alias("hops"))
         )
         frontier = nxt
     return visited
+
+
+def bfs_expand(edges: DataFrame, frontier: DataFrame, visited: DataFrame) -> DataFrame:
+    """One BFS level: frontier -> unvisited neighbors. The frontier and
+    visited set are node-bounded (≪ edges), so both sides of the expansion
+    BROADCAST: each level is one map-only pass over the materialized edge
+    list + a distinct over matched dsts — the edge list itself never
+    re-shuffles (measured 8.2 s -> ~3.5 s at sf0.1). At diameters/graphs
+    where the frontier outgrows the broadcast threshold, drop the hints
+    and the same plan becomes the co-partitioned shuffle join — the 100 TB
+    form. The broadcast shape is plan-asserted in
+    tests/test_plan_contracts.py."""
+    return (
+        edges.join(F.broadcast(frontier), frontier.node == edges.src)
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(F.broadcast(visited.select("node")), "node", "left_anti")
+    )

@@ -54,47 +54,43 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-6 gate window, ranked by "code changed since last driver hash
+#: round-7 gate window, ranked by "code changed since last driver hash
 #: row":
-#: 1. NEW round-6 code, never gated: m17/m18 (real stdlib DOCX/PDF
-#:    extraction), s01 (streaming ingest end state — foreachBatch +
-#:    checkpoint restart), v13 (full vault DAG at mart grain).
-#: 2. The 18 round-5-new queries the r5 verdict flagged as the only
-#:    evidence gap (green locally, never driver-gated): graph family
-#:    g01-g03, SQL-surface family q26-q32 (q32's oracle also changed
-#:    this round: TRY_CAST parity fix), e11 retention triangle,
-#:    f16 interpolation + f17 momentum (f17's oracle also changed this
-#:    round: NULL-close QUALIFY parity fix), t40-t42 sampling/Zipf/fuzzy-
-#:    decontamination, x18 MMR + x19 IVF recall sweep.
-#: 3. Freshness rotation for the 28 remaining slots: the queries whose
-#:    last driver row is r3 (everything r4/r5-green rotates to the local
-#:    strict harness, which mirrors the driver's comparison exactly).
-#:    32 candidates, 28 slots — x05/x07/x08/x11 stay local (unchanged
-#:    since r3; the vector family keeps seven r5/r6-gated rows:
-#:    x13/x15/x16/x17/x18/x19/x06) and rotate in next round.
+#: 1. ALL round-7 code changes — the decimal-exact money-aggregation
+#:    sweep (functions/numeric.py MONEY/RATE policy; fixes the r6 red
+#:    rows q26/q28 and hardens every money sum that feeds a rank or
+#:    comparison): q01-q04, q17, q21/q22, q26-q30, v06/v07, e02/e04/
+#:    e06/e07/e08, f02 — plus m18 (PDF scanner hang + octal-escape
+#:    fixes touched its extraction path), m17 (shares chunking.py), and
+#:    m05 (localCheckpoint on the forked media relation).
+#: 2. Freshness for the remaining slots: x05/x07/x08/x11 (last driver
+#:    row r3 — the oldest rows left), t25/t27 (ceded their r6 slots),
+#:    then the oldest r4-green series by age: v01-v05/v08/v09,
+#:    q05-q12, e01/e03/e05, f01/f08, m04.
 _GATE_PRIORITY = (
-    # new round-6 code (never gated)
-    ["m17", "m18", "s01", "s02", "v13", "v14"]                  # (6)
-    # round-5-new evidence gap (r5 verdict item 1) + this round's two
-    # oracle parity fixes (q32, f17)
-    + ["g01", "g02", "g03"]
-    + ["q26", "q27", "q28", "q29", "q30", "q31", "q32"]
-    + ["e11", "f16", "f17"]
-    + ["t40", "t41", "t42", "x18", "x19"]                       # (24)
-    # r3-stale freshness rotation (last driver row r3, code unchanged)
-    + ["q01", "f02", "m02", "m03", "x01", "x02", "x03"]
-    + ["t01", "t02", "t03", "t04", "t06", "t07", "t08", "t09",
-       "t10", "t13", "t14", "t15", "t16", "t19", "t20", "t21",
-       "t22", "t24", "t26"]                                     # (50)
+    # round-7 changed code: decimal-exact money aggregation sweep
+    ["q26", "q28"]                                              # (2) r6 reds
+    + ["q01", "q02", "q03", "q04", "q17", "q21", "q22",
+       "q27", "q29", "q30"]                                     # (12)
+    + ["v06", "v07"]
+    + ["e02", "e04", "e06", "e07", "e08"]
+    + ["f02"]                                                   # (20)
+    # round-7 changed code: PDF scanner fixes, m05 fork checkpoint, and
+    # m19 — NEW: real glyph-raster OCR through extract_text('png')
+    + ["m17", "m18", "m05", "m19"]                              # (24)
+    # freshness: last driver row r3 (oldest remaining)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (30)
+    # freshness: oldest r4-green rows
+    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (37)
+    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12"]  # (45)
+    + ["e01", "e03", "e05"]
+    + ["f01", "f08"]                                            # (50)
 )
-#: (t27 and t25 ceded their freshness slots to s02 and v14 — both
-#: unchanged since their green r3 rows, stay covered by the local strict
-#: harness; next-round candidates alongside x05/x07/x08/x11.)
-#: Next-round rotation candidates: x05/x07/x08/x11 (last driver row r3 —
-#: the only sub-r4 rows left after this window lands), then the r4-green
-#: series (e01..e08, f01/f08, m04/m05/m06, q04..q22, t05/t11/t17/t18/
-#: t23/t30/t31/t32/t34, v01..v09, x09/x10/x12/x14) by age. Everything
-#: else is r5/r6-fresh.
+#: Next-round rotation candidates (all r4-green, code unchanged):
+#: q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/t32/t34,
+#: x09/x10/x12/x14 — then everything r5/r6-fresh by age. The r6
+#: window (m-codecs, s01/s02, v13/v14, g01-g03, q31/q32, e11, f16/f17,
+#: t-series) is r6-green and stays on the local strict harness.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate

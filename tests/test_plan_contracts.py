@@ -1,0 +1,112 @@
+"""Mechanical plan assertions for the SCALE.md claims that were previously
+documentation-only (r6 verdict item 6): g03's broadcast-frontier BFS
+expansion, v13/v14's AQE-vs-hinted join split (the transaction-grain rule),
+and x10's probe-filter-before-PQ-encode position. Each pins the PHYSICAL
+plan shape so a regression (a dropped hint, a forced broadcast on a
+fact-grain relation, a filter hoisted above the encode) fails CI, not a
+re-read of the docs."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+@pytest.fixture()
+def no_aqe(spark):
+    """AQE off so join strategies are visible in the static plan."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bfs_expand_broadcasts_frontier_and_visited(no_aqe):
+    """g03's per-level expansion (graphops.bfs_expand): BOTH joins —
+    frontier probe and visited anti-join — must be broadcast hash joins;
+    the only shuffle in a level is the distinct over matched dsts. The
+    edge list itself must never re-partition."""
+    spark = no_aqe
+    from stock_crypto_data_pipeline_public_spark.plans.graphops import bfs_expand
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    frontier = spark.createDataFrame([("a",)], "node string")
+    visited = frontier.select("node")
+    plan = _plan(bfs_expand(edges, frontier, visited))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # exactly one ENSURE_REQUIREMENTS exchange: the distinct — the edge
+    # scan must feed the probe join unshuffled
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+
+
+def test_v14_dag_transaction_grain_joins_left_to_aqe(no_aqe):
+    """The vault DAG's grain rule (market.py): dim/hub joins are
+    broadcast-HINTED; transaction-grain joins (hub_transaction, link
+    resolution on transaction ids) carry NO hint — AQE picks broadcast
+    when small, SMJ when not. With size-based auto-broadcast disabled,
+    only hinted joins may appear as BroadcastHashJoin, and every
+    transaction-keyed join must be a SortMergeJoin."""
+    spark = no_aqe
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from stock_crypto_data_pipeline_public_spark.plans import vault
+        from stock_crypto_data_pipeline_public_spark.plans.market import (
+            registry as market_models,
+        )
+
+        ctx = vault._dag_fixtures(spark, "/root/testdata/sf0.001")
+        built = market_models.run(ctx, select=["semantic_transactions"])
+        plan = _plan(built["semantic_transactions"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    bhj = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    # the 7 explicit dim/hub hints (hub_customer x2, hub_company x2,
+    # dim_customer, dim_asset, asset-key link); a count change means a
+    # hint was added or dropped — re-derive before updating
+    assert len(bhj) == 7, plan
+    # NO transaction-grain relation is ever force-broadcast
+    assert not any(re.search(r"transaction", ln, re.I) for ln in bhj), bhj
+    # the transaction-grain joins exist and resolved to shuffle joins
+    assert sum("hk_transaction" in ln for ln in smj) >= 3, smj
+    assert any(
+        "transaction_id" in ln and "transaction_bk" in ln for ln in smj
+    ), smj
+
+
+def test_x10_probe_filter_sits_below_pq_encode(no_aqe):
+    """x10 IVF-PQ: the probe filter (centroid_id IN probed set) must cut
+    the corpus BEFORE the PQ encode stage — encode work ∝ probed fraction.
+    In the printed plan tree (parents before descendants), the encode
+    Generate must appear above the Filter, which must appear above the
+    coarse-assignment min_by aggregate it consumes."""
+    spark = no_aqe
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["x10_ivfpq_search"](spark, "/root/testdata/sf0.001")
+    lines = _plan(df).splitlines()
+
+    def first(pred):
+        for i, ln in enumerate(lines):
+            if pred(ln):
+                return i
+        raise AssertionError("plan node not found:\n" + "\n".join(lines))
+
+    encode = first(lambda ln: "Generate posexplode" in ln)
+    probe_filter = first(
+        lambda ln: "Filter" in ln and re.search(r"centroid_id#\d+ IN", ln)
+    )
+    coarse = first(lambda ln: "min_by(centroid_id" in ln)
+    assert encode < probe_filter < coarse, (encode, probe_filter, coarse)
