@@ -76,15 +76,18 @@ _GATE_PRIORITY = (
     + ["e02", "e04", "e06", "e07", "e08"]
     + ["f02"]                                                   # (20)
     # round-7 changed code: PDF scanner fixes, m05 fork checkpoint, and
-    # m19 — NEW: real glyph-raster OCR through extract_text('png')
-    + ["m17", "m18", "m05", "m19"]                              # (24)
+    # the NEW queries — m19 (real glyph-raster OCR through
+    # extract_text('png')) and t43 (the HLL sketch family's exact
+    # mergeability booleans, giving the last rows-only family a
+    # driver-hard contract)
+    + ["m17", "m18", "m05", "m19", "t43"]                       # (25)
     # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (30)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (31)
     # freshness: oldest r4-green rows
-    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (37)
-    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12"]  # (45)
+    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (38)
+    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12"]  # (46)
     + ["e01", "e03", "e05"]
-    + ["f01", "f08"]                                            # (50)
+    + ["f01"]                                                   # (50)
 )
 #: Next-round rotation candidates (all r4-green, code unchanged):
 #: q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/t32/t34,
@@ -94,8 +97,9 @@ _GATE_PRIORITY = (
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate
-#: answers; the exact twins t18/t17 are hash-gated and each sketch
-#: carries an error-bound/mergeability property test). They
+#: answers; the exact twins t18/t17 are hash-gated, t43 drives the
+#: sketch mergeability/error booleans through a hash row, and each
+#: sketch carries an error-bound/mergeability property test). They
 #: must NEVER rotate into the driver window — a rows-only row there would
 #: read as red for a non-defect. load_all() enforces this mechanically.
 _NEVER_GATE = frozenset({"t28", "t29", "t39"})

@@ -2472,6 +2472,8 @@ def t38_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Rows-only gate (t28's precedent): DataSketches estimates are
 # engine-specific, so no DuckDB oracle; the sketch lands in _NEVER_GATE.
+# t43 is the driver-HARD twin: the exact booleans of this contract
+# (merge ≡ direct, 5% error bound, storable state) gated as hash rows.
 # --------------------------------------------------------------------------
 @query("t39_hll_sketch_union", oracle=None)
 def t39_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2500,6 +2502,68 @@ def t39_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "lang").select(
         "lang", "n_parts", "est_merged", "est_direct", "exact_distinct",
         "sum_part_exact",
+    )
+
+
+# --------------------------------------------------------------------------
+# t43 — the HLL sketch family's EXACT driver-hard contract (r6 verdict
+# item 7): t39's estimates are engine-specific (rows-only by design), but
+# the properties that make the sketch TRUSTWORTHY are exact booleans a
+# DuckDB oracle can pin as literal TRUE rows — the driver hash then goes
+# red if Spark's DataSketches implementation ever breaks them:
+#   merge_equals_direct — union-of-parts ≡ one-shot sketch (mergeability:
+#     the same algorithm over the same stream must yield the identical
+#     estimate whether built per-partition-and-merged or in one pass);
+#   within_5pct — the estimate lands within 5% of the exact distinct
+#     count riding along (HLL lgK default gives ~1.6% RSE; 5% ≈ 3σ);
+#   state_nonempty — the serialized sketch is a real, storable state.
+# exact_distinct / n_parts are exactly SQL-computable and gate alongside.
+# 100 TB: same plan as t39 — per-partition sketch + KB-sized state merge.
+# --------------------------------------------------------------------------
+@query(
+    "t43_hll_mergeability_contract",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT tok)    AS BIGINT) AS exact_distinct,
+           TRUE                                   AS merge_equals_direct,
+           TRUE                                   AS within_5pct,
+           TRUE                                   AS state_nonempty
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def t43_hll_mergeability_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang",
+        "source",
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("tok"),
+    )
+    part = toks.groupBy("lang", "source").agg(F.hll_sketch_agg("tok").alias("sk"))
+    merged = part.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min(F.length("sk")).alias("min_state_bytes"),
+    )
+    direct = toks.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est_direct"),
+        F.countDistinct("tok").alias("exact_distinct"),
+    )
+    return merged.join(direct, "lang").select(
+        "lang",
+        "n_parts",
+        "exact_distinct",
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_equals_direct"),
+        (
+            F.abs(F.col("est_merged") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_5pct"),
+        (F.col("min_state_bytes") > 0).alias("state_nonempty"),
     )
 
 
