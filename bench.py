@@ -59,6 +59,12 @@ def main() -> int:
 
     # one tiny warm-up action so JVM/codegen startup isn't billed to q01
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ...and one Arrow round-trip so Python-worker spin-up isn't billed to
+    # the first mapInPandas query (r6: m-series cold-start was the dominant
+    # noise source — m05 35.9s cold vs 3.6s steady on identical code)
+    spark.range(64).repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # best-of-2 per query: a single pass is noisy at these sub-second scales
     # (GC pauses / machine load produce 4x one-off blips that read as false

@@ -257,8 +257,11 @@ def process_documents(
 #     byte-for-byte the reference's pdfplumber format. NOT handled
 #     (documented): encrypted PDFs, non-Flate filters, CMap/ToUnicode
 #     font re-encoding, layout-based word reflow.
-# Image OCR (reference ocr_tools.py) needs tesseract — absent from this
-# container — so image doc_types keep the fake= honesty contract.
+# Image OCR (reference ocr_tools.py): REAL for machine-rendered glyph
+# rasters — PNG via full decode + bitmap-font template match, JPEG via
+# the full baseline decode with block-exact rendering (operators/ocr.py).
+# PHOTOGRAPHIC OCR needs tesseract — absent from this container — so a
+# non-raster image raises ValueError rather than fabricating text.
 # --------------------------------------------------------------------------
 
 _EXTRACT_SCHEMA = "doc_id long, doc_type string, text string, n_chars int"
@@ -487,14 +490,16 @@ def extract_text(
     """Extract text from binary documents via mapInPandas (Arrow batches).
 
     Mirrors text_extractors.py's extractor registry: ``txt`` (UTF-8),
-    ``docx`` (real zip+XML parse), ``pdf`` (real Flate + text-op scan) and
+    ``docx`` (real zip+XML parse), ``pdf`` (real Flate + text-op scan),
     ``png`` (REAL glyph-raster OCR: full PNG decode + bitmap-font template
-    match, operators/ocr.py) decode for REAL. A png that is NOT a
-    machine-rendered glyph raster raises ValueError (honest: photographic
-    OCR is tesseract's job — reference ocr_tools.py — and tesseract is
-    absent from this container); ``jpg``/``jpeg`` raise
-    ``NotImplementedError`` unless ``fake=True`` supplies the
-    deterministic sha256-derived placeholder (schema, batching and
+    match) and ``jpg``/``jpeg`` (REAL glyph OCR through the full baseline
+    JPEG decode — entropy decode, dequantize, IDCT — exact for the
+    block-rendered rasters per jpegcodec's evenness contract; operators/
+    ocr.py) decode for REAL. An image that is NOT a machine-rendered
+    glyph raster raises ValueError (honest: photographic OCR is
+    tesseract's job — reference ocr_tools.py — and tesseract is absent
+    from this container); ``fake=True`` keeps the deterministic
+    sha256-derived placeholder for image types (schema, batching and
     partitioning stay real). Unknown types yield ''.
 
     ``on_error``: ``'raise'`` propagates decode errors (the reference's
@@ -503,7 +508,7 @@ def extract_text(
     the job alive — at corpus scale one corrupt document must not kill a
     million-task job (the PERMISSIVE-mode analog of the CSV loader).
     NULL (not '') so downstream can tell "failed" from "legitimately
-    empty"; the ``NotImplementedError`` honesty guard raises regardless.
+    empty".
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
@@ -524,27 +529,22 @@ def extract_text(
                         texts.append(_extract_docx(payload))
                     elif dtype == "pdf":
                         texts.append(_extract_pdf(payload))
-                    elif dtype == "png" and not fake:
-                        from .ocr import ocr_png_bytes
+                    elif dtype in ("png", "jpg", "jpeg") and not fake:
+                        from .ocr import ocr_jpeg_bytes, ocr_png_bytes
 
                         # REAL for glyph rasters; ValueError for anything
                         # else (photographic OCR stays environmental) —
                         # which PERMISSIVE mode maps to NULL like any
                         # other undecodable row
-                        texts.append(ocr_png_bytes(payload))
+                        if dtype == "png":
+                            texts.append(ocr_png_bytes(payload))
+                        else:
+                            texts.append(ocr_jpeg_bytes(payload))
                     elif dtype in ("png", "jpg", "jpeg"):
-                        if not fake:
-                            raise NotImplementedError(
-                                f"{dtype} OCR needs tesseract (reference "
-                                "ocr_tools.py; not in this container); pass "
-                                "fake=True for the deterministic stand-in"
-                            )
                         digest = hashlib.sha256(payload).hexdigest()
                         texts.append(f"{dtype} document {digest[:16]}")
                     else:
                         texts.append("")
-                except NotImplementedError:
-                    raise  # honesty guard: never maskable
                 except Exception:
                     if on_error == "raise":
                         raise

@@ -109,6 +109,27 @@ def _render_raster(text: str):
     return px
 
 
+def _match_cells(bits) -> str:
+    """Exact template matching over a (GLYPH_H, n_cells*CELL_W) boolean
+    raster. Raises on an unrecognized cell — the honest behavior for a
+    non-rendered image, not a fabricated string."""
+    h, w = bits.shape
+    chars = []
+    for i in range(w // CELL_W):
+        cell = bits[:, i * CELL_W : i * CELL_W + GLYPH_W]
+        rows = tuple(
+            int("".join("1" if v else "0" for v in cell[y]), 2)
+            for y in range(GLYPH_H)
+        )
+        ch = _GLYPH_TO_CHAR.get(rows)
+        if ch is None:
+            raise ValueError(
+                f"unrecognized glyph cell {i}: not a rendered-text raster"
+            )
+        chars.append(ch)
+    return "".join(chars)
+
+
 def ocr_png_bytes(payload: bytes) -> str:
     """REAL glyph OCR of one PNG: full decode (multimodal._png_parse +
     inflate + unfilter), geometry check, exact per-cell template match.
@@ -127,21 +148,35 @@ def ocr_png_bytes(payload: bytes) -> str:
             "tesseract (reference ocr_tools.py), absent from this container"
         )
     raster = _unfilter_png(zlib.decompress(idat), w, h, bpp=3)
-    raster = raster.reshape(h, w, 3)
-    chars = []
-    for i in range(w // CELL_W):
-        cell = raster[:, i * CELL_W : i * CELL_W + GLYPH_W, 0] > 127
-        rows = tuple(
-            int("".join("1" if v else "0" for v in cell[y]), 2)
-            for y in range(GLYPH_H)
+    return _match_cells(raster.reshape(h, w, 3)[:, :, 0] > 127)
+
+
+#: JPEG glyph rendering upscales each glyph pixel to one 8x8 block of a
+#: constant EVEN sample (ink 254, background 0): per the codec's exactness
+#: contract (jpegcodec.py module docstring) such blocks round-trip
+#: BIT-exactly through the lossy baseline process, so the jpg OCR path is
+#: exact template matching too — over a real entropy-decode + IDCT.
+JPEG_BLOCK = 8
+
+
+def ocr_jpeg_bytes(payload: bytes) -> str:
+    """REAL glyph OCR of one JPEG: full baseline decode (jpegcodec —
+    Huffman entropy decode, dequantize, IDCT), geometry check, 8x
+    block-downsample, exact per-cell template match. Same honesty contract
+    as :func:`ocr_png_bytes` for non-raster images."""
+    from .jpegcodec import decode_jpeg
+
+    d = decode_jpeg(payload)
+    w, h = d["width"], d["height"]
+    if h != GLYPH_H * JPEG_BLOCK or w % (CELL_W * JPEG_BLOCK):
+        raise ValueError(
+            f"not a glyph raster ({w}x{h}): natural-image OCR needs "
+            "tesseract (reference ocr_tools.py), absent from this container"
         )
-        ch = _GLYPH_TO_CHAR.get(rows)
-        if ch is None:
-            raise ValueError(
-                f"unrecognized glyph cell {i}: not a rendered-text raster"
-            )
-        chars.append(ch)
-    return "".join(chars)
+    # block-constant by construction: the top-left sample represents the
+    # whole 8x8 block (and the decode was bit-exact, see contract above)
+    down = d["raster"][:: JPEG_BLOCK, :: JPEG_BLOCK]
+    return _match_cells(down > 127)
 
 
 def render_text_png(
@@ -177,20 +212,68 @@ def render_text_png(
     return docs.select(id_col, text_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def render_text_jpeg(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chars: int = 16,
+) -> DataFrame:
+    """Rasterize each document's normalized text into a REAL baseline JPEG
+    (grayscale, one 8x8 even-valued block per glyph pixel — bit-exact
+    through the lossy codec per jpegcodec's contract). Arrow-batched,
+    map-only. Default ``n_chars`` is smaller than the PNG path's: each
+    char costs 42 DCT blocks through the full entropy coder."""
+    import pandas as pd
+
+    from .jpegcodec import encode_jpeg
+    from .multimodal import MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "media": [],
+                "media_type": [],
+                "n_bytes": [],
+            }
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                gray = _render_raster(normalize_for_raster(text, n_chars))[:, :, 0]
+                even = np.where(gray > 0, 254, 0).astype(np.uint8)
+                big = np.kron(even, np.ones((JPEG_BLOCK, JPEG_BLOCK), np.uint8))
+                b = encode_jpeg(big)
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("image/jpeg")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def ocr_images(
     df: DataFrame,
     media_col: str = "media",
     id_col: str = "doc_id",
+    type_col: str = "media_type",
 ) -> DataFrame:
-    """OCR a media relation of glyph-raster PNGs -> (doc_id, text).
-    Arrow-batched, map-only; errors propagate (a non-raster image is a
-    caller bug here — extract_text's PERMISSIVE path handles mixed
-    corpora)."""
+    """OCR a media relation of glyph-raster PNGs/JPEGs -> (doc_id, text),
+    routed by media_type. Arrow-batched, map-only; errors propagate (a
+    non-raster image is a caller bug here — extract_text's PERMISSIVE
+    path handles mixed corpora)."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = [ocr_png_bytes(bytes(b)) for b in pdf[media_col]]
+            texts = [
+                ocr_jpeg_bytes(bytes(b))
+                if mt == "image/jpeg"
+                else ocr_png_bytes(bytes(b))
+                for b, mt in zip(pdf[media_col], pdf[type_col])
+            ]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "text": texts})
 
-    return df.select(id_col, media_col).mapInPandas(run, "doc_id long, text string")
+    return df.select(id_col, media_col, type_col).mapInPandas(
+        run, "doc_id long, text string"
+    )

@@ -905,3 +905,48 @@ def m19_png_glyph_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("ocr_text"),
         "n_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# m20 — REAL image OCR through the LOSSY codec: m19's twin over baseline
+# JPEG. Each glyph pixel renders as an 8x8 block of a constant EVEN sample,
+# which round-trips BIT-exactly through the full T.81 process (jpegcodec's
+# documented evenness contract — DC = 8*(v-128) divides the Annex-K step),
+# so the recovery is exact template matching over a real Huffman entropy
+# decode + dequantize + IDCT. extract_text('jpg') is the gated surface —
+# with m19 this makes every extractor type in the registry REAL; only
+# photographic OCR (tesseract's model) remains environmental, and
+# non-raster images raise rather than fabricate. 16 chars per doc (each
+# char costs 42 DCT blocks through the entropy coder — the lossy path is
+# intrinsically heavier than PNG's, so the gate keeps the raster small).
+# 100 TB: Arrow-batched map-only mapInPandas, same scaling as m19.
+# --------------------------------------------------------------------------
+@query(
+    "m20_jpeg_glyph_ocr",
+    oracle="""
+    SELECT doc_id,
+           rpad(upper(substr(regexp_replace(coalesce(text, ''),
+                                            '[^A-Za-z0-9 ]', ' ', 'g'),
+                             1, 16)), 16, ' ')  AS ocr_text,
+           CAST(16 AS INT)                      AS n_chars
+    FROM documents
+    """,
+)
+def m20_jpeg_glyph_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import chunking as C
+    from ..operators import ocr as O
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    imgs = O.render_text_jpeg(docs, n_chars=16)  # REAL T.81 encode
+    bin_docs = imgs.select(
+        "doc_id",
+        F.col("media").alias("content"),
+        F.lit("jpg").alias("doc_type"),
+    )
+    extracted = C.extract_text(bin_docs)  # REAL entropy decode + IDCT + OCR
+    return extracted.select(
+        "doc_id",
+        F.col("text").alias("ocr_text"),
+        "n_chars",
+    )

@@ -76,18 +76,18 @@ _GATE_PRIORITY = (
     + ["e02", "e04", "e06", "e07", "e08"]
     + ["f02"]                                                   # (20)
     # round-7 changed code: PDF scanner fixes, m05 fork checkpoint, and
-    # the NEW queries — m19 (real glyph-raster OCR through
-    # extract_text('png')) and t43 (the HLL sketch family's exact
-    # mergeability booleans, giving the last rows-only family a
-    # driver-hard contract)
-    + ["m17", "m18", "m05", "m19", "t43"]                       # (25)
+    # the NEW queries — m19/m20 (real glyph-raster OCR through
+    # extract_text: PNG exact-decode path and lossy-JPEG block-exact
+    # path; every extractor type is now REAL) and t43 (the HLL sketch
+    # family's exact mergeability booleans, giving the last rows-only
+    # family a driver-hard contract)
+    + ["m17", "m18", "m05", "m19", "m20", "t43"]                # (26)
     # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (31)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (32)
     # freshness: oldest r4-green rows
-    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (38)
-    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12"]  # (46)
-    + ["e01", "e03", "e05"]
-    + ["f01"]                                                   # (50)
+    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (39)
+    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12"]  # (47)
+    + ["e01", "e03", "e05"]                                     # (50)
 )
 #: Next-round rotation candidates (all r4-green, code unchanged):
 #: q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/t32/t34,

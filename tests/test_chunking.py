@@ -133,12 +133,19 @@ def test_process_documents_rejects_unknown_strategy(docs):
         C.process_documents(docs, strategy="token")
 
 
-def test_extract_text_txt_docx_pdf_png_real_jpg_stubbed(spark):
+def test_extract_text_all_types_real(spark):
+    import numpy as np
+
     from stock_crypto_data_pipeline_public_spark.operators import ocr
+    from stock_crypto_data_pipeline_public_spark.operators.jpegcodec import encode_jpeg
     from stock_crypto_data_pipeline_public_spark.operators.multimodal import _encode_png
 
     glyph_png = _encode_png(
         ocr._render_raster(ocr.normalize_for_raster("Scan 42!", 12))
+    )
+    gray = ocr._render_raster(ocr.normalize_for_raster("Jay peg 7", 12))[:, :, 0]
+    glyph_jpg = encode_jpeg(
+        np.kron(np.where(gray > 0, 254, 0).astype(np.uint8), np.ones((8, 8), np.uint8))
     )
     bin_docs = spark.createDataFrame(
         [
@@ -146,39 +153,40 @@ def test_extract_text_txt_docx_pdf_png_real_jpg_stubbed(spark):
             (2, "pdf", bytearray(C._make_pdf([["hello pdf", "line (two)"]]))),
             (3, "docx", bytearray(C._make_docx(["first para", "second para"]))),
             (4, "png", bytearray(glyph_png)),
-            (5, "jpg", bytearray(b"\xff\xd8 fake scan")),
+            (5, "jpg", bytearray(glyph_jpg)),
         ],
         "doc_id long, doc_type string, content binary",
     )
-    real = bin_docs.filter(F.col("doc_type") != "jpg")
-    got = {r.doc_id: r.text for r in C.extract_text(real).collect()}
+    got = {r.doc_id: r.text for r in C.extract_text(bin_docs).collect()}
     assert got[1] == "plain text payload"
     assert got[2] == "--- Page 1 ---\nhello pdf\nline (two)"
     assert got[3] == "first para\nsecond para"
-    # png is REAL now: full decode + glyph template match (operators/ocr.py)
+    # images are REAL now: full codec decode + glyph template match
     assert got[4] == "SCAN 42     "
+    assert got[5] == "JAY PEG 7   "
 
-    # jpg OCR stays stubbed (lossy codec vs exact template matching;
-    # tesseract absent): raises unless fake=True
-    with pytest.raises(Exception, match="NotImplementedError|tesseract"):
-        C.extract_text(bin_docs).collect()
+    # fake=True keeps the deterministic placeholder for image types
     fake = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
     assert fake[2] == got[2] and fake[3] == got[3]  # real formats unaffected
+    assert fake[4].startswith("png document ")
     assert fake[5].startswith("jpg document ")
     again = {r.doc_id: r.text for r in C.extract_text(bin_docs, fake=True).collect()}
     assert fake == again
 
-    # a png that is NOT a glyph raster fails honestly (no fabricated text):
-    # raise mode propagates, PERMISSIVE mode nulls the row like any other
-    # undecodable payload
+    # an image that is NOT a glyph raster fails honestly (no fabricated
+    # text): raise mode propagates, PERMISSIVE mode nulls the row like any
+    # other undecodable payload
     photo = spark.createDataFrame(
-        [(8, "png", bytearray(b"\x89PNG photographic"))],
+        [
+            (8, "png", bytearray(b"\x89PNG photographic")),
+            (9, "jpg", bytearray(b"\xff\xd8 photographic")),
+        ],
         "doc_id long, doc_type string, content binary",
     )
-    with pytest.raises(Exception, match="IHDR|glyph|raster|not a PNG"):
+    with pytest.raises(Exception, match="IHDR|glyph|raster|not a PNG|jpeg"):
         C.extract_text(photo).collect()
-    skipped = C.extract_text(photo, on_error="skip").collect()
-    assert skipped[0].text is None
+    skipped = {r.doc_id: r.text for r in C.extract_text(photo, on_error="skip").collect()}
+    assert skipped == {8: None, 9: None}
 
 
 def test_docx_codec_round_trip():
@@ -428,13 +436,15 @@ def test_extract_text_on_error_skip(spark):
     with pytest.raises(ValueError, match="on_error"):
         C.extract_text(docs, on_error="ignore")
 
-    # honesty guard survives skip mode (jpg: the remaining stubbed type)
+    # a non-raster image in PERMISSIVE mode nulls like any undecodable
+    # row (no fabricated text, job stays alive); raise mode propagates
     ocr = spark.createDataFrame(
         [(9, "jpg", bytearray(b"\xff\xd8"))],
         "doc_id long, doc_type string, content binary",
     )
-    with pytest.raises(Exception, match="NotImplementedError|tesseract"):
-        C.extract_text(ocr, on_error="skip").collect()
+    assert C.extract_text(ocr, on_error="skip").collect()[0].text is None
+    with pytest.raises(Exception, match="jpeg|glyph|raster"):
+        C.extract_text(ocr).collect()
 
 
 try:

@@ -67,11 +67,42 @@ def test_normalization_matches_duckdb_rpad_chain():
         assert sql == ocr.normalize_for_raster(t, 48), t
 
 
+def test_jpeg_roundtrip_exact_through_lossy_codec():
+    """Block-rendered glyphs survive the full T.81 encode/decode
+    BIT-exactly (jpegcodec's evenness contract), so jpg OCR is exact."""
+    import numpy as np
+
+    from stock_crypto_data_pipeline_public_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    n = ocr.normalize_for_raster("Lossy? Not here 99", 24)
+    gray = ocr._render_raster(n)[:, :, 0]
+    even = np.where(gray > 0, 254, 0).astype(np.uint8)
+    big = np.kron(even, np.ones((8, 8), np.uint8))
+    payload = encode_jpeg(big)
+    # bit-exact decode is the foundation the OCR stands on — assert it
+    assert (decode_jpeg(payload)["raster"] == big).all()
+    assert ocr.ocr_jpeg_bytes(payload) == n
+
+
+def test_jpeg_non_raster_raises():
+    import numpy as np
+
+    from stock_crypto_data_pipeline_public_spark.operators.jpegcodec import encode_jpeg
+
+    photo = encode_jpeg(np.full((32, 32), 100, dtype=np.uint8))
+    with pytest.raises(ValueError, match="glyph raster"):
+        ocr.ocr_jpeg_bytes(photo)
+
+
 def test_distributed_render_then_ocr(spark):
     rows = [(1, "Alpha one"), (2, None), (3, "B" * 90), (4, "42!")]
     docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
-    imgs = ocr.render_text_png(docs, n_chars=24)
-    got = {r.doc_id: r.text for r in ocr.ocr_images(imgs).collect()}
-    assert got == {
-        doc_id: ocr.normalize_for_raster(text, 24) for doc_id, text in rows
-    }
+    for render, n in ((ocr.render_text_png, 24), (ocr.render_text_jpeg, 12)):
+        imgs = render(docs, n_chars=n)
+        got = {r.doc_id: r.text for r in ocr.ocr_images(imgs).collect()}
+        assert got == {
+            doc_id: ocr.normalize_for_raster(text, n) for doc_id, text in rows
+        }
