@@ -81,13 +81,16 @@ _GATE_PRIORITY = (
     # path; every extractor type is now REAL) and t43 (the HLL sketch
     # family's exact mergeability booleans, giving the last rows-only
     # family a driver-hard contract)
-    + ["m17", "m18", "m05", "m19", "m20", "t43"]                # (26)
+    + ["m17", "m18", "m05", "m19", "m20", "t43"]
+    # round-7 NEW queries: q33 correlated LATERAL decorrelation, t44
+    # Gopher-style quality-rule battery
+    + ["q33", "t44"]                                            # (28)
     # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (32)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (34)
     # freshness: oldest r4-green rows
-    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (39)
-    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12"]  # (47)
-    + ["e01", "e03", "e05"]                                     # (50)
+    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (41)
+    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12"]  # (49)
+    + ["e01"]                                                   # (50)
 )
 #: Next-round rotation candidates (all r4-green, code unchanged):
 #: q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/t32/t34,

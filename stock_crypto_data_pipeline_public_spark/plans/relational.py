@@ -1314,3 +1314,48 @@ def q32_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("k").isNull(), 1)).alias("n_missing_k"),
         F.count(F.when(F.col("absent").isNull(), 1)).alias("n_missing_absent"),
     )
+
+
+# --------------------------------------------------------------------------
+# q33 — correlated LATERAL join (ANSI lateral derived table): top-2 orders
+# per customer written the way an analyst writes it — `FROM customer,
+# LATERAL (SELECT ... WHERE o_custkey = c_custkey ORDER BY ... LIMIT 2)` —
+# through spark.sql, so the surface under test is Catalyst's lateral-join
+# DECORRELATION (DecorrelateLateralSubquery): the naive reading is one
+# subquery execution per outer row (O(customers) scans — death at any
+# scale); the rewrite the gate pins produces ONE join + per-key limit over
+# a single orders scan. The identical SQL text runs on DuckDB (which has
+# native LATERAL). q28 gates the scalar-subquery decorrelation path; this
+# gates the table-valued one — together they cover the two correlated
+# shapes the reference's ad-hoc SQL surface (warehouse_tools.py) accepts
+# from users. Deterministic: ORDER BY o_totalprice DESC, o_orderkey ASC
+# inside the lateral body (totalprice ties broken by the unique key).
+# --------------------------------------------------------------------------
+_Q33_SQL = """
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           t.o_orderkey,
+           t.o_totalprice,
+           t.rk
+    FROM {cust} c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS INT) AS rk
+        FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 2
+    ) t
+"""
+
+
+@query(
+    "q33_lateral_top_orders",
+    oracle=_Q33_SQL.format(cust="customer", orders="orders"),
+)
+def q33_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q33_{t}")
+    return spark.sql(_Q33_SQL.format(cust="q33_customer", orders="q33_orders"))

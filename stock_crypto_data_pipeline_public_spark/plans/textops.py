@@ -2903,3 +2903,126 @@ def t42_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.max("j"), 6).alias("max_jaccard"),
         (F.max("j") >= _T42_TAU).alias("contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# t44 — Gopher-style quality-RULE battery (Rae et al. 2021 §A1.1, the
+# industry-standard pretraining filter shape; also Dolma/RefinedWeb): where
+# t03 blends features into one score, production filters apply a battery of
+# independent pass/fail rules and report PER-RULE failure counts so corpus
+# curators can see WHICH rule is eating their data. Word-level rules (this
+# corpus is single-line prose, so the line-based Gopher rules are
+# degenerate and deliberately omitted): minimum word count, mean word
+# length in [3,10], >= 2 stop-word hits, top-token mass <= 20% (repetition),
+# unique-token fraction >= 30% (diversity). Every per-doc feature is an
+# exact integer or a single IEEE division of exact integers — identical in
+# both engines, so the rule booleans and the rollup hash-gate exactly.
+# 100 TB: explode -> two hash aggregations keyed by (doc,tok)/(doc) -> join
+# back on doc_id -> final (lang,source) rollup. All map-side-partial
+# combinable, keys uniform, no windows, no self-joins.
+# --------------------------------------------------------------------------
+_T44_MIN_WORDS = 50
+
+
+@query(
+    "t44_gopher_rule_battery",
+    oracle=f"""
+    WITH per_tok AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''), '[a-z0-9]+')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    feats AS (
+        SELECT doc_id,
+               sum(c)                 AS n_words,
+               sum(length(tok) * c)   AS sum_len,
+               max(c)                 AS top_cnt,
+               count(*)               AS n_uniq
+        FROM per_tok GROUP BY 1
+    ),
+    flags AS (
+        SELECT d.lang, d.source,
+               coalesce(f.n_words, 0) >= {_T44_MIN_WORDS}                    AS p_len,
+               f.n_words IS NOT NULL
+                   AND f.sum_len * 1.0 / f.n_words >= 3.0
+                   AND f.sum_len * 1.0 / f.n_words <= 10.0                   AS p_wordlen,
+               len(regexp_extract_all(coalesce(d.text, ''), '{_STOP_RE}')) >= 2 AS p_stop,
+               f.n_words IS NOT NULL
+                   AND f.top_cnt * 1.0 / f.n_words <= 0.20                   AS p_rep,
+               f.n_words IS NOT NULL
+                   AND f.n_uniq * 1.0 / f.n_words >= 0.30                    AS p_div
+        FROM documents d LEFT JOIN feats f USING (doc_id)
+    )
+    SELECT lang, source,
+           count(*)                                                  AS n_docs,
+           CAST(count(*) FILTER (p_len AND p_wordlen AND p_stop AND p_rep AND p_div)
+                AS BIGINT)                                           AS n_kept,
+           CAST(count(*) FILTER (NOT p_len)     AS BIGINT)           AS fail_short,
+           CAST(count(*) FILTER (NOT p_wordlen) AS BIGINT)           AS fail_word_len,
+           CAST(count(*) FILTER (NOT p_stop)    AS BIGINT)           AS fail_stop,
+           CAST(count(*) FILTER (NOT p_rep)     AS BIGINT)           AS fail_repetition,
+           CAST(count(*) FILTER (NOT p_div)     AS BIGINT)           AS fail_diversity,
+           {oracle_rnd("count(*) FILTER (p_len AND p_wordlen AND p_stop AND p_rep AND p_div) * 1.0 / count(*)", 4)}
+                                                                     AS kept_frac
+    FROM flags
+    GROUP BY lang, source
+    """,
+)
+def t44_gopher_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.coalesce("text", F.lit("")), F.lit("[a-z0-9]+"), 0)
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    feats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.length("tok") * F.col("c")).alias("sum_len"),
+        F.max("c").alias("top_cnt"),
+        F.count(F.lit(1)).alias("n_uniq"),
+    )
+    mean_len = F.col("sum_len") * 1.0 / F.col("n_words")
+    flags = docs.join(feats, "doc_id", "left").select(
+        "lang",
+        "source",
+        (F.coalesce("n_words", F.lit(0)) >= _T44_MIN_WORDS).alias("p_len"),
+        (
+            F.col("n_words").isNotNull()
+            & (mean_len >= 3.0)
+            & (mean_len <= 10.0)
+        ).alias("p_wordlen"),
+        (
+            F.size(
+                F.regexp_extract_all(F.coalesce("text", F.lit("")), F.lit(_STOP_RE), 0)
+            )
+            >= 2
+        ).alias("p_stop"),
+        (
+            F.col("n_words").isNotNull()
+            & (F.col("top_cnt") * 1.0 / F.col("n_words") <= 0.20)
+        ).alias("p_rep"),
+        (
+            F.col("n_words").isNotNull()
+            & (F.col("n_uniq") * 1.0 / F.col("n_words") >= 0.30)
+        ).alias("p_div"),
+    )
+    keep = (
+        F.col("p_len") & F.col("p_wordlen") & F.col("p_stop") & F.col("p_rep") & F.col("p_div")
+    )
+    return flags.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.count(F.when(~F.col("p_len"), 1)).alias("fail_short"),
+        F.count(F.when(~F.col("p_wordlen"), 1)).alias("fail_word_len"),
+        F.count(F.when(~F.col("p_stop"), 1)).alias("fail_stop"),
+        F.count(F.when(~F.col("p_rep"), 1)).alias("fail_repetition"),
+        F.count(F.when(~F.col("p_div"), 1)).alias("fail_diversity"),
+        rnd(F.count(F.when(keep, 1)) * 1.0 / F.count(F.lit(1)), 4).alias("kept_frac"),
+    )
