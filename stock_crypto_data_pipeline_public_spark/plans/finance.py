@@ -26,7 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec, dsum, oracle_dec, oracle_dsum, oracle_rnd, rnd
+from ..functions.numeric import (
+    dec,
+    dsum,
+    money_sum,
+    oracle_dec,
+    oracle_dsum,
+    oracle_money_sum,
+    oracle_rnd,
+    rnd,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -276,7 +285,7 @@ def f06_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               {oracle_rnd('avg(value)', 4)} AS px
+               {oracle_rnd(oracle_money_sum('value') + ' / count(*)', 4)} AS px
         FROM events
         GROUP BY 1, 2
     )
@@ -295,7 +304,7 @@ def f05_daily_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
         )
-        .agg(rnd(F.avg("value"), 4).alias("px"))
+        .agg(rnd(money_sum("value") / F.count(F.lit(1)), 4).alias("px"))
     )
     a = daily.alias("a")
     b = daily.alias("b")
@@ -1048,7 +1057,7 @@ _BETA_N = 10
     oracle=f"""
     WITH daily AS (
         SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
-               {oracle_rnd('avg(value)', 4)} AS px
+               {oracle_rnd(oracle_money_sum('value') + ' / count(*)', 4)} AS px
         FROM events GROUP BY 1, 2
     ),
     ret AS (
@@ -1098,7 +1107,7 @@ def f15_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("symbol"),
             F.date_trunc("day", "ts").cast("date").alias("day"),
         )
-        .agg(rnd(F.avg("value"), 4).alias("px"))
+        .agg(rnd(money_sum("value") / F.count(F.lit(1)), 4).alias("px"))
     )
     w = W.partitionBy("symbol").orderBy(F.asc("day"))
     ret = (

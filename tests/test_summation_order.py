@@ -39,6 +39,8 @@ MONEY_QUERIES = [
     "e07_asof_prior_activity",
     "e08_purchase_attribution_window",
     "f02_daily_vwap",
+    "f05_daily_corr_pairs",
+    "f15_rolling_beta",
 ]
 
 #: conf overrides that maximally perturb partial-aggregation order: every
