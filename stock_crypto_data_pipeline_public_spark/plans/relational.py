@@ -1359,3 +1359,52 @@ def q33_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"q33_{t}")
     return spark.sql(_Q33_SQL.format(cust="q33_customer", orders="q33_orders"))
+
+
+# --------------------------------------------------------------------------
+# q34 — Bloom-filter semi join as a GATED surface (operators/bloomprune —
+# previously covered only by the local property suite): lineitems of
+# urgent-priority orders through bloom_semi_join. The operator's contract
+# is EXACTNESS — the bloom bitset prunes the probe map-side (no false
+# negatives, property-tested) and the trailing left_semi collapses the
+# false-positive tail — so the oracle is the plain semi join, and any
+# hash-position bug, bitset-word slip, or coalesce-miss in the probe path
+# breaks the driver hash. Totals aggregate in DECIMAL per the money
+# policy.
+# 100 TB: this is THE shape for a filter side too big to broadcast — the
+# bitset (16 MB at 2^27 bits) broadcasts where a 100M-key hash relation
+# cannot, so non-matching probe rows die before the shuffle instead of
+# paying a corpus-sized exchange (Spark's own runtime bloom filter plans
+# the same thing in the narrow cases the optimizer recognizes).
+# --------------------------------------------------------------------------
+@query(
+    "q34_bloom_semi_urgent_lineitems",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS n_items,
+           floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0
+               AS total_price
+    FROM lineitem l
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def q34_bloom_semi_urgent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloomprune import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+    matched = bloom_semi_join(li, urgent, "orderkey")
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        rnd(money_sum("l_extendedprice"), 2).alias("total_price"),
+    )

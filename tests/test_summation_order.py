@@ -41,6 +41,7 @@ MONEY_QUERIES = [
     "f02_daily_vwap",
     "f05_daily_corr_pairs",
     "f15_rolling_beta",
+    "q34_bloom_semi_urgent_lineitems",
 ]
 
 #: conf overrides that maximally perturb partial-aggregation order: every
