@@ -83,15 +83,16 @@ _GATE_PRIORITY = (
     # family a driver-hard contract)
     + ["m17", "m18", "m05", "m19", "m20", "t43"]
     # round-7 NEW queries: q33 correlated LATERAL decorrelation, t44
-    # Gopher-style quality-rule battery, q34 bloom semi join (previously
-    # local-only operator now driver-gated); f05/f15's daily px joined
-    # the decimal sweep (grid-input avg — same tie class as q26/q28)
-    + ["q33", "t44", "q34", "f05", "f15"]                       # (31)
+    # Gopher-style quality-rule battery, and the previously-local-only
+    # operators now driver-gated — q34 bloom semi join, q35 salted
+    # two-phase agg, q36 salted join; f05/f15's daily px joined the
+    # decimal sweep (grid-input avg — same tie class as q26/q28)
+    + ["q33", "t44", "q34", "q35", "q36", "f05", "f15"]         # (33)
     # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (37)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (39)
     # freshness: oldest r4-green rows
-    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (44)
-    + ["q05", "q06", "q07", "q08", "q09", "q10"]                # (50)
+    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (46)
+    + ["q05", "q06", "q07", "q08"]                              # (50)
 )
 #: Next-round rotation candidates (all r4-green, code unchanged):
 #: q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/t32/t34,

@@ -1408,3 +1408,97 @@ def q34_bloom_semi_urgent_lineitems(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_items"),
         rnd(money_sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q35 — salted two-phase aggregation as a GATED surface (operators/skew.
+# salted_agg — previously local-only): per-status order totals through the
+# hot-key mitigation path. The operator's contract is EXACTNESS for
+# decomposable aggregates — phase 1 pre-aggregates on (keys, salt), phase
+# 2 merges partials — so the plain GROUP BY is the oracle, and a wrong
+# merge function (count merged by count instead of sum is the classic
+# bug), a salt leak into the output, or a dropped partial breaks the
+# driver hash. The money sum rides the DECIMAL policy, which is also what
+# makes a SALTED sum gateable at all: the two-phase plan changes
+# summation order by design, and decimal addition is the reason the
+# result cannot change with it.
+# 100 TB: o_orderstatus has 3 values over ~1.5e11 orders — the textbook
+# hot-key shape where a single-phase hash agg leaves 3 reducers doing all
+# the work; the salt spreads each status over 16 tasks and the second
+# shuffle carries 48 rows.
+# --------------------------------------------------------------------------
+@query(
+    "q35_salted_status_totals",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           floor((CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0
+               AS total_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q35_salted_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", dec("o_totalprice").alias("price_d"), "o_totalprice"
+    )
+    agg = salted_agg(
+        orders,
+        ["o_orderstatus"],
+        {
+            "n_orders": ("*", "count"),
+            "total_d": ("price_d", "sum"),
+            "max_price": ("o_totalprice", "max"),
+        },
+        salt_buckets=16,
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        rnd(F.col("total_d").cast("double"), 2).alias("total_price"),
+        "max_price",
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — salted equi-join as a GATED surface (operators/skew.salted_join —
+# previously local-only): lineitem (large, skewed side, salted) joined to
+# orders (replicated once per salt value) then rolled up per priority.
+# Exactness contract: salting only spreads rows across reducers — the
+# joined multiset is identical — so the plain join is the oracle; a
+# replication bug (a right row lost for one salt value, or duplicated
+# across salts) shifts counts/sums and breaks the hash. Money sum in
+# DECIMAL (the salted plan re-orders partials by design).
+# 100 TB: the shape for a hot join key when the right side is too big to
+# broadcast and AQE's skew split isn't available (e.g. bucketed inputs);
+# cost = right side materialized salt_buckets times, so the bucket count
+# comes from diagnose_skew, not a default.
+# --------------------------------------------------------------------------
+@query(
+    "q36_salted_join_priority_rollup",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0
+               AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q36_salted_join_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), dec("l_extendedprice").alias("price_d")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["orderkey"], salt_buckets=8, how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        rnd(dsum(F.col("price_d")), 2).alias("total_price"),
+    )

@@ -42,6 +42,8 @@ MONEY_QUERIES = [
     "f05_daily_corr_pairs",
     "f15_rolling_beta",
     "q34_bloom_semi_urgent_lineitems",
+    "q35_salted_status_totals",
+    "q36_salted_join_priority_rollup",
 ]
 
 #: conf overrides that maximally perturb partial-aggregation order: every
