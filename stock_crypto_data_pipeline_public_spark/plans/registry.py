@@ -87,12 +87,13 @@ _GATE_PRIORITY = (
     # operators now driver-gated — q34 bloom semi join, q35 salted
     # two-phase agg, q36 salted join; f05/f15's daily px joined the
     # decimal sweep (grid-input avg — same tie class as q26/q28)
-    + ["q33", "t44", "q34", "q35", "q36", "f05", "f15"]         # (33)
+    # ...and t45, the CMS sketch's exact-contract twin (t43's pattern)
+    + ["q33", "t44", "t45", "q34", "q35", "q36", "f05", "f15"]  # (34)
     # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (39)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (40)
     # freshness: oldest r4-green rows
-    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (46)
-    + ["q05", "q06", "q07", "q08"]                              # (50)
+    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (47)
+    + ["q05", "q06", "q07"]                                     # (50)
 )
 #: Next-round rotation candidates (all r4-green, code unchanged):
 #: q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/t32/t34,

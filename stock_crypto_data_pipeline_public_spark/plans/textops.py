@@ -3026,3 +3026,93 @@ def t44_gopher_rule_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("p_div"), 1)).alias("fail_diversity"),
         rnd(F.count(F.when(keep, 1)) * 1.0 / F.count(F.lit(1)), 4).alias("kept_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# t45 — the count-min sketch's EXACT driver-hard contract (t43's pattern,
+# closing the sketch trio: t43 gated HLL, GK quantiles keep their property
+# suite): the cell values are hash-placement-dependent (no SQL oracle can
+# compute them), but the properties that make the sketch TRUSTWORTHY are
+# exact and gate as literal-TRUE oracle rows —
+#   merge_equals_oneshot — cms_merge of two half-corpus sketches is
+#     CELL-IDENTICAL to the one-shot sketch (integer cell-wise addition
+#     is exact; any drift in hashing/merging breaks it);
+#   never_undercount — for the top-20 exact heavy hitters, the estimate
+#     is >= the exact count (the CMS guarantee that holds with certainty,
+#     unlike the probabilistic eps*N overcount bound, which stays in the
+#     property suite where a tolerance belongs);
+#   cells_bounded — the merged state holds <= d*w rows (the constant-
+#     memory claim).
+# The exactly-SQL-computable top-20 total and distinct-token count gate
+# alongside. 100 TB: build is explode(d)+one hash agg -> <= d*w rows per
+# partition sketch; merge is a groupBy over cell coordinates of KB-sized
+# states — the daily-sketch rollup shape.
+# --------------------------------------------------------------------------
+@query(
+    "t45_cms_contract",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(coalesce(text, ''), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    top20 AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 20)
+    SELECT CAST(count(*) AS BIGINT)              AS n_distinct_tokens,
+           CAST((SELECT sum(c) FROM top20) AS BIGINT) AS top20_exact_total,
+           TRUE                                  AS merge_equals_oneshot,
+           TRUE                                  AS never_undercount,
+           TRUE                                  AS cells_bounded
+    FROM counts
+    """,
+)
+def t45_cms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_estimate, cms_merge, count_min_table
+
+    W_, D_ = 2048, 5
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.coalesce("text", F.lit("")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    # two partition sketches via a deterministic static split (stands in
+    # for per-day sketching), merged; plus the one-shot over everything
+    half_a = toks.filter(F.xxhash64("source") % 2 == 0)
+    half_b = toks.filter(F.xxhash64("source") % 2 != 0)
+    merged = cms_merge(
+        count_min_table(half_a, "tok", W_, D_),
+        count_min_table(half_b, "tok", W_, D_),
+    )
+    oneshot = count_min_table(toks, "tok", W_, D_)
+    cells_equal = (
+        merged.join(oneshot.withColumnsRenamed({"cnt": "cnt2"}), ["r", "c"], "full")
+        .agg(
+            F.min(
+                F.coalesce("cnt", F.lit(-1)) == F.coalesce("cnt2", F.lit(-2))
+            ).alias("eq"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top20 = counts.orderBy(F.desc("c"), F.asc("tok")).limit(20)
+    est = cms_estimate(merged, top20.select("tok"), "tok", W_, D_)
+    under = (
+        top20.join(est, "tok")
+        .agg(
+            F.min(F.col("est") >= F.col("c")).alias("never_under"),
+            F.sum("c").alias("top20_exact_total"),
+        )
+    )
+    n_distinct = counts.agg(F.count(F.lit(1)).alias("n_distinct_tokens"))
+    return (
+        n_distinct.crossJoin(under)
+        .crossJoin(cells_equal)
+        .select(
+            "n_distinct_tokens",
+            F.col("top20_exact_total").cast("long").alias("top20_exact_total"),
+            F.col("eq").alias("merge_equals_oneshot"),
+            F.col("never_under").alias("never_undercount"),
+            (F.col("n_cells") <= F.lit(W_ * D_)).alias("cells_bounded"),
+        )
+    )
