@@ -68,6 +68,10 @@ EXPECTED_NESTED_LOOP = {
     # LSH recall report: three 1-row COUNT aggregates cross-combined into
     # the single metrics row — broadcast scalars, the same shape as t10/t12
     "t34_lsh_recall",
+    # CMS contract report: three 1-row aggregates (distinct count,
+    # never-undercount fold, cell-equality fold) cross-combined into the
+    # single contract row — broadcast scalars, t34's exact shape
+    "t45_cms_contract",
     # pattern-similarity search: the query pattern is a broadcast 1-ROW
     # window (crossJoin) — map-only distance scan over the candidates
     "f07_pattern_similarity",
