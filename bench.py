@@ -85,6 +85,8 @@ def main() -> int:
         # synthesized media (two consumers, no cross-consumer CSE in Spark)
         "s01_streaming_ingest_end_state",  # streaming drains run in the call
         "s02_streaming_watermark_end_state",
+        "s03_stream_stream_attribution",
+        "s04_stateful_sessionization",
     }
     # passes are INTERLEAVED (whole registry pass 1, then pass 2, min per
     # query): host-steal bursts on this box last minutes, so back-to-back

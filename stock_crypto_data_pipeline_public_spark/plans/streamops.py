@@ -228,3 +228,204 @@ def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataF
         return out.localCheckpoint(eager=True)  # materialize before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s03 — STREAM-STREAM join state across a checkpoint restart
+# (streaming/pipeline.attribution_join — watermarked inner equi-join with a
+# time-range bound, the streaming form of e08's purchase-attribution
+# window; previously proven only by the local suite):
+#
+#   landing_c: ALL clicks, one file     → drain 1 (purchase side empty)
+#   landing_p: ALL purchases, one file  → drain 2 (fresh start(), same
+#                                          checkpoint)
+#
+# Every joined pair can only be emitted in drain 2 by matching against
+# click rows BUFFERED IN THE JOIN STATE STORE during drain 1 and recovered
+# across the restart — a lost/corrupt state store, a watermark that
+# spuriously evicted the clicks (the purchase side saw no data in drain 1,
+# so the global min-policy watermark must still be at epoch and NOTHING may
+# be evicted), or a range-condition slip all change the end state. The
+# oracle is the closed-form batch join: with both sides fully delivered,
+# the streaming inner join's final output is exactly the batch result.
+#
+# Scale: each side buffers only its watermark horizon of rows (state keyed
+# by user_id, hash-partitioned); the time-range bound is what lets Spark
+# evict click state once the purchase watermark passes click_ts + within.
+# This is the canonical clickstream-attribution shape at any volume.
+# --------------------------------------------------------------------------
+@query(
+    "s03_stream_stream_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+)
+def s03_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import attribution_join, file_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    base = tempfile.mkdtemp(prefix="s03_stream_")
+    landing_c, landing_p = f"{base}/clicks", f"{base}/purchases"
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(landing_p, exist_ok=True)  # drain 1: purchase side exists, empty
+
+    def drain() -> None:
+        joined = attribution_join(
+            file_stream(spark, landing_c, clicks.schema),
+            file_stream(spark, landing_p, purchases.schema),
+            click_ts="click_ts",
+            purchase_ts="purchase_ts",
+            watermark="1 hour",
+            within="2 hours",
+        )
+        q = (
+            joined.select(
+                "user_id",
+                "click_id",
+                "purchase_id",
+                (
+                    F.unix_micros(F.col("purchase_ts"))
+                    - F.unix_micros(F.col("click_ts"))
+                ).alias("lag_us"),
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        # one file per phase => one micro-batch per drain (the watermark
+        # and state-commit positions between drains are fully determined)
+        clicks.coalesce(1).write.mode("append").parquet(landing_c)
+        drain()
+        purchases.coalesce(1).write.mode("append").parquet(landing_p)
+        drain()  # resumed join state must hold every drain-1 click
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s04 — CUSTOM STATEFUL OPERATOR end state: cross-batch sessionization via
+# applyInPandasWithState (streaming/stateful.sessionize_stream — the one
+# streaming shape built-in operators genuinely cannot express: one OPEN
+# session per user carried in the state store, a row emitted per session
+# CLOSED by a later event beyond the 6 h inactivity gap).
+#
+# The source lands in two time-ordered phases split at the corpus midpoint
+# timestamp (every user's phase-A events precede their phase-B events), one
+# file each → one micro-batch per drain, with a fresh start() against the
+# same checkpoint between them. Sessions that SPAN the cut can only close
+# correctly if drain 1's open-session state (start, last_ts, n_events,
+# session_no) survives the restart — a state-schema or recovery bug merges
+# or splits exactly those sessions and breaks the hash. The oracle is the
+# closed-form batch sessionization (lag-gap > 6 h starts a session) minus
+# each user's LAST session, which is precisely the set an end-of-stream
+# drain must leave open and never emit.
+#
+# Scale: state is one fixed-width row per ACTIVE user (RocksDB-backed in
+# production), hash-partitioned by user; each micro-batch touches only the
+# users present in it. This gates the applyInPandasWithState machinery —
+# Arrow chunk re-assembly, state round-trip, append-mode emission — as a
+# driver-hard number, not a doc claim.
+# --------------------------------------------------------------------------
+@query(
+    "s04_stateful_sessionization",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, ts FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    seq AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > CAST(6 AS BIGINT) * 3600 * 1000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_no
+        FROM seq
+    ),
+    g AS (
+        SELECT user_id, session_no,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+               CAST(count(*) AS BIGINT)          AS n_events
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, session_no, session_start_us, session_end_us, n_events
+    FROM g
+    WHERE session_no < (SELECT max(g2.session_no) FROM g g2
+                        WHERE g2.user_id = g.user_id)
+    """,
+)
+def s04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import file_stream
+    from ..streaming.stateful import sessionize_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
+    base = tempfile.mkdtemp(prefix="s04_stream_")
+    landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
+
+    def drain() -> None:
+        q = (
+            sessionize_stream(file_stream(spark, landing, ev.schema), gap_minutes=360)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        # time-ordered split at the corpus midpoint: per user, all phase-A
+        # events precede phase-B, so cross-batch tracking must reproduce
+        # the full-corpus sessionization exactly (bounded 1-row pull)
+        mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+        cut = mn + (mx - mn) / 2
+        ev.filter(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(landing)
+        drain()  # open sessions recovered from the checkpointed state store
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
