@@ -87,6 +87,7 @@ def main() -> int:
         "s02_streaming_watermark_end_state",
         "s03_stream_stream_attribution",
         "s04_stateful_sessionization",
+        "s05_stream_static_enrichment",
     }
     # passes are INTERLEAVED (whole registry pass 1, then pass 2, min per
     # query): host-steal bursts on this box last minutes, so back-to-back

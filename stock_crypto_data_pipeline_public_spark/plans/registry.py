@@ -91,19 +91,19 @@ _GATE_PRIORITY = (
     + ["q33", "t44", "t45", "q34", "q35", "q36", "f05", "f15"]  # (34)
     # round-7 NEW streaming contracts: s03 stream-stream join state
     # across a checkpoint restart, s04 applyInPandasWithState
-    # sessionization end state (never driver-gated machinery)
-    + ["s03", "s04"]                                            # (36)
+    # sessionization end state, s05 stream-static broadcast enrichment
+    # with a dim reload between drains (never driver-gated machinery)
+    + ["s03", "s04", "s05"]                                     # (37)
     # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (42)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (43)
     # freshness: oldest r4-green rows
-    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (49)
-    + ["q05"]                                                   # (50)
+    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (50)
 )
 #: Next-round rotation candidates (all r4-green, code unchanged):
-#: q06/q07, q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/
-#: t32/t34, x09/x10/x12/x14 — then everything r5/r6-fresh by age. The r6
-#: window (m-codecs, s01/s02, v13/v14, g01-g03, q31/q32, e11, f16/f17,
-#: t-series) is r6-green and stays on the local strict harness.
+#: q05/q06/q07, q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/
+#: t31/t32/t34, x09/x10/x12/x14 — then everything r5/r6-fresh by age.
+#: The r6 window (m-codecs, s01/s02, v13/v14, g01-g03, q31/q32, e11,
+#: f16/f17, t-series) is r6-green and stays on the local strict harness.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate

@@ -429,3 +429,98 @@ def s04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(sink).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s05 — STREAM-STATIC broadcast enrichment with a dimension RELOAD between
+# micro-batches (streaming/pipeline.enrich_stream — the most common
+# production streaming join; previously local-only):
+#
+#   phase A events land, dim v1 written       → drain 1
+#   dim OVERWRITTEN with v2, phase B lands    → drain 2 (same checkpoint)
+#
+# Enrichment is PROCESSING-time, not event-time: each event carries the
+# dim version current when its micro-batch ran. The end state therefore
+# distinguishes three failure modes a batch join cannot: a checkpoint
+# regression that reprocesses phase A in drain 2 stamps it v2 (hash fail);
+# a drain that misses the dim reload stamps phase B v1 (hash fail); a
+# non-idempotent sink duplicates rows (rows fail). The oracle states the
+# closed form — events split at the integer-µs corpus midpoint, each side
+# joined to its dim version.
+#
+# Scale: the dim is explicitly broadcast — zero stream-side state, no
+# shuffle on the stream, per-batch cost one hash-probe pass; re-reading
+# the static side per batch is what makes slowly-changing dims safe
+# without restarting the query (dims too big to broadcast: pre-bucket
+# both sides, same call — catalog.py).
+# --------------------------------------------------------------------------
+@query(
+    "s05_stream_static_enrichment",
+    oracle="""
+    WITH cut AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS us FROM events
+    )
+    SELECT e.event_id,
+           e.user_id,
+           e.event_type,
+           CASE WHEN epoch_us(e.ts) <= (SELECT us FROM cut)
+                THEN c.c_mktsegment
+                ELSE 'POST:' || c.c_mktsegment END AS segment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import enrich_stream, file_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    dim_v1 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim_v2 = dim_v1.withColumn("segment", F.concat(F.lit("POST:"), F.col("segment")))
+    base = tempfile.mkdtemp(prefix="s05_stream_")
+    landing, dim_dir = f"{base}/landing", f"{base}/dim"
+    sink, ckpt = f"{base}/sink", f"{base}/ckpt"
+
+    def drain() -> None:
+        dim = spark.read.parquet(dim_dir)
+        stream = file_stream(spark, landing, ev.schema)
+        q = (
+            enrich_stream(stream, dim, ["user_id"], how="inner")
+            .select("event_id", "user_id", "event_type", "segment")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        # integer-µs midpoint: exactly the oracle's cut (bounded 1-row pull;
+        # timeops.epoch_us — ts is TIMESTAMP_NTZ, unix_micros is LTZ-only)
+        from ..functions.timeops import epoch_us
+
+        mn_us, mx_us = ev.agg(
+            F.min(epoch_us("ts")), F.max(epoch_us("ts"))
+        ).first()
+        cut_us = (mn_us + mx_us) // 2
+        phase_a = ev.filter(epoch_us("ts") <= F.lit(cut_us))
+        phase_b = ev.filter(epoch_us("ts") > F.lit(cut_us))
+
+        phase_a.coalesce(1).write.mode("append").parquet(landing)
+        dim_v1.write.mode("overwrite").parquet(dim_dir)
+        drain()
+        dim_v2.write.mode("overwrite").parquet(dim_dir)  # the dim reload
+        phase_b.coalesce(1).write.mode("append").parquet(landing)
+        drain()  # checkpoint: drain-1 files must NOT re-enrich under v2
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
