@@ -88,6 +88,8 @@ def main() -> int:
         "s03_stream_stream_attribution",
         "s04_stateful_sessionization",
         "s05_stream_static_enrichment",
+        "s06_streaming_dedup_end_state",
+        "s07_streaming_ohlcv_end_state",
     }
     # passes are INTERLEAVED (whole registry pass 1, then pass 2, min per
     # query): host-steal bursts on this box last minutes, so back-to-back

@@ -89,21 +89,26 @@ _GATE_PRIORITY = (
     # decimal sweep (grid-input avg — same tie class as q26/q28)
     # ...and t45, the CMS sketch's exact-contract twin (t43's pattern)
     + ["q33", "t44", "t45", "q34", "q35", "q36", "f05", "f15"]  # (34)
-    # round-7 NEW streaming contracts: s03 stream-stream join state
+    # round-7 NEW streaming contracts — every helper in streaming/
+    # pipeline.py is now driver-gated: s03 stream-stream join state
     # across a checkpoint restart, s04 applyInPandasWithState
-    # sessionization end state, s05 stream-static broadcast enrichment
-    # with a dim reload between drains (never driver-gated machinery)
-    + ["s03", "s04", "s05"]                                     # (37)
+    # sessionization, s05 stream-static broadcast enrichment with a dim
+    # reload between drains, s06 native dropDuplicatesWithinWatermark
+    # dedup under redelivery, s07 streaming OHLCV bars ≡ batch candles —
+    # plus s01/s02 RE-ENTER as code-changed (their float value-sums
+    # joined the decimal money policy this block)
+    + ["s03", "s04", "s05", "s06", "s07", "s01", "s02"]         # (41)
     # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (43)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (47)
     # freshness: oldest r4-green rows
-    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (50)
+    + ["v01", "v02", "v03"]                                     # (50)
 )
 #: Next-round rotation candidates (all r4-green, code unchanged):
-#: q05/q06/q07, q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/
-#: t31/t32/t34, x09/x10/x12/x14 — then everything r5/r6-fresh by age.
-#: The r6 window (m-codecs, s01/s02, v13/v14, g01-g03, q31/q32, e11,
-#: f16/f17, t-series) is r6-green and stays on the local strict harness.
+#: v04/v05/v08/v09, q05/q06/q07, q13-q20 minus q17, m04/m06, t05/t11/
+#: t17/t18/t23/t30/t31/t32/t34, x09/x10/x12/x14 — then everything
+#: r5/r6-fresh by age. The rest of the r6 window (m-codecs, v13/v14,
+#: g01-g03, q31/q32, e11, f16/f17, t-series) is r6-green and stays on
+#: the local strict harness.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import oracle_rnd, rnd
+from ..functions.numeric import dec, money_sum, oracle_money_sum, oracle_rnd, rnd
 from ..sources.tables import load_table
 from .registry import query
 
@@ -56,7 +56,7 @@ from .registry import query
            CAST(count(*) + count(*) FILTER (event_id % 2 = 0) AS BIGINT)
                                                          AS n_plain,
            CAST(count(*) AS BIGINT)                      AS n_vault,
-           {oracle_rnd('sum(value)', 4)}                 AS sum_value,
+           {oracle_rnd(oracle_money_sum('value'), 4)}    AS sum_value,
            CAST(max(event_id) AS BIGINT)                 AS max_event_id
     FROM events
     GROUP BY event_type
@@ -112,7 +112,9 @@ def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFram
             .groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_vault"),
-                rnd(F.sum("value"), 4).alias("sum_value"),
+                # decimal money policy: float sums are summation-order-
+                # dependent at the rounding boundary (numeric.py)
+                rnd(money_sum("value"), 4).alias("sum_value"),
                 F.max("event_id").alias("max_event_id"),
             )
         )
@@ -174,7 +176,7 @@ def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)   AS window_start,
            event_type,
            CAST(count(*) AS BIGINT)                   AS n_events,
-           {oracle_rnd('sum(value)', 4)}              AS total_value
+           {oracle_rnd(oracle_money_sum('value'), 4)} AS total_value
     FROM kept
     GROUP BY 1, 2
     """,
@@ -193,7 +195,12 @@ def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataF
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
-        stream = file_stream(spark, landing, ev.schema)
+        # decimal money policy applied ON the stream: the windowed sum then
+        # accumulates exactly (order-independent) and the sink stores the
+        # decimal, cast to its double image only at the read-back edge
+        stream = file_stream(spark, landing, ev.schema).withColumn(
+            "value", dec("value")
+        )
         q = (
             windowed_counts(stream, "ts", "1 day", "1 day")
             .writeStream.format("parquet")
@@ -223,7 +230,7 @@ def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataF
             "window_start",
             "event_type",
             "n_events",
-            rnd(F.col("total_value"), 4).alias("total_value"),
+            rnd(F.col("total_value").cast("double"), 4).alias("total_value"),
         )
         return out.localCheckpoint(eager=True)  # materialize before rmtree
     finally:
@@ -521,6 +528,161 @@ def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim_v2.write.mode("overwrite").parquet(dim_dir)  # the dim reload
         phase_b.coalesce(1).write.mode("append").parquet(landing)
         drain()  # checkpoint: drain-1 files must NOT re-enrich under v2
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s06 — NATIVE streaming dedup end state (streaming/pipeline.dedup_stream —
+# `dropDuplicatesWithinWatermark`, the bounded-state twin of s01's
+# foreachBatch anti-join dedup; previously local-only):
+#
+#   drain 1: the full corpus, one file
+#   drain 2: a redelivered duplicate subset (event_id % 13 = 2), one file,
+#            fresh start() on the same checkpoint
+#
+# The end state must be every event EXACTLY ONCE. Drain 2's recent
+# duplicates (inside the 15-day horizon of the recovered watermark) can
+# only be suppressed by dedup state that SURVIVED the restart; older ones
+# by the operator's late-row handling against the recovered watermark —
+# a lost state store, a broken watermark recovery, or a sink replay all
+# add rows and fail the gate in the rows themselves. (With the 15-day
+# delay over the 30-day fixture, no first-occurrence state has expired
+# by drain 2 — checked when this was built — so zero re-emissions is the
+# pinned contract, not a tuning accident.)
+#
+# Scale: ONE fixed-width state entry per key within the horizon, evicted
+# as the watermark passes (state ∝ horizon, never ∝ history) — the only
+# dedup shape that survives an infinite stream; plain dropDuplicates
+# grows forever and is banned from the streaming path.
+# --------------------------------------------------------------------------
+@query(
+    "s06_streaming_dedup_end_state",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+)
+def s06_streaming_dedup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import dedup_stream, file_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="s06_stream_")
+    landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
+
+    def drain() -> None:
+        q = (
+            dedup_stream(
+                file_stream(spark, landing, ev.schema),
+                keys=["event_id"],
+                ts_col="ts",
+                watermark="15 days",
+            )
+            .select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        # at-least-once redelivery: a deterministic duplicate subset as a
+        # NEW file — the recovered dedup state must swallow every row
+        ev.filter("event_id % 13 = 2").coalesce(1).write.mode("append").parquet(
+            landing
+        )
+        drain()
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s07 — streaming OHLCV bars end state ≡ the batch candles
+# (streaming/pipeline.windowed_ohlcv — tumbling event-time windows with
+# min_by/max_by open/close, O(1) bar state; previously local-only). The
+# full corpus drains once; a sentinel tick 30 days past max(ts) drains
+# second through the same checkpoint, sweeping the watermark past every
+# real bar so append mode emits them all exactly once — the sentinel's own
+# bar stays open and must be withheld. The oracle is f01's batch
+# aggregation: for a fully-delivered stream, the streaming bars must equal
+# the batch bars BIT-EXACTLY (open/high/low/close are selected raw
+# doubles, never accumulated; volume is an integer sum) — a bar-state
+# merge bug, a min_by tie-break drift, or a watermark that finalizes a bar
+# early all change the end state.
+#
+# Scale: per-(window, symbol) state is four scalars + two counters — not a
+# buffered row list — and the watermark bounds open bars to the horizon;
+# this is the production shape for exchange-feed candle building at any
+# tick rate.
+# --------------------------------------------------------------------------
+@query(
+    "s07_streaming_ohlcv_end_state",
+    oracle="""
+    SELECT date_trunc('hour', ts)                       AS bar_start,
+           event_type                                   AS symbol,
+           arg_min(value, event_id)                     AS open,
+           max(value)                                   AS high,
+           min(value)                                   AS low,
+           arg_max(value, event_id)                     AS close,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                                                        AS volume,
+           CAST(count(*) AS BIGINT)                     AS n_trades
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s07_streaming_ohlcv_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import file_stream, windowed_ohlcv
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="s07_stream_")
+    landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
+
+    def drain() -> None:
+        q = (
+            windowed_ohlcv(
+                file_stream(spark, landing, ev.schema),
+                ts_col="ts",
+                window="1 hour",
+                watermark="2 hours",
+                seq_col="event_id",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        ev.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        mx = ev.agg(F.max("ts")).first()[0]  # bounded 1-row pull
+        sentinel = spark.createDataFrame(
+            [(-1, "sentinel", 0.0, None, mx + datetime.timedelta(days=30))],
+            ev.schema,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(landing)
+        drain()  # watermark sweeps past every real bar; sentinel bar open
         return spark.read.parquet(sink).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -44,6 +44,10 @@ MONEY_QUERIES = [
     "q34_bloom_semi_urgent_lineitems",
     "q35_salted_status_totals",
     "q36_salted_join_priority_rollup",
+    # streaming end states: the value sums ride the same decimal policy
+    # (s01 in the read-back agg, s02 inside the windowed streaming agg)
+    "s01_streaming_ingest_end_state",
+    "s02_streaming_watermark_end_state",
 ]
 
 #: conf overrides that maximally perturb partial-aggregation order: every
