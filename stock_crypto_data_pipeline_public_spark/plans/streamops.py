@@ -19,9 +19,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from ..functions.numeric import dec, money_sum, oracle_money_sum, oracle_rnd, rnd
 from ..sources.tables import load_table
 from .registry import query
+
+
+@contextmanager
+def _drain_shuffle(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming drain.
+
+    The stateful operators (windowed agg, stream-stream join, dedup,
+    applyInPandasWithState) create one state-store instance PER shuffle
+    partition, and availableNow drains pay per-partition commit/snapshot
+    I/O every micro-batch — at gate/bench data volumes, 32 near-empty
+    state partitions are pure orchestration overhead (measured: s02
+    15.1 → 10.2 s steady-state at sf0.1). Production sizes this to the
+    cluster (state store count = parallelism); the checkpoint pins it at
+    first start, so the value is also what makes the gated end states
+    environment-independent. Restores the session value on exit."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 # --------------------------------------------------------------------------
@@ -76,22 +100,23 @@ def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFram
     plain_tgt, vault_tgt = f"{base}/raw_plain", f"{base}/raw_vault"
 
     def drain() -> None:
-        stream = file_stream(spark, landing, ev.schema)
-        qp = (
-            stream.writeStream.format("parquet")
-            .option("path", plain_tgt)
-            .option("checkpointLocation", f"{base}/ckpt_plain")
-            .trigger(availableNow=True)
-            .start()
-        )
-        qv = run_incremental_sink(
-            stream,
-            vault_tgt,
-            keys=["event_id"],
-            checkpoint=f"{base}/ckpt_vault",
-        )
-        qp.awaitTermination()
-        qv.awaitTermination()
+        with _drain_shuffle(spark):
+            stream = file_stream(spark, landing, ev.schema)
+            qp = (
+                stream.writeStream.format("parquet")
+                .option("path", plain_tgt)
+                .option("checkpointLocation", f"{base}/ckpt_plain")
+                .trigger(availableNow=True)
+                .start()
+            )
+            qv = run_incremental_sink(
+                stream,
+                vault_tgt,
+                keys=["event_id"],
+                checkpoint=f"{base}/ckpt_vault",
+            )
+            qp.awaitTermination()
+            qv.awaitTermination()
 
     try:
         phase_a = ev.filter(F.col("event_id") % 2 == 0)
@@ -195,22 +220,23 @@ def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataF
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
-        # decimal money policy applied ON the stream: the windowed sum then
-        # accumulates exactly (order-independent) and the sink stores the
-        # decimal, cast to its double image only at the read-back edge
-        stream = file_stream(spark, landing, ev.schema).withColumn(
-            "value", dec("value")
-        )
-        q = (
-            windowed_counts(stream, "ts", "1 day", "1 day")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_shuffle(spark):
+            # decimal money policy applied ON the stream: the windowed sum then
+            # accumulates exactly (order-independent) and the sink stores the
+            # decimal, cast to its double image only at the read-back edge
+            stream = file_stream(spark, landing, ev.schema).withColumn(
+                "value", dec("value")
+            )
+            q = (
+                windowed_counts(stream, "ts", "1 day", "1 day")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     try:
         on_time = ev.filter("event_id % 17 <> 3")
@@ -299,32 +325,33 @@ def s03_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     os.makedirs(landing_p, exist_ok=True)  # drain 1: purchase side exists, empty
 
     def drain() -> None:
-        joined = attribution_join(
-            file_stream(spark, landing_c, clicks.schema),
-            file_stream(spark, landing_p, purchases.schema),
-            click_ts="click_ts",
-            purchase_ts="purchase_ts",
-            watermark="1 hour",
-            within="2 hours",
-        )
-        q = (
-            joined.select(
-                "user_id",
-                "click_id",
-                "purchase_id",
-                (
-                    F.unix_micros(F.col("purchase_ts"))
-                    - F.unix_micros(F.col("click_ts"))
-                ).alias("lag_us"),
+        with _drain_shuffle(spark):
+            joined = attribution_join(
+                file_stream(spark, landing_c, clicks.schema),
+                file_stream(spark, landing_p, purchases.schema),
+                click_ts="click_ts",
+                purchase_ts="purchase_ts",
+                watermark="1 hour",
+                within="2 hours",
             )
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q = (
+                joined.select(
+                    "user_id",
+                    "click_id",
+                    "purchase_id",
+                    (
+                        F.unix_micros(F.col("purchase_ts"))
+                        - F.unix_micros(F.col("click_ts"))
+                    ).alias("lag_us"),
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     try:
         # one file per phase => one micro-batch per drain (the watermark
@@ -412,16 +439,17 @@ def s04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
-        q = (
-            sessionize_stream(file_stream(spark, landing, ev.schema), gap_minutes=360)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_shuffle(spark):
+            q = (
+                sessionize_stream(file_stream(spark, landing, ev.schema), gap_minutes=360)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     try:
         # time-ordered split at the corpus midpoint: per user, all phase-A
@@ -496,19 +524,20 @@ def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, ckpt = f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
-        dim = spark.read.parquet(dim_dir)
-        stream = file_stream(spark, landing, ev.schema)
-        q = (
-            enrich_stream(stream, dim, ["user_id"], how="inner")
-            .select("event_id", "user_id", "event_type", "segment")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_shuffle(spark):
+            dim = spark.read.parquet(dim_dir)
+            stream = file_stream(spark, landing, ev.schema)
+            q = (
+                enrich_stream(stream, dim, ["user_id"], how="inner")
+                .select("event_id", "user_id", "event_type", "segment")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     try:
         # integer-µs midpoint: exactly the oracle's cut (bounded 1-row pull;
@@ -576,22 +605,23 @@ def s06_streaming_dedup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
-        q = (
-            dedup_stream(
-                file_stream(spark, landing, ev.schema),
-                keys=["event_id"],
-                ts_col="ts",
-                watermark="15 days",
+        with _drain_shuffle(spark):
+            q = (
+                dedup_stream(
+                    file_stream(spark, landing, ev.schema),
+                    keys=["event_id"],
+                    ts_col="ts",
+                    watermark="15 days",
+                )
+                .select("event_id", "event_type", "value")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .select("event_id", "event_type", "value")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
     try:
         ev.coalesce(1).write.mode("append").parquet(landing)
@@ -656,22 +686,23 @@ def s07_streaming_ohlcv_end_state(spark: SparkSession, sf_dir: str) -> DataFrame
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
-        q = (
-            windowed_ohlcv(
-                file_stream(spark, landing, ev.schema),
-                ts_col="ts",
-                window="1 hour",
-                watermark="2 hours",
-                seq_col="event_id",
+        with _drain_shuffle(spark):
+            q = (
+                windowed_ohlcv(
+                    file_stream(spark, landing, ev.schema),
+                    ts_col="ts",
+                    window="1 hour",
+                    watermark="2 hours",
+                    seq_col="event_id",
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
     try:
         ev.coalesce(1).write.mode("append").parquet(landing)
