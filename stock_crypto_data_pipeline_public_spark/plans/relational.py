@@ -1502,3 +1502,46 @@ def q36_salted_join_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_items"),
         rnd(dsum(F.col("price_d")), 2).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q37 — NATIVE recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop
+# execution — the engine surface behind org-chart, BOM-explosion, and
+# folder-containment closures that the reference's warehouse runs via
+# Snowflake recursive CTEs): every customer walks a synthetic reporting
+# chain anc -> anc div 10 up to the root, emitting (custkey, anc, depth)
+# per level; the rollup gates the full closure — depth-to-root, the chain
+# ancestor-key sum, and the level-1 manager — per customer.
+# Spark's recursion supports UNION ALL only (no fixpoint dedup yet:
+# UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, checked when this was written),
+# so the walk is ACYCLIC BY CONSTRUCTION: the parent key strictly
+# decreases until 0, bounding depth at ~log10(max key) — the same
+# guarantee a real org hierarchy carries. Cyclic reachability stays on
+# g03's frontier BFS (anti-join dedup per level), which is the form that
+# scales to graphs; this gates the SQL-surface twin.
+# 100 TB: each UnionLoop step is a map-only project+filter over the
+# previous level (no shuffle inside the loop — one hash agg at the end);
+# depth log10(N) means 12 iterations at a trillion keys.
+# --------------------------------------------------------------------------
+_Q37_SQL = """
+WITH RECURSIVE chain (custkey, anc, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM {cust}
+    UNION ALL
+    SELECT custkey, CAST(anc {div} 10 AS BIGINT), depth + 1 FROM chain WHERE anc > 0
+)
+SELECT custkey,
+       CAST(max(depth) AS INT)                          AS depth_to_root,
+       CAST(sum(anc) AS BIGINT)                         AS ancestor_key_sum,
+       CAST(max(CASE WHEN depth = 1 THEN anc END) AS BIGINT) AS manager_key
+FROM chain
+GROUP BY custkey
+"""
+
+
+@query(
+    "q37_recursive_org_chain",
+    oracle=_Q37_SQL.format(cust="customer", div="//"),
+)
+def q37_recursive_org_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q37_customer")
+    return spark.sql(_Q37_SQL.format(cust="q37_customer", div="div"))
