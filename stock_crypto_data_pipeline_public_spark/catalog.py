@@ -94,6 +94,7 @@ def materialize_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     database: str = "market",
+    path: str | None = None,
 ) -> str:
     """Save a DataFrame as a BUCKETED managed table: co-locating two tables
     on the same (columns, bucket count) makes their join shuffle-free — the
@@ -103,6 +104,10 @@ def materialize_bucketed(
     At 100 TB this is how fact⋈fact vault joins avoid re-shuffling the big
     side every query: the shuffle is paid ONCE at write. Sorting within
     buckets additionally removes the join's sort step.
+
+    ``path`` makes the table EXTERNAL at that location (the bucketing
+    metadata still lives in the catalog entry — parquet itself carries no
+    bucket spec); default is a managed table under the session warehouse.
     """
     ensure_database(spark, database)
     fq = f"{database}.{table}"
@@ -122,5 +127,7 @@ def materialize_bucketed(
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(f"{_q(database)}.{_q(table)}")
     return fq

@@ -1545,3 +1545,67 @@ GROUP BY custkey
 def q37_recursive_org_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer").createOrReplaceTempView("q37_customer")
     return spark.sql(_Q37_SQL.format(cust="q37_customer", div="div"))
+
+
+# --------------------------------------------------------------------------
+# q38 — co-bucketed join as a GATED surface (catalog.materialize_bucketed —
+# §2.11's write-path bucketing, previously proven only by the plan-shape
+# unit tests): orders and lineitem materialize as EXTERNAL bucketed tables
+# (same key, same bucket count) inside the query, join bucket-to-bucket,
+# and roll up per (priority, returnflag). The operator's contract is
+# EXACTNESS — bucketing only pre-partitions rows, the joined multiset is
+# identical — so the plain join is the oracle, and a bucket-hash drift, a
+# dropped bucket file, or a catalog bucket-spec mismatch shifts counts/
+# sums and breaks the driver hash. The no-shuffle property stays pinned by
+# tests/test_bucketed_tables.py (both-sides-bucketed join plans zero
+# Exchange); money totals ride the decimal policy.
+# 100 TB: THE repeated-fact-join shape — the shuffle of the big sides is
+# paid ONCE at write; every subsequent join on the bucket key plans
+# shuffle-free regardless of query count. Bucket count scales with data
+# (8 here ≈ gate-volume sizing; production uses O(cluster cores)).
+# --------------------------------------------------------------------------
+@query(
+    "q38_cobucketed_join_rollup",
+    oracle="""
+    SELECT o.o_orderpriority,
+           l.l_returnflag,
+           count(*) AS n_items,
+           floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0
+               AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q38_cobucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .. import catalog
+
+    base = tempfile.mkdtemp(prefix="q38_bucketed_")
+    try:
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", dec("l_extendedprice").alias("price_d")
+        )
+        ot = catalog.materialize_bucketed(
+            spark, orders, "q38_orders", ["o_orderkey"],
+            n_buckets=8, sort_cols=["o_orderkey"], path=f"{base}/orders",
+        )
+        lt = catalog.materialize_bucketed(
+            spark, li, "q38_lineitem", ["l_orderkey"],
+            n_buckets=8, sort_cols=["l_orderkey"], path=f"{base}/lineitem",
+        )
+        joined = spark.table(lt).join(
+            spark.table(ot),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        out = joined.groupBy("o_orderpriority", "l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(dsum(F.col("price_d")), 2).alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        for t in ("q38_orders", "q38_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS market.`{t}`")
+        shutil.rmtree(base, ignore_errors=True)

@@ -77,3 +77,30 @@ def test_bucket_identifier_validation(spark, bucketed):
         catalog.materialize_bucketed(
             spark, bucketed[0], "x", ["bad col; drop"], n_buckets=4
         )
+
+
+def test_external_path_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """q38's codepath: EXTERNAL bucketed tables (option path=...) must carry
+    the bucket spec through the catalog exactly like managed ones — the
+    co-bucketed join plans merge with zero exchanges."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    try:
+        ot = catalog.materialize_bucketed(
+            spark, orders, "orders_ext_bkt", ["o_orderkey"],
+            n_buckets=8, sort_cols=["o_orderkey"], path=str(tmp_path / "o"),
+        )
+        lt = catalog.materialize_bucketed(
+            spark, li, "lineitem_ext_bkt", ["o_orderkey"],
+            n_buckets=8, sort_cols=["o_orderkey"], path=str(tmp_path / "l"),
+        )
+        joined = spark.table(ot).join(spark.table(lt).hint("merge"), "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == orders.join(li, "o_orderkey").count()
+    finally:
+        for t in ("orders_ext_bkt", "lineitem_ext_bkt"):
+            spark.sql(f"DROP TABLE IF EXISTS market.`{t}`")
