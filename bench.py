@@ -91,6 +91,7 @@ def main() -> int:
         "s06_streaming_dedup_end_state",
         "s07_streaming_ohlcv_end_state",
         "q38_cobucketed_join_rollup",  # bucketed-table writes run in the call
+        "q39_compaction_roundtrip",  # fragment + compact runs in the call
     }
     # passes are INTERLEAVED (whole registry pass 1, then pass 2, min per
     # query): host-steal bursts on this box last minutes, so back-to-back

@@ -99,19 +99,18 @@ _GATE_PRIORITY = (
     # joined the decimal money policy this block)
     + ["s03", "s04", "s05", "s06", "s07", "s01", "s02"]         # (41)
     # round-7 NEW: q37 native recursive CTE (Spark 4 UnionLoop), q38
-    # co-bucketed join exactness (§2.11's write-path bucketing gated)
-    + ["q37", "q38"]                                            # (43)
+    # co-bucketed join exactness, q39 compaction roundtrip (§2.11's
+    # write-path bucketing + maintenance, both driver-gated now)
+    + ["q37", "q38", "q39"]                                     # (44)
     # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (49)
-    # freshness: oldest r4-green row
-    + ["v01"]                                                   # (50)
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (50)
 )
 #: Next-round rotation candidates (all r4-green, code unchanged):
-#: v02/v03/v04/v05/v08/v09, q05/q06/q07, q13-q20 minus q17, m04/m06,
-#: t05/t11/t17/t18/t23/t30/t31/t32/t34, x09/x10/x12/x14 — then
-#: everything r5/r6-fresh by age. The rest of the r6 window (m-codecs,
-#: v13/v14, g01-g03, q31/q32, e11, f16/f17, t-series) is r6-green and
-#: stays on the local strict harness.
+#: v01-v05/v08/v09, q05/q06/q07, q13-q20 minus q17, m04/m06, t05/t11/
+#: t17/t18/t23/t30/t31/t32/t34, x09/x10/x12/x14 — then everything
+#: r5/r6-fresh by age. The rest of the r6 window (m-codecs, v13/v14,
+#: g01-g03, q31/q32, e11, f16/f17, t-series) is r6-green and stays on
+#: the local strict harness.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate

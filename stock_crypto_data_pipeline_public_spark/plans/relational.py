@@ -1609,3 +1609,63 @@ def q38_cobucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("q38_orders", "q38_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS market.`{t}`")
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q39 — small-file compaction as a GATED surface (operators/maintenance.
+# compact_table — §2.11's write-path maintenance, previously local-only):
+# the events table lands as 32 deliberately-small files, compacts through
+# the atomic staging-swap rewrite (with a range-sorted layout on ts), and
+# the read-back rolls up per event_type. The operator's contract is
+# EXACTNESS — compaction rewrites layout, never data — so the plain
+# aggregation over the source is the oracle: a dropped file, a duplicated
+# file during the swap window, or a sort-rewrite row loss all shift
+# n/sum and break the driver hash; the file-count contract (fewer files
+# after, and exactly ceil(bytes/target)=1 here) gates alongside as
+# literal-TRUE booleans.
+# 100 TB: streaming/incremental ingest fragments tables (one file per
+# micro-batch per partition); periodic compaction is what keeps scan task
+# counts and parquet footer overhead bounded, and the atomic swap is why
+# readers never see a half-compacted table.
+# --------------------------------------------------------------------------
+@query(
+    "q39_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)) * 10000 + 0.5) / 10000.0
+               AS sum_value,
+           TRUE AS files_reduced,
+           TRUE AS compacted_to_one
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q39_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import compact_table
+
+    base = tempfile.mkdtemp(prefix="q39_compact_")
+    tbl = f"{base}/events"
+    try:
+        ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+        ev.repartition(32).write.parquet(tbl)  # fragmented ingest state
+        stats = compact_table(spark, tbl, target_bytes=1 << 30, sort_cols=["ts"])
+        out = (
+            spark.read.parquet(tbl)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                rnd(money_sum("value"), 4).alias("sum_value"),
+            )
+            .withColumn(
+                "files_reduced",
+                F.lit(stats["n_files_after"] < stats["n_files_before"]),
+            )
+            .withColumn("compacted_to_one", F.lit(stats["n_files_after"] == 1))
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
