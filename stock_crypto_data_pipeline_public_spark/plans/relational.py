@@ -1607,7 +1607,10 @@ def q38_cobucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)  # materialize before cleanup
     finally:
         for t in ("q38_orders", "q38_lineitem"):
-            spark.sql(f"DROP TABLE IF EXISTS market.`{t}`")
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS market.`{t}`")
+            except Exception:
+                pass  # cleanup must not mask the query's own failure
         shutil.rmtree(base, ignore_errors=True)
 
 
