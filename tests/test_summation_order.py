@@ -48,6 +48,10 @@ MONEY_QUERIES = [
     # (s01 in the read-back agg, s02 inside the windowed streaming agg)
     "s01_streaming_ingest_end_state",
     "s02_streaming_watermark_end_state",
+    # write-path exactness gates: money sums through bucketed tables and
+    # through the compaction rewrite
+    "q38_cobucketed_join_rollup",
+    "q39_compaction_roundtrip",
 ]
 
 #: conf overrides that maximally perturb partial-aggregation order: every
