@@ -202,6 +202,93 @@ class _BitReader:
         raise ValueError("jpeg: invalid Huffman code in scan")
 
 
+#: (frozen decode-table) -> (value_list, length_list) indexed by a 16-bit
+#: peek — canonical-prefix fan-out per T.81 F.16's FAST path. Cached
+#: module-level: tables repeat across a corpus (ours are fixed), so the
+#: 65536-entry build cost amortizes to zero.
+_LUT_CACHE: dict[tuple, tuple[list, list]] = {}
+
+
+def _decode_lut(dec: dict[tuple[int, int], int]) -> tuple[list, list]:
+    key = tuple(sorted(dec.items()))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    val = [0] * (1 << 16)
+    ln = [0] * (1 << 16)
+    for (length, code), v in dec.items():
+        shift = 16 - length
+        base = code << shift
+        for i in range(base, base + (1 << shift)):
+            val[i] = v
+            ln[i] = length
+    _LUT_CACHE[key] = (val, ln)
+    return val, ln
+
+
+class _FastBits:
+    """MSB-first reader over UNSTUFFED entropy bytes: an int accumulator
+    serves 16-bit peeks (LUT decode) and k-bit takes without per-bit calls.
+    Truncation surfaces exactly like _BitReader's: a take() past the last
+    real bit raises (peeks may see virtual zero padding — lookup only)."""
+
+    __slots__ = ("d", "i", "acc", "nb")
+
+    def __init__(self, d: bytes) -> None:
+        self.d = d
+        self.i = 0
+        self.acc = 0
+        self.nb = 0
+
+    def _fill(self) -> None:
+        d, i, n = self.d, self.i, len(self.d)
+        acc, nb = self.acc, self.nb
+        while nb <= 48 and i < n:
+            acc = (acc << 8) | d[i]
+            i += 1
+            nb += 8
+        self.acc, self.nb, self.i = acc, nb, i
+
+    def peek16(self) -> int:
+        if self.nb < 16:
+            self._fill()
+            if self.nb < 16:  # scan tail: pad for LOOKUP only
+                return (self.acc << (16 - self.nb)) & 0xFFFF
+        return (self.acc >> (self.nb - 16)) & 0xFFFF
+
+    def take(self, k: int) -> int:
+        if self.nb < k:
+            self._fill()
+            if self.nb < k:
+                raise ValueError("jpeg: entropy data truncated")
+        self.nb -= k
+        v = (self.acc >> self.nb) & ((1 << k) - 1)
+        self.acc &= (1 << self.nb) - 1
+        return v
+
+
+def _unstuff_scan(b: bytes, pos: int) -> bytes:
+    """Entropy-coded bytes from ``pos`` to the first real marker, with
+    FF 00 -> FF unstuffing; restart markers raise (same scope rule as
+    _BitReader)."""
+    import re
+
+    m = re.search(rb"\xff(?:[^\x00]|$)", b[pos:])
+    if m is None:
+        seg = b[pos:]
+    else:
+        tail = m.group(0)
+        if len(tail) == 1:
+            raise ValueError("jpeg: dangling FF in entropy data")
+        if 0xD0 <= tail[1] <= 0xD7:
+            raise ValueError(
+                f"jpeg: unexpected marker FF{tail[1]:02X} inside scan "
+                "(restart intervals are out of scope)"
+            )
+        seg = b[pos : pos + m.start()]
+    return seg.replace(b"\xff\x00", b"\xff")
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """(size, bits) magnitude coding per T.81 F.1.2.1."""
     if v == 0:
@@ -237,42 +324,50 @@ def encode_jpeg(raster: np.ndarray) -> bytes:
         px = np.pad(px, ((0, ph), (0, pw)), mode="edge")
     shifted = px.astype(np.float64) - 128.0
 
+    # Batch FDCT: one einsum over every block at once (raster order) —
+    # per-block numpy matmul calls dominated the old loop's wall time.
+    bh8, bw8 = px.shape[0] // 8, px.shape[1] // 8
+    blocks = shifted.reshape(bh8, 8, bw8, 8).transpose(0, 2, 1, 3)
+    coeff = np.einsum("ij,byjk,lk->byil", _DCT, blocks, _DCT, optimize=True)
+    q = np.rint(coeff / QUANT_LUM).astype(np.int64)
+    zz_all = q.reshape(-1, 64)[:, ZIGZAG]  # (nblocks, 64) in zigzag order
+    # per-block index of the last nonzero coefficient (0 if AC all zero)
+    nz = zz_all != 0
+    nz[:, 0] = True  # DC never terminates the scan early
+    last_nz_all = 63 - np.argmax(nz[:, ::-1], axis=1)
+
     writer = _BitWriter()
     prev_dc = 0
-    for by in range(0, px.shape[0], 8):
-        for bx in range(0, px.shape[1], 8):
-            block = shifted[by : by + 8, bx : bx + 8]
-            coeff = _DCT @ block @ _DCT.T
-            q = np.rint(coeff / QUANT_LUM).astype(np.int64)
-            zz = q.ravel()[ZIGZAG]
-            # DC: differential + size category
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = _DC_ENC[size]
+    zz_list = zz_all.tolist()  # python ints: the RLE loop stays scalar
+    for bi, zz in enumerate(zz_list):
+        # DC: differential + size category
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        size, bits = _magnitude(diff)
+        code, length = _DC_ENC[size]
+        writer.put(code, length)
+        if size:
+            writer.put(bits, size)
+        # AC: (run, size) symbols with ZRL/EOB
+        last_nz = int(last_nz_all[bi])
+        run = 0
+        for k in range(1, last_nz + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = _AC_ENC[0xF0]  # ZRL
+                writer.put(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = _AC_ENC[(run << 4) | size]
             writer.put(code, length)
-            if size:
-                writer.put(bits, size)
-            # AC: (run, size) symbols with ZRL/EOB
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            writer.put(bits, size)
             run = 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = _AC_ENC[0xF0]  # ZRL
-                    writer.put(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = _AC_ENC[(run << 4) | size]
-                writer.put(code, length)
-                writer.put(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, length = _AC_ENC[0x00]  # EOB
-                writer.put(code, length)
+        if last_nz < 63:
+            code, length = _AC_ENC[0x00]  # EOB
+            writer.put(code, length)
     scan = writer.done()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -384,33 +479,59 @@ def decode_jpeg(b: bytes) -> dict:
     bh = (h + 7) // 8
     if bw * bh > 1 << 20:
         raise ValueError("jpeg: raster too large (decompression guard)")
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    reader = _BitReader(b, pos)
+    nblocks = bh * bw
+    # entropy decode through the cached 16-bit LUTs over the unstuffed
+    # scan — ~2 scalar ops per symbol instead of up to 16 per-bit calls
+    dc_val, dc_len = _decode_lut(dc_dec)
+    ac_val, ac_len = _decode_lut(ac_dec)
+    bits = _FastBits(_unstuff_scan(b, pos))
+    zz_all = np.zeros((nblocks, 64), dtype=np.float64)
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.float64)
-            size = reader.huff(dc_dec)
-            prev_dc += _extend(reader.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = reader.huff(ac_dec)
-                run, size = rs >> 4, rs & 0x0F
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("jpeg: AC run past end of block")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            coeff = np.zeros(64, dtype=np.float64)
-            coeff[ZIGZAG] = zz
-            block = _DCT.T @ (coeff.reshape(8, 8) * qtab) @ _DCT + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
+    for bi in range(nblocks):
+        zz = zz_all[bi]
+        p = bits.peek16()
+        length = dc_len[p]
+        if length == 0:
+            raise ValueError("jpeg: invalid Huffman code in scan")
+        bits.take(length)
+        size = dc_val[p]
+        prev_dc += _extend(bits.take(size), size)
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            p = bits.peek16()
+            length = ac_len[p]
+            if length == 0:
+                raise ValueError("jpeg: invalid Huffman code in scan")
+            bits.take(length)
+            rs = ac_val[p]
+            run, size = rs >> 4, rs & 0x0F
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC run past end of block")
+            zz[k] = _extend(bits.take(size), size)
+            k += 1
+    # batch IDCT: one scatter + one einsum over every block (the old
+    # per-block matmul pair dominated decode wall time)
+    coeff = np.zeros((nblocks, 64), dtype=np.float64)
+    coeff[:, ZIGZAG] = zz_all
+    blocks = (
+        np.einsum(
+            "ji,bjk,kl->bil",
+            _DCT,
+            coeff.reshape(-1, 8, 8) * qtab,
+            _DCT,
+            optimize=True,
+        )
+        + 128.0
+    )
+    px = np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
+    out = (
+        px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
     return {"width": w, "height": h, "raster": out[:h, :w]}

@@ -250,16 +250,32 @@ def _unfilter_png(flt: bytes, w: int, h: int, bpp: int):
         elif ftype == 2:  # Up
             rec = (cur + prior) % 256
         elif ftype in (3, 4):  # Average / Paeth: sequential in x
-            rec = np.zeros(w * bpp, dtype=np.int64)
+            # the left-neighbor recurrence is inherently scalar, so run it
+            # on plain ints — numpy scalar ops per pixel were ~10x slower
+            # (the inlined Paeth matches _paeth: pa=|up-ul|, pb=|left-ul|,
+            # pc=|left+up-2ul|, ties resolve left, then up)
+            cur_l = cur.tolist()
+            prior_l = prior.tolist()
+            rec_l = [0] * (w * bpp)
             for i in range(w * bpp):
-                left = rec[i - bpp] if i >= bpp else 0
-                up = prior[i]
+                left = rec_l[i - bpp] if i >= bpp else 0
+                up = prior_l[i]
                 if ftype == 3:
                     pred = (left + up) // 2
                 else:
-                    upleft = prior[i - bpp] if i >= bpp else 0
-                    pred = int(_paeth(np.int64(left), np.int64(up), np.int64(upleft)))
-                rec[i] = (cur[i] + pred) % 256
+                    ul = prior_l[i - bpp] if i >= bpp else 0
+                    pa = up - ul if up >= ul else ul - up
+                    pb = left - ul if left >= ul else ul - left
+                    s = left + up - 2 * ul
+                    pc = s if s >= 0 else -s
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                rec_l[i] = (cur_l[i] + pred) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.int64)
         else:
             raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
         out[y] = rec.astype(np.uint8)
