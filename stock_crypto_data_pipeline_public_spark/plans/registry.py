@@ -102,15 +102,18 @@ _GATE_PRIORITY = (
     # co-bucketed join exactness, q39 compaction roundtrip (§2.11's
     # write-path bucketing + maintenance, both driver-gated now)
     + ["q37", "q38", "q39"]                                     # (44)
-    # freshness: last driver row r3 (oldest remaining)
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (50)
+    # round-7 code-changed: the JPEG batch-FDCT/LUT-decode and PNG
+    # Paeth-unfilter rewrites touch every query on those decode paths —
+    # code-changed outranks the x05/x07/x08/x11/t25/t27 freshness rows
+    # (r3-stale but code-UNCHANGED), which cede their slots this round
+    + ["m07", "m08", "m11", "m12", "m14", "m15"]                # (50)
 )
-#: Next-round rotation candidates (all r4-green, code unchanged):
-#: v01-v05/v08/v09, q05/q06/q07, q13-q20 minus q17, m04/m06, t05/t11/
-#: t17/t18/t23/t30/t31/t32/t34, x09/x10/x12/x14 — then everything
-#: r5/r6-fresh by age. The rest of the r6 window (m-codecs, v13/v14,
-#: g01-g03, q31/q32, e11, f16/f17, t-series) is r6-green and stays on
-#: the local strict harness.
+#: Next-round rotation candidates: x05/x07/x08/x11/t25/t27 (r3-stale,
+#: code unchanged — first in line), then v01-v05/v08/v09, q05/q06/q07,
+#: q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/t32/t34,
+#: x09/x10/x12/x14 — then everything r5/r6-fresh by age. The rest of
+#: the r6 window (v13/v14, g01-g03, q31/q32, e11, f16/f17, t-series)
+#: is r6-green and stays on the local strict harness.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate
