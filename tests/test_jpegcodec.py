@@ -139,3 +139,45 @@ def test_encoder_rejects_bad_shapes():
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8))
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((0, 8), dtype=np.uint8))
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_entropy_layer_is_exactly_lossless(h, w, seed):
+    """JPEG's only loss is quantization: the entropy layer (RLE/ZRL/EOB,
+    DC differential chains, Huffman, byte stuffing — and the LUT fast
+    decoder) must be an EXACT inverse. For arbitrary rasters, the decoded
+    image must equal the pure-numpy reference quantize->dequantize->IDCT
+    path byte-for-byte, computed with the codec's own matrices and the
+    SAME einsum evaluation order."""
+    from stock_crypto_data_pipeline_public_spark.operators.jpegcodec import (
+        QUANT_LUM,
+        _DCT,
+    )
+
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    px = raster
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        px = np.pad(px, ((0, ph), (0, pw)), mode="edge")
+    bh8, bw8 = px.shape[0] // 8, px.shape[1] // 8
+    blocks = (px.astype(np.float64) - 128.0).reshape(bh8, 8, bw8, 8).transpose(0, 2, 1, 3)
+    coeff = np.einsum("ij,byjk,lk->byil", _DCT, blocks, _DCT, optimize=True)
+    q = np.rint(coeff / QUANT_LUM).astype(np.int64)
+    deq = (q * QUANT_LUM).reshape(-1, 8, 8).astype(np.float64)
+    idct = np.einsum("ji,bjk,kl->bil", _DCT, deq, _DCT, optimize=True) + 128.0
+    ref = np.clip(np.rint(idct), 0, 255).astype(np.uint8)
+    ref = (
+        ref.reshape(bh8, bw8, 8, 8).transpose(0, 2, 1, 3)
+        .reshape(bh8 * 8, bw8 * 8)[:h, :w]
+    )
+
+    decoded = decode_jpeg(encode_jpeg(raster))
+    assert decoded["width"] == w and decoded["height"] == h
+    assert np.array_equal(decoded["raster"], ref)
