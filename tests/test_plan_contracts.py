@@ -110,3 +110,37 @@ def test_x10_probe_filter_sits_below_pq_encode(no_aqe):
     )
     coarse = first(lambda ln: "min_by(centroid_id" in ln)
     assert encode < probe_filter < coarse, (encode, probe_filter, coarse)
+
+
+def test_q37_recursion_executes_as_union_loop(no_aqe):
+    """q37's WITH RECURSIVE must plan as Spark 4's UnionLoop iteration
+    (one loop body re-executed to fixpoint), never a decorrelated
+    per-row subquery or a blown-up self-join chain; the closing rollup
+    is the plan's only exchange."""
+    spark = no_aqe
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q37_recursive_org_chain"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "UnionLoop" in plan and "UnionLoopRef" in plan
+    assert plan.count("Exchange") == 1  # the final groupBy only
+
+
+def test_drain_shuffle_restores_session_conf(spark):
+    """plans/streamops._drain_shuffle pins the state-store partition count
+    for a drain and must restore the session value afterwards — including
+    on failure (the driver session's conf is not ours to keep)."""
+    import pytest as _pytest
+
+    from stock_crypto_data_pipeline_public_spark.plans.streamops import _drain_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _drain_shuffle(spark, 5):
+        assert spark.conf.get(key) == "5"
+    assert spark.conf.get(key) == before
+    with _pytest.raises(RuntimeError):
+        with _drain_shuffle(spark, 5):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
