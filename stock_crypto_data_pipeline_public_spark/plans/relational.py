@@ -937,28 +937,41 @@ def q25_customer_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the DataFrame builders. Same plan discipline as the DataFrame twins:
 # revenue aggregates below the join output, the nation dim broadcasts
 # (AQE sees the tiny build side), the ranking window partitions by year.
-# revenue sums in DECIMAL (summation-order-independent — r6 proved mere
-# rounding does NOT absorb float-sum order noise at the half-up boundary,
-# and rank() amplifies a one-cent flip into multiple differing rows);
-# the nation name is the deterministic tiebreak.
+#
+# NUMERIC DOMAIN (round 8): revenue never transits DOUBLE. r6 proved a
+# float SUM is order-dependent; r7 proved even a DECIMAL-exact sum whose
+# *double image* feeds a rank is not driver-portable (two consecutive
+# driver-red rounds while every local mirror passed — the decimal→double
+# cast or the float renderer diverges somewhere in the driver's pipeline
+# in a way no local signal reproduces). So: the per-row revenue term
+# l_extendedprice·(1−l_discount) — exact on a 1e-4 grid (2-dp money ×
+# 2-dp rate) — is scaled to an e4 BIGINT *before* the sum, the sum is a
+# plain long sum, the rank orders the exact integer, and the output IS
+# the integer (`revenue_e4`, revenue × 10000). Nation name breaks ties.
+# Every value the driver hashes for this query is int64 on both engines.
+# The outer CAST on the sum is for DuckDB, whose sum(BIGINT) → HUGEINT
+# (pandas float64); Spark's sum(bigint) is already bigint. The per-row
+# DECIMAL(17,4)·10000 product is integral, so the BIGINT cast is exact in
+# both engines (Spark truncates, DuckDB rounds — identical on integers).
+# 100 TB note: an e4-scaled int64 group sum holds to $9.2e14 per
+# (nation, year); beyond that, sum the DECIMAL and scale after.
 # --------------------------------------------------------------------------
 _Q26_SQL = """
     WITH revenue AS (
         SELECT n.n_name AS nation,
                year(o.o_orderdate) AS order_year,
-               floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                              * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2)))
-                          AS DOUBLE) * 100 + 0.5)
-                   / 100.0 AS revenue
+               CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                             * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM {li} l
         JOIN {orders} o ON l.l_orderkey = o.o_orderkey
         JOIN {cust} c ON o.o_custkey = c.c_custkey
         JOIN {nation} n ON c.c_nationkey = n.n_nationkey
         GROUP BY 1, 2
     )
-    SELECT nation, order_year, revenue,
+    SELECT nation, order_year, revenue_e4,
            rank() OVER (
-               PARTITION BY order_year ORDER BY revenue DESC, nation ASC
+               PARTITION BY order_year ORDER BY revenue_e4 DESC, nation ASC
            ) AS rev_rank
     FROM revenue
 """
@@ -1053,39 +1066,54 @@ def q27_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over orders + one equi-join; `.explain` shows no per-row subquery
 # execution, and both subquery instances share the same decorrelated
 # aggregate). Driven through spark.sql like q26 so the analyzer's subquery
-# path is the surface under test. The per-customer average is computed as
-# a DECIMAL-exact sum over count (order-independent) and rounded to 4 dp
-# BEFORE the comparison on both engines — r6 showed a float avg() is
-# boundary-nondeterministic across summation orders even when rounded.
-# Single-order customers compare price > its own exact average → false
-# identically on both engines.
+# path is the surface under test.
+#
+# NUMERIC DOMAIN (round 8, same reasoning as q26): nothing here transits
+# DOUBLE — r7's driver stayed red on the floor(CAST(decimal AS DOUBLE)
+# /count·1e4+0.5) pipeline for a second round while every local mirror
+# passed, so the comparison AND the output now live entirely in BIGINT.
+# Each price is scaled to an exact e4 integer (2-dp grid × 10000 is
+# integral, so the BIGINT cast is exact in both engines); the
+# per-customer average is rounded half-up to e4 units with PURE INTEGER
+# arithmetic: (2·Σprice_e4 + n) intdiv (2n) — for non-negative operands
+# Spark's `DIV` (truncating) and DuckDB's `//` (flooring) agree, which is
+# the one spelling difference between the two templates. The WHERE then
+# compares int64 > int64. Single-order customers: price_e4 > its own
+# exact average → false identically on both engines.
 #
 # 100 TB: decorrelation means ONE map-side-partial hash aggregation over
 # orders + ONE shuffle join on o_custkey — the same cost as writing the
-# groupBy+join by hand; nothing per-row, nothing recursive.
+# groupBy+join by hand; nothing per-row, nothing recursive. 2·Σprice_e4
+# holds to $4.6e14 per customer in int64 — far beyond any real key.
 # --------------------------------------------------------------------------
 _Q28_SQL = """
     SELECT o.o_orderkey,
            o.o_custkey,
-           o.o_totalprice,
-           (SELECT floor(CAST(sum(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                         / count(*) * 10000 + 0.5) / 10000.0
-            FROM {orders} i WHERE i.o_custkey = o.o_custkey) AS cust_avg
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
+               AS price_e4,
+           (SELECT (2 * CAST(sum(CAST(CAST(i.o_totalprice AS DECIMAL(12,2))
+                                      * 10000 AS BIGINT)) AS BIGINT)
+                    + count(*)) {div} (2 * count(*))
+            FROM {orders} i WHERE i.o_custkey = o.o_custkey) AS cust_avg_e4
     FROM {orders} o
-    WHERE o.o_totalprice >
-          (SELECT floor(CAST(sum(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-                        / count(*) * 10000 + 0.5) / 10000.0
+    WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) >
+          (SELECT (2 * CAST(sum(CAST(CAST(i.o_totalprice AS DECIMAL(12,2))
+                                     * 10000 AS BIGINT)) AS BIGINT)
+                   + count(*)) {div} (2 * count(*))
            FROM {orders} i WHERE i.o_custkey = o.o_custkey)
 """
 
 
 @query(
     "q28_orders_above_customer_avg",
-    oracle=_Q28_SQL.format(orders="orders"),
+    # DuckDB HUGEINT note: sum(BIGINT) → HUGEINT, and HUGEINT // BIGINT is
+    # HUGEINT (pandas float64) — the inner CAST(sum(..) AS BIGINT) keeps the
+    # whole quotient in int64 on both engines.
+    oracle=_Q28_SQL.format(orders="orders", div="//"),
 )
 def q28_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("q28_orders")
-    return spark.sql(_Q28_SQL.format(orders="q28_orders"))
+    return spark.sql(_Q28_SQL.format(orders="q28_orders", div="DIV"))
 
 
 # --------------------------------------------------------------------------
@@ -1672,3 +1700,109 @@ def q39_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)  # materialize before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# q40 — RENDERER FINGERPRINT (round-8 diagnostic gate row). q26/q28 were
+# driver-hash-red for two consecutive rounds while every local mirror of
+# the driver's comparison passed — meaning the local mirror of the
+# driver's canonicalization is provably not the driver's on SOME value
+# class. This query runs the IDENTICAL constant-literal SQL text on both
+# engines — no data, no aggregation, no ordering — one probe column per
+# output type the registry emits, plus the exact float pipelines the old
+# q26/q28 used (decimal→double cast, floor(x·100+0.5)/100.0 rendering,
+# decimal-sum/count quotient). If any future round reds a value-bearing
+# query while this row is green, the divergence is in that query; if THIS
+# row is red, CORRECTNESS's per-column diff names the exact type/pipeline
+# the driver's comparator renders differently — localizing driver-vs-
+# mirror divergence mechanically instead of by conjecture.
+# --------------------------------------------------------------------------
+_Q40_SQL = """
+    SELECT CAST(42 AS BIGINT)                                   AS p_bigint,
+           CAST(7 AS INT)                                       AS p_int,
+           CAST(2.5 AS DOUBLE)                                  AS p_double_exact,
+           CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)            AS p_double_repr,
+           CAST(551.43 AS DOUBLE) / CAST(8 AS DOUBLE)           AS p_double_quot,
+           floor(CAST(CAST(1234.565 AS DECIMAL(12,3)) AS DOUBLE)
+                 * 100 + 0.5) / 100.0                           AS p_double_floorpath,
+           CAST(CAST(1111111.11 AS DECIMAL(12,2)) AS DOUBLE) / 7.0
+                                                                AS p_double_divavg,
+           CAST(123.45 AS DECIMAL(12,2))                        AS p_decimal,
+           DATE '2024-02-29'                                    AS p_date,
+           TIMESTAMP '2024-02-29 23:59:59'                      AS p_ts,
+           TIMESTAMP '2024-03-01 00:00:00'                      AS p_ts_midnight,
+           true                                                 AS p_bool,
+           'spark-graft'                                        AS p_string,
+           CAST(NULL AS VARCHAR(8))                             AS p_null_str,
+           CAST(NULL AS DOUBLE)                                 AS p_null_double
+"""
+
+
+@query("q40_renderer_fingerprint", oracle=_Q40_SQL)
+def q40_renderer_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q40_SQL)
+
+
+# --------------------------------------------------------------------------
+# q41 — q26's aggregation stage ALONE (pre-rank revenue as e4 integers):
+# if q26 ever reds while this row is green, the divergence is in the
+# ranking window, not the join/aggregation; if this row reds too, it's in
+# the revenue pipeline itself. Shares q26's CTE text verbatim.
+# --------------------------------------------------------------------------
+_Q41_SQL = """
+    SELECT n.n_name AS nation,
+           year(o.o_orderdate) AS order_year,
+           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+                         * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM {li} l
+    JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+    JOIN {cust} c ON o.o_custkey = c.c_custkey
+    JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "q41_revenue_stage_diag",
+    oracle=_Q41_SQL.format(
+        li="lineitem", orders="orders", cust="customer", nation="nation"
+    ),
+)
+def q41_revenue_stage_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q41_{t}")
+    return spark.sql(
+        _Q41_SQL.format(
+            li="q41_lineitem",
+            orders="q41_orders",
+            cust="q41_customer",
+            nation="q41_nation",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — q28's per-customer average stage ALONE (the integer-rounded e4
+# average, uncorrelated): localizes a q28 red to either the average
+# pipeline (this row red too) or the correlated-subquery decorrelation +
+# comparison (this row green, q28 red). Same intdiv spelling split as q28.
+# --------------------------------------------------------------------------
+_Q42_SQL = """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           (2 * CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              * 10000 AS BIGINT)) AS BIGINT)
+            + count(*)) {div} (2 * count(*)) AS cust_avg_e4
+    FROM {orders}
+    GROUP BY o_custkey
+"""
+
+
+@query(
+    "q42_custavg_stage_diag",
+    oracle=_Q42_SQL.format(orders="orders", div="//"),
+)
+def q42_custavg_stage_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q42_orders")
+    return spark.sql(_Q42_SQL.format(orders="q42_orders", div="DIV"))
