@@ -383,7 +383,12 @@ def e08_purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFra
 # BIGINTs, var = (s2 − s1²/24)/23 — instead of stddev_samp(), whose
 # streaming estimators (Welford vs textbook) differ between engines in the
 # last float bits; here every double op is written identically on both
-# sides, so the z-scores are bit-identical and hash-gateable. A flat
+# sides, so the z-scores are bit-identical and hash-gateable. NUMERIC
+# DOMAIN (round 8, q26/q28's insurance pattern): the z-score is scaled to
+# an e4 BIGINT before the |z| > 3 threshold comparison and before the
+# min/max rollup, so the compared and output values are exact int64 on
+# both engines (|z_e4| > 30000 ⇔ |rnd(z,4)| > 3 — the boundary value
+# 30000 maps to exactly 3.0). A flat
 # baseline (var 0) yields NULL z (guarded nullif), not ±inf. Scale: one
 # hash agg tape→(type, hour) — thousands of rows per year regardless of
 # tick volume — then a bounded window per type; the agg-before-window
@@ -409,16 +414,16 @@ def e08_purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFra
     ),
     z AS (
         SELECT event_type,
-               floor(((c - s1 / 24.0)
-                      / nullif(sqrt(greatest((s2 - (s1 * s1) / 24.0) / 23.0, 0.0)), 0.0))
-                     * 10000 + 0.5) / 10000.0 AS z
+               CAST(floor(((c - s1 / 24.0)
+                           / nullif(sqrt(greatest((s2 - (s1 * s1) / 24.0) / 23.0, 0.0)), 0.0))
+                          * 10000 + 0.5) AS BIGINT) AS z_e4
         FROM scored WHERE rn >= 25
     )
     SELECT event_type,
            count(*)                                   AS n_hours_scored,
-           count(*) FILTER (WHERE abs(z) > 3)         AS n_anomalies,
-           floor(max(z) * 10000 + 0.5) / 10000.0      AS max_z,
-           floor(min(z) * 10000 + 0.5) / 10000.0      AS min_z
+           count(*) FILTER (WHERE abs(z_e4) > 30000)  AS n_anomalies,
+           max(z_e4)                                  AS max_z_e4,
+           min(z_e4)                                  AS min_z_e4
     FROM z
     GROUP BY 1
     """,
@@ -443,15 +448,19 @@ def e09_hourly_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = F.greatest(
         (F.col("s2") - (F.col("s1") * F.col("s1")) / 24.0) / 23.0, F.lit(0.0)
     )
-    z = rnd(
-        (F.col("c") - F.col("s1") / 24.0) / F.nullif(F.sqrt(var), F.lit(0.0)), 4
+    # F.floor(double) is LONG on Spark; the oracle twin casts explicitly
+    z_e4 = F.floor(
+        (F.col("c") - F.col("s1") / 24.0)
+        / F.nullif(F.sqrt(var), F.lit(0.0))
+        * 10000
+        + 0.5
     )
-    zs = scored.select("event_type", z.alias("z"))
+    zs = scored.select("event_type", z_e4.alias("z_e4"))
     return zs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_hours_scored"),
-        F.count_if(F.abs(F.col("z")) > 3).alias("n_anomalies"),
-        rnd(F.max("z"), 4).alias("max_z"),
-        rnd(F.min("z"), 4).alias("min_z"),
+        F.count_if(F.abs(F.col("z_e4")) > 30000).alias("n_anomalies"),
+        F.max("z_e4").alias("max_z_e4"),
+        F.min("z_e4").alias("min_z_e4"),
     )
 
 

@@ -278,37 +278,74 @@ def f06_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tape to (instrument, day) first — the pair join then runs on the *small*
 # aggregated series (days × instruments rows, broadcastable at any raw
 # scale), never on raw ticks. Pairs are ordered (a < b) to emit each pair
-# once. corr() is the built-in sample correlation on both engines.
+# once.
+#
+# NUMERIC DOMAIN (round 8, q26/q28's insurance pattern): built-in corr()
+# is a streaming co-moment estimator whose accumulation order — and
+# algorithm — is engine-specific, i.e. exactly the
+# "aggregate-that-transits-double" class that reds drivers. Instead: the
+# daily price is an e4 BIGINT (its defining quotient is bit-deterministic:
+# decimal-exact sum's double image / count), the five pair moments
+# n, Σx, Σy, Σxy, Σx², Σy² are EXACT decimal sums of integers
+# (order-independent), and Pearson's r comes from the textbook closed form
+#   r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+# evaluated with identical IEEE ops on both engines from those exact
+# ingredients — bit-identical, then emitted as an e3 BIGINT. (Sample vs
+# population normalization cancels in the ratio, so this equals corr().)
+# Decimal widths: px_e4 < 1e10 by contract → Σxy < 1e25 fits DECIMAL(26,0)
+# at 100k days/pair; nΣxy and ΣxΣy stay under width 38 in both engines'
+# multiply-widening rules. Zero-variance or single-day pairs → NULL (the
+# closed form's denominator is exactly 0 there — same as corr()).
 # --------------------------------------------------------------------------
 @query(
     "f05_daily_corr_pairs",
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               {oracle_rnd(oracle_money_sum('value') + ' / count(*)', 4)} AS px
+               CAST(floor(({oracle_money_sum('value')} / count(*)) * 10000 + 0.5)
+                    AS BIGINT) AS px_e4
         FROM events
         GROUP BY 1, 2
+    ),
+    moments AS (
+        SELECT a.event_type AS symbol_a,
+               b.event_type AS symbol_b,
+               count(*)     AS n_days,
+               CAST(count(*) AS DECIMAL(8,0))                            AS n_d,
+               CAST(sum(a.px_e4) AS DECIMAL(16,0))                       AS sx,
+               CAST(sum(b.px_e4) AS DECIMAL(16,0))                       AS sy,
+               CAST(sum(CAST(a.px_e4 AS DECIMAL(18,0))
+                        * CAST(b.px_e4 AS DECIMAL(18,0))) AS DECIMAL(26,0)) AS sxy,
+               CAST(sum(CAST(a.px_e4 AS DECIMAL(18,0))
+                        * CAST(a.px_e4 AS DECIMAL(18,0))) AS DECIMAL(26,0)) AS sxx,
+               CAST(sum(CAST(b.px_e4 AS DECIMAL(18,0))
+                        * CAST(b.px_e4 AS DECIMAL(18,0))) AS DECIMAL(26,0)) AS syy
+        FROM daily a
+        JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+        GROUP BY 1, 2
     )
-    SELECT a.event_type AS symbol_a,
-           b.event_type AS symbol_b,
-           count(*)     AS n_days,
-           {oracle_rnd('corr(a.px, b.px)', 3)} AS corr_daily
-    FROM daily a
-    JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
-    GROUP BY 1, 2
+    SELECT symbol_a, symbol_b, n_days,
+           CAST(floor(CAST(n_d * sxy - sx * sy AS DOUBLE)
+                      / nullif(sqrt(CAST(n_d * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n_d * syy - sy * sy AS DOUBLE)), 0.0)
+                      * 1000 + 0.5) AS BIGINT) AS corr_e3
+    FROM moments
     """,
 )
 def f05_daily_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-        )
-        .agg(rnd(money_sum("value") / F.count(F.lit(1)), 4).alias("px"))
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.floor(
+            (money_sum("value") / F.count(F.lit(1))) * 10000 + 0.5
+        ).alias("px_e4")
     )
     a = daily.alias("a")
     b = daily.alias("b")
-    return (
+    ax = F.col("a.px_e4").cast("decimal(18,0)")
+    bx = F.col("b.px_e4").cast("decimal(18,0)")
+    moments = (
         a.join(
             F.broadcast(b),
             (F.col("a.day") == F.col("b.day"))
@@ -320,8 +357,24 @@ def f05_daily_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            rnd(F.corr("a.px", "b.px"), 3).alias("corr_daily"),
+            F.count(F.lit(1)).cast("decimal(8,0)").alias("n_d"),
+            F.sum("a.px_e4").cast("decimal(16,0)").alias("sx"),
+            F.sum("b.px_e4").cast("decimal(16,0)").alias("sy"),
+            F.sum(ax * bx).cast("decimal(26,0)").alias("sxy"),
+            F.sum(ax * ax).cast("decimal(26,0)").alias("sxx"),
+            F.sum(bx * bx).cast("decimal(26,0)").alias("syy"),
         )
+    )
+    num = (F.col("n_d") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n_d") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n_d") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return moments.select(
+        "symbol_a",
+        "symbol_b",
+        "n_days",
+        F.floor(num / F.nullif(den, F.lit(0.0)) * 1000 + 0.5).alias("corr_e3"),
     )
 
 
@@ -1276,9 +1329,14 @@ def f16_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # momentum portfolio construction. Two window families over DIFFERENT
 # partitionings: the trailing return partitions by SYMBOL (time series),
 # the rank partitions by DAY (cross section) — exactly one exchange each.
-# Daily close is arg_max(value, event_id) — exact, no float aggregation;
-# the return is rounded to 6 dp BEFORE ranking so the rank's order is over
-# engine-identical values (ties then broken by symbol for total order).
+# Daily close is arg_max(value, event_id) — exact, no float aggregation.
+# NUMERIC DOMAIN (round 8, q26/q28's insurance pattern): the trailing
+# return is scaled to an e6 BIGINT (floor(x·1e6 + 0.5), half-up) before
+# the rank, so the ranked value and the output are exact int64 on both
+# engines — nothing the driver hashes for this query transits a float
+# rendering. The raw quotient close/lag(close) is bit-deterministic
+# (IEEE division of identical raw doubles), so the integer image is too;
+# ties then break on symbol for total order.
 #
 # 100 TB: the daily-close aggregation is the only pass over raw ticks
 # (single hash agg, map-side partials); everything after is
@@ -1299,15 +1357,16 @@ _MOM_N = 5
     ),
     mom AS (
         SELECT symbol, day,
-               {oracle_rnd(f'close / lag(close, {_MOM_N}) OVER w - 1', 6)} AS mom_ret
+               CAST(floor((close / lag(close, {_MOM_N}) OVER w - 1) * 1000000 + 0.5)
+                    AS BIGINT) AS mom_ret_e6
         FROM daily
         WINDOW w AS (PARTITION BY symbol ORDER BY day ASC)
         QUALIFY lag(close, {_MOM_N}) OVER w IS NOT NULL AND close IS NOT NULL
     )
-    SELECT symbol, day, mom_ret,
-           rank() OVER (PARTITION BY day ORDER BY mom_ret DESC, symbol ASC)
+    SELECT symbol, day, mom_ret_e6,
+           rank() OVER (PARTITION BY day ORDER BY mom_ret_e6 DESC, symbol ASC)
                AS mom_rank,
-           CAST(ntile(3) OVER (PARTITION BY day ORDER BY mom_ret DESC, symbol ASC)
+           CAST(ntile(3) OVER (PARTITION BY day ORDER BY mom_ret_e6 DESC, symbol ASC)
                AS INT) AS tercile
     FROM mom
     """,
@@ -1322,16 +1381,20 @@ def f17_cross_sectional_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day"),
     ).agg(F.max_by("value", "event_id").alias("close"))
     w = W.partitionBy("symbol").orderBy(F.asc("day"))
+    # F.floor(double) is already LONG on Spark; the oracle needs the explicit
+    # BIGINT cast because DuckDB's floor returns DOUBLE
     mom = daily.select(
         "symbol",
         "day",
-        rnd(F.col("close") / F.lag("close", _MOM_N).over(w) - 1, 6).alias("mom_ret"),
-    ).filter(F.col("mom_ret").isNotNull())
-    xs = W.partitionBy("day").orderBy(F.desc("mom_ret"), F.asc("symbol"))
+        F.floor(
+            (F.col("close") / F.lag("close", _MOM_N).over(w) - 1) * 1000000 + 0.5
+        ).alias("mom_ret_e6"),
+    ).filter(F.col("mom_ret_e6").isNotNull())
+    xs = W.partitionBy("day").orderBy(F.desc("mom_ret_e6"), F.asc("symbol"))
     return mom.select(
         "symbol",
         "day",
-        "mom_ret",
+        "mom_ret_e6",
         F.rank().over(xs).alias("mom_rank"),
         F.ntile(3).over(xs).cast("int").alias("tercile"),
     )

@@ -1741,13 +1741,17 @@ def x17_hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver; all relations are (queries × ≤10) rows after the candidate cut,
 # so every round is broadcast-cheap at any corpus size. The oracle runs
 # the SAME greedy policy as a recursive CTE with a LATERAL argmax step.
-# Float contract: λ and μ are SEPARATE literals on both sides (1 − 0.7 is
-# NOT the double 0.3 — computing μ would diverge the engines); rel and
-# pair sims are pre-rounded at 4 dp, so every score is the same two-term
-# expression over identical doubles, and ties break on candidate id.
+# NUMERIC DOMAIN (round 8, q26/q28's insurance pattern): the raw cosines
+# are bit-deterministic (identical fold order both sides — the x01
+# contract), and everything AFTER them is exact int64: rel and pair sims
+# are e4 BIGINTs (floor(cos·1e4 + 0.5)), λ=0.7/μ=0.3 become the integer
+# tenths 7/3, so the greedy objective λ·rel − μ·maxsim is the exact
+# integer 7·rel_e4 − 3·maxsim_e4 in e5 units — the argmax comparison and
+# the output (mmr_score_e5) never transit a float rendering. Ties break
+# on candidate id.
 # --------------------------------------------------------------------------
-_MMR_LAM = "0.7"
-_MMR_MU = "0.3"
+_MMR_LAM_TENTHS = 7
+_MMR_MU_TENTHS = 3
 _MMR_POOL = 10
 _MMR_K = 5
 
@@ -1760,7 +1764,8 @@ _MMR_K = 5
     ),
     scored AS (
         SELECT q.query_id, e.vec_id AS cid, e.embedding AS ce,
-               {oracle_rnd(S.oracle_cosine('q.qe', 'e.embedding'), 4)} AS rel
+               CAST(floor(({S.oracle_cosine('q.qe', 'e.embedding')}) * 10000 + 0.5)
+                    AS BIGINT) AS rel
         FROM q JOIN embeddings e ON e.vec_id <> q.query_id
     ),
     pool AS (
@@ -1772,12 +1777,13 @@ _MMR_K = 5
     ),
     pairs AS (
         SELECT a.query_id, a.cid AS ia, b.cid AS ib,
-               {oracle_rnd(S.oracle_cosine('a.ce', 'b.ce'), 4)} AS s
+               CAST(floor(({S.oracle_cosine('a.ce', 'b.ce')}) * 10000 + 0.5)
+                    AS BIGINT) AS s
         FROM pool a JOIN pool b
           ON a.query_id = b.query_id AND a.cid <> b.cid
     ),
     sel AS (
-        SELECT query_id, 1 AS k, cid, {_MMR_LAM} * rel AS score,
+        SELECT query_id, 1 AS k, cid, {_MMR_LAM_TENTHS} * rel AS score,
                CAST(cid AS VARCHAR) AS chosen
         FROM (
             SELECT *, row_number() OVER (
@@ -1789,7 +1795,7 @@ _MMR_K = 5
                sel.chosen || ',' || CAST(nxt.cid AS VARCHAR)
         FROM sel, LATERAL (
             SELECT c.cid,
-                   {_MMR_LAM} * c.rel - {_MMR_MU} * (
+                   {_MMR_LAM_TENTHS} * c.rel - {_MMR_MU_TENTHS} * (
                        SELECT max(p.s) FROM pairs p
                        WHERE p.query_id = sel.query_id AND p.ia = c.cid
                          AND list_contains(
@@ -1806,12 +1812,12 @@ _MMR_K = 5
         WHERE sel.k < {_MMR_K}
     )
     SELECT query_id, CAST(k AS INT) AS k, cid AS neighbor_id,
-           {oracle_rnd('score', 6)} AS mmr_score
+           CAST(score AS BIGINT) AS mmr_score_e5
     FROM sel
     """,
 )
 def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lam, mu = float(_MMR_LAM), float(_MMR_MU)
+    lam, mu = _MMR_LAM_TENTHS, _MMR_MU_TENTHS
     emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
     emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -1830,7 +1836,7 @@ def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("ce"),
             F.col("nrm").alias("cnrm"),
-            rnd(rel, 4).alias("rel"),
+            F.floor(rel * 10000 + 0.5).alias("rel"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
@@ -1859,7 +1865,7 @@ def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.query_id").alias("query_id"),
             F.col("a.cid").alias("ia"),
             F.col("b.cid").alias("ib"),
-            rnd(psim, 4).alias("s"),
+            F.floor(psim * 10000 + 0.5).alias("s"),
         )
     )
     # pairs also checkpoint — a ≤ 90-rows-per-query job off the pool leaf —
@@ -1920,7 +1926,7 @@ def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("k").cast("int").alias("k"),
         F.col("cid").alias("neighbor_id"),
-        rnd("score", 6).alias("mmr_score"),
+        F.col("score").alias("mmr_score_e5"),
     )
 
 
