@@ -44,6 +44,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from stock_crypto_data_pipeline_public_spark.plans import registry
 from stock_crypto_data_pipeline_public_spark.session import get_spark
 
+# Queries whose plan BUILD does the real work (operators with side
+# effects — t31 materializes edges and writes the inverted index before
+# returning; x18/g01 run eager localCheckpoint jobs for their iterative
+# rounds; EVERY s-series query drains a streaming checkpoint in the
+# call): time the whole call, or the bench would bill them ~0.
+# tests/test_plan_contracts.py pins "s-prefix ⊆ EAGER" mechanically.
+EAGER = {
+    "t31_incremental_vs_batch_neardup",
+    "x13_persisted_ann_search",
+    "x18_mmr_rerank",
+    "g01_pagerank_trade_graph",
+    "g03_bfs_trade_hops",
+    "m05_ppm_real_resize_rollup",  # r7: eager localCheckpoint of the
+    # synthesized media (two consumers, no cross-consumer CSE in Spark)
+    "s01_streaming_ingest_end_state",  # streaming drains run in the call
+    "s02_streaming_watermark_end_state",
+    "s03_stream_stream_attribution",
+    "s04_stateful_sessionization",
+    "s05_stream_static_enrichment",
+    "s06_streaming_dedup_end_state",
+    "s07_streaming_ohlcv_end_state",
+    "s08_streaming_neardup_end_state",
+    "q38_cobucketed_join_rollup",  # bucketed-table writes run in the call
+    "q39_compaction_roundtrip",  # fragment + compact runs in the call
+}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,28 +97,6 @@ def main() -> int:
     # regressions round-over-round); the min of two runs is the steady-state
     # executor-side cost. Reported explicitly as "passes": 2.
     PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    # Queries whose plan BUILD does the real work (operators with side
-    # effects — t31 materializes edges and writes the inverted index before
-    # returning; x18/g01 run eager localCheckpoint jobs for their iterative
-    # rounds): time the whole call, or the bench would bill them ~0.
-    EAGER = {
-        "t31_incremental_vs_batch_neardup",
-        "x13_persisted_ann_search",
-        "x18_mmr_rerank",
-        "g01_pagerank_trade_graph",
-        "g03_bfs_trade_hops",
-        "m05_ppm_real_resize_rollup",  # r7: eager localCheckpoint of the
-        # synthesized media (two consumers, no cross-consumer CSE in Spark)
-        "s01_streaming_ingest_end_state",  # streaming drains run in the call
-        "s02_streaming_watermark_end_state",
-        "s03_stream_stream_attribution",
-        "s04_stateful_sessionization",
-        "s05_stream_static_enrichment",
-        "s06_streaming_dedup_end_state",
-        "s07_streaming_ohlcv_end_state",
-        "q38_cobucketed_join_rollup",  # bucketed-table writes run in the call
-        "q39_compaction_roundtrip",  # fragment + compact runs in the call
-    }
     # passes are INTERLEAVED (whole registry pass 1, then pass 2, min per
     # query): host-steal bursts on this box last minutes, so back-to-back
     # passes of one query both land inside the same burst and the min
@@ -162,12 +166,21 @@ def main() -> int:
     short = {name.split("_", 1)[0]: t for name, t in sorted(timings.items())}
     if len(short) != len(timings):  # not assert: must survive python -O
         raise RuntimeError("query ID prefixes must stay unique")
+    import hashlib
+
     payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "passes": passes_done,
+        # fingerprint of the FULL short-ID map (sorted-key canonical JSON):
+        # when the line budget truncates "queries" below, cross-round
+        # tooling can still tell two runs' full maps apart, and the full
+        # map itself is always on stderr (queries_full)
+        "queries_sha": hashlib.sha256(
+            json.dumps(short, sort_keys=True, separators=(",", ":")).encode()
+        ).hexdigest()[:12],
         "queries": short,
         "sf": sf,
     }
@@ -176,8 +189,11 @@ def main() -> int:
         # degrade rather than abort after all queries already ran: keep the
         # headline metric parseable and as many of the SLOWEST per-query
         # entries as fit (those are the ones a perf review needs; the full
-        # map always goes to stderr above)
+        # map always goes to stderr above). queries_policy names the rule
+        # so the recorded JSON can't be misread as "these were the only
+        # queries" / "the missing ones were slow".
         by_cost = sorted(short.items(), key=lambda kv: -kv[1])
+        payload["queries_policy"] = "slowest-kept"
         while len(line) >= 1900 and by_cost:
             by_cost = by_cost[:-1]
             payload["queries"] = dict(sorted(by_cost))

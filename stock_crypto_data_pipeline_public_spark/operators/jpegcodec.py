@@ -31,6 +31,7 @@ runs for real.
 from __future__ import annotations
 
 import struct
+from collections import OrderedDict
 
 import numpy as np
 
@@ -204,15 +205,19 @@ class _BitReader:
 
 #: (frozen decode-table) -> (value_list, length_list) indexed by a 16-bit
 #: peek — canonical-prefix fan-out per T.81 F.16's FAST path. Cached
-#: module-level: tables repeat across a corpus (ours are fixed), so the
-#: 65536-entry build cost amortizes to zero.
-_LUT_CACHE: dict[tuple, tuple[list, list]] = {}
+#: module-level as a small LRU: our own encoder emits one fixed table
+#: pair, but decode_jpeg is reachable from extract_text over arbitrary
+#: user JPEGs whose per-image optimized DHTs would otherwise accumulate
+#: multi-MB LUTs per distinct table in a long-lived executor worker.
+_LUT_CACHE: "OrderedDict[tuple, tuple[list, list]]" = OrderedDict()
+_LUT_CACHE_MAX = 8  # fixed tables need 4 (DC/AC luma+chroma)
 
 
 def _decode_lut(dec: dict[tuple[int, int], int]) -> tuple[list, list]:
     key = tuple(sorted(dec.items()))
     hit = _LUT_CACHE.get(key)
     if hit is not None:
+        _LUT_CACHE.move_to_end(key)
         return hit
     val = [0] * (1 << 16)
     ln = [0] * (1 << 16)
@@ -223,6 +228,8 @@ def _decode_lut(dec: dict[tuple[int, int], int]) -> tuple[list, list]:
             val[i] = v
             ln[i] = length
     _LUT_CACHE[key] = (val, ln)
+    if len(_LUT_CACHE) > _LUT_CACHE_MAX:
+        _LUT_CACHE.popitem(last=False)
     return val, ln
 
 

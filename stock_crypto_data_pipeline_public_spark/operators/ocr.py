@@ -111,11 +111,17 @@ def _render_raster(text: str):
 
 def _match_cells(bits) -> str:
     """Exact template matching over a (GLYPH_H, n_cells*CELL_W) boolean
-    raster. Raises on an unrecognized cell — the honest behavior for a
-    non-rendered image, not a fabricated string."""
+    raster. Raises on an unrecognized cell OR on ink in an inter-glyph
+    gap column — the honest behavior for a non-rendered image, not a
+    fabricated string (the renderer never puts ink in a gap, so a lit gap
+    proves the image is not one of ours)."""
     h, w = bits.shape
     chars = []
     for i in range(w // CELL_W):
+        if bits[:, i * CELL_W + GLYPH_W : (i + 1) * CELL_W].any():
+            raise ValueError(
+                f"unrecognized glyph cell {i}: ink in the inter-glyph gap"
+            )
         cell = bits[:, i * CELL_W : i * CELL_W + GLYPH_W]
         rows = tuple(
             int("".join("1" if v else "0" for v in cell[y]), 2)
@@ -259,17 +265,27 @@ def ocr_images(
     type_col: str = "media_type",
 ) -> DataFrame:
     """OCR a media relation of glyph-raster PNGs/JPEGs -> (doc_id, text),
-    routed by media_type. Arrow-batched, map-only; errors propagate (a
-    non-raster image is a caller bug here — extract_text's PERMISSIVE
-    path handles mixed corpora)."""
+    routed EXPLICITLY by media_type (anything else raises an unsupported-
+    type error rather than a confusing wrong-codec decode failure).
+    Arrow-batched, map-only; errors propagate (a non-raster image is a
+    caller bug here — extract_text's PERMISSIVE path handles mixed
+    corpora)."""
     import pandas as pd
+
+    def one(b: bytes, mt: str) -> str:
+        if mt == "image/jpeg":
+            return ocr_jpeg_bytes(b)
+        if mt == "image/png":
+            return ocr_png_bytes(b)
+        raise ValueError(
+            f"unsupported media_type {mt!r}: ocr_images handles "
+            "image/png and image/jpeg only"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = [
-                ocr_jpeg_bytes(bytes(b))
-                if mt == "image/jpeg"
-                else ocr_png_bytes(bytes(b))
+                one(bytes(b), mt)
                 for b, mt in zip(pdf[media_col], pdf[type_col])
             ]
             yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "text": texts})

@@ -54,66 +54,45 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-7 gate window, ranked by "code changed since last driver hash
+#: round-8 gate window, ranked by "code changed since last driver hash
 #: row":
-#: 1. ALL round-7 code changes — the decimal-exact money-aggregation
-#:    sweep (functions/numeric.py MONEY/RATE policy; fixes the r6 red
-#:    rows q26/q28 and hardens every money sum that feeds a rank or
-#:    comparison): q01-q04, q17, q21/q22, q26-q30, v06/v07, e02/e04/
-#:    e06/e07/e08, f02 — plus m18 (PDF scanner hang + octal-escape
-#:    fixes touched its extraction path), m17 (shares chunking.py), and
-#:    m05 (localCheckpoint on the forked media relation).
-#: 2. Freshness for the remaining slots: x05/x07/x08/x11 (last driver
-#:    row r3 — the oldest rows left), t25/t27 (ceded their r6 slots),
-#:    then the oldest r4-green series by age: v01-v05/v08/v09,
-#:    q05-q12, e01/e03/e05, f01/f08, m04.
+#: 1. The r7 reds q26/q28 — REWRITTEN this block into a pure-integer
+#:    domain (no value the driver hashes transits DOUBLE) — plus the
+#:    NEW q40 renderer-fingerprint and q41/q42 staged diagnostics that
+#:    localize any remaining driver-vs-mirror divergence mechanically.
+#: 2. All other round-8 code changes: q02/q03 (decimal pre-projection),
+#:    f17/e09/f05/x18 (the exact-domain sweep — no ranked/compared
+#:    value transits DOUBLE after aggregation), m19/m20 (OCR gap-column
+#:    contract + explicit media-type dispatch; m20 also sits on the
+#:    LUT-cache-bounded JPEG decode path), and the NEW s08 streaming
+#:    near-dup sink end state (the last local-only streaming family).
+#: 3. Freshness for the remaining slots, oldest driver row first:
+#:    x05/x07/x08/x11 and t25/t27 (r3 — ceded their slots two rounds
+#:    running), then the oldest r4-green blocks: v01-v05/v08/v09,
+#:    q05-q16, e01/e03/e05, f01/f08, m04/m06, t05/t11.
 _GATE_PRIORITY = (
-    # round-7 changed code: decimal-exact money aggregation sweep
-    ["q26", "q28"]                                              # (2) r6 reds
-    + ["q01", "q02", "q03", "q04", "q17", "q21", "q22",
-       "q27", "q29", "q30"]                                     # (12)
-    + ["v06", "v07"]
-    + ["e02", "e04", "e06", "e07", "e08"]
-    + ["f02"]                                                   # (20)
-    # round-7 changed code: PDF scanner fixes, m05 fork checkpoint, and
-    # the NEW queries — m19/m20 (real glyph-raster OCR through
-    # extract_text: PNG exact-decode path and lossy-JPEG block-exact
-    # path; every extractor type is now REAL) and t43 (the HLL sketch
-    # family's exact mergeability booleans, giving the last rows-only
-    # family a driver-hard contract)
-    + ["m17", "m18", "m05", "m19", "m20", "t43"]
-    # round-7 NEW queries: q33 correlated LATERAL decorrelation, t44
-    # Gopher-style quality-rule battery, and the previously-local-only
-    # operators now driver-gated — q34 bloom semi join, q35 salted
-    # two-phase agg, q36 salted join; f05/f15's daily px joined the
-    # decimal sweep (grid-input avg — same tie class as q26/q28)
-    # ...and t45, the CMS sketch's exact-contract twin (t43's pattern)
-    + ["q33", "t44", "t45", "q34", "q35", "q36", "f05", "f15"]  # (34)
-    # round-7 NEW streaming contracts — every helper in streaming/
-    # pipeline.py is now driver-gated: s03 stream-stream join state
-    # across a checkpoint restart, s04 applyInPandasWithState
-    # sessionization, s05 stream-static broadcast enrichment with a dim
-    # reload between drains, s06 native dropDuplicatesWithinWatermark
-    # dedup under redelivery, s07 streaming OHLCV bars ≡ batch candles —
-    # plus s01/s02 RE-ENTER as code-changed (their float value-sums
-    # joined the decimal money policy this block)
-    + ["s03", "s04", "s05", "s06", "s07", "s01", "s02"]         # (41)
-    # round-7 NEW: q37 native recursive CTE (Spark 4 UnionLoop), q38
-    # co-bucketed join exactness, q39 compaction roundtrip (§2.11's
-    # write-path bucketing + maintenance, both driver-gated now)
-    + ["q37", "q38", "q39"]                                     # (44)
-    # round-7 code-changed: the JPEG batch-FDCT/LUT-decode and PNG
-    # Paeth-unfilter rewrites touch every query on those decode paths —
-    # code-changed outranks the x05/x07/x08/x11/t25/t27 freshness rows
-    # (r3-stale but code-UNCHANGED), which cede their slots this round
-    + ["m07", "m08", "m11", "m12", "m14", "m15"]                # (50)
+    # round-8 priority 1: the two r7 reds, now integer-domain, plus the
+    # divergence-localization diagnostics
+    ["q26", "q28", "q40", "q41", "q42"]                         # (5)
+    # round-8 changed code + the new s08 gate
+    + ["q02", "q03", "f17", "e09", "f05", "x18", "m19", "m20",
+       "s08"]                                                   # (14)
+    # freshness: r3-stale rows that ceded their slots in r6 AND r7
+    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (20)
+    # freshness: the oldest r4-green blocks by age
+    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (27)
+    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12",
+       "q13", "q14", "q15", "q16"]                              # (39)
+    + ["e01", "e03", "e05"]                                     # (42)
+    + ["f01", "f08"]                                            # (44)
+    + ["m04", "m06"]                                            # (46)
+    + ["t05", "t11", "t17", "t18"]                              # (50)
 )
-#: Next-round rotation candidates: x05/x07/x08/x11/t25/t27 (r3-stale,
-#: code unchanged — first in line), then v01-v05/v08/v09, q05/q06/q07,
-#: q13-q20 minus q17, m04/m06, t05/t11/t17/t18/t23/t30/t31/t32/t34,
-#: x09/x10/x12/x14 — then everything r5/r6-fresh by age. The rest of
-#: the r6 window (v13/v14, g01-g03, q31/q32, e11, f16/f17, t-series)
-#: is r6-green and stays on the local strict harness.
+#: Next-round rotation candidates: q18/q19/q20 (r4), t23/t30/t31/t32/
+#: t34, x09/x10/x12/x14 (r4/r5) — then everything r5/r6-fresh by age.
+#: The whole r7 window (the decimal money sweep, the streaming s01-s07
+#: contracts, q33-q39, the m-codec series, t43-t45) is r7-green and
+#: stays on the local strict harness until its freshness turn.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate

@@ -125,12 +125,20 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate-below-join: revenue is per-order and needs only lineitem, so
     # reduce 4 lineitems/order to 1 row BEFORE joining (Catalyst doesn't push
     # aggregates through joins); the oracle's post-join GROUP BY is identical
-    # because segment/date are functionally dependent on the order key
-    rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        rnd(
-            dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", RATE)).cast(RATE)),
-            2,
-        ).alias("revenue")
+    # because segment/date are functionally dependent on the order key.
+    # The per-row decimal chain is PRE-PROJECTED (q01's treatment) so the
+    # cast/multiply tree evaluates in the projection and the aggregate
+    # consumes a plain attribute.
+    rev = (
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            (
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount", RATE)).cast(RATE)
+            ).alias("disc_price_d"),
+        )
+        .groupBy("o_orderkey")
+        .agg(rnd(dsum(F.col("disc_price_d")), 2).alias("revenue"))
     )
     return (
         rev.join(orders, "o_orderkey")
@@ -165,7 +173,12 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
+    # pre-project the decimal cast once (q01's treatment): both consuming
+    # aggregates then sum the same plain attribute instead of re-evaluating
+    # the cast chain per consumer
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", dec("c_acctbal").alias("acctbal_d")
+    )
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     return (
@@ -174,8 +187,10 @@ def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            rnd(money_sum("c_acctbal"), 2).alias("total_acctbal"),
-            rnd(money_sum("c_acctbal") / F.count(F.lit(1)), 4).alias("avg_acctbal"),
+            rnd(dsum(F.col("acctbal_d")), 2).alias("total_acctbal"),
+            rnd(dsum(F.col("acctbal_d")) / F.count(F.lit(1)), 4).alias(
+                "avg_acctbal"
+            ),
         )
     )
 

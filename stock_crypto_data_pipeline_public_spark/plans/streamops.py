@@ -717,3 +717,93 @@ def s07_streaming_ohlcv_end_state(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.read.parquet(sink).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+# --------------------------------------------------------------------------
+# s08 — STREAMING CURATION SINK end state: near-dup detection ON the
+# document stream (streaming/pipeline.run_neardup_sink → foreachBatch →
+# operators/dedup.incremental_neardup; the last streaming family that was
+# proven only by the local suite). Three landed phases, two drains:
+#
+#   phase A (even doc_ids), one file                  → drain 1
+#   phase B (odd doc_ids) + a REDELIVERED slice of A  → drain 2 (fresh
+#            (doc_id % 10 = 0, as new files)            start(), same ckpt)
+#
+# Drain 2's new docs pair only against the persisted shingle inverted
+# index built by drain 1 (plus within-batch) — per-batch work ∝ batch
+# size — and the redelivered phase-A files exercise the at-least-once
+# contract: their doc_ids are already in the index, so the operator must
+# drop them up front (a regression re-pairs them and duplicates edges →
+# hash fail; a checkpoint regression that replays drain-1 FILES fails the
+# same way). The end state read through read_neardup_edges
+# (distinct-on-read, the exactly-once view of the at-least-once log) must
+# equal the ONE-SHOT batch edge set — t31's closed form, stated by the
+# same oracle: trigram-shingle pairs with Jaccard ≥ 1/2.
+#
+# Scale: the sink's index grows with the corpus but each micro-batch
+# touches only its own shingles (equi-join against postings, broadcast-new
+# when small); edges append-only with crash-safe ordering (edges BEFORE
+# index fold — pipeline.run_neardup_sink docstring). This is the
+# production shape for dedup-on-ingest at any stream rate.
+# --------------------------------------------------------------------------
+from ..operators import dedup as _D  # noqa: E402
+
+
+@query(
+    "s08_streaming_neardup_end_state",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({_D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           ca.n AS n_a, cb.n AS n_b
+    FROM pairs p
+    JOIN counts ca ON p.doc_a = ca.doc_id
+    JOIN counts cb ON p.doc_b = cb.doc_id
+    WHERE 2 * p.n_common >= ca.n + cb.n - p.n_common
+    """,
+)
+def s08_streaming_neardup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import read_neardup_edges
+    from ..streaming.pipeline import file_stream, run_neardup_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="s08_stream_")
+    landing = f"{base}/landing"
+    index_dir, edges, ckpt = f"{base}/index", f"{base}/edges", f"{base}/ckpt"
+
+    def drain() -> None:
+        with _drain_shuffle(spark):
+            q = run_neardup_sink(
+                file_stream(spark, landing, docs.schema),
+                index_dir,
+                edges,
+                ckpt,
+            )
+            q.awaitTermination()
+
+    try:
+        even = docs.filter(F.col("doc_id") % 2 == 0)
+        even.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        # phase B plus an at-least-once redelivery of a phase-A slice as
+        # NEW files: the recovered index must drop the replayed docs
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        even.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()
+        return read_neardup_edges(spark, edges).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

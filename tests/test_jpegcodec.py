@@ -181,3 +181,27 @@ def test_entropy_layer_is_exactly_lossless(h, w, seed):
     decoded = decode_jpeg(encode_jpeg(raster))
     assert decoded["width"] == w and decoded["height"] == h
     assert np.array_equal(decoded["raster"], ref)
+
+
+def test_lut_cache_is_bounded_lru():
+    """ADVICE r7: per-image optimized DHTs from arbitrary user JPEGs must
+    not grow _LUT_CACHE without bound in a long-lived executor worker."""
+    from stock_crypto_data_pipeline_public_spark.operators import jpegcodec as jc
+
+    jc._LUT_CACHE.clear()
+    # synthesize > cap distinct (tiny) decode tables
+    for i in range(jc._LUT_CACHE_MAX + 5):
+        dec = {(8, i): i}  # one 8-bit code per fake table
+        jc._decode_lut(dec)
+    assert len(jc._LUT_CACHE) == jc._LUT_CACHE_MAX
+    # LRU: a re-touched early entry survives the next eviction
+    jc._LUT_CACHE.clear()
+    tables = [{(8, i): i} for i in range(jc._LUT_CACHE_MAX)]
+    for d in tables:
+        jc._decode_lut(d)
+    jc._decode_lut(tables[0])  # touch the oldest
+    jc._decode_lut({(8, 99): 99})  # force one eviction
+    key0 = tuple(sorted(tables[0].items()))
+    key1 = tuple(sorted(tables[1].items()))
+    assert key0 in jc._LUT_CACHE and key1 not in jc._LUT_CACHE
+    jc._LUT_CACHE.clear()

@@ -106,3 +106,26 @@ def test_distributed_render_then_ocr(spark):
         assert got == {
             doc_id: ocr.normalize_for_raster(text, n) for doc_id, text in rows
         }
+
+def test_gap_column_ink_raises():
+    """ADVICE r7: an image with valid glyph columns but ink in the
+    inter-glyph gap column must raise, not be 'recognized'."""
+    import numpy as np
+
+    n = ocr.normalize_for_raster("OK", 2)
+    px = ocr._render_raster(n)
+    px[:, ocr.GLYPH_W, :] = 255  # light the first cell's gap column
+    with pytest.raises(ValueError, match="gap"):
+        ocr.ocr_png_bytes(_encode_png(px))
+
+
+def test_unsupported_media_type_raises_explicitly(spark):
+    """ADVICE r7: ocr_images dispatches on media_type explicitly — a GIF
+    gets an 'unsupported media_type' error, not a wrong-codec decode
+    failure."""
+    rows = [(1, b"GIF89a...", "image/gif")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, media_type string"
+    )
+    with pytest.raises(Exception, match="unsupported media_type"):
+        ocr.ocr_images(df).collect()

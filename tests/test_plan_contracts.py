@@ -144,3 +144,20 @@ def test_drain_shuffle_restores_session_conf(spark):
         with _drain_shuffle(spark, 5):
             raise RuntimeError("boom")
     assert spark.conf.get(key) == before
+
+
+def test_every_streaming_query_bills_eagerly_in_bench():
+    """Every s-series query drains its streams at plan-BUILD time; one
+    missing from bench.py's EAGER set silently bills ~0 seconds. Pin the
+    invariant mechanically so adding s09 without the EAGER entry fails."""
+    import bench
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    streaming = {n for n in registry.QUERIES if n.startswith("s")}
+    assert streaming, "no s-series queries registered?"
+    missing = streaming - bench.EAGER
+    assert not missing, f"streaming queries not in bench EAGER: {sorted(missing)}"
+    # and EAGER must not name queries that no longer exist
+    stale = bench.EAGER - set(registry.QUERIES)
+    assert not stale, f"bench EAGER names unknown queries: {sorted(stale)}"
