@@ -66,6 +66,10 @@ EAGER = {
     "s06_streaming_dedup_end_state",
     "s07_streaming_ohlcv_end_state",
     "s08_streaming_neardup_end_state",
+    "s09_streaming_ann_index_end_state",
+    "s10_streaming_cdc_merge_end_state",
+    "s11_streaming_media_features_end_state",
+    "s12_streaming_shuffle_manifest_end_state",
     "q38_cobucketed_join_rollup",  # bucketed-table writes run in the call
     "q39_compaction_roundtrip",  # fragment + compact runs in the call
 }

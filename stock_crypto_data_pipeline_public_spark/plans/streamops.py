@@ -807,3 +807,379 @@ def s08_streaming_neardup_end_state(spark: SparkSession, sf_dir: str) -> DataFra
         return read_neardup_edges(spark, edges).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+# --------------------------------------------------------------------------
+# s09 — STREAMING ANN-INDEX GROWTH end state (streaming/pipeline.
+# run_ann_index_sink → foreachBatch → annindex.add_to_ann_index; the ANN
+# family's streaming wrapper was local-only — x13 gates the batch
+# build/add/query path). The index is BUILT from the even vec_ids, then
+# the odd vec_ids stream in:
+#
+#   phase B (odd vec_ids), one file                   → drain 1
+#   a REDELIVERED slice of B (vec_id % 10 = 5),       → drain 2 (fresh
+#     as a new file                                     start(), same ckpt)
+#
+# Drain 2 gates the replay contract twice over: the checkpoint must not
+# re-deliver drain-1 FILES, and add_to_ann_index's dedupe scan must drop
+# the redelivered already-indexed ids (a regression appends them again —
+# duplicate neighbors enter the top-k and break the hash). The end state
+# is an EXHAUSTIVE-probe query (nprobe = IVF_K, so partition pruning
+# keeps every cluster) for the same 10 query vectors x13 uses: with all
+# clusters probed, the grown index's top-5 must equal brute-force cosine
+# top-5 over the FULL embeddings table — every vector present exactly
+# once, with intact payload, in a geometry shared between build and add
+# (the sidecar centroids). Oracle = x01's brute-force closed form.
+#
+# Scale: per-batch work ∝ batch size (assign against a K-row broadcast +
+# partitioned append); queries between batches keep pruning correctly
+# because old and new vectors share the sidecar geometry. This is the
+# production shape for an embedding index that grows with its stream.
+# --------------------------------------------------------------------------
+from ..operators import similarity as _S  # noqa: E402
+from ..functions.numeric import oracle_rnd as _oracle_rnd  # noqa: E402
+
+
+@query(
+    "s09_streaming_ann_index_end_state",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < 110
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_oracle_rnd(_S.oracle_cosine('q.qe', 'e.embedding'), 4)} AS cosine_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    """,
+)
+def s09_streaming_ann_index_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.annindex import build_ann_index, query_ann_index
+    from ..streaming.pipeline import file_stream, run_ann_index_sink
+    from .vectorops import EMB_DIM, IVF_K
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # bounded pulls: K=8 seed centroids + 10 query vectors (x13's convention)
+    small = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            (F.col("vec_id") < IVF_K)
+            | ((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+        ).collect()
+    }
+    centroids = [small[i] for i in range(IVF_K)]
+    queries = {qid: small[qid] for qid in range(100, 110)}
+
+    base = tempfile.mkdtemp(prefix="s09_stream_")
+    index_dir, landing, ckpt = f"{base}/index", f"{base}/landing", f"{base}/ckpt"
+
+    def drain() -> None:
+        with _drain_shuffle(spark):
+            q = run_ann_index_sink(
+                file_stream(spark, landing, emb.schema),
+                index_dir,
+                EMB_DIM,
+                checkpoint=ckpt,
+            )
+            q.awaitTermination()
+
+    try:
+        build_ann_index(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            index_dir,
+            centroids,
+            EMB_DIM,
+            verify=False,
+        )
+        odd = emb.filter(F.col("vec_id") % 2 == 1)
+        odd.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        # at-least-once redelivery of an already-streamed slice, new file:
+        # the checkpoint skips drain-1 files; add_to_ann_index's dedupe
+        # scan must drop these re-sent ids
+        odd.filter(F.col("vec_id") % 10 == 5).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()
+        out = query_ann_index(
+            spark, index_dir, queries, EMB_DIM, nprobe=IVF_K, topk=5
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+# --------------------------------------------------------------------------
+# s10 — STREAMING CDC MERGE end state (streaming/pipeline.
+# run_manifest_merge_sink → foreachBatch → incremental.merge_upsert with
+# the pointer-file manifest commit — the "streaming MERGE INTO a
+# Delta-style table" shape; previously local-only):
+#
+#   phase A: every event as version 1            → drain 1 (gen commit)
+#   phase B: version-2 UPDATES for event_id%7=0  → drain 2 (fresh
+#            (value negated) + phase A REDELIVERED  start(), same ckpt)
+#
+# Last-wins-by-VERSION makes the end state order-independent: however the
+# drain-2 files split into micro-batches, a v1 row can never overwrite a
+# v2 row (and the redelivered v1 rows re-merge value-identically — the
+# replay contract). The end state read through manifest.read_table must
+# be the closed form the oracle states: every event exactly once, updated
+# keys carrying version 2 and the negated value (negation is bit-exact in
+# IEEE, so the doubles hash identically across engines). A broken
+# checkpoint recovery, a version-comparison slip, a lost generation
+# pointer, or a non-idempotent re-merge each change rows or values.
+#
+# Scale: per-epoch cost is one co-partitioned window over (target ∪
+# batch) — at real scale the target is partitioned and only key-affected
+# partitions rewrite, or Delta/Iceberg MERGE INTO replaces the body with
+# the identical semantics; the commit is a single small-file PUT at any
+# table size (operators/manifest.py).
+# --------------------------------------------------------------------------
+@query(
+    "s10_streaming_cdc_merge_end_state",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 7 = 0 THEN -value ELSE value END AS value,
+           CAST(CASE WHEN event_id % 7 = 0 THEN 2 ELSE 1 END AS INT) AS version
+    FROM events
+    """,
+)
+def s10_streaming_cdc_merge_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.manifest import read_table
+    from ..streaming.pipeline import file_stream, run_manifest_merge_sink
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="s10_stream_")
+    landing, table, ckpt = f"{base}/landing", f"{base}/table", f"{base}/ckpt"
+
+    v1 = ev.withColumn("version", F.lit(1).cast("int"))
+    v2 = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("value", -F.col("value"))
+        .withColumn("version", F.lit(2).cast("int"))
+    )
+
+    def drain() -> None:
+        with _drain_shuffle(spark):
+            q = run_manifest_merge_sink(
+                file_stream(spark, landing, v1.schema),
+                table,
+                keys=["event_id"],
+                version_col="version",
+                checkpoint=ckpt,
+            )
+            q.awaitTermination()
+
+    try:
+        v1.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        # updates + an at-least-once REDELIVERY of all of phase A as new
+        # files; version ordering makes any batch split land on the same
+        # end state, and the replayed v1 rows must re-merge identically
+        v2.coalesce(1).write.mode("append").parquet(landing)
+        v1.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        out = read_table(spark, table).select(
+            "event_id", "event_type", "value", "version"
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+# --------------------------------------------------------------------------
+# s11 — STREAMING MEDIA-FEATURE sink end state (streaming/pipeline.
+# run_media_feature_sink — binary payloads stream in, the REAL codecs
+# extract features per micro-batch, the narrow feature table lands
+# partitioned by epoch; previously local-only). Even doc_ids' WAV clips
+# drain first, odd doc_ids' drain second through a fresh start() on the
+# same checkpoint. This sink's exactly-once is EPOCH-overwrite (each
+# micro-batch owns an immutable epoch=N partition, so a crash replay
+# rewrites identically) — which means a checkpoint regression that
+# re-processes drain-1 files lands them under a NEW epoch and DUPLICATES
+# their features: the rollup's counts double and the hash fails. The
+# oracle is m04's closed form (every decoded field of the synthesized
+# PCM clips is a function of the source row), aggregated over the whole
+# corpus — so the real `wave` decode, the Arrow batch path, the epoch
+# layout, and the restart contract all gate through one hashed number.
+#
+# Scale: decode is map-only (no shuffle), per-batch work ∝ batch size;
+# payloads never reach the feature table. The epoch-partitioned layout is
+# the standard idempotent-foreachBatch pattern on object stores.
+# --------------------------------------------------------------------------
+@query(
+    "s11_streaming_media_features_end_state",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               8000 + (doc_id % 5) * 4000  AS sample_rate,
+               1 + doc_id % 2              AS n_channels,
+               100 + (coalesce(length(text), 0) % 400) AS n_samples
+        FROM documents
+    )
+    SELECT CAST(sample_rate AS INT)                                    AS sample_rate,
+           count(*)                                                    AS n_clips,
+           CAST(sum(n_channels) AS BIGINT)                             AS total_channels,
+           CAST(sum(n_samples) AS BIGINT)                              AS total_samples,
+           CAST(sum(n_samples * 1000 // sample_rate) AS BIGINT)        AS total_duration_ms,
+           CAST(sum(44 + n_samples * n_channels * 2) AS BIGINT)        AS total_bytes
+    FROM c
+    GROUP BY 1
+    """,
+)
+def s11_streaming_media_features_end_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators import multimodal as M
+    from ..streaming.pipeline import file_stream, run_media_feature_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = M.synthesize_wav(docs)
+    base = tempfile.mkdtemp(prefix="s11_stream_")
+    landing, feats, ckpt = f"{base}/landing", f"{base}/features", f"{base}/ckpt"
+
+    def drain() -> None:
+        with _drain_shuffle(spark):
+            q = run_media_feature_sink(
+                file_stream(spark, landing, media.schema),
+                feats,
+                checkpoint=ckpt,
+            )
+            q.awaitTermination()
+
+    try:
+        media.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()
+        media.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()  # restart: drain-1 files must NOT re-land under a new epoch
+        out = (
+            spark.read.parquet(feats)
+            .groupBy("sample_rate")
+            .agg(
+                F.count(F.lit(1)).alias("n_clips"),
+                F.sum("n_channels").alias("total_channels"),
+                F.sum("n_samples").alias("total_samples"),
+                F.sum("duration_ms").alias("total_duration_ms"),
+                F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s12 — STREAMING TRAINING-ORDER MANIFEST end state (streaming/pipeline.
+# run_shuffle_manifest_sink — the seeded shuffle-shard manifest grows WITH
+# the document stream; previously local-only). Even doc_ids drain first,
+# odd doc_ids plus a REDELIVERED even slice drain second through a fresh
+# start() on the same checkpoint. Growth is append-after-current-max per
+# shard, so the end state is the exact two-phase closed form the oracle
+# states: phase-A docs rank by permutation key within their shard, phase-B
+# docs rank after their shard's phase-A count. The redelivered ids
+# anti-join to nothing inside the operator (replay safety) — a regression
+# re-appends them at new positions and breaks the hash; a checkpoint
+# regression replays drain-1 files with the same effect. Byte-stability of
+# already-written coordinates — the property a mid-epoch trainer depends
+# on — is exactly what the phase-A half of the oracle pins.
+#
+# Scale: per-batch work ∝ batch size (anti-join against the manifest's
+# doc_id column + per-shard rank of the batch); no global sort anywhere.
+# --------------------------------------------------------------------------
+_S12_SEED = "shuffle:42:"
+_S12_SHARDS = 8
+
+
+@query(
+    "s12_streaming_shuffle_manifest_end_state",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('{_S12_SEED}' || CAST(doc_id AS VARCHAR)) AS pkey,
+               doc_id % 2 AS phase
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, pkey, phase,
+               ((instr('0123456789abcdef', substr(pkey, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(pkey, 2, 1)) - 1))
+               % {_S12_SHARDS} AS shard
+        FROM keyed
+    ),
+    ranked AS (
+        SELECT doc_id, shard, phase,
+               row_number() OVER (
+                   PARTITION BY shard, phase ORDER BY pkey ASC, doc_id ASC
+               ) AS rnk
+        FROM sharded
+    ),
+    amax AS (
+        SELECT shard, count(*) AS n_a FROM ranked WHERE phase = 0 GROUP BY shard
+    )
+    SELECT r.doc_id,
+           CAST(r.shard AS INT) AS shard,
+           CAST(CASE WHEN r.phase = 0 THEN r.rnk
+                     ELSE coalesce(a.n_a, 0) + r.rnk END AS BIGINT) AS pos
+    FROM ranked r LEFT JOIN amax a ON r.shard = a.shard
+    """,
+)
+def s12_streaming_shuffle_manifest_end_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import file_stream, run_shuffle_manifest_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = tempfile.mkdtemp(prefix="s12_stream_")
+    landing, manifest, ckpt = f"{base}/landing", f"{base}/manifest", f"{base}/ckpt"
+
+    def drain() -> None:
+        with _drain_shuffle(spark):
+            q = run_shuffle_manifest_sink(
+                file_stream(spark, landing, docs.schema),
+                manifest,
+                checkpoint=ckpt,
+                seed=_S12_SEED,
+                n_shards=_S12_SHARDS,
+            )
+            q.awaitTermination()
+
+    try:
+        even = docs.filter(F.col("doc_id") % 2 == 0)
+        even.coalesce(1).write.mode("append").parquet(landing)
+        drain()
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        # at-least-once redelivery: already-manifested ids must anti-join
+        # to nothing (re-appending would move coordinates under a trainer)
+        even.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()
+        out = spark.read.parquet(manifest).select("doc_id", "shard", "pos")
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
