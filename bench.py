@@ -70,6 +70,7 @@ EAGER = {
     "s10_streaming_cdc_merge_end_state",
     "s11_streaming_media_features_end_state",
     "s12_streaming_shuffle_manifest_end_state",
+    "s13_streaming_sketch_end_state",
     "q38_cobucketed_join_rollup",  # bucketed-table writes run in the call
     "q39_compaction_roundtrip",  # fragment + compact runs in the call
 }

@@ -77,9 +77,10 @@ _GATE_PRIORITY = (
     # round-8 changed code + the new sink gates: EVERY streaming sink in
     # streaming/pipeline.py now has a driver-hard end-state contract
     # (s08 near-dup curation, s09 ANN index growth, s10 CDC manifest
-    # merge, s11 media features, s12 training-order manifest)
+    # merge, s11 media features, s12 training-order manifest, s13 the
+    # NEW continuous CMS sketch maintenance sink)
     + ["q02", "q03", "f17", "e09", "f05", "x18", "m19", "m20",
-       "s08", "s09", "s10", "s11", "s12"]                       # (18)
+       "s08", "s09", "s10", "s11", "s12", "s13"]                # (19)
     # freshness: r3-stale rows that ceded their slots in r6 AND r7
     + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (20)
     # freshness: the oldest r4-green blocks by age
@@ -88,11 +89,12 @@ _GATE_PRIORITY = (
        "q13", "q14", "q15", "q16"]                              # (39)
     + ["e01", "e03", "e05"]                                     # (42)
     + ["f01", "f08"]                                            # (44)
-    + ["m04", "m06"]                                            # (46)
+    + ["m04"]                                                   # (46)
 )
-#: Next-round rotation candidates: t05/t11/t17/t18 (ceded their slots
-#: to the s09-s12 sink gates), q18/q19/q20 (r4), t23/t30/t31/t32/t34,
-#: x09/x10/x12/x14 (r4/r5) — then everything r5/r6-fresh by age.
+#: Next-round rotation candidates: m06, t05/t11/t17/t18 (ceded their
+#: slots to the s09-s13 sink gates), q18/q19/q20 (r4), t23/t30/t31/
+#: t32/t34, x09/x10/x12/x14 (r4/r5) — then everything r5/r6-fresh by
+#: age.
 #: The whole r7 window (the decimal money sweep, the streaming s01-s07
 #: contracts, q33-q39, the m-codec series, t43-t45) is r7-green and
 #: stays on the local strict harness until its freshness turn.

@@ -1183,3 +1183,117 @@ def s12_streaming_shuffle_manifest_end_state(
         return out.localCheckpoint(eager=True)  # materialize before rmtree
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+# --------------------------------------------------------------------------
+# s13 — STREAMING SKETCH MAINTENANCE end state (streaming/pipeline.
+# run_sketch_sink, NEW this round: a count-min frequency sketch maintained
+# continuously over the event stream — the monitoring shape for
+# heavy-hitter tracking). Even event_ids drain first, odd second through a
+# fresh start() on the same checkpoint. CMS addition is NOT idempotent, so
+# the sink's replay contract is EPOCH-OVERWRITE (each micro-batch owns an
+# immutable epoch partition) — a checkpoint regression that re-processes
+# drain-1 files lands them under a new epoch and DOUBLE-COUNTS: the
+# cell-identity boolean flips and total_cell_count (an independently
+# SQL-verified integer, d·N) breaks.
+#
+# Gated exactly like t45 (the sketch family's established driver-hard
+# pattern): hash-placement-dependent cell values have no SQL oracle, but
+# the properties that make the sketch trustworthy are exact —
+#   streamed_equals_oneshot: the epoch-merged streamed sketch is
+#     CELL-IDENTICAL to the one-shot batch sketch over the same rows;
+#   never_undercount: estimates >= exact counts for the top-20 users
+#     (the certain CMS guarantee);
+#   cells_bounded: merged state <= d·w rows (constant memory);
+# alongside three exactly-SQL-computable integers (distinct users, top-20
+# exact total, d·N total cell mass).
+#
+# Scale: per-batch work ∝ batch size (explode(d) + one hash agg, <= d·w
+# output); the epoch log compacts by materializing read_sketch's sum.
+# --------------------------------------------------------------------------
+@query(
+    "s13_streaming_sketch_end_state",
+    oracle="""
+    WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    counts AS (SELECT user_id, count(*) AS c FROM src GROUP BY user_id),
+    top20 AS (SELECT user_id, c FROM counts ORDER BY c DESC, user_id ASC LIMIT 20)
+    SELECT CAST(count(*) AS BIGINT)                        AS n_distinct_users,
+           CAST((SELECT sum(c) FROM top20) AS BIGINT)      AS top20_exact_total,
+           CAST((SELECT 5 * count(*) FROM src) AS BIGINT)  AS total_cell_count,
+           TRUE                                            AS streamed_equals_oneshot,
+           TRUE                                            AS never_undercount,
+           TRUE                                            AS cells_bounded
+    FROM counts
+    """,
+)
+def s13_streaming_sketch_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import cms_estimate, count_min_table
+    from ..streaming.pipeline import file_stream, read_sketch, run_sketch_sink
+
+    W_, D_ = 2048, 5
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+    base = tempfile.mkdtemp(prefix="s13_stream_")
+    landing, sketch, ckpt = f"{base}/landing", f"{base}/sketch", f"{base}/ckpt"
+
+    def drain() -> None:
+        with _drain_shuffle(spark):
+            q = run_sketch_sink(
+                file_stream(spark, landing, ev.schema),
+                sketch,
+                key_col="user_id",
+                checkpoint=ckpt,
+                w=W_,
+                d=D_,
+            )
+            q.awaitTermination()
+
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()  # restart: re-processing drain-1 files would double-count
+
+        streamed = read_sketch(spark, sketch)
+        oneshot = count_min_table(ev, "user_id", W_, D_)
+        cells_equal = streamed.join(
+            oneshot.withColumnsRenamed({"cnt": "cnt2"}), ["r", "c"], "full"
+        ).agg(
+            F.min(
+                F.coalesce("cnt", F.lit(-1)) == F.coalesce("cnt2", F.lit(-2))
+            ).alias("eq"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("cnt").alias("total_cell_count"),
+        )
+        counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        top20 = counts.orderBy(F.desc("c"), F.asc("user_id")).limit(20)
+        est = cms_estimate(streamed, top20.select("user_id"), "user_id", W_, D_)
+        under = top20.join(est, "user_id").agg(
+            F.min(F.col("est") >= F.col("c")).alias("never_under"),
+            F.sum("c").alias("top20_exact_total"),
+        )
+        n_distinct = counts.agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        out = (
+            n_distinct.crossJoin(under)
+            .crossJoin(cells_equal)
+            .select(
+                "n_distinct_users",
+                F.col("top20_exact_total").cast("long").alias("top20_exact_total"),
+                F.col("total_cell_count").cast("long").alias("total_cell_count"),
+                F.col("eq").alias("streamed_equals_oneshot"),
+                F.col("never_under").alias("never_undercount"),
+                (F.col("n_cells") <= F.lit(W_ * D_)).alias("cells_bounded"),
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

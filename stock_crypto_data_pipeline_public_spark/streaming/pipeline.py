@@ -220,6 +220,54 @@ def run_shuffle_manifest_sink(
     )
 
 
+def run_sketch_sink(
+    stream: DataFrame,
+    sketch_dir: str,
+    key_col: str,
+    checkpoint: str,
+    w: int = 2048,
+    d: int = 5,
+):
+    """writeStream → foreachBatch(sketch.count_min_table): a count-min
+    frequency sketch maintained CONTINUOUSLY over the key stream — the
+    monitoring shape for heavy-hitter/frequency tracking at any stream
+    rate (constant d·w state per epoch, mergeable cell-wise).
+
+    Replay contract: CMS addition is NOT idempotent (re-adding a batch
+    double-counts), so each micro-batch lands its own immutable
+    ``epoch=N`` partition with OVERWRITE — a crash replay rewrites the
+    identical partition, never adds. The live sketch is the cell-wise sum
+    over epochs (:func:`read_sketch`); compact the epoch log periodically
+    by materializing that sum (same idea as dedup.compact_neardup_edges)
+    so read cost doesn't grow with epoch count. Per-batch work is one
+    explode(d) + one hash aggregation over the batch — ∝ batch size,
+    output ≤ d·w cells regardless of key cardinality."""
+    from ..operators.sketch import count_min_table
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        tbl = count_min_table(batch, key_col, w, d)
+        tbl.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={int(epoch_id)}")
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The live (r, c, cnt) sketch: cell-wise sum over the epoch log —
+    the exactly-once view of run_sketch_sink's per-epoch partials (cell
+    addition is exact integer arithmetic, so the merged sketch equals the
+    one-shot sketch over the same rows, cell for cell)."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def run_media_feature_sink(
     stream: DataFrame,
     features_path: str,

@@ -216,3 +216,54 @@ def test_ensure_event_time_types(spark):
     ltz = spark.createDataFrame([(wall,)], "ts timestamp")
     again = ensure_event_time(ltz, "ts")
     assert again is ltz  # no-op, not even a projection
+
+
+def test_sketch_sink_epoch_overwrite_is_replay_safe(spark, sf_dir, tmp_path):
+    """run_sketch_sink lands each micro-batch's CMS cells in its own
+    epoch=N partition with OVERWRITE — CMS addition is not idempotent, so
+    a replayed epoch must REWRITE, never add. Simulate the worst replay
+    (checkpoint wiped, entire stream reprocessed from scratch): epoch 0
+    rewrites identically and read_sketch still equals the one-shot
+    sketch; an append-mode bug would double every cell."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.operators.sketch import count_min_table
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        file_stream,
+        read_sketch,
+        run_sketch_sink,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+    landing, sketch, ckpt = (
+        str(tmp_path / "landing"),
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+    )
+    ev.coalesce(1).write.parquet(landing)
+
+    def drain():
+        q = run_sketch_sink(
+            file_stream(spark, landing, ev.schema), sketch, "user_id", ckpt
+        )
+        q.awaitTermination()
+
+    drain()
+    shutil.rmtree(ckpt)  # lose the checkpoint: the full stream replays
+    drain()
+
+    merged = read_sketch(spark, sketch)
+    oneshot = count_min_table(ev, "user_id")
+    diff = merged.join(
+        oneshot.withColumnsRenamed({"cnt": "cnt2"}), ["r", "c"], "full"
+    ).filter(
+        F.coalesce("cnt", F.lit(-1)) != F.coalesce("cnt2", F.lit(-2))
+    )
+    assert diff.count() == 0
