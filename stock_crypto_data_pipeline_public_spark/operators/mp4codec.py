@@ -226,13 +226,20 @@ def parse_mp4(b: bytes, max_samples: int = 1 << 20) -> dict:
     else:
         sizes = list(struct.unpack_from(f">{n_samples}I", b, body + 8))
 
-    # stts: expand delta runs into per-sample timestamps
+    # stts: expand delta runs into per-sample timestamps. Every run must
+    # cover >= 1 sample (14496-12), so n_runs > n_samples is malformed —
+    # the cap also stops a forged 4-byte count from driving millions of
+    # wasted iterations of zero-count runs before the coverage check fires
     body, pe = table(b"stts")
     (n_runs,) = struct.unpack_from(">I", b, body)
+    if n_runs > n_samples:
+        raise ValueError("mp4: more stts runs than samples")
     ts_units: list[int] = []
     t = 0
     for i in range(n_runs):
         cnt, delta = struct.unpack_from(">II", b, body + 4 + 8 * i)
+        if cnt == 0:
+            raise ValueError("mp4: zero-count stts run")
         if len(ts_units) + cnt > n_samples:
             raise ValueError("mp4: stts covers more samples than stsz")
         for _ in range(cnt):
@@ -241,9 +248,13 @@ def parse_mp4(b: bytes, max_samples: int = 1 << 20) -> dict:
     if len(ts_units) != n_samples:
         raise ValueError("mp4: stts does not cover every sample")
 
-    # stsc: samples-per-chunk runs; stco: chunk offsets
+    # stsc: samples-per-chunk runs; stco: chunk offsets (run count capped
+    # like stts: each run starts at a distinct chunk, and no file has more
+    # chunks than samples)
     body, pe = table(b"stsc")
     (n_stsc,) = struct.unpack_from(">I", b, body)
+    if n_stsc > n_samples:
+        raise ValueError("mp4: more stsc runs than samples")
     stsc = [
         struct.unpack_from(">III", b, body + 4 + 12 * i)[:2]
         for i in range(n_stsc)

@@ -120,3 +120,30 @@ def test_multi_run_stts_timestamps():
         struct.pack_into(">I", spliced, j, struct.unpack_from(">I", spliced, j)[0] + grow)
     ts = [t for t, _ in parse_mp4(bytes(spliced))["samples"]]
     assert ts == [0, 40, 80, 180]
+
+
+def test_rejects_forged_run_counts():
+    """A forged 4-byte stts/stsc run count must fail FAST (capped at the
+    sample count), not spin through millions of zero-count or garbage runs
+    before a later coverage check fires."""
+    b = encode_mp4(_frames(3), 32, 32)
+
+    # stts: run count far beyond the sample count
+    i = b.index(b"stts") + 4 + 4  # type + verflags
+    forged = bytearray(b)
+    struct.pack_into(">I", forged, i, 1 << 28)
+    with pytest.raises(ValueError, match="more stts runs"):
+        parse_mp4(bytes(forged))
+
+    # stts: a zero-count run is malformed per 14496-12
+    forged = bytearray(b)
+    struct.pack_into(">I", forged, i + 4, 0)  # first run's count
+    with pytest.raises(ValueError, match="zero-count stts"):
+        parse_mp4(bytes(forged))
+
+    # stsc: run count beyond the sample count
+    i = b.index(b"stsc") + 4 + 4
+    forged = bytearray(b)
+    struct.pack_into(">I", forged, i, 1 << 28)
+    with pytest.raises(ValueError, match="more stsc runs"):
+        parse_mp4(bytes(forged))
