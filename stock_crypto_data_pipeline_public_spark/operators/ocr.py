@@ -179,9 +179,20 @@ def ocr_jpeg_bytes(payload: bytes) -> str:
             f"not a glyph raster ({w}x{h}): natural-image OCR needs "
             "tesseract (reference ocr_tools.py), absent from this container"
         )
-    # block-constant by construction: the top-left sample represents the
-    # whole 8x8 block (and the decode was bit-exact, see contract above)
+    # block-constant by construction for OUR renderer; verify it rather
+    # than assume it (an arbitrary JPEG with glyph-like top-left samples
+    # but non-constant block interiors is not a rendered raster and must
+    # raise, not be 'recognized') — one vectorized compare over the image
+    import numpy as np
+
     down = d["raster"][:: JPEG_BLOCK, :: JPEG_BLOCK]
+    if not (
+        d["raster"] == np.kron(down, np.ones((JPEG_BLOCK, JPEG_BLOCK), down.dtype))
+    ).all():
+        raise ValueError(
+            "not a glyph raster (non-constant 8x8 blocks): natural-image "
+            "OCR needs tesseract (reference ocr_tools.py), absent here"
+        )
     return _match_cells(down > 127)
 
 

@@ -129,3 +129,34 @@ def test_unsupported_media_type_raises_explicitly(spark):
     )
     with pytest.raises(Exception, match="unsupported media_type"):
         ocr.ocr_images(df).collect()
+
+
+def test_jpeg_non_constant_blocks_raise():
+    """ADVICE r7 follow-through: a JPEG with glyph-shaped top-left block
+    samples but non-constant interiors is not a rendered raster — the
+    block-constancy check must raise instead of recognizing it."""
+    import numpy as np
+
+    from stock_crypto_data_pipeline_public_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    n = ocr.normalize_for_raster("OK", 2)
+    gray = ocr._render_raster(n)[:, :, 0]
+    even = np.where(gray > 0, 254, 0).astype(np.uint8)
+    big = np.kron(even, np.ones((8, 8), np.uint8))
+    # perturb one block interior with a large, quantization-surviving
+    # checkerboard (single-pixel deltas die in the quantizer); keep the
+    # top-left sample untouched so the downsample still looks glyph-like
+    big = big.astype(np.int32)
+    big[1:8, 1:8] += np.indices((7, 7)).sum(0) % 2 * 200 - 100
+    big = np.clip(big, 0, 255).astype(np.uint8)
+    payload = encode_jpeg(big)
+    decoded = decode_jpeg(payload)["raster"]
+    down = decoded[::8, ::8]
+    # precondition: the decode must NOT be block-constant, or the test
+    # proves nothing (lossy smoothing could flatten the perturbation)
+    assert (decoded != np.kron(down, np.ones((8, 8), np.uint8))).any()
+    with pytest.raises(ValueError, match="non-constant 8x8 blocks|unrecognized|gap"):
+        ocr.ocr_jpeg_bytes(payload)
