@@ -259,18 +259,31 @@ def parse_mp4(b: bytes, max_samples: int = 1 << 20) -> dict:
         struct.unpack_from(">III", b, body + 4 + 12 * i)[:2]
         for i in range(n_stsc)
     ]  # (first_chunk, samples_per_chunk)
+    # 14496-12 requires strictly increasing first_chunk — enforcing it here
+    # is what lets the chunk walk below resolve samples_per_chunk with a
+    # single forward pointer instead of rescanning all runs per chunk
+    # (O(n_chunks · n_stsc) was a forged-count DoS surface)
+    for i in range(1, n_stsc):
+        if stsc[i][0] <= stsc[i - 1][0]:
+            raise ValueError("mp4: stsc first_chunk not strictly increasing")
     body, pe = table(b"stco")
     (n_chunks,) = struct.unpack_from(">I", b, body)
+    # every chunk holds >= 1 sample (14496-12), so a chunk count beyond the
+    # sample count is forged — cap BEFORE unpacking n_chunks offsets
+    if n_chunks > n_samples:
+        raise ValueError("mp4: more stco chunks than samples")
     offsets = list(struct.unpack_from(f">{n_chunks}I", b, body + 4))
 
-    # resolve each sample's absolute byte span (14496-12 chunk walk)
+    # resolve each sample's absolute byte span (14496-12 chunk walk);
+    # stsc is consumed by a forward pointer — total work O(n_chunks + n_stsc)
     samples: list[tuple[int, bytes]] = []
     si = 0
+    per = 0
+    stsc_i = 0
     for ci in range(n_chunks):
-        per = 0
-        for first, spc in stsc:
-            if ci + 1 >= first:
-                per = spc
+        while stsc_i < n_stsc and stsc[stsc_i][0] <= ci + 1:
+            per = stsc[stsc_i][1]
+            stsc_i += 1
         off = offsets[ci]
         for _ in range(per):
             if si >= n_samples:

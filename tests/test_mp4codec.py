@@ -147,3 +147,49 @@ def test_rejects_forged_run_counts():
     struct.pack_into(">I", forged, i, 1 << 28)
     with pytest.raises(ValueError, match="more stsc runs"):
         parse_mp4(bytes(forged))
+
+    # stco: chunk count beyond the sample count (chunks hold >= 1 sample
+    # per 14496-12) — must fail BEFORE unpacking offsets or walking chunks,
+    # the forged-count DoS class a constant-size stsz would otherwise feed
+    i = b.index(b"stco") + 4 + 4
+    forged = bytearray(b)
+    struct.pack_into(">I", forged, i, 1 << 28)
+    with pytest.raises(ValueError, match="more stco chunks"):
+        parse_mp4(bytes(forged))
+
+
+def test_rejects_non_increasing_stsc():
+    """stsc first_chunk must be strictly increasing (14496-12) — the
+    forward-pointer chunk walk depends on it, so an out-of-order table is
+    refused rather than silently mis-resolved."""
+    b = encode_mp4(_frames(4), 16, 16)
+    i = b.index(b"stsc") + 4 + 4
+    (n_stsc,) = struct.unpack_from(">I", b, i)
+    if n_stsc < 2:
+        # splice a duplicate-first_chunk second run after the first
+        first, spc, sdi = struct.unpack_from(">III", b, i + 4)
+        old_box_at = b.index(b"stsc") - 4
+        (old_size,) = struct.unpack_from(">I", b, old_box_at)
+        old = b[old_box_at : old_box_at + old_size]
+        payload = (
+            old[8:12]  # version+flags
+            + struct.pack(">I", 2)
+            + struct.pack(">III", first, spc, sdi)
+            + struct.pack(">III", first, spc, sdi)  # same first_chunk: invalid
+        )
+        new = struct.pack(">I", 8 + len(payload)) + b"stsc" + payload
+        spliced = bytearray(bytes(b).replace(old, new))
+        grow = len(new) - len(old)
+        for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            j = spliced.index(tag) - 4
+            struct.pack_into(
+                ">I", spliced, j, struct.unpack_from(">I", spliced, j)[0] + grow
+            )
+        forged = bytes(spliced)
+    else:
+        forged_b = bytearray(b)
+        # copy run 0's first_chunk onto run 1 → non-increasing
+        struct.pack_into(">I", forged_b, i + 4 + 12, struct.unpack_from(">I", b, i + 4)[0])
+        forged = bytes(forged_b)
+    with pytest.raises(ValueError, match="not strictly increasing"):
+        parse_mp4(forged)
