@@ -109,3 +109,75 @@ def oracle_dsum(expr: str) -> str:
 def oracle_money_sum(expr: str) -> str:
     """SQL fragment twin of :func:`money_sum`."""
     return oracle_dsum(oracle_dec(expr))
+
+
+# ---------------------------------------------------------------------------
+# Scaled-BIGINT money outputs (round 9).
+#
+# Round 7/8 proved that even a DECIMAL-exact sum whose *double image* is
+# hashed is not driver-portable: q26/q28 were driver-red two consecutive
+# rounds on the floor(CAST(sum(DECIMAL) AS DOUBLE)·100+0.5)/100 pipeline
+# while every local mirror passed, and the q40 renderer fingerprint stayed
+# red at the driver in r8 on constant literals alone. The q26 fix — scale
+# the exact decimal to an integer BEFORE anything hashes it — generalizes:
+# a hashed money output must BE an int64 (`*_e2` = cents, `*_e4` = 1e-4
+# units), never a double.
+#
+# Mechanics (the q26 pattern, relational.py q26 docstring has the full
+# cross-engine argument): the per-row decimal ×10^scale is integral, so the
+# BIGINT cast is exact in both engines (Spark truncates, DuckDB rounds —
+# identical on integers); the sum is then a plain int64 sum on the Spark
+# side and HUGEINT on DuckDB (hence the outer CAST). Scaling per-row keeps
+# every DuckDB decimal product far from the width-38 overflow rule.
+#
+# Averages: an exact average is a rational, so the integral output is
+# defined as trunc-toward-zero division of the half-adjusted numerator:
+# ``avg_eK = (2·total·10^shift + n) div (2·n)`` — for non-negative totals
+# this is exactly floor(total·10^shift/n + 0.5), i.e. the same half-up
+# rnd() used to emit; Spark's ``div`` and DuckDB's ``//`` both truncate
+# toward zero (verified: -7//2 = -3 on both), so the value is
+# engine-identical for every sign.
+#
+# Range: e2 holds |$| < 9.2e16 per group, e4 holds |$| < 9.2e14 — beyond
+# that (NOT reachable at 100 TB for per-group sums here) sum the DECIMAL
+# and scale afterward.
+# ---------------------------------------------------------------------------
+
+
+def dsum_e(c: Column, scale: int = 2) -> Column:
+    """Exact e``scale``-scaled BIGINT sum of an already-exact decimal
+    expression whose decimal scale is <= ``scale`` (so the per-row
+    ×10^scale product is integral and the BIGINT cast exact)."""
+    return F.sum((c * F.lit(10**scale)).cast("bigint")).cast("bigint")
+
+
+def money_sum_e2(c: Column | str) -> Column:
+    """Exact cents (e2 BIGINT) sum of a plain 2-dp money column."""
+    return dsum_e(dec(c), 2)
+
+
+def oracle_dsum_e(expr: str, scale: int = 2) -> str:
+    """SQL fragment twin of :func:`dsum_e` (DuckDB sum(BIGINT) → HUGEINT,
+    hence the outer cast)."""
+    return f"CAST(sum(CAST(({expr}) * {10**scale} AS BIGINT)) AS BIGINT)"
+
+
+def oracle_money_sum_e2(expr: str) -> str:
+    """SQL fragment twin of :func:`money_sum_e2`."""
+    return oracle_dsum_e(oracle_dec(expr), 2)
+
+
+def iavg(total: str, count: str, shift: int = 0) -> Column:
+    """Integral average of an eK-scaled BIGINT total in e(K+shift) units:
+    ``(2·total·10^shift + count) div (2·count)`` — half-up for
+    non-negative totals, trunc-toward-zero division on both engines.
+    ``total``/``count`` are SQL expressions over already-aggregated named
+    columns (Spark's ``div`` only exists in SQL text)."""
+    m = 10**shift
+    return F.expr(f"(2 * ({total}) * {m} + ({count})) div (2 * ({count}))")
+
+
+def oracle_iavg(total: str, count: str, shift: int = 0) -> str:
+    """DuckDB twin of :func:`iavg` (``//`` truncates like Spark ``div``)."""
+    m = 10**shift
+    return f"CAST((2 * ({total}) * {m} + ({count})) // (2 * ({count})) AS BIGINT)"

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.numeric import dec, money_sum, rnd
+from ..functions.numeric import dec, iavg, money_sum, money_sum_e2, rnd
 from ..functions.timeops import epoch_us
 from .registry import query
 
@@ -54,7 +54,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT user_id,
            count(DISTINCT session_id)                            AS n_sessions,
            count(*)                                              AS n_events,
-           floor((count(*) * 1.0 / count(DISTINCT session_id)) * 10000 + 0.5) / 10000.0 AS events_per_session
+           CAST((2 * count(*) * 10000 + count(DISTINCT session_id))
+                // (2 * count(DISTINCT session_id)) AS BIGINT)   AS events_per_session_e4
     FROM sessions
     GROUP BY user_id
     """,
@@ -76,12 +77,13 @@ def e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session_id is a contiguous per-user running count, so n_sessions =
     # max(id) — equivalent to the oracle's count(DISTINCT) without paying a
     # distinct aggregation (the expensive path at scale)
-    return sessions.groupBy("user_id").agg(
-        F.max("session_id").alias("n_sessions"),
-        F.count(F.lit(1)).alias("n_events"),
-        rnd(F.count(F.lit(1)) * 1.0 / F.max("session_id"), 4).alias(
-            "events_per_session"
-        ),
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("events_per_session_e4", iavg("n_events", "n_sessions", 4))
     )
 
 
@@ -96,8 +98,9 @@ def e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            event_type,
            count(*)              AS n_events,
-           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0  AS total_value,
-           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0  AS avg_value
+           CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_e2,
+           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+                 + count(*)) // (2 * count(*)) AS BIGINT)                          AS avg_value_e4
     FROM events
     GROUP BY 1, 2
     """,
@@ -108,15 +111,15 @@ def e02_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(money_sum("value"), 2).alias("total_value"),
-            rnd(money_sum("value") / F.count(F.lit(1)), 4).alias("avg_value"),
+            money_sum_e2("value").alias("total_value_e2"),
         )
+        .withColumn("avg_value_e4", iavg("total_value_e2", "n_events", 2))
         .select(
             F.col("win.start").cast("date").alias("day"),
             "event_type",
             "n_events",
-            "total_value",
-            "avg_value",
+            "total_value_e2",
+            "avg_value_e4",
         )
     )
 
@@ -181,7 +184,8 @@ def e03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(hour(ts) AS INT) AS hour_of_day,
            event_type,
            count(*)             AS n_events,
-           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000.0 AS avg_value
+           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+                 + count(*)) // (2 * count(*)) AS BIGINT)    AS avg_value_e4
     FROM events
     GROUP BY 1, 2
     """,
@@ -192,7 +196,9 @@ def e04_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        rnd(money_sum("value") / F.count(F.lit(1)), 4).alias("avg_value"),
+        money_sum_e2("value").alias("_sum_e2"),
+    ).withColumn("avg_value_e4", iavg("_sum_e2", "n_events", 2)).select(
+        "hour_of_day", "event_type", "n_events", "avg_value_e4"
     )
 
 
@@ -256,7 +262,7 @@ def e05_d7_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', local_time) AS DATE)  AS local_date,
            CAST(hour(local_time) AS INT)                AS local_hour,
            count(*)                                     AS n_events,
-           floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0      AS total_value
+           CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_e2
     FROM local_ts
     GROUP BY 1, 2
     """,
@@ -273,7 +279,7 @@ def e06_bangkok_wall_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            rnd(money_sum("value"), 2).alias("total_value"),
+            money_sum_e2("value").alias("total_value_e2"),
         )
     )
 
@@ -295,8 +301,9 @@ def e06_bangkok_wall_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderstatus                            AS order_status,
            count(*)                                   AS n_orders,
            count(e.ts)                                AS n_matched,
-           floor((CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / count(e.value)) * 10000 + 0.5) / 10000.0 AS avg_prior_value,
-           floor((CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0     AS total_prior_value
+           CAST((2 * CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+                 + count(e.value)) // (2 * count(e.value)) AS BIGINT) AS avg_prior_value_e4,
+           CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_prior_value_e2
     FROM orders o
     ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
     GROUP BY 1
@@ -321,8 +328,15 @@ def e07_asof_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("o_orderstatus").alias("order_status")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.count("ts").alias("n_matched"),
-        rnd(money_sum("value") / F.count("value"), 4).alias("avg_prior_value"),
-        rnd(money_sum("value"), 2).alias("total_prior_value"),
+        money_sum_e2("value").alias("total_prior_value_e2"),
+    ).withColumn(
+        # average over MATCHED rows only (count of the non-null payload);
+        # n_matched counts e.ts which is identical under the as-of contract
+        "avg_prior_value_e4",
+        iavg("total_prior_value_e2", "n_matched", 2),
+    ).select(
+        "order_status", "n_orders", "n_matched",
+        "avg_prior_value_e4", "total_prior_value_e2",
     )
 
 
@@ -344,7 +358,8 @@ def e07_asof_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            count(*)                         AS n_pairs,
            count(DISTINCT w.purchase_id)    AS n_windows_hit,
-           floor((CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) / count(e.value)) * 10000 + 0.5) / 10000.0 AS avg_window_value
+           CAST((2 * CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+                 + count(e.value)) // (2 * count(e.value)) AS BIGINT) AS avg_window_value_e4
     FROM events e
     JOIN win w
       ON e.user_id = w.user_id
@@ -367,10 +382,18 @@ def e08_purchase_attribution_window(spark: SparkSession, sf_dir: str) -> DataFra
         points, windows, on=["user_id"], point_ts="ts",
         start_ts="win_start", end_ts="win_end", bucket="6 hours",
     )
-    return pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("purchase_id").alias("n_windows_hit"),
-        rnd(money_sum("value") / F.count("value"), 4).alias("avg_window_value"),
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_windows_hit"),
+            money_sum_e2("value").alias("_sum_e2"),
+            F.count("value").alias("_n_val"),
+        )
+        .withColumn("avg_window_value_e4", iavg("_sum_e2", "_n_val", 2))
+        .select(
+            "event_type", "n_pairs", "n_windows_hit", "avg_window_value_e4"
+        )
     )
 
 

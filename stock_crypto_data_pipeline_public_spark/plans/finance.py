@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 from ..functions.numeric import (
     dec,
     dsum,
+    iavg,
     money_sum,
+    money_sum_e2,
     oracle_dec,
     oracle_dsum,
     oracle_money_sum,
@@ -105,8 +107,9 @@ def f01_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type AS symbol, trade_date,
            CAST(sum(size) AS BIGINT) AS volume,
-           {oracle_rnd(oracle_dsum(oracle_dec('value') + ' * size'), 2)} AS notional,
-           {oracle_rnd(oracle_rnd(oracle_dsum(oracle_dec('value') + ' * size'), 2) + ' / sum(size)', 4)} AS vwap
+           CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * size) AS BIGINT) AS notional_e2,
+           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * size) AS BIGINT) * 100
+                 + sum(size)) // (2 * sum(size)) AS BIGINT) AS vwap_e4
     FROM sized
     GROUP BY 1, 2
     """,
@@ -119,11 +122,17 @@ def f02_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.k").cast("long").alias("size"),
     )
-    notional = rnd(dsum(dec("value") * F.col("size")), 2)
-    return sized.groupBy("symbol", "trade_date").agg(
-        F.sum("size").alias("volume"),
-        notional.alias("notional"),
-        rnd(notional / F.sum("size"), 4).alias("vwap"),
+    # round-9 exact domain: notional is summed as integer cents×size (no
+    # decimal value ever transits DOUBLE) and the VWAP is the e4 integral
+    # quotient — engine-identical trunc division (functions/numeric.iavg)
+    cents = (dec("value") * F.lit(100)).cast("bigint")
+    return (
+        sized.groupBy("symbol", "trade_date")
+        .agg(
+            F.sum("size").alias("volume"),
+            F.sum(cents * F.col("size")).cast("bigint").alias("notional_e2"),
+        )
+        .withColumn("vwap_e4", iavg("notional_e2", "volume", 2))
     )
 
 
@@ -302,8 +311,8 @@ def f06_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST(floor(({oracle_money_sum('value')} / count(*)) * 10000 + 0.5)
-                    AS BIGINT) AS px_e4
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+                     + count(*)) // (2 * count(*)) AS BIGINT) AS px_e4
         FROM events
         GROUP BY 1, 2
     ),
@@ -334,12 +343,17 @@ def f06_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f05_daily_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(
-        F.floor(
-            (money_sum("value") / F.count(F.lit(1))) * 10000 + 0.5
-        ).alias("px_e4")
+    # round-9: px_e4 is the e4 integral average computed entirely in int64
+    # (iavg) — the old floor((double-quotient)·1e4+0.5) transited the
+    # decimal->double divavg pipeline the q40e fingerprint probes
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            money_sum_e2("value").alias("_sum_e2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn("px_e4", iavg("_sum_e2", "_n", 2))
+        .select("event_type", "day", "px_e4")
     )
     a = daily.alias("a")
     b = daily.alias("b")
@@ -1110,7 +1124,8 @@ _BETA_N = 10
     oracle=f"""
     WITH daily AS (
         SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
-               {oracle_rnd(oracle_money_sum('value') + ' / count(*)', 4)} AS px
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+                     + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS px
         FROM events GROUP BY 1, 2
     ),
     ret AS (
@@ -1160,7 +1175,16 @@ def f15_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("symbol"),
             F.date_trunc("day", "ts").cast("date").alias("day"),
         )
-        .agg(rnd(money_sum("value") / F.count(F.lit(1)), 4).alias("px"))
+        .agg(
+            money_sum_e2("value").alias("_sum_e2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        # px's VALUE is unchanged (e4 half-up average) but its lineage no
+        # longer contains a decimal->double cast: the exact int64 average
+        # divides by the exact double 10000.0 — bit-identical on both
+        # engines, so every downstream float term (r, beta) stays identical
+        .withColumn("px", iavg("_sum_e2", "_n", 2).cast("double") / F.lit(10000.0))
+        .select("symbol", "day", "px")
     )
     w = W.partitionBy("symbol").orderBy(F.asc("day"))
     ret = (

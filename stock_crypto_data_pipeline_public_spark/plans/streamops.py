@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from contextlib import contextmanager
 
-from ..functions.numeric import dec, money_sum, oracle_money_sum, oracle_rnd, rnd
+from ..functions.numeric import dec, money_sum, money_sum_e2, oracle_money_sum, oracle_money_sum_e2, oracle_rnd, rnd
 from ..sources.tables import load_table
 from .registry import query
 
@@ -80,7 +80,7 @@ def _drain_shuffle(spark: SparkSession, n: int = 8):
            CAST(count(*) + count(*) FILTER (event_id % 2 = 0) AS BIGINT)
                                                          AS n_plain,
            CAST(count(*) AS BIGINT)                      AS n_vault,
-           {oracle_rnd(oracle_money_sum('value'), 4)}    AS sum_value,
+           {oracle_money_sum_e2('value')}                AS sum_value_e2,
            CAST(max(event_id) AS BIGINT)                 AS max_event_id
     FROM events
     GROUP BY event_type
@@ -139,7 +139,7 @@ def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFram
                 F.count(F.lit(1)).alias("n_vault"),
                 # decimal money policy: float sums are summation-order-
                 # dependent at the rounding boundary (numeric.py)
-                rnd(money_sum("value"), 4).alias("sum_value"),
+                money_sum_e2("value").alias("sum_value_e2"),
                 F.max("event_id").alias("max_event_id"),
             )
         )
@@ -201,7 +201,7 @@ def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)   AS window_start,
            event_type,
            CAST(count(*) AS BIGINT)                   AS n_events,
-           {oracle_rnd(oracle_money_sum('value'), 4)} AS total_value
+           {oracle_money_sum_e2('value')}             AS total_value_e2
     FROM kept
     GROUP BY 1, 2
     """,
@@ -256,7 +256,8 @@ def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataF
             "window_start",
             "event_type",
             "n_events",
-            rnd(F.col("total_value").cast("double"), 4).alias("total_value"),
+            # the sink stores the exact decimal window sum; ×100 is integral
+            (F.col("total_value") * F.lit(100)).cast("bigint").alias("total_value_e2"),
         )
         return out.localCheckpoint(eager=True)  # materialize before rmtree
     finally:

@@ -28,7 +28,7 @@ from ..functions.keys import (
     surrogate_key,
 )
 from ..sources.tables import load_table
-from ..functions.numeric import dec, dsum, money_sum, oracle_rnd, rnd
+from ..functions.numeric import dec, dsum, dsum_e, money_sum, money_sum_e2, oracle_rnd, rnd
 from .registry import query
 
 
@@ -239,7 +239,8 @@ def v05_dim_customer_latest_activity(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT c.c_custkey,
            concat_ws(' - ', c.c_name, c.c_mktsegment)   AS display_name,
            count(o.o_orderkey)                          AS n_orders,
-           coalesce(floor((CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)) * 100 + 0.5) / 100.0, 0)   AS lifetime_value,
+           coalesce(CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT), 0)
+                                                        AS lifetime_value_e2,
            count(DISTINCT o.o_orderpriority)            AS n_priorities,
            CAST(max(o.o_orderdate) AS DATE)             AS last_order_date
     FROM customer c
@@ -255,7 +256,9 @@ def v06_semantic_customer_overview(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(rnd(money_sum("o_totalprice"), 2), F.lit(0.0)).alias("lifetime_value"),
+            F.coalesce(money_sum_e2("o_totalprice"), F.lit(0).cast("bigint")).alias(
+                "lifetime_value_e2"
+            ),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
             F.max("o_orderdate").cast("date").alias("last_order_date"),
         )
@@ -263,7 +266,7 @@ def v06_semantic_customer_overview(spark: SparkSession, sf_dir: str) -> DataFram
             "c_custkey",
             F.concat_ws(" - ", F.col("c_name"), F.col("c_mktsegment")).alias("display_name"),
             "n_orders",
-            "lifetime_value",
+            "lifetime_value_e2",
             "n_priorities",
             "last_order_date",
         )
@@ -298,7 +301,7 @@ def v06_semantic_customer_overview(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT o_orderstatus,
            count(*)                     AS n_rows,
            CAST(sum(batch - 1) AS BIGINT) AS n_updated,
-           floor((CAST(sum(o_totalprice) AS DOUBLE)) * 100 + 0.5) / 100.0  AS total_after_merge
+           CAST(sum(CAST(o_totalprice * 1000 AS BIGINT)) AS BIGINT) AS total_after_merge_e3
     FROM merged
     GROUP BY o_orderstatus
     """,
@@ -331,7 +334,7 @@ def v07_merge_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("batch") - 1).alias("n_updated"),
-        rnd(dsum(F.col("o_totalprice")), 2).alias("total_after_merge"),
+        dsum_e(F.col("o_totalprice"), 3).alias("total_after_merge_e3"),
     )
 
 
