@@ -72,6 +72,10 @@ EXPECTED_NESTED_LOOP = {
     # never-undercount fold, cell-equality fold) cross-combined into the
     # single contract row — broadcast scalars, t34's exact shape
     "t45_cms_contract",
+    # SCD2 quality battery: eight 1-row violation-count aggregates
+    # cross-combined into the single report row — broadcast scalars,
+    # t34/t45's exact shape
+    "q43_scd2_quality_checks",
     # pattern-similarity search: the query pattern is a broadcast 1-ROW
     # window (crossJoin) — map-only distance scan over the candidates
     "f07_pattern_similarity",

@@ -515,7 +515,8 @@ def f07_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
                count(*) AS n_events,
-               {oracle_rnd(oracle_rnd('sum(value)', 2) + ' / count(*)', 4)} AS avg_value
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+                     + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -543,11 +544,21 @@ def f07_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f08_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+    # f15's treatment: the hourly average is the exact e4 integral average
+    # divided by the exact double 10000.0 — same value, but no raw double
+    # sum (summation-order-dependent at large group sizes) and no rounded
+    # quotient in the lineage; downstream fill logic consumes identical
+    # doubles on both engines
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_e2("value").alias("_sum_e2"),
+        )
+        .withColumn(
+            "avg_value", iavg("_sum_e2", "n_events", 2).cast("double") / F.lit(10000.0)
+        )
+        .select("event_type", "bucket_hour", "n_events", "avg_value")
     )
     bounds = hourly.groupBy("event_type").agg(
         F.min("bucket_hour").alias("mn"), F.max("bucket_hour").alias("mx")
@@ -1243,7 +1254,8 @@ def f15_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
                count(*) AS n_events,
-               {oracle_rnd(oracle_rnd('sum(value)', 2) + ' / count(*)', 4)} AS avg_value
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+                     + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -1289,11 +1301,21 @@ def f15_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f16_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_hour")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        rnd(rnd(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+    # f15's treatment: the hourly average is the exact e4 integral average
+    # divided by the exact double 10000.0 — same value, but no raw double
+    # sum (summation-order-dependent at large group sizes) and no rounded
+    # quotient in the lineage; downstream fill logic consumes identical
+    # doubles on both engines
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_e2("value").alias("_sum_e2"),
+        )
+        .withColumn(
+            "avg_value", iavg("_sum_e2", "n_events", 2).cast("double") / F.lit(10000.0)
+        )
+        .select("event_type", "bucket_hour", "n_events", "avg_value")
     )
     bounds = hourly.groupBy("event_type").agg(
         F.min("bucket_hour").alias("mn"), F.max("bucket_hour").alias("mx")

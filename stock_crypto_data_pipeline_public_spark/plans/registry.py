@@ -54,50 +54,45 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-8 gate window, ranked by "code changed since last driver hash
+#: round-9 gate window, ranked by "code changed since last driver hash
 #: row":
-#: 1. The r7 reds q26/q28 — REWRITTEN this block into a pure-integer
-#:    domain (no value the driver hashes transits DOUBLE) — plus the
-#:    NEW q40 renderer-fingerprint and q41/q42 staged diagnostics that
-#:    localize any remaining driver-vs-mirror divergence mechanically.
-#: 2. All other round-8 code changes: q02/q03 (decimal pre-projection),
-#:    f17/e09/f05/x18 (the exact-domain sweep — no ranked/compared
-#:    value transits DOUBLE after aggregation), m19/m20 (OCR gap-column
-#:    contract + explicit media-type dispatch; m20 also sits on the
-#:    LUT-cache-bounded JPEG decode path), and the NEW s08 streaming
-#:    near-dup sink end state (the last local-only streaming family).
-#: 3. Freshness for the remaining slots, oldest driver row first:
-#:    x05/x07/x08/x11 and t25/t27 (r3 — ceded their slots two rounds
-#:    running), then the oldest r4-green blocks: v01-v05/v08/v09,
-#:    q05-q16, e01/e03/e05, f01/f08, m04/m06, t05/t11.
+#: 1. The q40 SPLIT (r8 directive #1): six one-type-per-query renderer
+#:    fingerprints — identical constant-literal SQL on both engines; the
+#:    driver's red/green PATTERN across them names the divergent
+#:    comparator pipeline mechanically (q40a ints/strings/bool expected
+#:    green; q40b decimal; q40c date/ts; q40d exact doubles; q40e double
+#:    quotients; q40f the floorpath money rendering alone).
+#: 2. The round-9 exact-domain sweep (r8 directive #2): every query whose
+#:    hashed money/average output moved off the floor(CAST(decimal AS
+#:    DOUBLE)) pipeline onto e-scaled BIGINT (_e2/_e3/_e4/_e6) or the
+#:    integral iavg quotient — all changed code, so all re-gate ahead of
+#:    any freshness row — plus t40 (decimal-literal division made an
+#:    explicit double), s13 (stale-epoch pointer added to the sketch
+#:    sink), and the NEW q43 SCD2-quality-battery gate (W4).
+#: 3. Freshness for the remaining 9 slots, oldest driver row first:
+#:    m06, t05/t11/t17/t18 (ceded their slots two rounds running),
+#:    q18/q20 (r4), t23/t30.
 _GATE_PRIORITY = (
-    # round-8 priority 1: the two r7 reds, now integer-domain, plus the
-    # divergence-localization diagnostics
-    ["q26", "q28", "q40", "q41", "q42"]                         # (5)
-    # round-8 changed code + the new sink gates: EVERY streaming sink in
-    # streaming/pipeline.py now has a driver-hard end-state contract
-    # (s08 near-dup curation, s09 ANN index growth, s10 CDC manifest
-    # merge, s11 media features, s12 training-order manifest, s13 the
-    # NEW continuous CMS sketch maintenance sink)
-    + ["q02", "q03", "f17", "e09", "f05", "x18", "m19", "m20",
-       "s08", "s09", "s10", "s11", "s12", "s13"]                # (19)
-    # freshness: r3-stale rows that ceded their slots in r6 AND r7
-    + ["x05", "x07", "x08", "x11", "t25", "t27"]                # (20)
-    # freshness: the oldest r4-green blocks by age
-    + ["v01", "v02", "v03", "v04", "v05", "v08", "v09"]         # (27)
-    + ["q05", "q06", "q07", "q08", "q09", "q10", "q11", "q12",
-       "q13", "q14", "q15", "q16"]                              # (39)
-    + ["e01", "e03", "e05"]                                     # (42)
-    + ["f01", "f08"]                                            # (44)
-    + ["m04"]                                                   # (46)
+    # the fingerprint family + the new W4/quality gate
+    ["q40a", "q40b", "q40c", "q40d", "q40e", "q40f", "q43"]     # (7)
+    # exact-domain sweep: relational
+    + ["q01", "q02", "q03", "q04", "q10", "q11", "q17", "q19",
+       "q21", "q22", "q27", "q29", "q30", "q32", "q34", "q35",
+       "q36", "q38", "q39"]                                     # (26)
+    # exact-domain sweep: events / finance / vault / streaming + t40
+    + ["e01", "e02", "e04", "e06", "e07", "e08"]                # (32)
+    + ["f02", "f05", "f08", "f15", "f16"]                       # (37)
+    + ["v06", "v07"]                                            # (39)
+    + ["s01", "s02", "s13", "t40"]                              # (43)
+    # freshness: the oldest code-stable driver rows
+    + ["m06", "t05", "t11", "t17", "t18"]                       # (48)
+    + ["q18", "q20"]                                            # (50)
 )
-#: Next-round rotation candidates: m06, t05/t11/t17/t18 (ceded their
-#: slots to the s09-s13 sink gates), q18/q19/q20 (r4), t23/t30/t31/
-#: t32/t34, x09/x10/x12/x14 (r4/r5) — then everything r5/r6-fresh by
-#: age.
-#: The whole r7 window (the decimal money sweep, the streaming s01-s07
-#: contracts, q33-q39, the m-codec series, t43-t45) is r7-green and
-#: stays on the local strict harness until its freshness turn.
+#: Next-round rotation candidates (oldest first): t23/t30 (displaced by
+#: the f08/f16 exact-domain port), t31/t32/t34, x09/x10/x12/x14 (r4/r5);
+#: then the r7 window (s03-s07, q33/q37, m-codec series, t43-t45) and
+#: the r8 window (q26/q28/q41/q42, m19/m20, s08-s12, x05/x07/x08/x11,
+#: t25, v01-v05/v08/v09, q05-q09/q12-q16, e03/e05, f01, m04) by age.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate
@@ -126,11 +121,22 @@ def load_all() -> None:
     )
 
     by_prefix = {name.split("_", 1)[0]: name for name in QUERIES}
+    # most-specific safety first: a rows-only sketch in the window reads
+    # as a driver red for a non-defect
     banned = _NEVER_GATE.intersection(_GATE_PRIORITY)
     if banned:
         raise ValueError(
             f"rows-only sketches must stay out of the driver window: {sorted(banned)}"
         )
+    # the window must be exactly the driver's hash-gate size: short and a
+    # "remaining" append silently falls through to registration order;
+    # long and tail entries silently fall OUT of the first-50 gate
+    if len(_GATE_PRIORITY) != 50:
+        raise ValueError(
+            f"_GATE_PRIORITY must name exactly 50 queries, got {len(_GATE_PRIORITY)}"
+        )
+    if len(set(_GATE_PRIORITY)) != len(_GATE_PRIORITY):
+        raise ValueError("_GATE_PRIORITY contains duplicates")
     missing = [p for p in _GATE_PRIORITY if p not in by_prefix]
     if missing:
         # the window is load-bearing: a silently-dropped prefix would slide

@@ -1979,3 +1979,138 @@ _Q42_SQL = """
 def q42_custavg_stage_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("q42_orders")
     return spark.sql(_Q42_SQL.format(orders="q42_orders", div="DIV"))
+
+
+# --------------------------------------------------------------------------
+# q43 — the SCD2 QUALITY BATTERY as a gated surface (quality.py:182's
+# check_customer_history_no_overlaps + check_scd2_effective_dates +
+# check_exactly_one_current — §2's W4 family, previously covered only by
+# the local unit suite; reference tests/test_customer_history_no_overlaps
+# .sql:3-26, test_scd2_effective_dates.sql:3-11). The history is built
+# from events (q14's SCD2 shape, deduped to one state per (user, ts) so
+# intervals are strictly increasing), the three checks run on the CLEAN
+# history (all violation counts must be exactly zero) and again on a
+# deterministically CORRUPTED copy (non-current rows of every user_id %
+# 7 == 0 get effective_to collapsed onto effective_from) — proving the
+# checks detect the defect class, not merely that the data happens to be
+# clean. Every output is an int64 count.
+# 100 TB: each check is one partitioned lead-window or groupBy over the
+# history — same shuffle budget as building the SCD2 table itself.
+# --------------------------------------------------------------------------
+@query(
+    "q43_scd2_quality_checks",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) = 1
+    ),
+    hist AS (
+        SELECT user_id AS hk_customer,
+               ts AS effective_from,
+               lead(ts) OVER w AS effective_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    corrupt AS (
+        SELECT hk_customer, effective_from,
+               CASE WHEN hk_customer % 7 = 0 AND NOT is_current
+                    THEN effective_from ELSE effective_to END AS effective_to,
+               is_current
+        FROM hist
+    ),
+    ov_clean AS (
+        SELECT count(*) AS n FROM (
+            SELECT effective_to, lead(effective_from) OVER
+                   (PARTITION BY hk_customer ORDER BY effective_from ASC) AS next_from
+            FROM hist
+        ) WHERE next_from IS NOT NULL AND next_from <> effective_to
+    ),
+    ov_corrupt AS (
+        SELECT count(*) AS n FROM (
+            SELECT effective_to, lead(effective_from) OVER
+                   (PARTITION BY hk_customer ORDER BY effective_from ASC) AS next_from
+            FROM corrupt
+        ) WHERE next_from IS NOT NULL AND next_from <> effective_to
+    ),
+    dt_clean AS (
+        SELECT count(*) AS n FROM hist WHERE effective_from >= effective_to
+    ),
+    dt_corrupt AS (
+        SELECT count(*) AS n FROM corrupt WHERE effective_from >= effective_to
+    ),
+    cur_clean AS (
+        SELECT count(*) AS n FROM (
+            SELECT hk_customer,
+                   sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_current
+            FROM hist GROUP BY hk_customer
+        ) WHERE n_current <> 1
+    ),
+    cur_corrupt AS (
+        SELECT count(*) AS n FROM (
+            SELECT hk_customer,
+                   sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_current
+            FROM corrupt GROUP BY hk_customer
+        ) WHERE n_current <> 1
+    )
+    SELECT CAST((SELECT count(*) FROM hist) AS BIGINT)               AS n_history_rows,
+           CAST((SELECT count(DISTINCT hk_customer) FROM hist) AS BIGINT) AS n_customers,
+           CAST((SELECT count(*) FROM corrupt
+                 WHERE hk_customer % 7 = 0 AND NOT is_current) AS BIGINT) AS n_corrupted,
+           CAST((SELECT n FROM ov_clean) AS BIGINT)    AS overlap_violations_clean,
+           CAST((SELECT n FROM dt_clean) AS BIGINT)    AS dates_violations_clean,
+           CAST((SELECT n FROM cur_clean) AS BIGINT)   AS current_violations_clean,
+           CAST((SELECT n FROM ov_corrupt) AS BIGINT)  AS overlap_violations_corrupted,
+           CAST((SELECT n FROM dt_corrupt) AS BIGINT)  AS dates_violations_corrupted,
+           CAST((SELECT n FROM cur_corrupt) AS BIGINT) AS current_violations_corrupted
+    """,
+)
+def q43_scd2_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import dedup_keep_first
+    from ..quality import (
+        check_customer_history_no_overlaps,
+        check_exactly_one_current,
+        check_scd2_effective_dates,
+    )
+
+    ev = dedup_keep_first(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts"),
+        ["user_id", "ts"],
+        [F.asc("event_id")],
+    )
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"))
+    nxt = F.lead("ts").over(w)
+    hist = ev.select(
+        F.col("user_id").alias("hk_customer"),
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+    corrupt = hist.withColumn(
+        "effective_to",
+        F.when(
+            (F.col("hk_customer") % 7 == 0) & ~F.col("is_current"),
+            F.col("effective_from"),
+        ).otherwise(F.col("effective_to")),
+    )
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    base = hist.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_history_rows"),
+        F.countDistinct("hk_customer").cast("bigint").alias("n_customers"),
+    )
+    n_corr = n(
+        corrupt.filter((F.col("hk_customer") % 7 == 0) & ~F.col("is_current")),
+        "n_corrupted",
+    )
+    out = (
+        base.crossJoin(n_corr)
+        .crossJoin(n(check_customer_history_no_overlaps(hist), "overlap_violations_clean"))
+        .crossJoin(n(check_scd2_effective_dates(hist), "dates_violations_clean"))
+        .crossJoin(n(check_exactly_one_current(hist), "current_violations_clean"))
+        .crossJoin(n(check_customer_history_no_overlaps(corrupt), "overlap_violations_corrupted"))
+        .crossJoin(n(check_scd2_effective_dates(corrupt), "dates_violations_corrupted"))
+        .crossJoin(n(check_exactly_one_current(corrupt), "current_violations_corrupted"))
+    )
+    return out

@@ -2589,7 +2589,12 @@ def t43_hll_mergeability_contract(spark: SparkSession, sf_dir: str) -> DataFrame
 # sample, are identical by construction under any plan).
 # --------------------------------------------------------------------------
 _T40_K = 50
-_U48_DEN = "281474976710656.0"  # 2^48, exact as a double
+# 2^48 — spelled as an EXPLICIT double: a bare fractional literal parses as
+# DECIMAL in both engines' SQL, which silently turned u into a decimal
+# division + decimal->double cast (the exact pipeline the q40 fingerprint
+# probes) instead of the single IEEE division the scheme's reproducibility
+# argument rests on
+_U48_DEN = "CAST(281474976710656.0 AS DOUBLE)"
 
 
 def _hex48_sql(str_t: str, col: str = "doc_id") -> str:
@@ -2613,7 +2618,7 @@ def _t40_oracle() -> str:
     ),
     p AS (
         SELECT doc_id, lang, w,
-               (w * 1.0) / ((h + 1) / {_U48_DEN}) AS q
+               CAST(w AS DOUBLE) / ((h + 1) / {_U48_DEN}) AS q
         FROM b
     ),
     r AS (
@@ -2631,7 +2636,7 @@ def _t40_oracle() -> str:
     s AS (SELECT * FROM r WHERE rnk <= {_T40_K}),
     est AS (
         SELECT s.lang,
-               {oracle_rnd('sum(greatest(s.w * 1.0, t.tau))', 4)} AS est_total
+               {oracle_rnd('sum(greatest(CAST(s.w AS DOUBLE), t.tau))', 4)} AS est_total
         FROM s JOIN tau t ON t.lang = s.lang GROUP BY s.lang
     )
     SELECT s.doc_id, s.lang, s.w, s.rnk, e.est_total, tt.true_total

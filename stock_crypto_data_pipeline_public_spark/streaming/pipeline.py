@@ -236,10 +236,17 @@ def run_sketch_sink(
     Replay contract: CMS addition is NOT idempotent (re-adding a batch
     double-counts), so each micro-batch lands its own immutable
     ``epoch=N`` partition with OVERWRITE — a crash replay rewrites the
-    identical partition, never adds. The live sketch is the cell-wise sum
-    over epochs (:func:`read_sketch`); compact the epoch log periodically
-    by materializing that sum (same idea as dedup.compact_neardup_edges)
-    so read cost doesn't grow with epoch count. Per-batch work is one
+    identical partition, never adds. After the partition commits, the
+    one-line ``_max_epoch`` pointer flips to N (atomic single-file
+    replace, manifest.py's primitive): :func:`read_sketch` sums ONLY
+    epochs <= pointer, which closes the stale-epoch hazard — a
+    checkpoint-wipe replay that compresses the history into FEWER
+    micro-batches lowers the pointer with its first epoch, so the old
+    high-numbered partitions it hasn't overwritten yet can never be
+    double-counted (crash between partition write and pointer flip just
+    leaves the newest epoch invisible until the replay rewrites it).
+    :func:`compact_sketch` materializes the cell-wise sum periodically so
+    read cost doesn't grow with epoch count. Per-batch work is one
     explode(d) + one hash aggregation over the batch — ∝ batch size,
     output ≤ d·w cells regardless of key cardinality."""
     from ..operators.sketch import count_min_table
@@ -247,6 +254,7 @@ def run_sketch_sink(
     def handle(batch: DataFrame, epoch_id: int) -> None:
         tbl = count_min_table(batch, key_col, w, d)
         tbl.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={int(epoch_id)}")
+        _flip_max_epoch(sketch_dir, int(epoch_id))
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -256,16 +264,81 @@ def run_sketch_sink(
     )
 
 
+#: one-line pointer naming the newest LIVE epoch partition; epochs above it
+#: are stale leftovers of a pre-wipe history and must not be read
+_MAX_EPOCH = "_max_epoch"
+
+
+def _flip_max_epoch(sketch_dir: str, epoch_id: int) -> None:
+    """Atomically point ``_max_epoch`` at ``epoch_id`` — intentionally NOT
+    monotonic: a checkpoint-wipe replay must be able to lower it. One small
+    file replace = one PUT on an object store (manifest.py's argument)."""
+    import os
+
+    tmp = os.path.join(sketch_dir, f".{_MAX_EPOCH}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(epoch_id))
+    os.replace(tmp, os.path.join(sketch_dir, _MAX_EPOCH))
+
+
+def _live_max_epoch(sketch_dir: str) -> int | None:
+    import os
+
+    p = os.path.join(sketch_dir, _MAX_EPOCH)
+    if not os.path.isfile(p):
+        return None  # pre-pointer layout: every epoch is live
+    with open(p) as f:
+        return int(f.read().strip())
+
+
 def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """The live (r, c, cnt) sketch: cell-wise sum over the epoch log —
+    """The live (r, c, cnt) sketch: cell-wise sum over the LIVE epochs —
     the exactly-once view of run_sketch_sink's per-epoch partials (cell
     addition is exact integer arithmetic, so the merged sketch equals the
-    one-shot sketch over the same rows, cell for cell)."""
-    return (
-        spark.read.parquet(sketch_dir)
-        .groupBy("r", "c")
-        .agg(F.sum("cnt").alias("cnt"))
+    one-shot sketch over the same rows, cell for cell). Epochs above the
+    ``_max_epoch`` pointer are stale partitions from a replay that
+    compressed history into fewer micro-batches; the filter is a
+    partition prune, not a scan-and-discard."""
+    df = spark.read.parquet(sketch_dir)
+    live = _live_max_epoch(sketch_dir)
+    if live is not None:
+        df = df.filter(F.col("epoch") <= F.lit(live))
+    return df.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def compact_sketch(spark: SparkSession, sketch_dir: str) -> dict:
+    """Materialize :func:`read_sketch`'s cell-wise sum as the single
+    ``epoch=<max_epoch>`` partition and drop the rest of the log — the
+    maintenance pass that stops read cost growing with epoch count
+    (dedup.compact_neardup_edges' idea on the sketch layout). The rewrite
+    stages next to the live dir and swaps atomically (rename-aside), so a
+    reader mid-scan keeps a complete log; run it between drains — the
+    pointer keeps naming ``max_epoch``, the stream's next epoch ids are
+    strictly larger, and a post-wipe replay starts by lowering the
+    pointer, so the compacted partition can never be double-counted.
+    Returns epoch-partition counts before/after."""
+    import os
+
+    from ..operators.incremental import swap_into_place
+
+    live = _live_max_epoch(sketch_dir)
+    merged = read_sketch(spark, sketch_dir)
+    n_before = sum(
+        1 for e in os.listdir(sketch_dir) if e.startswith("epoch=")
     )
+    if live is None:  # pre-pointer layout: adopt the highest epoch on disk
+        live = max(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(sketch_dir)
+            if e.startswith("epoch=")
+        )
+    staging = sketch_dir.rstrip("/") + ".__staging__"
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{staging}/epoch={live}"
+    )
+    _flip_max_epoch(staging, live)
+    swap_into_place(staging, sketch_dir)
+    return {"n_epochs_before": n_before, "n_epochs_after": 1, "max_epoch": live}
 
 
 def run_media_feature_sink(

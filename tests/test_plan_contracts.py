@@ -161,3 +161,72 @@ def test_every_streaming_query_bills_eagerly_in_bench():
     # and EAGER must not name queries that no longer exist
     stale = bench.EAGER - set(registry.QUERIES)
     assert not stale, f"bench EAGER names unknown queries: {sorted(stale)}"
+
+
+def test_no_hashed_output_transits_decimal_to_double():
+    """Round-9 exact-domain rule, enforced mechanically: no registered
+    query's analyzed plan may contain a Cast of a FRACTIONAL (scale > 0),
+    non-literal DecimalType expression to DoubleType — the q26/q28/q40
+    driver-divergence pipeline. Money aggregates must leave the decimal
+    domain as scaled BIGINT (functions/numeric.py dsum_e / money_sum_e2 /
+    iavg), never through the double image.
+
+    Deliberately allowed, with the reasoning:
+    - scale-0 decimals (f05's exact DECIMAL(26,0) moments): the value is
+      an integer, so the cast is ordinary integer->double correct
+      rounding with no decimal-fraction rendering involved;
+    - decimal LITERALS (v13's 0.25, t29's 0.5): plan-time constants both
+      engines fold identically — the q40b/q40f probes gate literal
+      rendering directly;
+    - the q40 renderer-fingerprint family (those casts ARE the probe);
+    - bench-EAGER queries, whose plan build executes streaming drains /
+      index builds — the driver hash gate covers their outputs instead
+      (their read-back aggregates were all ported to the e-scaled domain
+      in round 9)."""
+    import bench
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+    from stock_crypto_data_pipeline_public_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("plan-contracts", cpus=8, shuffle_partitions=8)
+
+    probes = {n for n in registry.QUERIES if n.startswith("q40")}
+    names = [
+        n for n in registry.QUERIES
+        if n not in bench.EAGER and n not in probes
+    ]
+
+    def banned_casts(df):
+        found = []
+
+        def walk_expr(e):
+            if e.getClass().getSimpleName() == "Cast":
+                child = e.child()
+                src = child.dataType()
+                if (
+                    src.typeName().startswith("decimal")
+                    and e.dataType().typeName() == "double"
+                    and src.scale() > 0
+                    and child.getClass().getSimpleName() != "Literal"
+                ):
+                    found.append(e.toString())
+            for i in range(e.children().size()):
+                walk_expr(e.children().apply(i))
+
+        def walk_plan(p):
+            exprs = p.expressions()
+            for i in range(exprs.size()):
+                walk_expr(exprs.apply(i))
+            for i in range(p.children().size()):
+                walk_plan(p.children().apply(i))
+
+        walk_plan(df._jdf.queryExecution().analyzed())
+        return found
+
+    offenders = {}
+    for name in names:
+        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        casts = banned_casts(df)
+        if casts:
+            offenders[name] = casts[:3]
+    assert not offenders, f"fractional decimal->double casts: {offenders}"

@@ -267,3 +267,87 @@ def test_sketch_sink_epoch_overwrite_is_replay_safe(spark, sf_dir, tmp_path):
         F.coalesce("cnt", F.lit(-1)) != F.coalesce("cnt2", F.lit(-2))
     )
     assert diff.count() == 0
+
+
+def test_sketch_sink_multi_epoch_wipe_and_compaction(spark, sf_dir, tmp_path):
+    """The stale-epoch hazard the single-epoch replay test cannot see: a
+    MULTI-epoch history (three drains → epoch=0,1,2) replayed after a
+    checkpoint wipe into FEWER epochs (one drain → epoch=0) leaves stale
+    epoch=1/epoch=2 partitions on disk. The _max_epoch pointer (lowered by
+    the replay's first epoch) must exclude them — summing every partition
+    on disk would double-count exactly those cells. Then compact_sketch
+    collapses the log to one partition and a further incremental drain
+    keeps extending it, both preserving read_sketch == one-shot."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.operators.sketch import count_min_table
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        compact_sketch,
+        file_stream,
+        read_sketch,
+        run_sketch_sink,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+    landing, sketch, ckpt = (
+        str(tmp_path / "landing"),
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def drain():
+        q = run_sketch_sink(
+            file_stream(spark, landing, ev.schema), sketch, "user_id", ckpt
+        )
+        q.awaitTermination()
+
+    def assert_equals_oneshot(upto_slice):
+        merged = read_sketch(spark, sketch)
+        oneshot = count_min_table(upto_slice, "user_id")
+        diff = merged.join(
+            oneshot.withColumnsRenamed({"cnt": "cnt2"}), ["r", "c"], "full"
+        ).filter(
+            F.coalesce("cnt", F.lit(-1)) != F.coalesce("cnt2", F.lit(-2))
+        )
+        assert diff.count() == 0
+
+    # three drains of one file each → epochs 0, 1, 2
+    for m in (0, 1, 2):
+        ev.filter(F.col("event_id") % 4 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()
+    first3 = ev.filter(F.col("event_id") % 4 != 3)
+    assert_equals_oneshot(first3)
+    epochs = sorted(e for e in os.listdir(sketch) if e.startswith("epoch="))
+    assert epochs == ["epoch=0", "epoch=1", "epoch=2"]
+
+    # wipe the checkpoint: availableNow replays ALL files in ONE batch →
+    # only epoch=0 is rewritten; epoch=1/2 are now stale on disk
+    shutil.rmtree(ckpt)
+    drain()
+    assert os.path.isdir(os.path.join(sketch, "epoch=1"))  # hazard is real
+    assert os.path.isdir(os.path.join(sketch, "epoch=2"))
+    assert_equals_oneshot(first3)  # pointer=0 excludes the stale epochs
+
+    # compaction: one live partition, same merged cells
+    stats = compact_sketch(spark, sketch)
+    assert stats["n_epochs_after"] == 1
+    epochs = [e for e in os.listdir(sketch) if e.startswith("epoch=")]
+    assert len(epochs) == 1
+    assert_equals_oneshot(first3)
+
+    # the stream keeps extending the compacted log incrementally
+    ev.filter(F.col("event_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    drain()
+    assert_equals_oneshot(ev)
