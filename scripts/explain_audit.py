@@ -34,6 +34,9 @@ EXPECTED_NESTED_LOOP = {
     # broadcast corpus — the deliberate exactness/distribution baselines the
     # LSH-bucketed variants (x02/t07) approximate
     "x01_knn_cosine",
+    # binary-quantization tier: the same 10-query broadcast non-equi scan
+    # as x01, over 16-byte packed sign-bit codes (Hamming popcount pass)
+    "x20_binary_quant_search",
     # SQ8 tier: same 10-query broadcast non-equi scan as x01 (the quantized
     # candidate pass), plus its recall-contract twin ranking both ways
     "x15_sq8_rerank_search",

@@ -14,7 +14,9 @@ training pass that upgrades x05/x09's seed centroids), x13 persisted-index
 probed search, x14 semantic dedup (SemDeDup shape: within-cluster near-dup
 components, keep the min-id representative), x15 SQ8 int8-quantized search
 with exact rerank (the 4x-memory tier between floats and PQ), x16 the SQ8
-candidate recall contract (exact-top-k coverage, hash-gated).
+candidate recall contract (exact-top-k coverage, hash-gated), x20
+binary-quantized search (sign-bit packing to two int64 words, Hamming
+popcount candidate scan, exact cosine rescore — the 32x-compression tier).
 See operators/similarity.py for the cross-engine math contract.
 """
 
@@ -2127,3 +2129,128 @@ def x19_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return combined.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------------------
+# x20 — BINARY-quantized search with exact rescore (round 9; the modern
+# 32x-compression ANN tier below x15's SQ8: RaBitQ/BQ-style sign-bit
+# codes + Hamming candidate scan + exact top-k rerank). Each 64-dim float
+# vector packs into TWO int64 words (bit j of word w set iff
+# embedding[32w+j] > 0 — 32 bits per word so no sign-bit overflow; the
+# flat CASE-sum is the same integer-constant spelling both engines
+# evaluate identically, t40's hex48 pattern). The candidate scan is
+# Hamming distance bit_count(lo⊕lo') + bit_count(hi⊕hi') over the packed
+# words — Spark spells xor as ^, DuckDB as xor() (its ^ is POWER) — and
+# the top-R=50 candidates per query (hamming asc, vec_id tiebreak) are
+# reranked by EXACT cosine, emitting top-5. The gate pins the whole
+# pipeline: pack, popcount, candidate cut, rerank — all deterministic.
+# 100 TB: 16 bytes/vector (vs 256 fp32) keeps the scan tier in memory at
+# ~6e12 vectors/TB; the Hamming pass is a map-only broadcast-query scan
+# in whole-stage codegen (two XOR+popcount per row — no floats touched),
+# and only R·n_queries rows ever reach the float rerank. At real corpus
+# scale the same codes become the partition-local scan of an IVF cell
+# (x07's probe shape) — candidate generation cost ∝ cell, not corpus.
+# --------------------------------------------------------------------------
+_X20_R = 50  # Hamming candidate window reranked exactly
+_X20_K = 5
+
+
+def _x20_word_sql(word: int, col: str = "embedding", base1: bool = True) -> str:
+    """32 sign bits of ``col`` packed into one BIGINT (dims 32w..32w+31)."""
+    off = 1 if base1 else 0
+    terms = [
+        f"(CASE WHEN {col}[{32 * word + j + off}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "x20_binary_quant_search",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, label, embedding,
+               {_x20_word_sql(0)} AS lo,
+               {_x20_word_sql(1)} AS hi
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qe, lo AS qlo, hi AS qhi
+        FROM c WHERE vec_id < 10
+    ),
+    scanned AS (
+        SELECT q.query_id, q.qe, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               c.embedding AS ne,
+               CAST(bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi)) AS BIGINT)
+                   AS hamming_dist
+        FROM q JOIN c ON c.vec_id <> q.query_id
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY hamming_dist ASC, neighbor_id ASC
+            ) AS hrk
+            FROM scanned
+        ) WHERE hrk <= {_X20_R}
+    ),
+    rescored AS (
+        SELECT query_id, neighbor_id, neighbor_label, hamming_dist,
+               {{cos}} AS cosine_sim
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, neighbor_label, hamming_dist, cosine_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rk
+        FROM rescored
+    )
+    WHERE rk <= {_X20_K}
+    """.format(cos=oracle_rnd(S.oracle_cosine("qe", "ne"), 4)),
+)
+def x20_binary_quant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # pack once per vector; norms once per side (x01's discipline)
+    lo = F.expr(_x20_word_sql(0, base1=False))
+    hi = F.expr(_x20_word_sql(1, base1=False))
+    c = emb.select(
+        "vec_id", "label", "embedding",
+        lo.alias("lo"), hi.alias("hi"),
+        S.norm("embedding", EMB_DIM).alias("nrm"),
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    q = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scanned = (
+        F.broadcast(q)
+        .join(c, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "qe", "qnrm",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("embedding").alias("ne"),
+            F.col("nrm").alias("nnrm"),
+            (
+                F.bit_count(F.expr("qlo ^ lo")) + F.bit_count(F.expr("qhi ^ hi"))
+            ).cast("bigint").alias("hamming_dist"),
+        )
+    )
+    hw = W.partitionBy("query_id").orderBy(F.asc("hamming_dist"), F.asc("neighbor_id"))
+    cand = scanned.withColumn("hrk", F.row_number().over(hw)).filter(
+        F.col("hrk") <= _X20_R
+    )
+    cos = S.dot("qe", "ne", EMB_DIM) / F.nullif(
+        F.col("qnrm") * F.col("nnrm"), F.lit(0.0)
+    )
+    rescored = cand.select(
+        "query_id", "neighbor_id", "neighbor_label", "hamming_dist",
+        rnd(cos, 4).alias("cosine_sim"),
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rk", F.row_number().over(rw)).filter(
+        F.col("rk") <= _X20_K
+    )
