@@ -139,7 +139,15 @@ def f02_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # f03 — 20-tick rolling Bollinger bands per instrument: rolling mean and
 # sample stddev over ROWS 19 PRECEDING, bands at ±2σ (rounded to cents so
-# both engines compare against the identical band), breakout counts. The
+# both engines compare against the identical band), breakout counts.
+# NUMERIC DOMAIN (round 9, e09/f05's closed-form treatment): the rolling
+# variance comes from EXACT integer window sums — s1=Σv_e2, s2=Σv_e2² are
+# BIGINTs over the 20-row frame, var = (20·s2 − s1²)/(20·19·10⁴) — never
+# from stddev_samp(), whose streaming estimators (Welford vs textbook)
+# differ between engines in the last float bits; every double op
+# downstream (sqrt, bands) is the identical IEEE expression on identical
+# exact ingredients, and the per-row σ lands as an e4 BIGINT before the
+# final integral average. The
 # window partitions by instrument — bounded state per partition, no global
 # sort (contrast reference warehouse_tools.py:337-339, whose LAG runs over
 # an unpartitioned ORDER BY). If one instrument's history outgrows an
@@ -150,27 +158,39 @@ def f02_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "f03_bollinger_breakouts",
     oracle=f"""
-    WITH rolled AS (
-        SELECT event_type, value,
-               row_number()  OVER w AS rn,
-               avg(value)    OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS roll_avg,
-               stddev_samp(value) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS roll_std
+    WITH v AS (
+        SELECT event_type, value, ts, event_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_e2
         FROM events
+    ),
+    rolled AS (
+        SELECT event_type, value,
+               row_number() OVER w AS rn,
+               sum(v_e2)         OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s1,
+               sum(v_e2 * v_e2)  OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2
+        FROM v
         WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
     ),
     banded AS (
         SELECT event_type, value,
-               {oracle_rnd('roll_avg + 2 * roll_std', 2)} AS band_hi,
-               {oracle_rnd('roll_avg - 2 * roll_std', 2)} AS band_lo,
-               {oracle_rnd('roll_std', 4)}                AS roll_std_r
+               s1 / CAST(2000.0 AS DOUBLE)                                   AS roll_avg,
+               sqrt((20 * s2 - s1 * s1) / CAST(3800000.0 AS DOUBLE))         AS roll_std
         FROM rolled WHERE rn >= 20
+    ),
+    scored AS (
+        SELECT event_type, value,
+               {oracle_rnd('roll_avg + 2 * roll_std', 2)}              AS band_hi,
+               {oracle_rnd('roll_avg - 2 * roll_std', 2)}              AS band_lo,
+               CAST(floor(roll_std * 10000 + 0.5) AS BIGINT)           AS roll_std_e4
+        FROM banded
     )
     SELECT event_type                                    AS symbol,
            count(*)                                      AS n_windows,
            count(*) FILTER (WHERE value > band_hi)       AS n_breakouts_hi,
            count(*) FILTER (WHERE value < band_lo)       AS n_breakouts_lo,
-           {oracle_rnd('avg(roll_std_r)', 4)}            AS avg_roll_std
-    FROM banded
+           CAST((2 * sum(roll_std_e4) + count(*)) // (2 * count(*)) AS BIGINT)
+                                                         AS avg_roll_std_e4
+    FROM scored
     GROUP BY 1
     """,
 )
@@ -178,25 +198,44 @@ def f03_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
     wf = w.rowsBetween(-19, W.currentRow)
-    rolled = ev.select(
+    v = ev.select(
+        "event_type", "value", "ts", "event_id",
+        (dec("value") * F.lit(100)).cast("bigint").alias("v_e2"),
+    )
+    rolled = v.select(
         "event_type",
         "value",
         F.row_number().over(w).alias("rn"),
-        F.avg("value").over(wf).alias("roll_avg"),
-        F.stddev_samp("value").over(wf).alias("roll_std"),
+        F.sum("v_e2").over(wf).alias("s1"),
+        F.sum(F.col("v_e2") * F.col("v_e2")).over(wf).alias("s2"),
     ).filter(F.col("rn") >= 20)
+    # rn >= 20 keeps FULL frames only, so n is the constant 20 and the
+    # textbook identity var = (n·Σx² − (Σx)²)/(n(n−1)) evaluates from two
+    # exact int64 sums; /2000.0 and /3800000.0 fold the e2 scaling
+    roll_avg = F.col("s1") / F.lit(2000.0)
+    roll_std = F.sqrt(
+        (20 * F.col("s2") - F.col("s1") * F.col("s1")) / F.lit(3800000.0)
+    )
     banded = rolled.select(
         "event_type",
         "value",
-        rnd(F.col("roll_avg") + 2 * F.col("roll_std"), 2).alias("band_hi"),
-        rnd(F.col("roll_avg") - 2 * F.col("roll_std"), 2).alias("band_lo"),
-        rnd("roll_std", 4).alias("roll_std_r"),
+        rnd(roll_avg + 2 * roll_std, 2).alias("band_hi"),
+        rnd(roll_avg - 2 * roll_std, 2).alias("band_lo"),
+        F.floor(roll_std * 10000 + F.lit(0.5)).cast("bigint").alias("roll_std_e4"),
     )
-    return banded.groupBy(F.col("event_type").alias("symbol")).agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.count_if(F.col("value") > F.col("band_hi")).alias("n_breakouts_hi"),
-        F.count_if(F.col("value") < F.col("band_lo")).alias("n_breakouts_lo"),
-        rnd(F.avg("roll_std_r"), 4).alias("avg_roll_std"),
+    return (
+        banded.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count_if(F.col("value") > F.col("band_hi")).alias("n_breakouts_hi"),
+            F.count_if(F.col("value") < F.col("band_lo")).alias("n_breakouts_lo"),
+            F.sum("roll_std_e4").alias("_std_sum_e4"),
+        )
+        .withColumn("avg_roll_std_e4", iavg("_std_sum_e4", "n_windows"))
+        .select(
+            "symbol", "n_windows", "n_breakouts_hi", "n_breakouts_lo",
+            "avg_roll_std_e4",
+        )
     )
 
 

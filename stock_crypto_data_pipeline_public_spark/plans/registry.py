@@ -70,9 +70,8 @@ def query(name: str, oracle: str | None = None):
 #:    explicit double), s13 (stale-epoch pointer added to the sketch
 #:    sink), the NEW q43 SCD2-quality-battery gate (W4), and the NEW x20
 #:    binary-quantized search.
-#: 3. Freshness for the remaining 6 slots, oldest driver row first:
-#:    m06, t05/t11/t17/t18 (ceded their slots two rounds running),
-#:    q18 (r4).
+#: 3. Freshness for the remaining 5 slots, oldest driver row first:
+#:    m06, t05/t11/t17/t18 (ceded their slots two rounds running).
 _GATE_PRIORITY = (
     # the fingerprint family + the new W4/quality gate
     ["q40a", "q40b", "q40c", "q40d", "q40e", "q40f", "q43"]     # (7)
@@ -82,15 +81,15 @@ _GATE_PRIORITY = (
        "q36", "q38", "q39"]                                     # (26)
     # exact-domain sweep: events / finance / vault / streaming + t40
     + ["e01", "e02", "e04", "e06", "e07", "e08"]                # (32)
-    + ["f02", "f05", "f08", "f15", "f16"]                       # (37)
-    + ["v06", "v07"]                                            # (39)
-    + ["s01", "s02", "s13", "t40", "x20"]                       # (44)
+    + ["f02", "f03", "f05", "f08", "f15", "f16"]                # (38)
+    + ["v06", "v07"]                                            # (40)
+    + ["s01", "s02", "s13", "t40", "x20"]                       # (45)
     # freshness: the oldest code-stable driver rows
-    + ["m06", "t05", "t11", "t17", "t18"]                       # (49)
-    + ["q18"]                                                   # (50)
+    + ["m06", "t05", "t11", "t17", "t18"]                       # (50)
 )
-#: Next-round rotation candidates (oldest first): q20/t23/t30 (displaced
-#: by the f08/f16 port and the new x20), t31/t32/t34, x09/x10/x12/x14 (r4/r5);
+#: Next-round rotation candidates (oldest first): q18/q20/t23/t30 (displaced
+#: by the f03/f08/f16 ports and the new x20), t31/t32/t34, x09/x10/x12/x14
+#: (r4/r5);
 #: then the r7 window (s03-s07, q33/q37, m-codec series, t43-t45) and
 #: the r8 window (q26/q28/q41/q42, m19/m20, s08-s12, x05/x07/x08/x11,
 #: t25, v01-v05/v08/v09, q05-q09/q12-q16, e03/e05, f01, m04) by age.

@@ -39,6 +39,7 @@ MONEY_QUERIES = [
     "e07_asof_prior_activity",
     "e08_purchase_attribution_window",
     "f02_daily_vwap",
+    "f03_bollinger_breakouts",
     "f05_daily_corr_pairs",
     "f15_rolling_beta",
     "q34_bloom_semi_urgent_lineitems",
@@ -52,6 +53,9 @@ MONEY_QUERIES = [
     # through the compaction rewrite
     "q38_cobucketed_join_rollup",
     "q39_compaction_roundtrip",
+    # SCD2 quality battery: pure counts over windows — must be invariant
+    # to partitioning like every other gated integer output
+    "q43_scd2_quality_checks",
 ]
 
 #: conf overrides that maximally perturb partial-aggregation order: every
