@@ -35,8 +35,10 @@ EXPECTED_NESTED_LOOP = {
     # LSH-bucketed variants (x02/t07) approximate
     "x01_knn_cosine",
     # binary-quantization tier: the same 10-query broadcast non-equi scan
-    # as x01, over 16-byte packed sign-bit codes (Hamming popcount pass)
+    # as x01, over 16-byte packed sign-bit codes (Hamming popcount pass) —
+    # plus its recall-contract twin ranking both ways (x16's shape)
     "x20_binary_quant_search",
+    "x21_binary_quant_recall",
     # SQ8 tier: same 10-query broadcast non-equi scan as x01 (the quantized
     # candidate pass), plus its recall-contract twin ranking both ways
     "x15_sq8_rerank_search",

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.numeric import oracle_rnd, rnd
+from ..functions.numeric import iavg, oracle_rnd, rnd
 from ..operators import similarity as S
 from ..sources.tables import load_table
 from .registry import query
@@ -2253,4 +2253,118 @@ def x20_binary_quant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rw = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return rescored.withColumn("rk", F.row_number().over(rw)).filter(
         F.col("rk") <= _X20_K
+    )
+
+
+# --------------------------------------------------------------------------
+# x21 — the BQ recall CONTRACT (x16's pattern for the x20 tier): does the
+# exact cosine top-5 survive inside x20's Hamming top-50 candidate
+# window? Both rankings computed from one broadcast pair scan (rank by
+# packed-word Hamming distance, rank by exact cosine), hits = exact
+# top-5 rows whose Hamming rank <= R. The recall lands as an e4 BIGINT
+# (round-9 exact domain — x16 predates it and emits the rounded double).
+# This is the number that justifies x20's R=50 rerank window the way
+# x19 justifies nprobe and t34 justifies the LSH band count: if a
+# distribution shift drops sign-bit recall, this row's hash flips.
+# --------------------------------------------------------------------------
+@query(
+    "x21_binary_quant_recall",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, embedding, {S.oracle_norm('embedding')} AS nrm,
+               {_x20_word_sql(0)} AS lo,
+               {_x20_word_sql(1)} AS hi
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.lo, e.lo)) + bit_count(xor(q.hi, e.hi)) ASC,
+                            e.vec_id ASC
+               ) AS rk_h,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {{cos}} DESC, e.vec_id ASC
+               ) AS rk_e
+        FROM c q JOIN c e ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+    ),
+    per_q AS (
+        SELECT query_id,
+               CAST(count(*) FILTER (WHERE rk_h <= {_X20_R}) AS BIGINT) AS hits
+        FROM ranked WHERE rk_e <= {_X20_K}
+        GROUP BY 1
+    )
+    SELECT count(*)                                        AS n_queries,
+           CAST(count(*) * {_X20_K} AS BIGINT)             AS n_expected,
+           CAST(sum(hits) AS BIGINT)                       AS n_hits,
+           CAST((2 * sum(hits) * 10000 + count(*) * {_X20_K})
+                // (2 * count(*) * {_X20_K}) AS BIGINT)    AS recall_e4,
+           CAST(min(hits) AS BIGINT)                       AS min_hits_per_query
+    FROM per_q
+    """.format(
+        cos=oracle_rnd(S.oracle_cosine("q.embedding", "e.embedding"), 4)
+    ),
+)
+def x21_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    lo = F.expr(_x20_word_sql(0, base1=False))
+    hi = F.expr(_x20_word_sql(1, base1=False))
+    c = emb.select(
+        "vec_id", "embedding",
+        S.norm("embedding", EMB_DIM).alias("nrm"),
+        lo.alias("lo"), hi.alias("hi"),
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    q = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = (
+        F.bit_count(F.expr("qlo ^ lo")) + F.bit_count(F.expr("qhi ^ hi"))
+    ).cast("bigint")
+    cosine = rnd(
+        S.dot("qe", "embedding", EMB_DIM)
+        / F.nullif(F.col("qnrm") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.alias("hamming_dist"),
+            cosine.alias("cosine_sim"),
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy(F.asc("hamming_dist"), F.asc("neighbor_id"))
+    we = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(wh).alias("rk_h"),
+        F.row_number().over(we).alias("rk_e"),
+    )
+    per_q = (
+        ranked.filter(F.col("rk_e") <= _X20_K)
+        .groupBy("query_id")
+        .agg(F.count_if(F.col("rk_h") <= _X20_R).alias("hits"))
+    )
+    return (
+        per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.count(F.lit(1)) * _X20_K).cast("long").alias("n_expected"),
+            F.sum("hits").cast("long").alias("n_hits"),
+            F.min("hits").cast("long").alias("min_hits_per_query"),
+        )
+        .withColumn(
+            "recall_e4",
+            iavg("n_hits", "n_expected", 4),
+        )
+        .select(
+            "n_queries", "n_expected", "n_hits", "recall_e4",
+            "min_hits_per_query",
+        )
     )
