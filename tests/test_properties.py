@@ -660,3 +660,49 @@ def test_png_codec_roundtrip_property(w, h, seed, split):
 
     idat = b"".join(d for t, d in _png_chunks(b) if t == b"IDAT")
     assert (_unfilter_png(zlib.decompress(idat), w, h, 3) == px.reshape(h, w * 3)).all()
+
+
+@SETTINGS
+@given(
+    cents=st.lists(st.integers(-10**7, 10**7), min_size=1, max_size=60),
+    shift=st.integers(0, 4),
+)
+def test_escaled_sum_and_iavg_cross_engine(spark, cents, shift):
+    """The round-9 exact-domain helpers are load-bearing across 35 gated
+    queries — pin their semantics against both a closed form and DuckDB:
+    dsum_e equals the exact integer cents sum, and iavg's half-adjusted
+    trunc-division quotient equals DuckDB's `//` on the identical
+    numerator/denominator for EVERY sign (Spark `div` and DuckDB `//`
+    both truncate toward zero; that equality is what makes an averaged
+    money output hashable cross-engine)."""
+    import math
+
+    import duckdb
+
+    from stock_crypto_data_pipeline_public_spark.functions.numeric import dec, dsum_e, iavg
+
+    values = [c / 100.0 for c in cents]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = (
+        df.agg(
+            dsum_e(dec("v"), 2).alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("avg", iavg("t", "n", shift))
+        .first()
+    )
+    total, n = sum(cents), len(cents)
+    assert row["t"] == total  # exact, any summation order
+    m = 10**shift
+    duck = duckdb.sql(
+        # CAST the literal: real oracles feed a BIGINT sum here, while a
+        # bare literal parses as INT32 and overflows the multiply
+        f"SELECT CAST((2 * CAST({total} AS BIGINT) * {m} + {n})"
+        f" // (2 * {n}) AS BIGINT)"
+    ).fetchone()[0]
+    assert row["avg"] == duck  # Spark div == DuckDB // for every sign
+    if total >= 0:  # half-up closed form holds on the non-negative domain
+        assert row["avg"] == math.floor(total * m / n + 0.5) or n > 1
+        # (the float closed form can be off by 1 ulp for huge totals;
+        # the exact-integer identity below is the real contract)
+        assert row["avg"] == (2 * total * m + n) // (2 * n)
