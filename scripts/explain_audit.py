@@ -58,6 +58,9 @@ EXPECTED_NESTED_LOOP = {
     # IVF-PQ: the same deliberate K-row broadcast scoring for coarse
     # assignment; encode and ADC join on keys (broadcast hash)
     "x10_ivfpq_search",
+    # IVF x BQ: the same K-row broadcast scoring for assignment/probing;
+    # the in-cell Hamming scan joins on centroid_id (broadcast hash)
+    "x22_ivf_bq_probe_search",
     # k-means refinement: both Lloyd's iterations score the corpus against
     # a K-row broadcast centroid table — the same deliberate shape as x05
     "x12_kmeans_refine",

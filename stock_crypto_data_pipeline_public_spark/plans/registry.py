@@ -69,9 +69,10 @@ def query(name: str, oracle: str | None = None):
 #:    any freshness row — plus t40 (decimal-literal division made an
 #:    explicit double), s13 (stale-epoch pointer added to the sketch
 #:    sink), the NEW q43 SCD2-quality-battery gate (W4), and the NEW x20
-#:    binary-quantized search with its x21 recall contract.
-#: 3. Freshness for the remaining 4 slots, oldest driver row first:
-#:    m06, t05/t11/t17 (ceded their slots two rounds running).
+#:    binary-quantized search with its x21 recall contract and the x22
+#:    IVF x BQ composed probe search.
+#: 3. Freshness for the remaining 3 slots, oldest driver row first:
+#:    m06, t05/t11 (ceded their slots two rounds running).
 _GATE_PRIORITY = (
     # the fingerprint family + the new W4/quality gate
     ["q40a", "q40b", "q40c", "q40d", "q40e", "q40f", "q43"]     # (7)
@@ -83,11 +84,11 @@ _GATE_PRIORITY = (
     + ["e01", "e02", "e04", "e06", "e07", "e08"]                # (32)
     + ["f02", "f03", "f05", "f08", "f15", "f16"]                # (38)
     + ["v06", "v07"]                                            # (40)
-    + ["s01", "s02", "s13", "t40", "x20", "x21"]                # (46)
+    + ["s01", "s02", "s13", "t40", "x20", "x21", "x22"]         # (47)
     # freshness: the oldest code-stable driver rows
-    + ["m06", "t05", "t11", "t17"]                              # (50)
+    + ["m06", "t05", "t11"]                                     # (50)
 )
-#: Next-round rotation candidates (oldest first): t18/q18/q20/t23/t30 (displaced
+#: Next-round rotation candidates (oldest first): t17/t18/q18/q20/t23/t30 (displaced
 #: by the f03/f08/f16 ports and the new x20), t31/t32/t34, x09/x10/x12/x14
 #: (r4/r5);
 #: then the r7 window (s03-s07, q33/q37, m-codec series, t43-t45) and

@@ -16,7 +16,9 @@ components, keep the min-id representative), x15 SQ8 int8-quantized search
 with exact rerank (the 4x-memory tier between floats and PQ), x16 the SQ8
 candidate recall contract (exact-top-k coverage, hash-gated), x20
 binary-quantized search (sign-bit packing to two int64 words, Hamming
-popcount candidate scan, exact cosine rescore — the 32x-compression tier).
+popcount candidate scan, exact cosine rescore — the 32x-compression tier),
+x21 its recall contract, x22 the IVF x BQ composed probe search (probe
+prunes cells, codes shrink the in-cell scan, rerank touches R rows).
 See operators/similarity.py for the cross-engine math contract.
 """
 
@@ -2368,3 +2370,162 @@ def x21_binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_hits_per_query",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x22 — IVF × BINARY-quantization composed probe search (the production
+# composition SCALE.md promises for the BQ tier): corpus vectors assign
+# to their nearest of K=8 coarse centroids (x05's map-only broadcast
+# scoring), each query probes its P=2 nearest cells (x07's probe join),
+# and INSIDE the probed cells the candidate scan is x20's packed-word
+# Hamming pass — 16-byte codes, XOR+popcount, no floats — cut to the
+# top-R=30 per query before the exact cosine rerank emits top-5. Work
+# per query ∝ (probed fraction of corpus) × (16-byte scan) + R float
+# dots: the probe prunes partitions, the codes shrink the scan, the
+# rerank touches only R rows — each stage independently gated elsewhere
+# (x05/x07 probe exactness, x20/x21 code exactness + recall), composed
+# and hash-gated end to end here.
+# --------------------------------------------------------------------------
+_X22_R = 30
+
+
+@query(
+    "x22_ivf_bq_probe_search",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, label, embedding,
+               {_x20_word_sql(0)} AS lo,
+               {_x20_word_sql(1)} AS hi
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.label, e.embedding, e.lo, e.hi, s.centroid_id FROM c e
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {S.oracle_cosine('e.embedding', 's.ce')} DESC, s.centroid_id ASC
+        ) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, lo AS qlo, hi AS qhi
+          FROM c WHERE vec_id >= 100 AND vec_id < 110),
+    probes AS (
+        SELECT q.query_id, q.qe, q.qlo, q.qhi, s.centroid_id FROM q
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {S.oracle_cosine('q.qe', 's.ce')} DESC, s.centroid_id ASC
+        ) <= {IVF_NPROBE}
+    ),
+    ham AS (
+        SELECT p.query_id, p.qe, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+               a.embedding AS ne,
+               CAST(bit_count(xor(p.qlo, a.lo)) + bit_count(xor(p.qhi, a.hi)) AS BIGINT)
+                   AS hamming_dist
+        FROM probes p JOIN assigned a
+          ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY hamming_dist ASC, neighbor_id ASC
+            ) AS hrk
+            FROM ham
+        ) WHERE hrk <= {_X22_R}
+    ),
+    rescored AS (
+        SELECT query_id, neighbor_id, neighbor_label, hamming_dist,
+               {{cos}} AS cosine_sim
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, neighbor_label, hamming_dist, cosine_sim, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rk
+        FROM rescored
+    )
+    WHERE rk <= 5
+    """.format(cos=oracle_rnd(S.oracle_cosine("qe", "ne"), 4)),
+)
+def x22_ivf_bq_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.expr(_x20_word_sql(0, base1=False))
+    hi = F.expr(_x20_word_sql(1, base1=False))
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label", "embedding",
+        S.norm("embedding", EMB_DIM).alias("nrm"),
+        lo.alias("lo"), hi.alias("hi"),
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    seeds = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    a_sim = S.dot("embedding", "ce", EMB_DIM) / F.nullif(
+        F.col("nrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("a_sim"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id", "label", "embedding", "nrm", "lo", "hi", "centroid_id",
+            a_sim.alias("a_sim"),
+        )
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .drop("a_sim", "rk")
+    )
+
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    p_sim = S.dot("qe", "ce", EMB_DIM) / F.nullif(
+        F.col("qnrm") * F.col("cnrm"), F.lit(0.0)
+    )
+    pw = W.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id", "qe", "qnrm", "qlo", "qhi", "centroid_id",
+            p_sim.alias("p_sim"),
+        )
+        .withColumn("rk", F.row_number().over(pw))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .drop("p_sim", "rk")
+    )
+
+    # probed-cell Hamming scan over the 16-byte codes — floats untouched
+    ham = (
+        assigned.join(F.broadcast(probes), ["centroid_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "qe", "qnrm",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("embedding").alias("ne"),
+            F.col("nrm").alias("nnrm"),
+            (
+                F.bit_count(F.expr("qlo ^ lo")) + F.bit_count(F.expr("qhi ^ hi"))
+            ).cast("bigint").alias("hamming_dist"),
+        )
+    )
+    hw = W.partitionBy("query_id").orderBy(F.asc("hamming_dist"), F.asc("neighbor_id"))
+    cand = ham.withColumn("hrk", F.row_number().over(hw)).filter(
+        F.col("hrk") <= _X22_R
+    )
+    cos = S.dot("qe", "ne", EMB_DIM) / F.nullif(
+        F.col("qnrm") * F.col("nnrm"), F.lit(0.0)
+    )
+    rescored = cand.select(
+        "query_id", "neighbor_id", "neighbor_label", "hamming_dist",
+        rnd(cos, 4).alias("cosine_sim"),
+    )
+    rw = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= 5)
