@@ -351,3 +351,60 @@ def test_sketch_sink_multi_epoch_wipe_and_compaction(spark, sf_dir, tmp_path):
     ).parquet(landing)
     drain()
     assert_equals_oneshot(ev)
+
+
+def test_sketch_compaction_idempotent_and_pre_pointer_fallback(spark, sf_dir, tmp_path):
+    """Two residual branches of the round-9 sketch protocol: (a) running
+    compact_sketch twice is value-identical to running it once (the second
+    pass re-materializes the same single partition); (b) a PRE-pointer
+    layout — epoch partitions on disk with no _max_epoch file, i.e. a log
+    written before round 9 — reads as the sum of ALL epochs, and
+    compact_sketch adopts the highest epoch on disk as the pointer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.operators.sketch import count_min_table
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        _MAX_EPOCH,
+        compact_sketch,
+        read_sketch,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+    sketch = str(tmp_path / "sketch")
+    # hand-build a pre-pointer epoch log: two disjoint slices, no _max_epoch
+    count_min_table(ev.filter("event_id % 2 = 0"), "user_id").write.parquet(
+        f"{sketch}/epoch=0"
+    )
+    count_min_table(ev.filter("event_id % 2 = 1"), "user_id").write.parquet(
+        f"{sketch}/epoch=1"
+    )
+    assert not os.path.exists(os.path.join(sketch, _MAX_EPOCH))
+
+    def assert_equals_oneshot():
+        merged = read_sketch(spark, sketch)
+        oneshot = count_min_table(ev, "user_id")
+        diff = merged.join(
+            oneshot.withColumnsRenamed({"cnt": "cnt2"}), ["r", "c"], "full"
+        ).filter(
+            F.coalesce("cnt", F.lit(-1)) != F.coalesce("cnt2", F.lit(-2))
+        )
+        assert diff.count() == 0
+
+    assert_equals_oneshot()  # no pointer → every epoch is live
+
+    stats = compact_sketch(spark, sketch)
+    assert stats == {"n_epochs_before": 2, "n_epochs_after": 1, "max_epoch": 1}
+    with open(os.path.join(sketch, _MAX_EPOCH)) as f:
+        assert f.read().strip() == "1"  # adopted the highest epoch on disk
+    assert_equals_oneshot()
+
+    again = compact_sketch(spark, sketch)  # idempotent re-compaction
+    assert again == {"n_epochs_before": 1, "n_epochs_after": 1, "max_epoch": 1}
+    assert_equals_oneshot()
