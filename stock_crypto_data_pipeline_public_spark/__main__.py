@@ -122,8 +122,21 @@ def cmd_incremental(args, spark: SparkSession) -> int:
 
 
 def cmd_compact(args, spark: SparkSession) -> int:
-    from .operators.maintenance import compact_table
+    from .operators.maintenance import compact_partitioned_table, compact_table
 
+    if args.per_partition:
+        stats = compact_partitioned_table(
+            spark,
+            args.path,
+            target_bytes=args.target_bytes,
+            sort_cols=args.sort_cols or None,
+        )
+        print(
+            f"compacted {args.path}: {stats['n_files_before']} -> "
+            f"{stats['n_files_after']} files across "
+            f"{stats['n_partitions']} partitions"
+        )
+        return 0
     stats = compact_table(
         spark,
         args.path,
@@ -450,6 +463,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--path", required=True)
     c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     c.add_argument("--sort-cols", nargs="*", help="also range-sort by these columns (skip-friendly layout)")
+    c.add_argument(
+        "--per-partition",
+        action="store_true",
+        help="compact each key=value partition dir of a hive root in place "
+        "(the shard-manifest / date-partitioned append-log layouts)",
+    )
 
     z = sub.add_parser("zorder", help="z-order-cluster a parquet table (OPTIMIZE ZORDER)")
     z.add_argument("--path", required=True)

@@ -138,9 +138,18 @@ def oracle_money_sum(expr: str) -> str:
 # toward zero (verified: -7//2 = -3 on both), so the value is
 # engine-identical for every sign.
 #
-# Range: e2 holds |$| < 9.2e16 per group, e4 holds |$| < 9.2e14 — beyond
-# that (NOT reachable at 100 TB for per-group sums here) sum the DECIMAL
-# and scale afterward.
+# Range (ENFORCED, round 10): the eK-scaled BIGINT *sum* holds |$| < 9.2e16
+# per group at e2 / 9.2e14 at e4 — beyond that the BIGINT output type itself
+# can't represent the value (DuckDB's HUGEINT→BIGINT cast errors there, so
+# the oracle is loud, not wrong); sum the DECIMAL and scale afterward.
+# :func:`iavg`'s half-up numerator ``2·total·10^shift + n`` is computed in
+# DECIMAL(38,0) on the Spark side (HUGEINT on DuckDB), so the quotient is
+# exact for every total the BIGINT sum can hand it — the numerator can no
+# longer wrap int64 even at shift=4 (the r9 hazard: Spark non-ANSI int64
+# arithmetic wraps SILENTLY; a property test pins the boundary,
+# tests/test_numeric_domain.py). The only remaining divergence window is a
+# true average whose eK image itself exceeds int64 — there Spark's ``div``
+# wraps where DuckDB errors, and no BIGINT answer exists at all.
 # ---------------------------------------------------------------------------
 
 
@@ -172,12 +181,28 @@ def iavg(total: str, count: str, shift: int = 0) -> Column:
     ``(2·total·10^shift + count) div (2·count)`` — half-up for
     non-negative totals, trunc-toward-zero division on both engines.
     ``total``/``count`` are SQL expressions over already-aggregated named
-    columns (Spark's ``div`` only exists in SQL text)."""
+    columns (Spark's ``div`` only exists in SQL text).
+
+    The numerator is widened to DECIMAL(38,0) so it cannot wrap int64
+    (Spark non-ANSI wraps SILENTLY; DuckDB's twin runs in HUGEINT and was
+    always exact). ``DECIMAL(38,0) div BIGINT`` returns LongType and
+    truncates toward zero exactly like DuckDB ``//`` (verified on
+    negatives), so the result is engine-identical whenever the true eK
+    average fits int64 — which it does whenever the inputs do."""
     m = 10**shift
-    return F.expr(f"(2 * ({total}) * {m} + ({count})) div (2 * ({count}))")
+    return F.expr(
+        f"(2 * CAST(({total}) AS DECIMAL(38,0)) * {m} + ({count}))"
+        f" div (2 * ({count}))"
+    )
 
 
 def oracle_iavg(total: str, count: str, shift: int = 0) -> str:
-    """DuckDB twin of :func:`iavg` (``//`` truncates like Spark ``div``)."""
+    """DuckDB twin of :func:`iavg` (``//`` truncates like Spark ``div``).
+    The numerator is widened to HUGEINT to mirror :func:`iavg`'s
+    DECIMAL(38,0) widening — without it DuckDB BIGINT·BIGINT ERRORS at the
+    same boundary where non-ANSI Spark used to wrap."""
     m = 10**shift
-    return f"CAST((2 * ({total}) * {m} + ({count})) // (2 * ({count})) AS BIGINT)"
+    return (
+        f"CAST((2 * CAST(({total}) AS HUGEINT) * {m} + ({count}))"
+        f" // (2 * ({count})) AS BIGINT)"
+    )

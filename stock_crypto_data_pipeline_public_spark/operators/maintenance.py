@@ -122,6 +122,48 @@ def compact_table(
     }
 
 
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Per-partition compaction for a hive-partitioned ROOT — the layout
+    :func:`compact_table` deliberately refuses (a flat rewrite would
+    destroy directory pruning). Each ``key=value`` partition directory is
+    rewritten independently with the same rename-aside swap, so the
+    partition column values, directory layout, and every ROW are byte-
+    identical afterwards — only the file count changes. This is the
+    maintenance entry point for the append-log sinks that grow one file
+    per micro-batch epoch inside a partitioned layout: the s12
+    training-order manifest (operators/sharding.append_to_manifest,
+    shard=N dirs — coordinates stay byte-stable, a trainer mid-epoch is
+    never invalidated) and any date-partitioned incremental sink.
+    Idempotent: a second run finds one right-sized file per partition and
+    rewrites it to itself. Returns per-partition stats plus totals."""
+    parts = sorted(
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    )
+    if not parts:
+        raise ValueError(
+            f"{path!r} has no key=value partition dirs; use compact_table"
+        )
+    per = {
+        p: compact_table(
+            spark, os.path.join(path, p), target_bytes, sort_cols
+        )
+        for p in parts
+    }
+    return {
+        "n_partitions": len(parts),
+        "n_files_before": sum(s["n_files_before"] for s in per.values()),
+        "n_files_after": sum(s["n_files_after"] for s in per.values()),
+        "partitions": per,
+    }
+
+
 def _range_sorted_writer(df: DataFrame, n: int, sort_cols: Sequence[str]):
     return (
         df.repartitionByRange(n, *sort_cols)

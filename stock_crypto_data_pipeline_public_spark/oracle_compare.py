@@ -15,28 +15,37 @@ This module reproduces both behaviours so the local suite fails exactly
 where the driver would. Used by ``tests/oracle_harness.py`` and
 ``scripts/verify_contract.py``.
 
-KNOWN RESIDUAL (round 8→9): the driver's comparator provably diverges from
+KNOWN RESIDUAL (round 8→10): the driver's comparator provably diverges from
 this mirror on at least one constant type/pipeline — r8's combined q40
 renderer fingerprint was rows+schema green and hash-red AT THE DRIVER while
-passing here (181/181 locally). Round 9 split the fingerprint into
-one-type-per-query rows q40a-q40f (relational.py); the driver's red/green
-pattern across them names the divergent pipeline:
+passing here. Round 9 split the fingerprint one-type-per-query (q40a-q40f,
+relational.py) and the driver answered: **q40a-e GREEN, q40f alone RED**.
+Round 9 read that as "the floor(CAST(decimal AS DOUBLE)·100+0.5)/100 double
+pipeline diverges" (H1) — but q40f was not type-faithful: on Spark the
+probe's output is DECIMAL(27,6) (floor→BIGINT, bare 100.0 → DECIMAL(4,1)),
+i.e. the driver saw Decimal('1234.570000') from Spark vs float64 1234.57
+from DuckDB (whose .df() renders ALL decimals as float64 — verified here).
+That licenses a second hypothesis (H2): the driver renders Decimal cells
+VERBATIM, trailing zeros included, without the Decimal→float coercion this
+mirror's ``_cell`` applies — str(Decimal('1234.570000')) != str(1234.57) —
+and never diverged on doubles at all. H2 retro-explains q40b's green (its
+decimals carry no trailing zeros, so verbatim rendering coincides with the
+float64 str image). Round 10 gates the separating probes:
 
-    q40a red → ints/strings/bool/typed-NULL rendering (would implicate
-               nearly everything — expected green)
-    q40b red → decimal literal rendering (Decimal objects vs strings)
-    q40c red → date/timestamp rendering
-    q40d red → exact/representation-error double rendering (0.1+0.2)
-    q40e red → double-quotient or decimal→double divavg rendering
-    q40f red → the floor(CAST(decimal AS DOUBLE)·100+0.5)/100 money path
+    q40g — the identical floorpath emitting a true DOUBLE on both engines
+           (/ CAST(100.0 AS DOUBLE)). H1 → RED, H2 → GREEN.
+    q40h — the type condition alone: Spark DECIMAL(27,6) vs oracle DOUBLE,
+           equal value 1234.57. H2 → RED (a DESIGNED red), H1 → GREEN.
 
-When CORRECTNESS_r09 lands: update ``canon()`` below to canonicalize the
-named class the way the driver evidently does (e.g. repr-vs-str of floats,
-Decimal normalization, ns-vs-us timestamp truncation), re-run the 194-query
-sweep, and record the proven rule in plans/registry.py's docstring. Until
-then no hashed output column transits any of the d/e/f pipelines (the
-round-9 exact-domain sweep removed them), so only the q40 family itself can
-red on this divergence.
+Decode on CORRECTNESS_r10: g GREEN + h RED proves H2 — record "never hash
+a DECIMAL-typed Spark output column" in registry.py's rules (a plan-
+contract test already enforces it repo-wide as of r10, see
+tests/test_plan_contracts.py::test_no_decimal_typed_gated_outputs) and
+retire q40h with the answer; g RED reinstates H1. q40f itself is retired
+from the window as of round 10 (registered local-only — its red is now
+reproduced-by-design under either hypothesis). No hashed output column
+anywhere emits a decimal or transits the d/e/f pipelines (round-9 sweep +
+r10 contract test), so only the probe family itself can red on this.
 """
 
 from __future__ import annotations

@@ -328,12 +328,15 @@ def e07_asof_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("o_orderstatus").alias("order_status")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.count("ts").alias("n_matched"),
+        # the average's denominator is count(value) — literally what the
+        # oracle divides by — NOT n_matched: the two only coincide while no
+        # matched event row carries a NULL value, and the gate should not
+        # lean on that data property (r9 ADVICE)
+        F.count("value").alias("_n_val"),
         money_sum_e2("value").alias("total_prior_value_e2"),
     ).withColumn(
-        # average over MATCHED rows only (count of the non-null payload);
-        # n_matched counts e.ts which is identical under the as-of contract
         "avg_prior_value_e4",
-        iavg("total_prior_value_e2", "n_matched", 2),
+        iavg("total_prior_value_e2", "_n_val", 2),
     ).select(
         "order_status", "n_orders", "n_matched",
         "avg_prior_value_e4", "total_prior_value_e2",

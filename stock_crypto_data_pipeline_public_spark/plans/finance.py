@@ -140,11 +140,13 @@ def f02_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # f03 — 20-tick rolling Bollinger bands per instrument: rolling mean and
 # sample stddev over ROWS 19 PRECEDING, bands at ±2σ (rounded to cents so
 # both engines compare against the identical band), breakout counts.
-# NUMERIC DOMAIN (round 9, e09/f05's closed-form treatment): the rolling
-# variance comes from EXACT integer window sums — s1=Σv_e2, s2=Σv_e2² are
-# BIGINTs over the 20-row frame, var = (20·s2 − s1²)/(20·19·10⁴) — never
-# from stddev_samp(), whose streaming estimators (Welford vs textbook)
-# differ between engines in the last float bits; every double op
+# NUMERIC DOMAIN (round 9, e09/f05's closed-form treatment; widened r10):
+# the rolling variance comes from EXACT integer window sums — s1=Σv_e2 is a
+# BIGINT, s2=Σv_e2² and the 20·s2−s1² combination run in DECIMAL(38,0) on
+# Spark / HUGEINT on DuckDB (they exceed int64 inside the MONEY(12,2)
+# domain and non-ANSI Spark wraps silently), var = (20·s2 − s1²)/(20·19·10⁴)
+# — never from stddev_samp(), whose streaming estimators (Welford vs
+# textbook) differ between engines in the last float bits; every double op
 # downstream (sqrt, bands) is the identical IEEE expression on identical
 # exact ingredients, and the per-row σ lands as an e4 BIGINT before the
 # final integral average. The
@@ -167,7 +169,8 @@ def f02_daily_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, value,
                row_number() OVER w AS rn,
                sum(v_e2)         OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s1,
-               sum(v_e2 * v_e2)  OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2
+               sum(CAST(v_e2 AS HUGEINT) * v_e2)
+                                 OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2
         FROM v
         WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)
     ),
@@ -207,14 +210,25 @@ def f03_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.row_number().over(w).alias("rn"),
         F.sum("v_e2").over(wf).alias("s1"),
-        F.sum(F.col("v_e2") * F.col("v_e2")).over(wf).alias("s2"),
+        # v_e2² and the textbook combination below exceed int64 well inside
+        # the MONEY(12,2) domain (|v_e2| < 1e12 → squares up to 1e24), and
+        # non-ANSI Spark WRAPS silently where DuckDB's HUGEINT window sum is
+        # exact — so both squares-sum and the s1² term run in DECIMAL(38,0)
+        # (scale-0: exact integers, exempt from the decimal→double ban); the
+        # oracle mirrors with an explicit HUGEINT widening (r9 ADVICE)
+        F.sum(F.col("v_e2").cast("decimal(38,0)") * F.col("v_e2"))
+        .over(wf)
+        .alias("s2"),
     ).filter(F.col("rn") >= 20)
     # rn >= 20 keeps FULL frames only, so n is the constant 20 and the
     # textbook identity var = (n·Σx² − (Σx)²)/(n(n−1)) evaluates from two
-    # exact int64 sums; /2000.0 and /3800000.0 fold the e2 scaling
+    # exact integer sums; /2000.0 and /3800000.0 fold the e2 scaling.
+    # The exact DECIMAL(38,0) difference converts to double the same way
+    # DuckDB's exact HUGEINT does (nearest double of the identical integer).
     roll_avg = F.col("s1") / F.lit(2000.0)
     roll_std = F.sqrt(
-        (20 * F.col("s2") - F.col("s1") * F.col("s1")) / F.lit(3800000.0)
+        (20 * F.col("s2") - F.col("s1").cast("decimal(38,0)") * F.col("s1"))
+        / F.lit(3800000.0)
     )
     banded = rolled.select(
         "event_type",

@@ -23,6 +23,17 @@ Oracle-parity rules (applied by every query in this package):
    naive UTC.
 6. Only hash (md5/sha256) string- or integer-typed columns — float/timestamp
    string renderings are not engine-portable.
+7. Never EMIT a DecimalType output column (round 10, plan-contract-enforced:
+   tests/test_plan_contracts.py::test_no_decimal_typed_gated_outputs).
+   DuckDB's pandas path renders every decimal as float64 while Spark hands
+   the comparator verbatim Decimal objects; equal values then hash
+   differently the moment the decimal's text carries trailing zeros
+   (str(Decimal('1234.570000')) != str(1234.57)) — the decoded r9 q40f
+   red. The local mirror coerces Decimal→float, so ONLY the driver can see
+   the mismatch; hence a mechanical ban: money leaves the decimal domain
+   as e-scaled BIGINT (functions/numeric.py), ratios as true doubles.
+   Status: H2-consistent, being confirmed against H1 by the r10 q40g/q40h
+   probe pair (see oracle_compare.py's KNOWN RESIDUAL decode table).
 """
 
 from __future__ import annotations
@@ -54,46 +65,59 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-9 gate window, ranked by "code changed since last driver hash
+#: round-10 gate window, ranked by "code changed since last driver hash
 #: row":
-#: 1. The q40 SPLIT (r8 directive #1): six one-type-per-query renderer
-#:    fingerprints — identical constant-literal SQL on both engines; the
-#:    driver's red/green PATTERN across them names the divergent
-#:    comparator pipeline mechanically (q40a ints/strings/bool expected
-#:    green; q40b decimal; q40c date/ts; q40d exact doubles; q40e double
-#:    quotients; q40f the floorpath money rendering alone).
-#: 2. The round-9 exact-domain sweep (r8 directive #2): every query whose
-#:    hashed money/average output moved off the floor(CAST(decimal AS
-#:    DOUBLE)) pipeline onto e-scaled BIGINT (_e2/_e3/_e4/_e6) or the
-#:    integral iavg quotient — all changed code, so all re-gate ahead of
-#:    any freshness row — plus t40 (decimal-literal division made an
-#:    explicit double), s13 (stale-epoch pointer added to the sketch
-#:    sink), the NEW q43 SCD2-quality-battery gate (W4), and the NEW x20
-#:    binary-quantized search with its x21 recall contract and the x22
-#:    IVF x BQ composed probe search.
-#: 3. Freshness for the remaining 3 slots, oldest driver row first:
-#:    m06, t05/t11 (ceded their slots two rounds running).
+#: 1. The q40 probe refresh (r9 outcome: q40a-e GREEN, q40f alone RED).
+#:    q40f RETIRES (registered local-only): it was not type-faithful —
+#:    Spark typed it DECIMAL(27,6) (Decimal('1234.570000')) vs DuckDB's
+#:    DOUBLE 1234.57 — so its red names EITHER the floorpath double
+#:    pipeline (H1, r9's reading) OR verbatim-Decimal rendering at the
+#:    driver's comparator (H2). Round 10 gates the separating probes:
+#:    q40g (floorpath as a true DOUBLE both sides; H1→red, H2→green) and
+#:    q40h (Spark DECIMAL(27,6) vs oracle DOUBLE, equal value; H2→red BY
+#:    DESIGN, H1→green). See relational.py's family comment +
+#:    oracle_compare.py KNOWN RESIDUAL for the r11 decode table. Under
+#:    H2 the expected r10 gate is 49/50 with q40h the designed red.
+#: 2. Changed semantics this round: e07 (average denominator made
+#:    literally oracle-faithful: count(value), not count(ts)), f03 (v_e2²
+#:    window sums and 20·s2−s1² widened to DECIMAL(38,0)/HUGEINT — they
+#:    overflowed int64 inside the MONEY(12,2) domain).
+#: 3. Representative re-gates for the iavg DECIMAL(38,0) numerator
+#:    widening (value-identical by construction + boundary property test
+#:    test_properties.py::test_iavg_numerator_cannot_wrap_int64; these six
+#:    cover shifts 0/2/4, the double-image consumers, the SQL-expr form,
+#:    and the vector-recall contract): q01, e01, f02, f08, q32, x21. The
+#:    other ten iavg users keep their r9 rows (same helper, same proof).
+#: 4. Freshness, oldest driver row first (r9 verdict #2): the whole
+#:    r4 era (q18 q20 t17 t18 t23 t30 t31 t32 t34 x09 x10 x12 x14), then
+#:    21 of the r5 era, then s03-s06 (r7) — fresh rows behind the
+#:    stateful-streaming / stream-stream-join coverage claims
+#:    (COVERAGE.md §2.8-2.11; r9 verdict #5 asked for gated rows for
+#:    exactly these surfaces — they have been s03-s06 since r7, the
+#:    COVERAGE table was stale).
 _GATE_PRIORITY = (
-    # the fingerprint family + the new W4/quality gate
-    ["q40a", "q40b", "q40c", "q40d", "q40e", "q40f", "q43"]     # (7)
-    # exact-domain sweep: relational
-    + ["q01", "q02", "q03", "q04", "q10", "q11", "q17", "q19",
-       "q21", "q22", "q27", "q29", "q30", "q32", "q34", "q35",
-       "q36", "q38", "q39"]                                     # (26)
-    # exact-domain sweep: events / finance / vault / streaming + t40
-    + ["e01", "e02", "e04", "e06", "e07", "e08"]                # (32)
-    + ["f02", "f03", "f05", "f08", "f15", "f16"]                # (38)
-    + ["v06", "v07"]                                            # (40)
-    + ["s01", "s02", "s13", "t40", "x20", "x21", "x22"]         # (47)
-    # freshness: the oldest code-stable driver rows
-    + ["m06", "t05", "t11"]                                     # (50)
+    # probes + changed semantics + iavg representatives
+    ["q40g", "q40h", "e07", "f03"]                              # (4)
+    + ["q01", "e01", "f02", "f08", "q32", "x21"]                # (10)
+    # freshness: the r4 era, complete
+    + ["q18", "q20", "t17", "t18", "t23", "t30", "t31", "t32",
+       "t34", "x09", "x10", "x12", "x14"]                       # (23)
+    # freshness: the r5 era (21 of 33; the rest queue for r11)
+    + ["e10", "f04", "f06", "f13", "m01", "m09", "m10", "q23",
+       "q24", "q25", "t12", "t33", "t35", "t36", "t37", "t38",
+       "v10", "v11", "v12", "x04", "x13"]                       # (44)
+    # freshness: the r7 streaming-operator gates named by r9 verdict #5
+    + ["s03", "s04", "s05", "s06"]                              # (48)
+    # freshness: r7 remainder, oldest-first queue head
+    + ["q33", "q37"]                                            # (50)
 )
-#: Next-round rotation candidates (oldest first): t17/t18/q18/q20/t23/t30 (displaced
-#: by the f03/f08/f16 ports and the new x20), t31/t32/t34, x09/x10/x12/x14
-#: (r4/r5);
-#: then the r7 window (s03-s07, q33/q37, m-codec series, t43-t45) and
-#: the r8 window (q26/q28/q41/q42, m19/m20, s08-s12, x05/x07/x08/x11,
-#: t25, v01-v05/v08/v09, q05-q09/q12-q16, e03/e05, f01, m04) by age.
+#: Next-round rotation candidates (oldest first): the deferred r5 rows
+#: (f07 f09 f10 f11 f12 f14 m13 m16 x06 x15 x16 x17), then the r6 era
+#: (t01-t24 core text ops, g01-g03, v13/v14, x01-x03, x19, e11, q31),
+#: then r7's remainder (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18,
+#: t43-t45) and the r8 window (q26/q28/q41/q42, m19/m20, s08-s12,
+#: x05/x07/x08/x11, t25, t27, v01-v05/v08/v09, q05-q09/q12-q16,
+#: e03/e05/e09, f01/f17, m04) by age.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate

@@ -1846,6 +1846,38 @@ def q40_renderer_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #         ALONE — the exact pipeline the old q26/q28 money outputs used
 # Each row runs the IDENTICAL SQL text on both engines — no data, no
 # aggregation, no ordering — so any red names its pipeline mechanically.
+#
+# ROUND-9 OUTCOME + ROUND-10 REFINEMENT. The driver came back q40a-e GREEN,
+# q40f alone RED (rows+schema green). But q40f was NOT type-faithful to the
+# double pipeline it claims to probe: on Spark, floor() returns BIGINT and
+# the bare `100.0` literal parses as DECIMAL(4,1), so BIGINT/DECIMAL makes
+# p_double_floorpath a DECIMAL(27,6) — toPandas() hands the driver
+# Decimal('1234.570000') — while DuckDB's floor() returns DOUBLE and its
+# .df() renders every decimal as float64 anyway, handing the driver
+# 1234.57. So the r9 red is consistent with TWO hypotheses:
+#   (H1) the driver's comparator genuinely diverges on the floorpath
+#        DOUBLE arithmetic/rendering (round 9's recorded conclusion);
+#   (H2) the driver's comparator renders a Decimal cell VERBATIM (trailing
+#        zeros included) without coercing to float — str(Decimal(
+#        '1234.570000')) != str(1234.57) — and never diverged on doubles
+#        at all. H2 also explains why q40b stayed green: its decimals
+#        (123.45 / 1234.565 / -0.05) have no trailing zeros, so their
+#        verbatim renderings coincide with DuckDB's float64 str() images.
+# q40f therefore RETIRES from the gate window (registered local-only; its
+# red is reproduced by design, it can never go green at the driver) and
+# round 10 gates the two probes that separate the hypotheses:
+#   q40g  the IDENTICAL floorpath but emitting a true DOUBLE on BOTH
+#         engines (divide by CAST(100.0 AS DOUBLE)) — H1 predicts RED,
+#         H2 predicts GREEN;
+#   q40h  the cross-type rendering isolated from any arithmetic: Spark
+#         emits CAST(1234.57 AS DECIMAL(27,6)) (= Decimal('1234.570000'))
+#         while the oracle emits CAST(1234.57 AS DOUBLE) — equal values,
+#         different renderings. H2 predicts RED (the confirming probe, a
+#         DESIGNED red like r9's q40f), H1 predicts GREEN.
+# Decode for round 11: g GREEN + h RED proves H2 — record the rule
+# "never hash a DECIMAL-typed Spark output column" and retire q40h;
+# g RED reinstates H1 (the double floorpath itself diverges). Either
+# pattern closes the question in one round.
 # --------------------------------------------------------------------------
 _Q40A_SQL = """
     SELECT CAST(42 AS BIGINT)        AS p_bigint,
@@ -1913,7 +1945,40 @@ def q40e_fp_double_quot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q40f_fp_double_floorpath", oracle=_Q40F_SQL)
 def q40f_fp_double_floorpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RETIRED from the gate window in round 10 (local-only): Spark types
+    # this expression DECIMAL(27,6), DuckDB DOUBLE — see the family
+    # comment; q40g/q40h carry the disentangled probes forward.
     return spark.sql(_Q40F_SQL)
+
+
+# q40g — the floorpath emitting a true DOUBLE on BOTH engines: Spark's
+# floor() returns BIGINT and BIGINT / DOUBLE is DOUBLE; DuckDB's floor()
+# already returns DOUBLE. Identical SQL text, identical value 1234.57,
+# identical type. GREEN exonerates the double floorpath (H2); RED convicts
+# it (H1).
+_Q40G_SQL = """
+    SELECT floor(CAST(CAST(1234.565 AS DECIMAL(12,3)) AS DOUBLE)
+                 * 100 + 0.5) / CAST(100.0 AS DOUBLE)   AS p_floorpath_dbl
+"""
+
+# q40h — the r9-q40f TYPE CONDITION isolated from all arithmetic: the Spark
+# side emits DECIMAL(27,6) (pandas hands the driver Decimal('1234.570000'),
+# trailing zeros) while the oracle emits DOUBLE (DuckDB .df() would render
+# even a decimal as float64 1234.57). Values equal; renderings differ
+# exactly when the comparator is verbatim-Decimal-sensitive. A DESIGNED
+# driver red under H2 — one round of evidence, then it retires like q40f.
+_Q40H_SPARK_SQL = "SELECT CAST(1234.57 AS DECIMAL(27,6)) AS p_dec_vs_dbl"
+_Q40H_ORACLE_SQL = "SELECT CAST(1234.57 AS DOUBLE) AS p_dec_vs_dbl"
+
+
+@query("q40g_fp_floorpath_true_double", oracle=_Q40G_SQL)
+def q40g_fp_floorpath_true_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q40G_SQL)
+
+
+@query("q40h_fp_decimal_vs_double", oracle=_Q40H_ORACLE_SQL)
+def q40h_fp_decimal_vs_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q40H_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------

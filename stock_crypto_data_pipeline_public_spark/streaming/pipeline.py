@@ -158,7 +158,13 @@ def run_ann_index_sink(
     — add_to_ann_index already measures the batch's assignment quality, so
     the retrain trigger (annindex.diagnose_drift's criterion against the
     build-time baseline) becomes an operational, queryable signal of the
-    stream itself rather than a separate diagnostic job."""
+    stream itself rather than a separate diagnostic job.
+
+    Maintenance: the drift log grows one tiny file per epoch; it is a plain
+    unpartitioned append log, so ``maintenance.compact_table(spark,
+    drift_log)`` is its compaction entry point (idempotent rename-aside
+    rewrite — rows byte-identical, test_maintenance pins it), run between
+    drains like compact_sketch."""
     from ..operators.annindex import add_to_ann_index, drift_verdict
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -203,7 +209,14 @@ def run_shuffle_manifest_sink(
     trainer mid-epoch is never invalidated by ingest. Replayed epochs
     no-op (already-manifested ids anti-join to nothing inside the
     operator), so restarts don't duplicate or move coordinates; per-batch
-    work and write volume ∝ batch size, never the corpus."""
+    work and write volume ∝ batch size, never the corpus.
+
+    Maintenance: each epoch appends one file per touched shard partition;
+    ``maintenance.compact_partitioned_table(spark, manifest_dir)`` rewrites
+    every shard=N dir in place (rename-aside per partition) with rows —
+    hence training coordinates — byte-identical, so a trainer mid-epoch
+    stays valid across compactions. Idempotent; CLI:
+    ``python -m stock_crypto_data_pipeline_public_spark compact --path <dir> --per-partition``."""
     from ..operators.sharding import append_to_manifest
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -243,8 +256,15 @@ def run_sketch_sink(
     checkpoint-wipe replay that compresses the history into FEWER
     micro-batches lowers the pointer with its first epoch, so the old
     high-numbered partitions it hasn't overwritten yet can never be
-    double-counted (crash between partition write and pointer flip just
-    leaves the newest epoch invisible until the replay rewrites it).
+    double-counted once that first flip lands. Crash-window fine print
+    (r9 ADVICE): in NORMAL operation a crash between partition write and
+    pointer flip just leaves the newest epoch invisible until the replay
+    rewrites it; during a WIPE-REPLAY specifically, a crash after the
+    replay's epoch=0 overwrite but before its pointer flip leaves a
+    TRANSIENT overcount window — reads still sum the stale pointer's
+    epochs 1..N plus the rewritten epoch 0 — until the resumed replay's
+    first flip lowers the pointer. Reads are guaranteed consistent once
+    the replay's first epoch has flipped the pointer, not before.
     :func:`compact_sketch` materializes the cell-wise sum periodically so
     read cost doesn't grow with epoch count. Per-batch work is one
     explode(d) + one hash aggregation over the batch — ∝ batch size,

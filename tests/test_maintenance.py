@@ -290,3 +290,84 @@ def test_delete_where_rejects_partitioned_root_and_bad_condition(spark, tmp_path
     _keyed_table(spark, flat)
     with pytest.raises(TypeError):
         delete_where(spark, flat, 42)
+
+
+def test_compact_partitioned_table_manifest_layout(spark, tmp_path):
+    """r9 verdict item 6: the s12 training-order manifest (shard=N hive
+    layout, one file appended per epoch per shard) compacts per-partition
+    with rows — hence training coordinates — byte-identical, layout
+    preserved, and the pass idempotent."""
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
+        compact_partitioned_table,
+    )
+    from stock_crypto_data_pipeline_public_spark.operators.sharding import (
+        append_to_manifest,
+    )
+
+    def read_manifest(spark, d):
+        return spark.read.parquet(d).select("doc_id", "shard", "pos")
+
+    mdir = str(tmp_path / "manifest")
+    # three "epochs" of streaming appends → ≥3 files per touched shard
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        docs = spark.range(lo, hi).select(F.col("id").cast("string").alias("doc_id"))
+        append_to_manifest(spark, docs, mdir, seed="shuffle:42:", n_shards=4)
+
+    before = read_manifest(spark, mdir).orderBy("shard", "pos").collect()
+    files_before = len(_data_files(mdir))
+    assert files_before > 4  # fragmented: multiple epochs per shard
+
+    stats = compact_partitioned_table(spark, mdir)
+    assert stats["n_partitions"] == 4
+    assert stats["n_files_after"] == 4  # one file per shard
+    # the hive layout survives (directory pruning intact)
+    assert sorted(
+        d for d in os.listdir(mdir) if d.startswith("shard=")
+    ) == [f"shard={i}" for i in range(4)]
+    # every (doc_id, shard, pos) coordinate byte-identical
+    assert read_manifest(spark, mdir).orderBy("shard", "pos").collect() == before
+
+    # idempotent: a second pass keeps one file per shard and the rows
+    stats2 = compact_partitioned_table(spark, mdir)
+    assert stats2["n_files_after"] == 4
+    assert read_manifest(spark, mdir).orderBy("shard", "pos").collect() == before
+    # appends still work after compaction (coordinates keep growing)
+    docs = spark.range(120, 130).select(F.col("id").cast("string").alias("doc_id"))
+    append_to_manifest(spark, docs, mdir, seed="shuffle:42:", n_shards=4)
+    assert read_manifest(spark, mdir).count() == 130
+
+
+def test_compact_partitioned_table_rejects_flat_dir(spark, tmp_path):
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
+        compact_partitioned_table,
+    )
+
+    flat = str(tmp_path / "flat")
+    _fragmented_table(spark, flat, n_files=4, n_rows=40)
+    with pytest.raises(ValueError, match="partition"):
+        compact_partitioned_table(spark, flat)
+
+
+def test_drift_log_compacts_via_compact_table(spark, tmp_path):
+    """r9 verdict item 6, s09 half: the ANN drift log is a plain
+    unpartitioned append log (one 1-row file per epoch), so compact_table
+    IS its maintenance entry point — rows identical, one file after,
+    idempotent."""
+    log = str(tmp_path / "drift_log")
+    schema = (
+        "epoch_id long, n_added long, mean_assign_sim double, "
+        "build_center_sim double, recommend_rebuild boolean"
+    )
+    for e in range(5):
+        spark.createDataFrame(
+            [(e, 10 + e, 0.9 - e * 0.01, 0.95, False)], schema
+        ).write.mode("append").parquet(log)
+    before = spark.read.parquet(log).orderBy("epoch_id").collect()
+    assert len(_data_files(log)) >= 5
+
+    stats = compact_table(spark, log)
+    assert stats["n_files_after"] == 1
+    assert spark.read.parquet(log).orderBy("epoch_id").collect() == before
+    stats2 = compact_table(spark, log)
+    assert stats2["n_files_after"] == 1
+    assert spark.read.parquet(log).orderBy("epoch_id").collect() == before

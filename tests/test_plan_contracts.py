@@ -163,7 +163,65 @@ def test_every_streaming_query_bills_eagerly_in_bench():
     assert not stale, f"bench EAGER names unknown queries: {sorted(stale)}"
 
 
-def test_no_hashed_output_transits_decimal_to_double():
+def test_gate_window_members_are_hash_gated():
+    """A _GATE_PRIORITY member without an oracle would spend a driver
+    window slot on a rows-only check that can never hash-match — today
+    that is only prevented for the known sketches via _NEVER_GATE; this
+    pins it for EVERY window member (r9 verdict item 7)."""
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    by_prefix = {n.split("_", 1)[0]: n for n in registry.QUERIES}
+    rows_only = [
+        p for p in registry._GATE_PRIORITY
+        if by_prefix[p] not in registry.ORACLES
+    ]
+    assert not rows_only, (
+        f"gate-window queries without a hash oracle: {rows_only}"
+    )
+
+
+@pytest.fixture(scope="module")
+def built_plans():
+    """Every non-EAGER registered query's DataFrame, built once at
+    sf0.001 — shared by the repo-wide plan/schema contract tests below
+    (plan BUILD only; nothing executes)."""
+    import bench
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+    from stock_crypto_data_pipeline_public_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("plan-contracts", cpus=8, shuffle_partitions=8)
+    return {
+        n: registry.QUERIES[n](spark, "/root/testdata/sf0.001")
+        for n in registry.QUERIES
+        if n not in bench.EAGER
+    }
+
+
+def test_no_decimal_typed_gated_outputs(built_plans):
+    """Round-10 renderer rule: no oracled query may EMIT a DecimalType
+    column at all. DuckDB's pandas path renders every decimal as float64
+    while Spark's hands the driver verbatim Decimal objects — equal
+    values hash differently the moment the decimal carries trailing
+    zeros (the decoded r9 q40f red; see oracle_compare.py's KNOWN
+    RESIDUAL). The local mirror coerces Decimal→float, so only the
+    driver can see the mismatch — hence a mechanical ban, not a code
+    -review convention. Exempt: the q40 fingerprint family (q40f/q40h
+    emit decimals BY DESIGN as probes)."""
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    offenders = {
+        name: [f.name for f in df.schema.fields
+               if f.dataType.typeName().startswith("decimal")]
+        for name, df in built_plans.items()
+        if name in registry.ORACLES and not name.startswith("q40")
+    }
+    offenders = {k: v for k, v in offenders.items() if v}
+    assert not offenders, f"decimal-typed hashed outputs: {offenders}"
+
+
+def test_no_hashed_output_transits_decimal_to_double(built_plans):
     """Round-9 exact-domain rule, enforced mechanically: no registered
     query's analyzed plan may contain a Cast of a FRACTIONAL (scale > 0),
     non-literal DecimalType expression to DoubleType — the q26/q28/q40
@@ -183,18 +241,6 @@ def test_no_hashed_output_transits_decimal_to_double():
       index builds — the driver hash gate covers their outputs instead
       (their read-back aggregates were all ported to the e-scaled domain
       in round 9)."""
-    import bench
-    from stock_crypto_data_pipeline_public_spark.plans import registry
-    from stock_crypto_data_pipeline_public_spark.session import get_spark
-
-    registry.load_all()
-    spark = get_spark("plan-contracts", cpus=8, shuffle_partitions=8)
-
-    probes = {n for n in registry.QUERIES if n.startswith("q40")}
-    names = [
-        n for n in registry.QUERIES
-        if n not in bench.EAGER and n not in probes
-    ]
 
     def banned_casts(df):
         found = []
@@ -224,8 +270,9 @@ def test_no_hashed_output_transits_decimal_to_double():
         return found
 
     offenders = {}
-    for name in names:
-        df = registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+    for name, df in built_plans.items():
+        if name.startswith("q40"):
+            continue
         casts = banned_casts(df)
         if casts:
             offenders[name] = casts[:3]

@@ -706,3 +706,78 @@ def test_escaled_sum_and_iavg_cross_engine(spark, cents, shift):
         # (the float closed form can be off by 1 ulp for huge totals;
         # the exact-integer identity below is the real contract)
         assert row["avg"] == (2 * total * m + n) // (2 * n)
+
+
+@pytest.mark.parametrize(
+    "total,n,shift",
+    [
+        (2**62, 1000, 2),  # 2·total·100 ≈ 9.2e20 — wraps int64
+        (-(2**62), 1000, 2),
+        (9_200_000_000_000_000_000 - 7, 10_000, 0),  # near-int64-max sum
+        (2**62, 10**7, 4),  # shift=4: numerator ≈ 9.2e22
+    ],
+)
+def test_iavg_numerator_cannot_wrap_int64(spark, total, n, shift):
+    """r9 verdict item 3: iavg's half-adjusted numerator 2·total·10^shift+n
+    exceeded int64 for e-scaled totals near the documented domain bound and
+    non-ANSI Spark WRAPPED SILENTLY (e.g. total=2^62, shift=2 gave a
+    garbage negative average). The round-10 DECIMAL(38,0) widening must
+    return the exact trunc-toward-zero quotient — this test FAILS on the
+    pre-widening int64 formula for every case here."""
+    from stock_crypto_data_pipeline_public_spark.functions.numeric import iavg
+
+    row = (
+        spark.createDataFrame([(total, n)], "t bigint, n bigint")
+        .withColumn("avg", iavg("t", "n", shift))
+        .first()
+    )
+    num, den = 2 * total * 10**shift + n, 2 * n
+    exact = num // den if num >= 0 else -((-num) // den)  # trunc toward zero
+    assert -(2**63) <= exact < 2**63  # the OUTPUT must be representable
+    assert row["avg"] == exact
+
+
+def test_f03_variance_sums_survive_large_money_values(spark):
+    """r9 ADVICE: f03's v_e2² window sums overflowed int64 inside the
+    MONEY(12,2) domain (|value| ≳ $2.1e7 → v_e2² > 2^63) and wrapped
+    silently on Spark while DuckDB's HUGEINT stayed exact. After the
+    DECIMAL(38,0) widening the rolling σ of a constant series at $9e9 is
+    exactly 0 and a two-level series matches the closed form."""
+    import duckdb
+
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    import numpy as np
+    import pandas as pd
+
+    big = 9_000_000_000.00  # $9e9: v_e2 = 9e11, v_e2² = 8.1e23 >> 2^63
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = [
+        ("whale", big if i % 2 == 0 else big - 1.0, ts0 + pd.Timedelta(minutes=i), i)
+        for i in range(40)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_type", "value", "ts", "event_id"])
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        out = registry.QUERIES["f03_bollinger_breakouts"](spark, d).toPandas()
+        duck = duckdb.connect()
+        duck.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        oracle = duck.execute(registry.ORACLES["f03_bollinger_breakouts"]).df()
+    assert len(out) == 1 and len(oracle) == 1
+    for c in ("n_windows", "n_breakouts_hi", "n_breakouts_lo", "avg_roll_std_e4"):
+        assert out[c].iloc[0] == oracle[c].iloc[0], c
+    # closed form: alternating big/big-1 over a 20-frame → mean offset .5,
+    # var = 20·0.25/19 cents² → σ = sqrt(0.25/19·20)·... just pin exactness:
+    # σ_e4 of the alternating series is floor(sqrt((20·s2-s1²)/3.8e6)·1e4+.5)
+    v = [int(round((big if i % 2 == 0 else big - 1.0) * 100)) for i in range(40)]
+    import math
+
+    s1 = sum(v[20 - 20:20])  # any full frame: alternating, all equal sums
+    s2 = sum(x * x for x in v[0:20])
+    sigma = math.sqrt((20 * s2 - s1 * s1) / 3800000.0)
+    assert out["avg_roll_std_e4"].iloc[0] == math.floor(sigma * 10000 + 0.5)
