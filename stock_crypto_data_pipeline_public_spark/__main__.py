@@ -124,7 +124,7 @@ def cmd_incremental(args, spark: SparkSession) -> int:
 def cmd_compact(args, spark: SparkSession) -> int:
     from .operators.maintenance import compact_partitioned_table, compact_table
 
-    if args.per_partition:
+    if getattr(args, "per_partition", False):
         stats = compact_partitioned_table(
             spark,
             args.path,

@@ -37,15 +37,32 @@ float64 str image). Round 10 gates the separating probes:
     q40h — the type condition alone: Spark DECIMAL(27,6) vs oracle DOUBLE,
            equal value 1234.57. H2 → RED (a DESIGNED red), H1 → GREEN.
 
-Decode on CORRECTNESS_r10: g GREEN + h RED proves H2 — record "never hash
-a DECIMAL-typed Spark output column" in registry.py's rules (a plan-
-contract test already enforces it repo-wide as of r10, see
-tests/test_plan_contracts.py::test_no_decimal_typed_gated_outputs) and
-retire q40h with the answer; g RED reinstates H1. q40f itself is retired
-from the window as of round 10 (registered local-only — its red is now
-reproduced-by-design under either hypothesis). No hashed output column
-anywhere emits a decimal or transits the d/e/f pipelines (round-9 sweep +
-r10 contract test), so only the probe family itself can red on this.
+Decode on CORRECTNESS_r10 (all four patterns pre-registered):
+
+    g GREEN + h RED   → H2 proven: the comparator renders Decimal cells
+                        verbatim. Record rule 7 as PROVEN in registry.py
+                        (the plan-contract ban already enforces it:
+                        test_no_decimal_typed_gated_outputs) and retire
+                        q40h with the answer — expected outcome.
+    g RED  + h GREEN  → H1 reinstated: the floorpath double arithmetic
+                        itself diverges; re-open the double-rendering
+                        question (q40d/e green bound it to the floor
+                        composition specifically).
+    g RED  + h RED    → both pipelines diverge independently; both bans
+                        (e-scaled BIGINT money + no decimal outputs)
+                        remain load-bearing; nothing further to change.
+    g GREEN + h GREEN → NEITHER hypothesis reproduces r9's red: suspect
+                        driver-environment drift between rounds (its
+                        DuckDB/pandas build changed). Re-register the
+                        UNTOUCHED q40f for one round to re-test; if it
+                        greens too, close the whole residual as driver
+                        drift and keep both bans as hygiene.
+
+q40f itself is retired from the window as of round 10 (registered
+local-only — its red is reproduced-by-design under H1 and H2 alike). No
+hashed output column anywhere emits a decimal or transits the d/e/f
+pipelines (round-9 sweep + r10 contract test), so only the probe family
+itself can red on this.
 """
 
 from __future__ import annotations

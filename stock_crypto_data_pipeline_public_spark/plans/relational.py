@@ -1876,8 +1876,10 @@ def q40_renderer_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 #         DESIGNED red like r9's q40f), H1 predicts GREEN.
 # Decode for round 11: g GREEN + h RED proves H2 — record the rule
 # "never hash a DECIMAL-typed Spark output column" and retire q40h;
-# g RED reinstates H1 (the double floorpath itself diverges). Either
-# pattern closes the question in one round.
+# g RED reinstates H1 (the double floorpath itself diverges). All four
+# red/green patterns are pre-registered with their actions in
+# oracle_compare.py's KNOWN RESIDUAL block (including the both-green
+# "driver drift" case, which would re-test the untouched q40f).
 # --------------------------------------------------------------------------
 _Q40A_SQL = """
     SELECT CAST(42 AS BIGINT)        AS p_bigint,

@@ -129,6 +129,25 @@ def test_cli_incremental_and_compact(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "-> 1 files" in capsys.readouterr().out
+    # per-partition compact over a hive-partitioned append log (the s12
+    # shard-manifest layout; r9 verdict item 6)
+    hive = str(tmp_path / "hive_log")
+    for _ in range(3):
+        spark.range(20).selectExpr("id", "id % 2 AS shard").write.mode(
+            "append"
+        ).partitionBy("shard").parquet(hive)
+    rc = cmd_compact(
+        _A(
+            path=hive,
+            target_bytes=1 << 40,
+            sort_cols=None,
+            per_partition=True,
+        ),
+        spark,
+    )
+    assert rc == 0
+    assert "across 2 partitions" in capsys.readouterr().out
+    assert spark.read.parquet(hive).count() == 60
 
 
 def test_cli_zorder_and_profile(spark, tmp_path, capsys):
