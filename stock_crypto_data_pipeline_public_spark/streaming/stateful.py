@@ -12,8 +12,13 @@ Scale notes: state is one tiny fixed-width row per active user, partitioned
 by the grouping key across executors (RocksDB-backed state store in
 production); each micro-batch touches only the users present in the batch.
 Timeout-based eviction (``GroupStateTimeout.ProcessingTimeTimeout``) is the
-production path for abandoning idle users; the default here is NoTimeout so
-tests drain deterministically — open sessions simply remain in state.
+production path for abandoning idle users — pass ``idle_timeout_ms`` and an
+open session whose user stays silent past the timeout is EMITTED as closed
+and its state removed at the next micro-batch (state size then tracks
+RECENTLY-active users, not all users ever seen). The default stays
+NoTimeout so drains are deterministic — open sessions simply remain in
+state and are never emitted (the s04 gate's oracle depends on exactly
+that).
 """
 
 from __future__ import annotations
@@ -53,7 +58,11 @@ SESSION_STATE = StructType(
 )
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
     """events(user_id, ts, …) stream → closed-session rows.
 
     Within a batch AND across batches: an event more than ``gap_minutes``
@@ -61,6 +70,15 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     and starts the next. Event-time ordering within a batch is restored by
     sorting the batch's rows — micro-batch boundaries carry no ordering
     guarantee of their own.
+
+    With ``idle_timeout_ms`` (production: ~gap_minutes in ms), a user
+    silent for that PROCESSING-time span has their open session emitted as
+    closed-by-inactivity and their state evicted at the next micro-batch —
+    without it, every user ever seen holds a state row forever. The two
+    clocks differ deliberately: the gap closes sessions by EVENT time
+    (exact, replay-stable); the timeout only bounds state residency and
+    flushes the tail, so replays of the same data can differ in WHEN a
+    tail session emits, never in its contents.
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -68,6 +86,18 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle past the timeout: flush the open session and evict
+            start_us, last_us, n_events, session_no = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, session_no, start_us, last_us, n_events)],
+                columns=[
+                    "user_id", "session_no", "session_start_us",
+                    "session_end_us", "n_events",
+                ],
+            )
+            return
         if state.exists:
             start_us, last_us, n_events, session_no = state.get
         else:
@@ -97,6 +127,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     n_events += 1
 
         state.update((start_us, last_us, n_events, session_no))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)  # re-arm per batch
         yield pd.DataFrame(
             closed,
             columns=["user_id", "session_no", "session_start_us", "session_end_us", "n_events"],
@@ -107,5 +139,9 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

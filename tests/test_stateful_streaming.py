@@ -58,3 +58,71 @@ def test_sessions_span_micro_batches(spark, tmp_path):
     u2 = rows[(2, 1)]
     assert u2.n_events == 1
     assert u2.session_end_us == int(t(9, 0).timestamp() * 1_000_000)
+
+
+def test_idle_timeout_flushes_open_session_and_evicts_state(spark, tmp_path):
+    """The production eviction path (idle_timeout_ms →
+    ProcessingTimeTimeout): a user silent past the timeout has their OPEN
+    session emitted as closed-by-inactivity and their state evicted.
+    WHEN the flush lands is trigger-dependent (availableNow services
+    expiring timers in a trailing no-data batch, so it may land in the
+    same drain or the next) — the operator's contract, per its docstring,
+    is the CONTENTS: exactly one closure carrying the open session's
+    exact rows, and a fresh state afterwards (session numbering restarts,
+    no duplicate of the flushed session)."""
+    import time
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+
+    def drain():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=30, idle_timeout_ms=300)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def user_rows(uid):
+        return sorted(
+            (
+                (r.session_no, r.session_start_us, r.session_end_us, r.n_events)
+                for r in spark.read.parquet(sink).collect()
+                if r.user_id == uid
+            )
+        )
+
+    _write_batch(spark, src, [(1, t(10, 0)), (1, t(10, 10))])
+    drain()
+    time.sleep(1.0)  # user 1's processing-time timer is certainly expired
+    _write_batch(spark, src, [(2, t(11, 0))])
+    drain()  # services user 1's expired timer if drain 1 did not already
+
+    us = lambda h, m: int(t(h, m).timestamp() * 1_000_000)
+    # the idle flush: exactly ONE closure, exactly the open session's rows
+    assert user_rows(1) == [(1, us(10, 0), us(10, 10), 2)]
+
+    # state was EVICTED: user 1's next events number sessions from 1 again
+    # (a surviving state row would emit session_no 2 — or worse, re-emit
+    # the flushed session when the 12:00 event gap-closes it). The 14:00
+    # event leaves a new OPEN session whose own idle flush is timing-
+    # dependent (a drain's trailing batch may or may not outlive 300 ms),
+    # so force it: sleep past the timeout and drain once more — the end
+    # state after that is deterministic regardless of which drain flushed.
+    _write_batch(spark, src, [(1, t(12, 0)), (1, t(14, 0))])
+    drain()  # 14:00 gap-closes the fresh 12:00 one-event session in-batch
+    time.sleep(1.0)
+    drain()  # no new data: services the 14:00 session's expired timer
+    assert user_rows(1) == [
+        (1, us(10, 0), us(10, 10), 2),   # the idle flush, NOT duplicated
+        (1, us(12, 0), us(12, 0), 1),    # fresh numbering restarts at 1
+        (2, us(14, 0), us(14, 0), 1),    # the new open session idle-flushes
+    ]
