@@ -708,6 +708,33 @@ def test_escaled_sum_and_iavg_cross_engine(spark, cents, shift):
         assert row["avg"] == (2 * total * m + n) // (2 * n)
 
 
+def test_dsum_e_out_of_domain_is_loud_in_the_oracle():
+    """The eK-scaled BIGINT sum's domain bound (numeric.py: |$| < 9.2e16
+    per group at e2) is enforced LOUDLY on the oracle side: DuckDB sums in
+    HUGEINT and its final CAST(... AS BIGINT) ERRORS when the true sum
+    exceeds int64 — the gate turns red-with-err instead of silently
+    comparing a wrapped Spark value against a wrapped oracle value. (Spark
+    non-ANSI wraps; no BIGINT answer exists there at all, which is why the
+    bound is documented rather than widened — unlike iavg's INTERMEDIATE,
+    which round 10 made exact.)"""
+    import duckdb
+
+    from stock_crypto_data_pipeline_public_spark.functions.numeric import oracle_dsum_e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW v AS SELECT CAST(9.2e14 AS DECIMAL(25,2)) AS m "
+        "FROM range(101)"  # 101 rows x 9.2e16 e2-units = 9.29e18 > int64 max
+    )
+    with pytest.raises(duckdb.ConversionException, match="out of range"):
+        con.execute(f"SELECT {oracle_dsum_e('m', 2)} FROM v").fetchone()
+    # just inside the bound (100 rows = 9.2e18 < 2^63-1): exact, castable
+    ok = con.execute(
+        f"SELECT {oracle_dsum_e('m', 2)} FROM (SELECT m FROM v LIMIT 100)"
+    ).fetchone()[0]
+    assert ok == 100 * 92_000_000_000_000_000
+
+
 @pytest.mark.parametrize(
     "total,n,shift",
     [
