@@ -90,8 +90,13 @@ def sessionize_stream(
             # idle past the timeout: flush the open session and evict
             start_us, last_us, n_events, session_no = state.get
             state.remove()
+            rows = (
+                [(user_id, session_no, start_us, last_us, n_events)]
+                if start_us is not None  # a no-open-session state row
+                else []                  # (empty-frame key) flushes nothing
+            )
             yield pd.DataFrame(
-                [(user_id, session_no, start_us, last_us, n_events)],
+                rows,
                 columns=[
                     "user_id", "session_no", "session_start_us",
                     "session_end_us", "n_events",
@@ -126,9 +131,10 @@ def sessionize_stream(
                     last_us = max(last_us, t)
                     n_events += 1
 
-        state.update((start_us, last_us, n_events, session_no))
-        if idle_timeout_ms is not None:
-            state.setTimeoutDuration(idle_timeout_ms)  # re-arm per batch
+        if start_us is not None:  # don't store/arm a no-open-session row
+            state.update((start_us, last_us, n_events, session_no))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)  # re-arm per batch
         yield pd.DataFrame(
             closed,
             columns=["user_id", "session_no", "session_start_us", "session_end_us", "n_events"],
