@@ -140,7 +140,10 @@ def compact_partitioned_table(
     shard=N dirs — coordinates stay byte-stable, a trainer mid-epoch is
     never invalidated) and any date-partitioned incremental sink.
     Idempotent: a second run finds one right-sized file per partition and
-    rewrites it to itself. Returns per-partition stats plus totals."""
+    rewrites it to itself. Multi-level layouts (date=.../hour=...) recurse
+    to the LEAF partition dirs — each leaf is one independent rewrite, so
+    a crash mid-run leaves every partition either old-complete or
+    new-complete, never mixed. Returns per-leaf stats plus totals."""
     parts = sorted(
         d
         for d in os.listdir(path)
@@ -150,14 +153,21 @@ def compact_partitioned_table(
         raise ValueError(
             f"{path!r} has no key=value partition dirs; use compact_table"
         )
-    per = {
-        p: compact_table(
-            spark, os.path.join(path, p), target_bytes, sort_cols
+    per: dict[str, dict] = {}
+    for p in parts:
+        sub = os.path.join(path, p)
+        nested = any(
+            "=" in d and os.path.isdir(os.path.join(sub, d))
+            for d in os.listdir(sub)
         )
-        for p in parts
-    }
+        if nested:
+            inner = compact_partitioned_table(spark, sub, target_bytes, sort_cols)
+            for k, v in inner["partitions"].items():
+                per[f"{p}/{k}"] = v
+        else:
+            per[p] = compact_table(spark, sub, target_bytes, sort_cols)
     return {
-        "n_partitions": len(parts),
+        "n_partitions": len(per),
         "n_files_before": sum(s["n_files_before"] for s in per.values()),
         "n_files_after": sum(s["n_files_after"] for s in per.values()),
         "partitions": per,

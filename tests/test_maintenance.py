@@ -371,3 +371,31 @@ def test_drift_log_compacts_via_compact_table(spark, tmp_path):
     stats2 = compact_table(spark, log)
     assert stats2["n_files_after"] == 1
     assert spark.read.parquet(log).orderBy("epoch_id").collect() == before
+
+
+def test_compact_partitioned_table_recurses_to_leaf_partitions(spark, tmp_path):
+    """Multi-level hive layouts (date=.../hour=...) compact at the LEAF
+    dirs — rows and both partition levels byte-identical, idempotent."""
+    from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
+        compact_partitioned_table,
+    )
+
+    root = str(tmp_path / "two_level")
+    for _ in range(3):  # three appends → ≥3 files per leaf
+        (
+            spark.range(40)
+            .selectExpr("id", "id % 2 AS d", "id % 3 AS h")
+            .write.mode("append")
+            .partitionBy("d", "h")
+            .parquet(root)
+        )
+    before = spark.read.parquet(root).orderBy("id", "d", "h").collect()
+    stats = compact_partitioned_table(spark, root)
+    assert stats["n_partitions"] == 6  # 2 d-values x 3 h-values
+    assert stats["n_files_after"] == 6
+    assert set(stats["partitions"]) == {
+        f"d={d}/h={h}" for d in range(2) for h in range(3)
+    }
+    assert spark.read.parquet(root).orderBy("id", "d", "h").collect() == before
+    stats2 = compact_partitioned_table(spark, root)
+    assert stats2["n_files_after"] == 6
