@@ -98,6 +98,9 @@ EXPECTED_NESTED_LOOP = {
     # shape), the bounded 10-query ground-truth block (x01/x16's deliberate
     # exactness baseline), and 1-row corpus-count scalars — all broadcast
     "x19_ivf_recall_sweep",
+    # MG heavy hitters: the corpus-total threshold is a broadcast 1-row
+    # aggregate crossed into the (candidate-sized) recount — t41's shape
+    "t46_mg_heavy_hitters",
 }
 
 

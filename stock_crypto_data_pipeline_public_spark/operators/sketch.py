@@ -86,3 +86,56 @@ def cms_merge(*tables: DataFrame) -> DataFrame:
     for t in tables[1:]:
         out = out.unionByName(t)
     return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def mg_partition_summaries(df: DataFrame, key_col: str, m: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: at most ``m`` (key,
+    lower-bound) counters per partition, built in ONE pass with O(m +
+    arrow-batch-distinct) memory — the bounded-state half of the two-pass
+    exact-heavy-hitters pattern (this prunes; a recount pass makes the
+    survivors exact).
+
+    Batch form of the classic algorithm via the MERGE operation of
+    Agarwal, Cormode, Huang, Phillips, Wei & Yi, "Mergeable Summaries"
+    (PODS'12 / ACM TODS 2013): accumulate each Arrow batch's exact
+    value_counts into the summary, and whenever more than ``m`` counters
+    are live, subtract the (m+1)-th largest counter value from ALL
+    counters and drop the non-positive ones (at most m can remain — only
+    strictly-larger counters survive). Each key's counter then
+    UNDERESTIMATES its true partition count by at most n_p/(m+1), so:
+
+    - every key with partition count > n_p/(m+1) has a positive counter
+      (it survives into the summary), and by the averaging argument any
+      key with GLOBAL count > n/(m+1) exceeds that bound in at least one
+      partition — the union of partition summaries is a guaranteed
+      SUPERSET of the global heavy hitters above threshold n/(m+1);
+    - counters never overcount, so summed lower bounds are safe floors.
+
+    Output: (key_col, lb) — ≤ m rows per partition, no shuffle (the whole
+    pass pipelines inside the scan stage). At 100 TB this is the only
+    full-corpus pass whose output is not data-sized: P·m rows feed the
+    candidate broadcast of the recount pass (plans/textops.py t46).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[key_col], StructField("lb", LongType(), False)]
+    )
+
+    def summarize(batches):
+        from collections import Counter
+
+        acc: Counter = Counter()
+        for pdf in batches:
+            acc.update(pdf[key_col].value_counts().to_dict())
+            if len(acc) > m:
+                kth = sorted(acc.values(), reverse=True)[m]
+                acc = Counter(
+                    {k: v - kth for k, v in acc.items() if v > kth}
+                )
+        yield pd.DataFrame(
+            {key_col: list(acc.keys()), "lb": [int(v) for v in acc.values()]}
+        )
+
+    return df.select(key_col).mapInPandas(summarize, out_schema)

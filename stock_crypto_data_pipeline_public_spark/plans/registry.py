@@ -108,11 +108,14 @@ _GATE_PRIORITY = (
        "v10", "v11", "v12", "x04", "x13"]                       # (44)
     # freshness: the r7 streaming-operator gates named by r9 verdict #5
     + ["s03", "s04", "s05", "s06"]                              # (48)
-    # freshness: r7 remainder, oldest-first queue head
-    + ["q33", "q37"]                                            # (50)
+    # NEW this round (never gated — enters ahead of freshness): exact
+    # heavy hitters via two-pass Misra-Gries (bounded-memory candidates +
+    # exact recount); then r7's oldest-first queue head
+    + ["t46", "q37"]                                            # (50)
 )
 #: Next-round rotation candidates (oldest first): the deferred r5 rows
-#: (f07 f09 f10 f11 f12 f14 m13 m16 x06 x15 x16 x17), then the r6 era
+#: (f07 f09 f10 f11 f12 f14 m13 m16 x06 x15 x16 x17) and q33 (r7,
+#: displaced by the new t46), then the r6 era
 #: (t01-t24 core text ops, g01-g03, v13/v14, x01-x03, x19, e11, q31),
 #: then r7's remainder (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18,
 #: t43-t45) and the r8 window (q26/q28/q41/q42, m19/m20, s08-s12,

@@ -3121,3 +3121,58 @@ def t45_cms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_cells") <= F.lit(W_ * D_)).alias("cells_bounded"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t46 — EXACT heavy hitters at bounded memory: the two-pass Misra-Gries
+# pattern (operators/sketch.mg_partition_summaries). Pass 1 streams the
+# token corpus through per-partition MG summaries of m=30 counters — a
+# mergeable-summaries batch MG ("Mergeable Summaries", Agarwal/Cormode/
+# Huang/Phillips/Wei/Yi, PODS'12) whose per-key undercount is ≤
+# n_p/(m+1), so the UNION of partition summaries provably contains every
+# token with global count > n/(m+1). Pass 2 broadcast-semi-joins that
+# tiny candidate set back onto the corpus and recounts EXACTLY, keeping
+# tokens whose count·(m+1) > n (integer cross-multiply — no division
+# rounding to diverge on). The output is therefore EXACT — the sketch
+# only prunes — which is what makes an approximate-flavored operator
+# hash-gateable; m=30 sits deliberately BELOW the corpus's 31-token
+# vocabulary so the decrement/reduction path is exercised, not idled.
+# 100 TB: pass 1 is a full scan emitting P·m rows (no shuffle — pipelined
+# into the scan stage); pass 2 shuffles only candidate-key counts. Exact
+# groupBy over a trillion-token stream would shuffle the vocabulary;
+# this shuffles ≤ the candidates. The threshold total rides a 1-row
+# broadcast cross join (explain_audit BNLJ allowlist).
+# --------------------------------------------------------------------------
+@query(
+    "t46_mg_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(coalesce(text, ''), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS total FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM toks, n
+    GROUP BY tok, n.total
+    HAVING count(*) * 31 > n.total
+    """,
+)
+def t46_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import mg_partition_summaries
+
+    M = 30
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.coalesce("text", F.lit("")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok")
+    )
+    cands = mg_partition_summaries(toks, "tok", M).select("tok").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * F.lit(M + 1) > F.col("_total"))
+        .select("tok", "n_occurrences")
+    )

@@ -59,3 +59,65 @@ def test_cms_absent_key_estimates_zero_and_merge_adds(spark):
     # merged sketch == sketch of the concatenated stream
     whole = count_min_table(half_a.unionByName(half_b), "k", W_, D)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_mg_summaries_superset_and_never_overcount(spark):
+    """Misra-Gries contract (mg_partition_summaries): across any
+    partitioning, (a) counters never exceed true counts (safe lower
+    bounds), (b) every key with global count > n/(m+1) appears in the
+    candidate union — the guarantee t46's exact recount stands on —
+    and (c) each partition emits at most m rows."""
+    from collections import Counter
+
+    from stock_crypto_data_pipeline_public_spark.operators.sketch import (
+        mg_partition_summaries,
+    )
+
+    # zipf-ish skew + a long uniform tail, deliberately unsorted
+    keys = []
+    for i, reps in enumerate([900, 500, 300, 120, 60] + [7] * 40):
+        keys += [f"k{i}"] * reps
+    keys = keys[::3] + keys[1::3] + keys[2::3]  # interleave orders
+    n, m = len(keys), 4
+    exact = Counter(keys)
+
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame([(k,) for k in keys], "tok string").repartition(
+            parts
+        )
+        summ = mg_partition_summaries(df, "tok", m).collect()
+        by_key = {}
+        for r in summ:
+            by_key[r.tok] = by_key.get(r.tok, 0) + r.lb
+        # (a) lower bounds never overcount
+        assert all(lb <= exact[k] for k, lb in by_key.items()), (parts, by_key)
+        # (b) superset of everything above n/(m+1)
+        heavy = {k for k, c in exact.items() if c * (m + 1) > n}
+        assert heavy, "test data must contain heavy keys"
+        assert heavy <= set(by_key), (parts, heavy - set(by_key))
+        # (c) bounded state: ≤ m counters per partition
+        assert len(summ) <= m * parts
+
+
+def test_mg_two_pass_equals_exact_threshold_filter(spark):
+    """End-to-end two-pass shape (the t46 composition): candidates +
+    exact recount + integer cross-multiplied threshold == the plain
+    exact GROUP BY/HAVING answer, with m far below the distinct count."""
+    from stock_crypto_data_pipeline_public_spark.operators.sketch import (
+        mg_partition_summaries,
+    )
+
+    rows = [(f"u{i % 97}",) for i in range(5000)] + [("whale",)] * 800
+    m = 8
+    df = spark.createDataFrame(rows, "tok string").repartition(6)
+    n = df.count()
+    cands = mg_partition_summaries(df, "tok", m).select("tok").distinct()
+    got = (
+        df.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * (m + 1) > n)
+        .collect()
+    )
+    # exact answer: only the whale exceeds n/9 (5800/9 ≈ 644; u-keys ≈ 52)
+    assert {(r.tok, r.c) for r in got} == {("whale", 800)}
