@@ -67,6 +67,11 @@ EXPECTED_NESTED_LOOP = {
     # TF-IDF corpus size: broadcast 1-row count(*) aggregate (map-only),
     # the same scalar-subquery shape as the q17 high-water mark
     "t10_tfidf_top_terms",
+    # BM25 corpus stats: the same broadcast 1-row scalar shape (N, Σdl)
+    "t47_bm25_scoring",
+    # hybrid RRF: t47's 1-row stats shape on the text side + the x01-style
+    # broadcast single-query-vector cosine scan on the vector side
+    "x23_hybrid_rrf_fusion",
     # bigram LM vocabulary size: identical broadcast 1-row scalar shape
     "t12_bigram_lm_score",
     # scalar-subquery high-water mark: the "join" side is a broadcast 1-row

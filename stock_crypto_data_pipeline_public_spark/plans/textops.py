@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import oracle_rnd, rnd
 from ..operators import dedup as D
+from ..operators import retrieval as R
 from ..sources.tables import load_table
 from .registry import query
 
@@ -3176,3 +3177,31 @@ def t46_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") * F.lit(M + 1) > F.col("_total"))
         .select("tok", "n_occurrences")
     )
+
+
+# --------------------------------------------------------------------------
+# t47 — Okapi BM25 keyword scoring (operators/retrieval.bm25_scores): every
+# document matching ≥1 of a fixed 5-term query gets its BM25 score
+# (k1=1.2, b=0.75, Lucene's always-positive idf = ln(1+(N-df+.5)/(df+.5))).
+# The training-data-curation shape: rank/filter a corpus against a keyword
+# battery (topic filters, contamination screens) — and the lexical half of
+# x23's hybrid retrieval. All counts (tf, df, dl, N, Σdl) are exact
+# integers; per-term double scores are pivoted out and added in fixed
+# literal term order, so the emitted double is bit-identical cross-engine
+# before its floor-rounding (no order-sensitive SUM — see retrieval.py).
+# 100 TB: the query-term filter prunes the exploded token relation before
+# its one (doc_id, term) shuffle; dfreq (≤5 rows) and the corpus stats
+# (1 row) are broadcast — the corpus never reshuffles by term. The 1-row
+# stats cross join is the q17 scalar shape (explain_audit BNLJ allowlist).
+# --------------------------------------------------------------------------
+@query(
+    "t47_bm25_scoring",
+    oracle=f"""
+    WITH {R.bm25_oracle_ctes(R.BM25_QUERY_TERMS)}
+    SELECT doc_id, n_matched_terms, {R.oracle_bm25_rounded(4)} AS bm25
+    FROM bm25
+    """,
+)
+def t47_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = R.bm25_scores(_docs(spark, sf_dir), R.BM25_QUERY_TERMS)
+    return scored.select("doc_id", "n_matched_terms", R.bm25_rounded(4).alias("bm25"))

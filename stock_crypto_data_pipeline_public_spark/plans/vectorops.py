@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.numeric import iavg, oracle_rnd, rnd
+from ..operators import retrieval as RETR
 from ..operators import similarity as S
 from ..sources.tables import load_table
 from .registry import query
@@ -2529,3 +2530,138 @@ def x22_ivf_bq_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return rescored.withColumn("rk", F.row_number().over(rw)).filter(F.col("rk") <= 5)
+
+
+# --------------------------------------------------------------------------
+# x23 — HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack et al.
+# SIGIR'09 RRF: score(d) = Σ_r 1/(k + rank_r(d)), k=60): the lexical
+# ranking (t47's BM25 battery, operators/retrieval.py) fused with the
+# vector ranking (cosine to the vec_id-0 query embedding, x01's exact
+# scan). Each side contributes its top-50; a document missing from one
+# list contributes 0 from that list (at sf0.1 docs outnumber embeddings
+# 5000:2000, so the text list genuinely carries vectorless docs — the
+# full-outer fusion is exercised, not decorative).
+#
+# Cross-engine determinism: both rankings order by the FLOOR-ROUNDED
+# (4 dp) score with an id tiebreak — a quantized total order identical on
+# both engines — and the RRF sum is two coalesced terms added in fixed
+# order (1/(60+r) on integer ranks: bit-identical doubles), so ranking by
+# the raw fused score is exact. Absent ranks emit the -1 sentinel rather
+# than NULL (a NULL int column collapses to float64 in pandas on both
+# sides — avoidable, so avoided).
+#
+# 100 TB: the text side is t47's plan (broadcast terms + stats, one
+# (doc,term) shuffle); the vector side is a broadcast-1-row map-only scan
+# (BNLJ allowlist); each side's top-50 is orderBy+limit = TakeOrdered
+# (per-partition top-k, no global sort), and the only windows run on the
+# ≤50-row limited results. The fusion joins two ≤50-row relations.
+# --------------------------------------------------------------------------
+_X23_K = 60.0
+
+
+@query(
+    "x23_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {RETR.bm25_oracle_ctes(RETR.BM25_QUERY_TERMS)},
+    text_top AS (
+        SELECT doc_id AS id,
+               row_number() OVER (
+                   ORDER BY {RETR.oracle_bm25_rounded(4)} DESC, doc_id ASC
+               ) AS text_rank
+        FROM bm25
+        QUALIFY text_rank <= 50
+    ),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    vecscored AS (
+        SELECT e.vec_id AS id,
+               {oracle_rnd(S.oracle_cosine('qv.qe', 'e.embedding'), 4)} AS cos
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> 0
+    ),
+    vec_top AS (
+        SELECT id,
+               row_number() OVER (ORDER BY cos DESC, id ASC) AS vec_rank
+        FROM vecscored
+        QUALIFY vec_rank <= 50
+    ),
+    fused AS (
+        SELECT coalesce(t.id, v.id) AS id,
+               t.text_rank,
+               v.vec_rank,
+               CAST(0.0 AS DOUBLE)
+               + coalesce(CAST(1.0 AS DOUBLE)
+                          / (CAST(60.0 AS DOUBLE) + t.text_rank),
+                          CAST(0.0 AS DOUBLE))
+               + coalesce(CAST(1.0 AS DOUBLE)
+                          / (CAST(60.0 AS DOUBLE) + v.vec_rank),
+                          CAST(0.0 AS DOUBLE)) AS rrf_raw
+        FROM text_top t FULL OUTER JOIN vec_top v ON t.id = v.id
+    )
+    SELECT id,
+           coalesce(text_rank, -1) AS text_rank,
+           coalesce(vec_rank, -1) AS vec_rank,
+           {oracle_rnd('rrf_raw', 6)} AS rrf,
+           fused_rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf_raw DESC, id ASC) AS fused_rank
+        FROM fused
+    )
+    WHERE fused_rank <= 20
+    """,
+)
+def x23_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = RETR.bm25_scores(docs, RETR.BM25_QUERY_TERMS).select(
+        F.col("doc_id").alias("id"), RETR.bm25_rounded(4).alias("score_r")
+    )
+    # TakeOrdered top-50 (no global sort), then rank the 50-row result
+    text_top = (
+        scored.orderBy(F.desc("score_r"), F.asc("id"))
+        .limit(50)
+        .withColumn(
+            "text_rank",
+            F.row_number().over(W.orderBy(F.desc("score_r"), F.asc("id"))),
+        )
+        .select("id", "text_rank")
+    )
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    cos = S.dot("qe", "embedding", EMB_DIM) / F.nullif(
+        F.col("qnrm") * F.col("nrm"), F.lit(0.0)
+    )
+    vec_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("id"), rnd(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("id"))
+        .limit(50)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(W.orderBy(F.desc("cos"), F.asc("id"))),
+        )
+        .select("id", "vec_rank")
+    )
+    fused = text_top.join(vec_top, "id", "full_outer")
+    rrf_raw = (
+        F.lit(0.0)
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_X23_K) + F.col("text_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_X23_K) + F.col("vec_rank")), F.lit(0.0)
+        )
+    )
+    ranked = fused.withColumn("rrf_raw", rrf_raw).withColumn(
+        "fused_rank",
+        F.row_number().over(W.orderBy(F.desc("rrf_raw"), F.asc("id"))),
+    )
+    return ranked.filter(F.col("fused_rank") <= 20).select(
+        "id",
+        F.coalesce("text_rank", F.lit(-1)).alias("text_rank"),
+        F.coalesce("vec_rank", F.lit(-1)).alias("vec_rank"),
+        rnd(F.col("rrf_raw"), 6).alias("rrf"),
+        "fused_rank",
+    )
