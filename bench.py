@@ -71,6 +71,7 @@ EAGER = {
     "s11_streaming_media_features_end_state",
     "s12_streaming_shuffle_manifest_end_state",
     "s13_streaming_sketch_end_state",
+    "s14_idle_timeout_eviction",
     "q38_cobucketed_join_rollup",  # bucketed-table writes run in the call
     "q39_compaction_roundtrip",  # fragment + compact runs in the call
 }

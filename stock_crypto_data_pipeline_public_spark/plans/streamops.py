@@ -16,7 +16,7 @@ downstream pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as _W
 from pyspark.sql import functions as F
 
 from contextlib import contextmanager
@@ -1296,5 +1296,156 @@ def s13_streaming_sketch_end_state(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
         return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s14 — IDLE-TIMEOUT EVICTION end state (streaming/stateful.sessionize_stream
+# with idle_timeout_ms + emit_close_reason — the production state-residency
+# path s04 deliberately leaves off). The gate must be deterministic while
+# ProcessingTimeTimeout fires on a wall clock, so the landing is split BY
+# USER PARITY (even users → file 1/drain 1, odd users → file 2/drain 2):
+# every user's events reach exactly ONE micro-batch, no session spans a
+# batch boundary, and therefore a timer firing at ANY later batch flushes
+# the same rows — the end state's CONTENTS are invariant to when eviction
+# happens (the operator docstring's replay caveat, designed away). The
+# harness runs ONE continuously-triggered query (measured: availableNow
+# never self-terminates under ProcessingTimeTimeout — Spark keeps
+# scheduling empty batches to service timers — so the drain idiom is
+# start → poll the sink for the expected session count → stop) whose
+# empty batches fire the expired timers, leaving the COMPLETE
+# sessionization in the sink:
+#
+#   - every non-final session per user, closed_by='gap' (the in-batch path
+#     s04 already gates), and
+#   - every user's FINAL session, closed_by='timeout' — rows that can ONLY
+#     exist if the eviction path emitted them and that s04's oracle (which
+#     subtracts exactly these) proves are never emitted without a timeout.
+#
+# The oracle is the closed-form full sessionization with closed_by derived
+# structurally: a user's max session_no is the one no later event closed →
+# 'timeout'; all others → 'gap'. The hash therefore distinguishes
+# timeout-evicted from gap-closed rows, per row.
+#
+# Scale: same per-active-user fixed-width state as s04; the eviction path
+# is what keeps state ∝ RECENTLY-active users on an unbounded stream. The
+# poll-until-flushed loop's driver pull is one count per iteration.
+# --------------------------------------------------------------------------
+@query(
+    "s14_idle_timeout_eviction",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, ts FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    seq AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > CAST(6 AS BIGINT) * 3600 * 1000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                   ROWS UNBOUNDED PRECEDING) AS INT) AS session_no
+        FROM seq
+    ),
+    g AS (
+        SELECT user_id, session_no,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+               CAST(count(*) AS BIGINT)          AS n_events
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, session_no, session_start_us, session_end_us, n_events,
+           CASE WHEN session_no = max(session_no) OVER (PARTITION BY user_id)
+                THEN 'timeout' ELSE 'gap' END AS closed_by
+    FROM g
+    """,
+)
+def s14_idle_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.stateful import sessionize_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
+    base = tempfile.mkdtemp(prefix="s14_stream_")
+    landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
+
+    # expected = total session count, the closed form of "every session
+    # eventually closes: gap in-batch, timeout for each user's last"
+    lag_ts = F.lag("ts").over(_W.partitionBy("user_id").orderBy("ts"))
+    expected = (
+        ev.withColumn(
+            "brk",
+            (
+                lag_ts.isNull()
+                | (F.col("ts") > lag_ts + F.expr("INTERVAL 6 HOURS"))
+            ).cast("int"),
+        )
+        .agg(F.sum("brk"))
+        .first()[0]
+    )
+
+    def sink_count() -> int:
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:  # no committed batch yet
+            return 0
+
+    try:
+        # one file per parity phase + maxFilesPerTrigger=1 → each user's
+        # events reach exactly one micro-batch, so flush contents are
+        # invariant to WHEN timers fire — see the family comment
+        ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        with _drain_shuffle(spark):
+            q = (
+                sessionize_stream(
+                    spark.readStream.schema(ev.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(landing),
+                    gap_minutes=360,
+                    idle_timeout_ms=1000,
+                    emit_close_reason=True,
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="500 milliseconds")
+                .start()
+            )
+            try:
+                # land phase B while the query runs: odd-user data flows
+                # through the same batches that service even-user timers
+                ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode(
+                    "append"
+                ).parquet(landing)
+                deadline = time.monotonic() + 120
+                while sink_count() < expected:
+                    if time.monotonic() > deadline:
+                        raise RuntimeError(
+                            "s14: idle-timeout eviction never flushed all "
+                            f"sessions ({sink_count()}/{expected})"
+                        )
+                    time.sleep(0.5)
+            finally:
+                q.stop()
+                q.awaitTermination()
+        out = spark.read.parquet(sink)
+        if out.count() != expected:  # a late duplicate flush would be a bug
+            raise RuntimeError("s14: sink overshot the closed-form count")
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -32,6 +32,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -45,6 +46,11 @@ SESSION_OUTPUT = StructType(
         StructField("session_end_us", LongType()),
         StructField("n_events", LongType()),
     ]
+)
+
+#: emit_close_reason=True: SESSION_OUTPUT + which path closed the session
+SESSION_OUTPUT_WITH_REASON = StructType(
+    SESSION_OUTPUT.fields + [StructField("closed_by", StringType())]
 )
 
 #: state: the single open session per user
@@ -62,6 +68,7 @@ def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,
     idle_timeout_ms: int | None = None,
+    emit_close_reason: bool = False,
 ) -> DataFrame:
     """events(user_id, ts, …) stream → closed-session rows.
 
@@ -76,11 +83,30 @@ def sessionize_stream(
     closed-by-inactivity and their state evicted at the next micro-batch —
     without it, every user ever seen holds a state row forever. The two
     clocks differ deliberately: the gap closes sessions by EVENT time
-    (exact, replay-stable); the timeout only bounds state residency and
-    flushes the tail, so replays of the same data can differ in WHEN a
-    tail session emits, never in its contents.
+    (exact, replay-stable); the timeout bounds state residency and flushes
+    the tail. Replay caveats (the price of the processing-time clock): a
+    mid-stream processing-time stall (lagging source, backfill) can fire
+    the timeout between events whose EVENT-time gap is under
+    ``gap_minutes``, splitting a session a faster replay would keep whole
+    — contents are replay-stable only when each key's events reach one
+    micro-batch, or when no mid-stream stall outlives the timeout. And
+    because eviction discards the session counter, ``(user_id,
+    session_no)`` is unique per STATE LIFETIME, not per user: a user
+    returning after eviction numbers sessions from 1 again.
+
+    ``emit_close_reason=True`` appends a ``closed_by`` column ('gap' |
+    'timeout') naming which path closed each session — the s14 gate hashes
+    it, so eviction is driver-distinguishable from gap-out, not inferred.
     """
     gap_us = gap_minutes * 60 * 1_000_000
+    out_cols = [
+        "user_id", "session_no", "session_start_us", "session_end_us",
+        "n_events",
+    ] + (["closed_by"] if emit_close_reason else [])
+
+    def row(user_id, session_no, start_us, last_us, n_events, reason):
+        base = (user_id, session_no, start_us, last_us, n_events)
+        return base + (reason,) if emit_close_reason else base
 
     def track(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -91,17 +117,11 @@ def sessionize_stream(
             start_us, last_us, n_events, session_no = state.get
             state.remove()
             rows = (
-                [(user_id, session_no, start_us, last_us, n_events)]
+                [row(user_id, session_no, start_us, last_us, n_events, "timeout")]
                 if start_us is not None  # a no-open-session state row
                 else []                  # (empty-frame key) flushes nothing
             )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "user_id", "session_no", "session_start_us",
-                    "session_end_us", "n_events",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=out_cols)
             return
         if state.exists:
             start_us, last_us, n_events, session_no = state.get
@@ -124,7 +144,9 @@ def sessionize_stream(
                     session_no += 1
                     start_us, last_us, n_events = t, t, 1
                 elif t - last_us > gap_us:
-                    closed.append((user_id, session_no, start_us, last_us, n_events))
+                    closed.append(
+                        row(user_id, session_no, start_us, last_us, n_events, "gap")
+                    )
                     session_no += 1
                     start_us, last_us, n_events = t, t, 1
                 else:
@@ -135,14 +157,13 @@ def sessionize_stream(
             state.update((start_us, last_us, n_events, session_no))
             if idle_timeout_ms is not None:
                 state.setTimeoutDuration(idle_timeout_ms)  # re-arm per batch
-        yield pd.DataFrame(
-            closed,
-            columns=["user_id", "session_no", "session_start_us", "session_end_us", "n_events"],
-        )
+        yield pd.DataFrame(closed, columns=out_cols)
 
     return events.groupBy("user_id").applyInPandasWithState(
         track,
-        outputStructType=SESSION_OUTPUT,
+        outputStructType=(
+            SESSION_OUTPUT_WITH_REASON if emit_close_reason else SESSION_OUTPUT
+        ),
         stateStructType=SESSION_STATE,
         outputMode="append",
         timeoutConf=(

@@ -63,13 +63,13 @@ def test_sessions_span_micro_batches(spark, tmp_path):
 def test_idle_timeout_flushes_open_session_and_evicts_state(spark, tmp_path):
     """The production eviction path (idle_timeout_ms →
     ProcessingTimeTimeout): a user silent past the timeout has their OPEN
-    session emitted as closed-by-inactivity and their state evicted.
-    WHEN the flush lands is trigger-dependent (availableNow services
-    expiring timers in a trailing no-data batch, so it may land in the
-    same drain or the next) — the operator's contract, per its docstring,
-    is the CONTENTS: exactly one closure carrying the open session's
-    exact rows, and a fresh state afterwards (session numbering restarts,
-    no duplicate of the flushed session)."""
+    session emitted as closed-by-inactivity (closed_by='timeout') and
+    their state evicted. Harness note (measured, r11): availableNow NEVER
+    self-terminates under ProcessingTimeTimeout — Spark keeps scheduling
+    empty batches to service timers — so the test runs ONE continuously-
+    triggered query and polls the sink for the expected rows (the s14
+    gate's idiom), instead of drains that would block out their full
+    awaitTermination timeout."""
     import time
 
     src = str(tmp_path / "events")
@@ -77,52 +77,66 @@ def test_idle_timeout_flushes_open_session_and_evicts_state(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src)
     t = lambda h, m: datetime(2024, 1, 1, h, m)
+    us = lambda h, m: int(t(h, m).timestamp() * 1_000_000)
 
-    def drain():
-        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
-        q = (
-            sessionize_stream(stream, gap_minutes=30, idle_timeout_ms=300)
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(
+            stream, gap_minutes=30, idle_timeout_ms=300, emit_close_reason=True
         )
-        q.awaitTermination(120)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
 
     def user_rows(uid):
+        try:
+            rows = spark.read.parquet(sink).collect()
+        except Exception:  # no committed batch yet
+            return []
         return sorted(
-            (
-                (r.session_no, r.session_start_us, r.session_end_us, r.n_events)
-                for r in spark.read.parquet(sink).collect()
-                if r.user_id == uid
-            )
+            (r.session_no, r.session_start_us, r.session_end_us, r.n_events, r.closed_by)
+            for r in rows
+            if r.user_id == uid
         )
 
-    _write_batch(spark, src, [(1, t(10, 0)), (1, t(10, 10))])
-    drain()
-    time.sleep(1.0)  # user 1's processing-time timer is certainly expired
-    _write_batch(spark, src, [(2, t(11, 0))])
-    drain()  # services user 1's expired timer if drain 1 did not already
+    def wait_for(uid, n, timeout=60):
+        deadline = time.monotonic() + timeout
+        while len(user_rows(uid)) < n:
+            assert time.monotonic() < deadline, (
+                f"timed out waiting for {n} rows of user {uid}: {user_rows(uid)}"
+            )
+            time.sleep(0.25)
 
-    us = lambda h, m: int(t(h, m).timestamp() * 1_000_000)
-    # the idle flush: exactly ONE closure, exactly the open session's rows
-    assert user_rows(1) == [(1, us(10, 0), us(10, 10), 2)]
+    try:
+        _write_batch(spark, src, [(1, t(10, 0)), (1, t(10, 10))])
+        wait_for(1, 1)  # the idle flush fires while the query keeps running
+        # exactly ONE closure, exactly the open session's rows, BY timeout
+        assert user_rows(1) == [(1, us(10, 0), us(10, 10), 2, "timeout")]
 
-    # state was EVICTED: user 1's next events number sessions from 1 again
-    # (a surviving state row would emit session_no 2 — or worse, re-emit
-    # the flushed session when the 12:00 event gap-closes it). The 14:00
-    # event leaves a new OPEN session whose own idle flush is timing-
-    # dependent (a drain's trailing batch may or may not outlive 300 ms),
-    # so force it: sleep past the timeout and drain once more — the end
-    # state after that is deterministic regardless of which drain flushed.
-    _write_batch(spark, src, [(1, t(12, 0)), (1, t(14, 0))])
-    drain()  # 14:00 gap-closes the fresh 12:00 one-event session in-batch
-    time.sleep(1.0)
-    drain()  # no new data: services the 14:00 session's expired timer
-    assert user_rows(1) == [
-        (1, us(10, 0), us(10, 10), 2),   # the idle flush, NOT duplicated
-        (1, us(12, 0), us(12, 0), 1),    # fresh numbering restarts at 1
-        (2, us(14, 0), us(14, 0), 1),    # the new open session idle-flushes
-    ]
+        # state was EVICTED: user 1's next events number sessions from 1
+        # again (a surviving state row would emit session_no 2 — or worse,
+        # re-emit the flushed session when 14:00 gap-closes 12:00's). The
+        # 14:00 event gap-closes the fresh 12:00 one-event session IN batch
+        # (closed_by='gap'); its own open session idle-flushes after. An
+        # independent key (user 2) rides the same batch and idle-flushes on
+        # its own timer.
+        _write_batch(spark, src, [(1, t(12, 0)), (1, t(14, 0)), (2, t(11, 0))])
+        wait_for(1, 3)
+        assert user_rows(1) == [
+            (1, us(10, 0), us(10, 10), 2, "timeout"),  # NOT duplicated
+            (1, us(12, 0), us(12, 0), 1, "gap"),       # numbering restarts
+            (2, us(14, 0), us(14, 0), 1, "timeout"),   # new open session flushes
+        ]
+        wait_for(2, 1)
+        assert user_rows(2) == [(1, us(11, 0), us(11, 0), 1, "timeout")]
+    finally:
+        q.stop()
+        q.awaitTermination()
