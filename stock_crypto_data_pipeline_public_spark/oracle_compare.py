@@ -15,54 +15,31 @@ This module reproduces both behaviours so the local suite fails exactly
 where the driver would. Used by ``tests/oracle_harness.py`` and
 ``scripts/verify_contract.py``.
 
-KNOWN RESIDUAL (round 8→10): the driver's comparator provably diverges from
-this mirror on at least one constant type/pipeline — r8's combined q40
-renderer fingerprint was rows+schema green and hash-red AT THE DRIVER while
-passing here. Round 9 split the fingerprint one-type-per-query (q40a-q40f,
-relational.py) and the driver answered: **q40a-e GREEN, q40f alone RED**.
-Round 9 read that as "the floor(CAST(decimal AS DOUBLE)·100+0.5)/100 double
-pipeline diverges" (H1) — but q40f was not type-faithful: on Spark the
-probe's output is DECIMAL(27,6) (floor→BIGINT, bare 100.0 → DECIMAL(4,1)),
-i.e. the driver saw Decimal('1234.570000') from Spark vs float64 1234.57
-from DuckDB (whose .df() renders ALL decimals as float64 — verified here).
-That licenses a second hypothesis (H2): the driver renders Decimal cells
-VERBATIM, trailing zeros included, without the Decimal→float coercion this
-mirror's ``_cell`` applies — str(Decimal('1234.570000')) != str(1234.57) —
-and never diverged on doubles at all. H2 retro-explains q40b's green (its
-decimals carry no trailing zeros, so verbatim rendering coincides with the
-float64 str image). Round 10 gates the separating probes:
+RESOLVED (round 8→10 divergence saga, closed in round 11): the driver's
+comparator diverges from this mirror on exactly ONE value class — it
+renders Spark ``Decimal`` cells VERBATIM (trailing zeros included) where
+this mirror's ``_cell`` coerces Decimal→float like DuckDB's ``.df()``
+does. Evidence chain: r8's combined q40 renderer fingerprint was
+rows+schema green and hash-red AT THE DRIVER while passing here; r9 split
+it one-type-per-query and got q40a-e GREEN / q40f alone RED — ambiguous,
+because q40f was not type-faithful (on Spark, floor→BIGINT over the bare
+DECIMAL(4,1) literal 100.0 typed it DECIMAL(27,6), i.e. the driver saw
+Decimal('1234.570000') vs DuckDB's float64 1234.57), consistent with both
+H1 ("the floorpath double arithmetic diverges") and H2 ("Decimal cells
+render verbatim"); r10 gated the pre-registered separating probes and the
+pattern came back **q40g (true-DOUBLE floorpath) GREEN, q40h (equal value,
+Spark DECIMAL vs oracle DOUBLE) RED** — H2 PROVEN, H1 dead, the doubles
+never diverged at all. H2 also retro-explains q40b's green: its decimals
+carry no trailing zeros, so their verbatim renderings coincide with the
+float64 str images.
 
-    q40g — the identical floorpath emitting a true DOUBLE on both engines
-           (/ CAST(100.0 AS DOUBLE)). H1 → RED, H2 → GREEN.
-    q40h — the type condition alone: Spark DECIMAL(27,6) vs oracle DOUBLE,
-           equal value 1234.57. H2 → RED (a DESIGNED red), H1 → GREEN.
-
-Decode on CORRECTNESS_r10 (all four patterns pre-registered):
-
-    g GREEN + h RED   → H2 proven: the comparator renders Decimal cells
-                        verbatim. Record rule 7 as PROVEN in registry.py
-                        (the plan-contract ban already enforces it:
-                        test_no_decimal_typed_gated_outputs) and retire
-                        q40h with the answer — expected outcome.
-    g RED  + h GREEN  → H1 reinstated: the floorpath double arithmetic
-                        itself diverges; re-open the double-rendering
-                        question (q40d/e green bound it to the floor
-                        composition specifically).
-    g RED  + h RED    → both pipelines diverge independently; both bans
-                        (e-scaled BIGINT money + no decimal outputs)
-                        remain load-bearing; nothing further to change.
-    g GREEN + h GREEN → NEITHER hypothesis reproduces r9's red: suspect
-                        driver-environment drift between rounds (its
-                        DuckDB/pandas build changed). Re-register the
-                        UNTOUCHED q40f for one round to re-test; if it
-                        greens too, close the whole residual as driver
-                        drift and keep both bans as hygiene.
-
-q40f itself is retired from the window as of round 10 (registered
-local-only — its red is reproduced-by-design under H1 and H2 alike). No
-hashed output column anywhere emits a decimal or transits the d/e/f
-pipelines (round-9 sweep + r10 contract test), so only the probe family
-itself can red on this.
+The durable rule is registry.py rule 7 (never EMIT a DecimalType hashed
+output column), mechanically enforced by
+tests/test_plan_contracts.py::test_no_decimal_typed_gated_outputs. This
+mirror keeps the Decimal→float coercion DELIBERATELY — it models DuckDB's
+rendering, and under rule 7 no gateable query can emit a Decimal anyway;
+the q40/q40g/q40h tripwires stay registered local-only (q40/q40h
+red-by-design at the driver, green here — the rule's negative controls).
 """
 
 from __future__ import annotations

@@ -32,8 +32,13 @@ Oracle-parity rules (applied by every query in this package):
    red. The local mirror coerces Decimal→float, so ONLY the driver can see
    the mismatch; hence a mechanical ban: money leaves the decimal domain
    as e-scaled BIGINT (functions/numeric.py), ratios as true doubles.
-   Status: H2-consistent, being confirmed against H1 by the r10 q40g/q40h
-   probe pair (see oracle_compare.py's KNOWN RESIDUAL decode table).
+   Status: PROVEN (round 10): the pre-registered separating probes came
+   back q40g GREEN + q40h RED — exactly the H2 pattern — so the driver's
+   comparator renders Decimal cells verbatim and never diverged on doubles
+   at all (r9's H1 reading formally corrected). q40h retires LOCAL-ONLY
+   beside q40/q40f as the rule's designed-red negative control; the full
+   three-round decode narrative lives in relational.py's settled-history
+   block and oracle_compare.py's RESOLVED section.
 """
 
 from __future__ import annotations
@@ -65,71 +70,63 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-10 gate window, ranked by "code changed since last driver hash
+#: round-11 gate window, ranked by "code changed since last driver hash
 #: row":
-#: 1. The q40 probe refresh (r9 outcome: q40a-e GREEN, q40f alone RED).
-#:    q40f RETIRES (registered local-only): it was not type-faithful —
-#:    Spark typed it DECIMAL(27,6) (Decimal('1234.570000')) vs DuckDB's
-#:    DOUBLE 1234.57 — so its red names EITHER the floorpath double
-#:    pipeline (H1, r9's reading) OR verbatim-Decimal rendering at the
-#:    driver's comparator (H2). Round 10 gates the separating probes:
-#:    q40g (floorpath as a true DOUBLE both sides; H1→red, H2→green) and
-#:    q40h (Spark DECIMAL(27,6) vs oracle DOUBLE, equal value; H2→red BY
-#:    DESIGN, H1→green). See relational.py's family comment +
-#:    oracle_compare.py KNOWN RESIDUAL for the r11 decode table. Under
-#:    H2 the expected r10 gate is 49/50 with q40h the designed red.
-#: 2. Changed semantics this round: e07 (average denominator made
-#:    literally oracle-faithful: count(value), not count(ts)), f03 (v_e2²
-#:    window sums and 20·s2−s1² widened to DECIMAL(38,0)/HUGEINT — they
-#:    overflowed int64 inside the MONEY(12,2) domain).
-#: 3. Representative re-gates for the iavg DECIMAL(38,0) numerator
-#:    widening (value-identical by construction + boundary property test
-#:    test_properties.py::test_iavg_numerator_cannot_wrap_int64; these six
-#:    cover shifts 0/2/4, the double-image consumers, the SQL-expr form,
-#:    and the vector-recall contract): q01, e01, f02, f08, q32, x21. The
-#:    other ten iavg users keep their r9 rows (same helper, same proof).
-#: 4. Freshness, oldest driver row first (r9 verdict #2): the whole
-#:    r4 era (q18 q20 t17 t18 t23 t30 t31 t32 t34 x09 x10 x12 x14), then
-#:    21 of the r5 era, then s03-s06 (r7) — fresh rows behind the
-#:    stateful-streaming / stream-stream-join coverage claims
-#:    (COVERAGE.md §2.8-2.11; r9 verdict #5 asked for gated rows for
-#:    exactly these surfaces — they have been s03-s06 since r7, the
-#:    COVERAGE table was stale).
+#: 1. NEW this round, never gated (always enters ahead of freshness):
+#:    s14 — the idle-timeout eviction path (streaming/stateful.py's
+#:    ProcessingTimeTimeout, r10 verdict #4: a driver row whose oracle
+#:    distinguishes closed_by='timeout' from 'gap' per row); t47 — Okapi
+#:    BM25 keyword scoring (operators/retrieval.py); x23 — hybrid
+#:    retrieval with reciprocal-rank fusion (BM25 ⊕ cosine top-50s).
+#: 2. Freshness, oldest driver row first (the r10 verdict's queue,
+#:    verbatim): the r5-era remainder (12), then q33 (r7, displaced by
+#:    t46 in round 10), then the COMPLETE r6 era (34) — after this window
+#:    no code-stable query's newest driver row is older than round 7.
+#:
+#: The r8-r10 q40 probe saga is CLOSED (rule 7 PROVEN by r10's
+#: q40g-GREEN/q40h-RED pattern): q40/q40g/q40h stay registered as
+#: LOCAL-ONLY regression tripwires (never gated — q40/q40h are
+#: red-by-design at the driver, enforced via _NEVER_GATE below), and the
+#: one-type-per-query probes q40a-f plus the q26/q28 stage diagnostics
+#: q41/q42 are retired from the registry entirely (settled history,
+#: relational.py).
 _GATE_PRIORITY = (
-    # probes + changed semantics + iavg representatives
-    ["q40g", "q40h", "e07", "f03"]                              # (4)
-    + ["q01", "e01", "f02", "f08", "q32", "x21"]                # (10)
-    # freshness: the r4 era, complete
-    + ["q18", "q20", "t17", "t18", "t23", "t30", "t31", "t32",
-       "t34", "x09", "x10", "x12", "x14"]                       # (23)
-    # freshness: the r5 era (21 of 33; the rest queue for r11)
-    + ["e10", "f04", "f06", "f13", "m01", "m09", "m10", "q23",
-       "q24", "q25", "t12", "t33", "t35", "t36", "t37", "t38",
-       "v10", "v11", "v12", "x04", "x13"]                       # (44)
-    # freshness: the r7 streaming-operator gates named by r9 verdict #5
-    + ["s03", "s04", "s05", "s06"]                              # (48)
-    # NEW this round (never gated — enters ahead of freshness): exact
-    # heavy hitters via two-pass Misra-Gries (bounded-memory candidates +
-    # exact recount); then r7's oldest-first queue head
-    + ["t46", "q37"]                                            # (50)
+    # new operators (never gated)
+    ["s14", "t47", "x23"]                                       # (3)
+    # freshness: the r5-era remainder, complete
+    + ["f07", "f09", "f10", "f11", "f12", "f14", "m13", "m16",
+       "x06", "x15", "x16", "x17"]                              # (15)
+    # freshness: q33 (r7, displaced from the r10 window by t46)
+    + ["q33"]                                                   # (16)
+    # freshness: the r6 era, complete
+    + ["e11", "g01", "g02", "g03", "m02", "m03", "q31", "t01",
+       "t02", "t03", "t04", "t06", "t07", "t08", "t09", "t10",
+       "t13", "t14", "t15", "t16", "t19", "t20", "t21", "t22",
+       "t24", "t26", "t41", "t42", "v13", "v14", "x01", "x02",
+       "x03", "x19"]                                            # (50)
 )
-#: Next-round rotation candidates (oldest first): the deferred r5 rows
-#: (f07 f09 f10 f11 f12 f14 m13 m16 x06 x15 x16 x17) and q33 (r7,
-#: displaced by the new t46), then the r6 era
-#: (t01-t24 core text ops, g01-g03, v13/v14, x01-x03, x19, e11, q31),
-#: then r7's remainder (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18,
-#: t43-t45) and the r8 window (q26/q28/q41/q42, m19/m20, s08-s12,
-#: x05/x07/x08/x11, t25, t27, v01-v05/v08/v09, q05-q09/q12-q16,
-#: e03/e05/e09, f01/f17, m04) by age.
+#: Next-round rotation candidates (oldest first): the r7 remainder
+#: (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18, t43-t45), then the r8 era
+#: (q26/q28, m19/m20, m04, s08-s12, x05/x07/x08/x11/x18, t25, t27,
+#: v01-v05/v08/v09, q05-q09/q12-q16, e03/e05/e09, f01/f17), then r9
+#: (q02-q04, q10/q11, q17/q19, q21/q22, q27/q29/q30, q34-q36, q38/q39,
+#: q43, e02/e04/e06/e08, f05/f15/f16, m06, s01/s02/s13, t05/t11/t40,
+#: v06/v07, x20/x22) by age.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate
 #: answers; the exact twins t18/t17 are hash-gated, t43 drives the
 #: sketch mergeability/error booleans through a hash row, and each
-#: sketch carries an error-bound/mergeability property test). They
-#: must NEVER rotate into the driver window — a rows-only row there would
-#: read as red for a non-defect. load_all() enforces this mechanically.
-_NEVER_GATE = frozenset({"t28", "t29", "t39"})
+#: sketch carries an error-bound/mergeability property test). They must
+#: NEVER rotate into the driver window — a rows-only row there would
+#: read as red for a non-defect. The retired q40-family tripwires are
+#: banned for the symmetric reason: q40 (combined fingerprint) and q40h
+#: (rule 7's negative control) emit Decimal probe columns that the
+#: driver's comparator renders verbatim — red-by-design there, green
+#: only in the local mirror — and q40f is the original not-type-faithful
+#: probe both hypotheses predicted red. load_all() enforces all of this
+#: mechanically.
+_NEVER_GATE = frozenset({"t28", "t29", "t39", "q40", "q40f", "q40h"})
 
 
 def load_all() -> None:

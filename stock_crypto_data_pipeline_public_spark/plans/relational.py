@@ -412,7 +412,7 @@ def q09_supplier_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 'General'
            END                              AS category,
            count(*)                          AS n_parts,
-           CAST((2 * CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+           CAST((2 * CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                  + count(*)) // (2 * count(*)) AS BIGINT)       AS avg_price_e4,
            floor((max(p_retailprice)) * 100 + 0.5) / 100.0      AS max_price
     FROM part
@@ -453,7 +453,7 @@ def q10_part_type_categorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                      + count(*)) // (2 * count(*)) AS BIGINT) AS avg_value_e4
         FROM events GROUP BY 1
     )
@@ -733,7 +733,7 @@ def q18_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT try_cast(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
            count(*)              AS n,
-           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                  + count(*)) // (2 * count(*)) AS BIGINT) AS avg_value_e4
     FROM events
     GROUP BY 1
@@ -1801,6 +1801,9 @@ def q39_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row is red, CORRECTNESS's per-column diff names the exact type/pipeline
 # the driver's comparator renders differently — localizing driver-vs-
 # mirror divergence mechanically instead of by conjecture.
+# STATUS (r11): LOCAL-ONLY regression tripwire, red-by-design at the
+# driver (it emits Decimal probe columns; rule 7 PROVEN in r10 — see the
+# settled-history block below). _NEVER_GATE bans it from the window.
 # --------------------------------------------------------------------------
 _Q40_SQL = """
     SELECT CAST(42 AS BIGINT)                                   AS p_bigint,
@@ -1829,135 +1832,47 @@ def q40_renderer_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q40a-q40f — the round-9 SPLIT of the q40 fingerprint into one-type-per-
-# query gate rows. Round 8 proved the combined q40 red at the driver while
-# the local mirror passes (rows+schema green, hash red on identical
-# constant-literal SQL) — i.e. the driver's comparator renders SOME
-# probe's type/pipeline differently from oracle_compare.py's mirror. But
-# the driver artifact carries only a per-query boolean, so a 15-column row
-# cannot NAME the divergent column. Split one probe class per query and
-# the red/green PATTERN across q40a-q40f IS the diagnosis:
-#   q40a  ints / strings / bool / typed NULLs   (expected green)
-#   q40b  decimal literal
-#   q40c  date / timestamp
-#   q40d  exact + representation-error doubles  (0.1+0.2 class)
-#   q40e  double quotients (division / decimal→double avg pipeline)
-#   q40f  the floor(CAST(decimal AS DOUBLE)·100+0.5)/100 money rendering
-#         ALONE — the exact pipeline the old q26/q28 money outputs used
-# Each row runs the IDENTICAL SQL text on both engines — no data, no
-# aggregation, no ordering — so any red names its pipeline mechanically.
-#
-# ROUND-9 OUTCOME + ROUND-10 REFINEMENT. The driver came back q40a-e GREEN,
-# q40f alone RED (rows+schema green). But q40f was NOT type-faithful to the
-# double pipeline it claims to probe: on Spark, floor() returns BIGINT and
-# the bare `100.0` literal parses as DECIMAL(4,1), so BIGINT/DECIMAL makes
-# p_double_floorpath a DECIMAL(27,6) — toPandas() hands the driver
-# Decimal('1234.570000') — while DuckDB's floor() returns DOUBLE and its
-# .df() renders every decimal as float64 anyway, handing the driver
-# 1234.57. So the r9 red is consistent with TWO hypotheses:
-#   (H1) the driver's comparator genuinely diverges on the floorpath
-#        DOUBLE arithmetic/rendering (round 9's recorded conclusion);
-#   (H2) the driver's comparator renders a Decimal cell VERBATIM (trailing
-#        zeros included) without coercing to float — str(Decimal(
-#        '1234.570000')) != str(1234.57) — and never diverged on doubles
-#        at all. H2 also explains why q40b stayed green: its decimals
-#        (123.45 / 1234.565 / -0.05) have no trailing zeros, so their
-#        verbatim renderings coincide with DuckDB's float64 str() images.
-# q40f therefore RETIRES from the gate window (registered local-only; its
-# red is reproduced by design, it can never go green at the driver) and
-# round 10 gates the two probes that separate the hypotheses:
-#   q40g  the IDENTICAL floorpath but emitting a true DOUBLE on BOTH
-#         engines (divide by CAST(100.0 AS DOUBLE)) — H1 predicts RED,
-#         H2 predicts GREEN;
-#   q40h  the cross-type rendering isolated from any arithmetic: Spark
-#         emits CAST(1234.57 AS DECIMAL(27,6)) (= Decimal('1234.570000'))
-#         while the oracle emits CAST(1234.57 AS DOUBLE) — equal values,
-#         different renderings. H2 predicts RED (the confirming probe, a
-#         DESIGNED red like r9's q40f), H1 predicts GREEN.
-# Decode for round 11: g GREEN + h RED proves H2 — record the rule
-# "never hash a DECIMAL-typed Spark output column" and retire q40h;
-# g RED reinstates H1 (the double floorpath itself diverges). All four
-# red/green patterns are pre-registered with their actions in
-# oracle_compare.py's KNOWN RESIDUAL block (including the both-green
-# "driver drift" case, which would re-test the untouched q40f).
+# q40a-q40h — SETTLED HISTORY of the r8-r10 driver-comparator divergence
+# saga, kept so the tripwires below stay interpretable. Timeline:
+#   r8: the combined q40 fingerprint (constant-literal SQL, identical text
+#       both engines) was rows+schema GREEN but hash-RED at the driver while
+#       the local mirror passed — the driver's comparator renders SOME
+#       type/pipeline differently from oracle_compare.py's mirror.
+#   r9: split one-type-per-query (q40a ints/strings/bools, q40b decimals,
+#       q40c date/ts, q40d doubles, q40e quotients, q40f the
+#       floor(CAST(decimal AS DOUBLE)*100+0.5)/100 money rendering).
+#       Driver: a-e GREEN, f alone RED. But q40f was not type-faithful: on
+#       Spark floor() returns BIGINT and the bare 100.0 literal parses as
+#       DECIMAL(4,1), so its output was DECIMAL(27,6) —
+#       Decimal('1234.570000') — vs DuckDB's DOUBLE 1234.57. Two hypotheses
+#       fit: H1 (the floorpath double arithmetic diverges) and H2 (the
+#       driver renders Decimal cells VERBATIM, trailing zeros included,
+#       while DuckDB's .df() renders all decimals as float64).
+#   r10: gated the separating probes — q40g (the identical floorpath
+#       emitted as a true DOUBLE on both engines) and q40h (the type
+#       condition alone: Spark DECIMAL(27,6) vs oracle DOUBLE, equal
+#       value). Driver: **q40g GREEN, q40h RED** — exactly the
+#       pre-registered H2 pattern. H2 is PROVEN: the driver's comparator
+#       renders Decimal cells verbatim (str(Decimal('1234.570000')) !=
+#       str(1234.57)) and never diverged on doubles at all. r9's H1
+#       reading is formally corrected.
+# The durable outcome is registry rule 7 — never EMIT a DecimalType hashed
+# output column — mechanically enforced by
+# tests/test_plan_contracts.py::test_no_decimal_typed_gated_outputs. With
+# the rule plan-contract-enforced, the one-type-per-query probes (q40a-f)
+# and the q26/q28 stage diagnostics (q41 revenue-stage / q42 custavg-stage,
+# which localized the original money-pipeline reds to their aggregation
+# stages) are retired from the registry entirely; the combined q40 row
+# above plus q40g/q40h below stay registered LOCAL-ONLY (never in the
+# driver window — q40/q40h are red-by-design there, since both emit a
+# Decimal probe column; _NEVER_GATE enforces the ban mechanically) as
+# regression tripwires for the local mirror's canonicalization.
 # --------------------------------------------------------------------------
-_Q40A_SQL = """
-    SELECT CAST(42 AS BIGINT)        AS p_bigint,
-           CAST(7 AS INT)            AS p_int,
-           true                      AS p_bool,
-           'spark-graft'             AS p_string,
-           CAST(NULL AS VARCHAR(8))  AS p_null_str,
-           CAST(NULL AS BIGINT)      AS p_null_bigint
-"""
-
-_Q40B_SQL = """
-    SELECT CAST(123.45 AS DECIMAL(12,2))    AS p_decimal,
-           CAST(1234.565 AS DECIMAL(12,3))  AS p_decimal_s3,
-           CAST(-0.05 AS DECIMAL(4,2))      AS p_decimal_neg
-"""
-
-_Q40C_SQL = """
-    SELECT DATE '2024-02-29'                   AS p_date,
-           TIMESTAMP '2024-02-29 23:59:59'     AS p_ts,
-           TIMESTAMP '2024-03-01 00:00:00'     AS p_ts_midnight
-"""
-
-_Q40D_SQL = """
-    SELECT CAST(2.5 AS DOUBLE)                        AS p_double_exact,
-           CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)  AS p_double_repr,
-           CAST(NULL AS DOUBLE)                       AS p_null_double
-"""
-
-_Q40E_SQL = """
-    SELECT CAST(551.43 AS DOUBLE) / CAST(8 AS DOUBLE)           AS p_double_quot,
-           CAST(CAST(1111111.11 AS DECIMAL(12,2)) AS DOUBLE) / 7.0
-                                                                AS p_double_divavg
-"""
-
-_Q40F_SQL = """
-    SELECT floor(CAST(CAST(1234.565 AS DECIMAL(12,3)) AS DOUBLE)
-                 * 100 + 0.5) / 100.0                           AS p_double_floorpath
-"""
-
-
-@query("q40a_fp_int_str_bool", oracle=_Q40A_SQL)
-def q40a_fp_int_str_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q40A_SQL)
-
-
-@query("q40b_fp_decimal", oracle=_Q40B_SQL)
-def q40b_fp_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q40B_SQL)
-
-
-@query("q40c_fp_datetime", oracle=_Q40C_SQL)
-def q40c_fp_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q40C_SQL)
-
-
-@query("q40d_fp_double_exact", oracle=_Q40D_SQL)
-def q40d_fp_double_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q40D_SQL)
-
-
-@query("q40e_fp_double_quot", oracle=_Q40E_SQL)
-def q40e_fp_double_quot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_Q40E_SQL)
-
-
-@query("q40f_fp_double_floorpath", oracle=_Q40F_SQL)
-def q40f_fp_double_floorpath(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # RETIRED from the gate window in round 10 (local-only): Spark types
-    # this expression DECIMAL(27,6), DuckDB DOUBLE — see the family
-    # comment; q40g/q40h carry the disentangled probes forward.
-    return spark.sql(_Q40F_SQL)
-
 
 # q40g — the floorpath emitting a true DOUBLE on BOTH engines: Spark's
 # floor() returns BIGINT and BIGINT / DOUBLE is DOUBLE; DuckDB's floor()
 # already returns DOUBLE. Identical SQL text, identical value 1234.57,
-# identical type. GREEN exonerates the double floorpath (H2); RED convicts
-# it (H1).
+# identical type. Driver-GREEN in r10 — the double floorpath is exonerated.
 _Q40G_SQL = """
     SELECT floor(CAST(CAST(1234.565 AS DECIMAL(12,3)) AS DOUBLE)
                  * 100 + 0.5) / CAST(100.0 AS DOUBLE)   AS p_floorpath_dbl
@@ -1965,10 +1880,12 @@ _Q40G_SQL = """
 
 # q40h — the r9-q40f TYPE CONDITION isolated from all arithmetic: the Spark
 # side emits DECIMAL(27,6) (pandas hands the driver Decimal('1234.570000'),
-# trailing zeros) while the oracle emits DOUBLE (DuckDB .df() would render
-# even a decimal as float64 1234.57). Values equal; renderings differ
-# exactly when the comparator is verbatim-Decimal-sensitive. A DESIGNED
-# driver red under H2 — one round of evidence, then it retires like q40f.
+# trailing zeros) while the oracle emits DOUBLE (DuckDB .df() renders even
+# a decimal as float64 1234.57). Values equal; renderings differ exactly
+# when the comparator is verbatim-Decimal-sensitive. Driver-RED in r10 as
+# designed — the probe that PROVED H2. Local-only forever (rule 7's
+# negative control: the local mirror coerces Decimal→float, so this row is
+# green here and red at the driver BY CONSTRUCTION).
 _Q40H_SPARK_SQL = "SELECT CAST(1234.57 AS DECIMAL(27,6)) AS p_dec_vs_dbl"
 _Q40H_ORACLE_SQL = "SELECT CAST(1234.57 AS DOUBLE) AS p_dec_vs_dbl"
 
@@ -1981,71 +1898,6 @@ def q40g_fp_floorpath_true_double(spark: SparkSession, sf_dir: str) -> DataFrame
 @query("q40h_fp_decimal_vs_double", oracle=_Q40H_ORACLE_SQL)
 def q40h_fp_decimal_vs_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q40H_SPARK_SQL)
-
-
-# --------------------------------------------------------------------------
-# q41 — q26's aggregation stage ALONE (pre-rank revenue as e4 integers):
-# if q26 ever reds while this row is green, the divergence is in the
-# ranking window, not the join/aggregation; if this row reds too, it's in
-# the revenue pipeline itself. Shares q26's CTE text verbatim.
-# --------------------------------------------------------------------------
-_Q41_SQL = """
-    SELECT n.n_name AS nation,
-           year(o.o_orderdate) AS order_year,
-           CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                         * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
-                         * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
-    FROM {li} l
-    JOIN {orders} o ON l.l_orderkey = o.o_orderkey
-    JOIN {cust} c ON o.o_custkey = c.c_custkey
-    JOIN {nation} n ON c.c_nationkey = n.n_nationkey
-    GROUP BY 1, 2
-"""
-
-
-@query(
-    "q41_revenue_stage_diag",
-    oracle=_Q41_SQL.format(
-        li="lineitem", orders="orders", cust="customer", nation="nation"
-    ),
-)
-def q41_revenue_stage_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("lineitem", "orders", "customer", "nation"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(f"q41_{t}")
-    return spark.sql(
-        _Q41_SQL.format(
-            li="q41_lineitem",
-            orders="q41_orders",
-            cust="q41_customer",
-            nation="q41_nation",
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q42 — q28's per-customer average stage ALONE (the integer-rounded e4
-# average, uncorrelated): localizes a q28 red to either the average
-# pipeline (this row red too) or the correlated-subquery decorrelation +
-# comparison (this row green, q28 red). Same intdiv spelling split as q28.
-# --------------------------------------------------------------------------
-_Q42_SQL = """
-    SELECT o_custkey,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           (2 * CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
-                              * 10000 AS BIGINT)) AS BIGINT)
-            + count(*)) {div} (2 * count(*)) AS cust_avg_e4
-    FROM {orders}
-    GROUP BY o_custkey
-"""
-
-
-@query(
-    "q42_custavg_stage_diag",
-    oracle=_Q42_SQL.format(orders="orders", div="//"),
-)
-def q42_custavg_stage_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("q42_orders")
-    return spark.sql(_Q42_SQL.format(orders="q42_orders", div="DIV"))
 
 
 # --------------------------------------------------------------------------
