@@ -188,11 +188,34 @@ def iavg(total: str, count: str, shift: int = 0) -> Column:
     always exact). ``DECIMAL(38,0) div BIGINT`` returns LongType and
     truncates toward zero exactly like DuckDB ``//`` (verified on
     negatives), so the result is engine-identical whenever the true eK
-    average fits int64 — which it does whenever the inputs do."""
+    average fits int64 — which it does whenever the inputs do.
+
+    Boundary loudness (round 11): a true average whose eK image EXCEEDS
+    int64 has no BIGINT answer — DuckDB's HUGEINT→BIGINT cast errors
+    loudly there while Spark's non-ANSI ``div`` used to wrap silently.
+    The quotient is therefore verified by exact reconstruction in the
+    decimal domain (``|num − q·den| < |den|`` — false exactly when ``div``
+    wrapped) behind ``assert_true``, so Spark now RAISES at the first
+    value past the boundary, matching the oracle's loudness
+    (tests/test_properties.py pins both engines' behavior AT the
+    boundary). Cost: one decimal multiply per GROUP row, not per input
+    row."""
     m = 10**shift
+    num = f"(2 * CAST(({total}) AS DECIMAL(38,0)) * {m} + ({count}))"
+    den = f"(2 * ({count}))"
+    q = f"({num} div {den})"
+    ok = (
+        f"(abs({num} - CAST({q} AS DECIMAL(38,0)) * {den})"
+        f" < abs(CAST({den} AS DECIMAL(38,0))))"
+    )
+    # NULL domain first: an empty/all-null group (NULL total or zero count)
+    # has no average on EITHER engine (DuckDB NULL//0 → NULL) — pass NULL
+    # through; the loudness guard is only for values with no int64 image
     return F.expr(
-        f"(2 * CAST(({total}) AS DECIMAL(38,0)) * {m} + ({count}))"
-        f" div (2 * ({count}))"
+        f"CASE WHEN ({num}) IS NULL OR ({den}) = 0 THEN CAST(NULL AS BIGINT)"
+        f" WHEN assert_true({ok},"
+        f" 'iavg: eK-scaled average exceeds int64 — no BIGINT answer exists"
+        f" (the oracle errors here too)') IS NULL THEN {q} END"
     )
 
 

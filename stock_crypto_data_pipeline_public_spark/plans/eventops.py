@@ -99,7 +99,7 @@ def e01_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*)              AS n_events,
            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_value_e2,
-           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                  + count(*)) // (2 * count(*)) AS BIGINT)                          AS avg_value_e4
     FROM events
     GROUP BY 1, 2
@@ -184,7 +184,7 @@ def e03_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(hour(ts) AS INT) AS hour_of_day,
            event_type,
            count(*)             AS n_events,
-           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                  + count(*)) // (2 * count(*)) AS BIGINT)    AS avg_value_e4
     FROM events
     GROUP BY 1, 2
@@ -301,7 +301,7 @@ def e06_bangkok_wall_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderstatus                            AS order_status,
            count(*)                                   AS n_orders,
            count(e.ts)                                AS n_matched,
-           CAST((2 * CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+           CAST((2 * CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                  + count(e.value)) // (2 * count(e.value)) AS BIGINT) AS avg_prior_value_e4,
            CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_prior_value_e2
     FROM orders o
@@ -361,7 +361,7 @@ def e07_asof_prior_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type,
            count(*)                         AS n_pairs,
            count(DISTINCT w.purchase_id)    AS n_windows_hit,
-           CAST((2 * CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+           CAST((2 * CAST(sum(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                  + count(e.value)) // (2 * count(e.value)) AS BIGINT) AS avg_window_value_e4
     FROM events e
     JOIN win w

@@ -108,7 +108,7 @@ def f01_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type AS symbol, trade_date,
            CAST(sum(size) AS BIGINT) AS volume,
            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * size) AS BIGINT) AS notional_e2,
-           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * size) AS BIGINT) * 100
+           CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * size) AS HUGEINT) * 100
                  + sum(size)) // (2 * sum(size)) AS BIGINT) AS vwap_e4
     FROM sized
     GROUP BY 1, 2
@@ -364,7 +364,7 @@ def f06_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                      + count(*)) // (2 * count(*)) AS BIGINT) AS px_e4
         FROM events
         GROUP BY 1, 2
@@ -568,7 +568,7 @@ def f07_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
                count(*) AS n_events,
-               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                      + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     ),
@@ -1188,7 +1188,7 @@ _BETA_N = 10
     oracle=f"""
     WITH daily AS (
         SELECT event_type AS symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
-               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                      + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS px
         FROM events GROUP BY 1, 2
     ),
@@ -1307,7 +1307,7 @@ def f15_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
                count(*) AS n_events,
-               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) * 100
+               CAST((2 * CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS HUGEINT) * 100
                      + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     ),

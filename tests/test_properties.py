@@ -808,3 +808,35 @@ def test_f03_variance_sums_survive_large_money_values(spark):
     s2 = sum(x * x for x in v[0:20])
     sigma = math.sqrt((20 * s2 - s1 * s1) / 3800000.0)
     assert out["avg_roll_std_e4"].iloc[0] == math.floor(sigma * 10000 + 0.5)
+
+
+@pytest.mark.parametrize(
+    "total,n,shift",
+    [
+        (2**62, 1, 2),           # quotient ≈ 4.6e20 — no BIGINT answer
+        (-(2**62), 1, 2),
+        (9_000_000_000_000_000_000, 1, 4),  # shift=4 blowup
+    ],
+)
+def test_iavg_raises_past_int64_quotient_like_the_oracle(spark, total, n, shift):
+    """r10 verdict item 2 (symmetric loudness): when the true eK average
+    itself exceeds int64 there is no BIGINT answer — DuckDB's
+    HUGEINT→BIGINT cast ERRORS and, since round 11, Spark's iavg RAISES
+    (reconstruction check behind assert_true) instead of silently wrapping
+    through non-ANSI `div`."""
+    import duckdb
+
+    from stock_crypto_data_pipeline_public_spark.functions.numeric import iavg, oracle_iavg
+
+    df = (
+        spark.createDataFrame([(total, n)], "t bigint, n bigint")
+        .withColumn("avg", iavg("t", "n", shift))
+    )
+    with pytest.raises(Exception) as err:
+        df.first()
+    assert "iavg" in str(err.value) or "ASSERT" in str(err.value).upper()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW v AS SELECT CAST({total} AS BIGINT) AS t, CAST({n} AS BIGINT) AS n")
+    with pytest.raises(Exception):
+        con.execute(f"SELECT {oracle_iavg('t', 'n', shift)} FROM v").fetchone()
