@@ -143,15 +143,31 @@ def compact_partitioned_table(
     rewrites it to itself. Multi-level layouts (date=.../hour=...) recurse
     to the LEAF partition dirs — each leaf is one independent rewrite, so
     a crash mid-run leaves every partition either old-complete or
-    new-complete, never mixed. Returns per-leaf stats plus totals."""
+    new-complete, never mixed. Returns per-leaf stats plus totals.
+
+    Mixed layouts FAIL LOUDLY (r10 ADVICE): data files sitting directly
+    beside ``key=value`` dirs (at the root or any intermediate level) are
+    a corrupt-or-unpartitioned layout this rewrite would silently half-
+    compact — raise like the no-partitions case does, instead of quietly
+    skipping them. Dot/underscore-prefixed entries (_SUCCESS, .crc,
+    _spark_metadata) are commit markers, not data, and are ignored."""
+    entries = os.listdir(path)
     parts = sorted(
-        d
-        for d in os.listdir(path)
-        if "=" in d and os.path.isdir(os.path.join(path, d))
+        d for d in entries if "=" in d and os.path.isdir(os.path.join(path, d))
     )
     if not parts:
         raise ValueError(
             f"{path!r} has no key=value partition dirs; use compact_table"
+        )
+    loose = sorted(
+        f
+        for f in entries
+        if os.path.isfile(os.path.join(path, f)) and not f.startswith((".", "_"))
+    )
+    if loose:
+        raise ValueError(
+            f"{path!r} mixes data files {loose[:3]} with key=value partition "
+            "dirs — refusing to partially compact a corrupt layout"
         )
     per: dict[str, dict] = {}
     for p in parts:

@@ -115,6 +115,15 @@ def mg_partition_summaries(df: DataFrame, key_col: str, m: int) -> DataFrame:
     pass pipelines inside the scan stage). At 100 TB this is the only
     full-corpus pass whose output is not data-sized: P·m rows feed the
     candidate broadcast of the recount pass (plans/textops.py t46).
+
+    NULL keys COUNT (r10 ADVICE): pandas ``value_counts`` defaults to
+    ``dropna=True``, which would silently exclude a null-keyed heavy
+    hitter from the candidate set and void the superset guarantee for
+    generic callers. Nulls are counted under a private sentinel (NaN/None
+    are unreliable Counter keys — NaN ≠ NaN) and emitted as a NULL-keyed
+    summary row. Recount joins against the candidates must therefore be
+    null-safe (``eqNullSafe``/IS NOT DISTINCT FROM) if the keyed column is
+    nullable; t46's tokens never are.
     """
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -126,16 +135,26 @@ def mg_partition_summaries(df: DataFrame, key_col: str, m: int) -> DataFrame:
     def summarize(batches):
         from collections import Counter
 
+        null_key = object()  # stable identity for all NA flavors
         acc: Counter = Counter()
         for pdf in batches:
-            acc.update(pdf[key_col].value_counts().to_dict())
+            vc = pdf[key_col].value_counts(dropna=False)
+            acc.update(
+                {
+                    (null_key if pd.isna(k) else k): int(v)
+                    for k, v in vc.items()
+                }
+            )
             if len(acc) > m:
                 kth = sorted(acc.values(), reverse=True)[m]
                 acc = Counter(
                     {k: v - kth for k, v in acc.items() if v > kth}
                 )
         yield pd.DataFrame(
-            {key_col: list(acc.keys()), "lb": [int(v) for v in acc.values()]}
+            {
+                key_col: [None if k is null_key else k for k in acc.keys()],
+                "lb": [int(v) for v in acc.values()],
+            }
         )
 
     return df.select(key_col).mapInPandas(summarize, out_schema)

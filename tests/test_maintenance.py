@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from stock_crypto_data_pipeline_public_spark.operators.maintenance import (
     _data_files,
+    compact_partitioned_table,
     compact_table,
     table_stats,
     write_range_sorted,
@@ -399,3 +400,20 @@ def test_compact_partitioned_table_recurses_to_leaf_partitions(spark, tmp_path):
     assert spark.read.parquet(root).orderBy("id", "d", "h").collect() == before
     stats2 = compact_partitioned_table(spark, root)
     assert stats2["n_files_after"] == 6
+
+
+def test_compact_partitioned_refuses_mixed_layout(spark, tmp_path):
+    """r10 ADVICE: loose data files beside key=value dirs are a corrupt
+    layout — fail loudly instead of partially compacting. Commit markers
+    (_SUCCESS, dotfiles) don't count as data."""
+    root = str(tmp_path / "mixed")
+    spark.range(10).withColumn("k", F.col("id") % 2).write.partitionBy(
+        "k"
+    ).parquet(root)
+    # commit markers are fine
+    compact_partitioned_table(spark, root)
+    # a loose data file is not
+    with open(os.path.join(root, "stray.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    with pytest.raises(ValueError, match="mixes data files"):
+        compact_partitioned_table(spark, root)

@@ -121,3 +121,20 @@ def test_mg_two_pass_equals_exact_threshold_filter(spark):
     )
     # exact answer: only the whale exceeds n/9 (5800/9 ≈ 644; u-keys ≈ 52)
     assert {(r.tok, r.c) for r in got} == {("whale", 800)}
+
+
+def test_mg_summaries_count_null_keys(spark):
+    """r10 ADVICE: a null-keyed heavy hitter must enter the candidate set
+    (value_counts defaults to dropna=True — the summary must not). The
+    null key's lower bound obeys the same undercount bound as any key."""
+    from stock_crypto_data_pipeline_public_spark.operators.sketch import mg_partition_summaries
+
+    rows = [(None,)] * 50 + [(f"k{i}",) for i in range(10)] * 2
+    df = spark.createDataFrame(rows, "tok string").coalesce(1)
+    out = mg_partition_summaries(df, "tok", 5).collect()
+    by_key = {r.tok: r.lb for r in out}
+    assert None in by_key  # the null heavy hitter survives
+    # n=70, m=5 → undercount ≤ 70/6 ≈ 11.67; true null count 50
+    assert by_key[None] >= 50 - 70 // 6
+    assert all(lb > 0 for lb in by_key.values())
+    assert len(out) <= 5
