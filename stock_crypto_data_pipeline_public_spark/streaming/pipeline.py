@@ -248,23 +248,16 @@ def run_sketch_sink(
 
     Replay contract: CMS addition is NOT idempotent (re-adding a batch
     double-counts), so each micro-batch lands its own immutable
-    ``epoch=N`` partition with OVERWRITE — a crash replay rewrites the
-    identical partition, never adds. After the partition commits, the
-    one-line ``_max_epoch`` pointer flips to N (atomic single-file
-    replace, manifest.py's primitive): :func:`read_sketch` sums ONLY
-    epochs <= pointer, which closes the stale-epoch hazard — a
-    checkpoint-wipe replay that compresses the history into FEWER
-    micro-batches lowers the pointer with its first epoch, so the old
-    high-numbered partitions it hasn't overwritten yet can never be
-    double-counted once that first flip lands. Crash-window fine print
-    (r9 ADVICE): in NORMAL operation a crash between partition write and
-    pointer flip just leaves the newest epoch invisible until the replay
-    rewrites it; during a WIPE-REPLAY specifically, a crash after the
-    replay's epoch=0 overwrite but before its pointer flip leaves a
-    TRANSIENT overcount window — reads still sum the stale pointer's
-    epochs 1..N plus the rewritten epoch 0 — until the resumed replay's
-    first flip lowers the pointer. Reads are guaranteed consistent once
-    the replay's first epoch has flipped the pointer, not before.
+    ``epoch=N`` partition via :func:`land_sketch_epoch` — the normal path
+    writes the partition (invisible to readers: the ``_max_epoch`` pointer
+    is still below N) and then flips the pointer up; a WIPE-REPLAY's first
+    epoch (epoch_id <= the live pointer) takes the TWO-PHASE path — stage
+    the replayed partition aside, flip the pointer DOWN (readers instantly
+    drop every stale epoch and see the consistent pre-wipe PREFIX the old
+    partition holds), then atomically rename-swap the replayed content in.
+    No read at any point in either sequence can sum replayed + stale
+    content (the r9-ADVICE transient-overcount window, closed in r11 —
+    pinned by tests/test_streaming.py's phase-by-phase replay test).
     :func:`compact_sketch` materializes the cell-wise sum periodically so
     read cost doesn't grow with epoch count. Per-batch work is one
     explode(d) + one hash aggregation over the batch — ∝ batch size,
@@ -272,9 +265,7 @@ def run_sketch_sink(
     from ..operators.sketch import count_min_table
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        tbl = count_min_table(batch, key_col, w, d)
-        tbl.write.mode("overwrite").parquet(f"{sketch_dir}/epoch={int(epoch_id)}")
-        _flip_max_epoch(sketch_dir, int(epoch_id))
+        land_sketch_epoch(count_min_table(batch, key_col, w, d), sketch_dir, int(epoch_id))
 
     return (
         stream.writeStream.foreachBatch(handle)
@@ -287,6 +278,59 @@ def run_sketch_sink(
 #: one-line pointer naming the newest LIVE epoch partition; epochs above it
 #: are stale leftovers of a pre-wipe history and must not be read
 _MAX_EPOCH = "_max_epoch"
+
+
+def land_sketch_epoch(
+    tbl: DataFrame,
+    sketch_dir: str,
+    epoch_id: int,
+    on_phase=None,
+) -> None:
+    """Land one epoch's sketch partition with reads consistent THROUGHOUT.
+
+    Normal path (epoch above the live pointer, or no pointer yet): write
+    ``epoch=N`` — invisible to :func:`read_sketch`, whose filter stops at
+    the pointer — then flip the pointer up. A crash between the two just
+    leaves the newest epoch invisible until the replay rewrites it.
+
+    Wipe-replay first epoch (``epoch_id`` <= live pointer — only a replay
+    that compressed history into fewer micro-batches can go backwards):
+    overwriting ``epoch=N`` in place would open the r9-ADVICE transient
+    window where a read sums the REPLAYED epoch N plus the STALE epochs
+    N+1.. that the old pointer still admits. Two-phase instead:
+
+      1. stage the replayed partition beside the live dir (dot-prefixed —
+         partition discovery ignores it);
+      2. flip the pointer DOWN to ``epoch_id`` — readers now see exactly
+         the OLD ``epoch<=N`` partitions: the consistent pre-wipe prefix,
+         never a mix;
+      3. atomically rename-swap the staged partition over ``epoch=N``
+         (operators/incremental.swap_into_place — the compact_sketch
+         idiom).
+
+    A crash after 2 leaves a stale-but-consistent prefix view that the
+    resumed replay (same epoch_id, still <= pointer) repairs by re-running
+    all three steps. ``on_phase`` is a test seam: called with "staged"
+    and "flipped" between the steps so the no-overcount invariant can be
+    asserted AT the phase boundaries."""
+    import os
+
+    from ..operators.incremental import swap_into_place
+
+    part = os.path.join(sketch_dir, f"epoch={int(epoch_id)}")
+    live = _live_max_epoch(sketch_dir)
+    if live is not None and int(epoch_id) <= live:
+        staging = os.path.join(sketch_dir, f".epoch_{int(epoch_id)}.__replay__")
+        tbl.write.mode("overwrite").parquet(staging)
+        if on_phase is not None:
+            on_phase("staged")
+        _flip_max_epoch(sketch_dir, int(epoch_id))
+        if on_phase is not None:
+            on_phase("flipped")
+        swap_into_place(staging, part)
+    else:
+        tbl.write.mode("overwrite").parquet(part)
+        _flip_max_epoch(sketch_dir, int(epoch_id))
 
 
 def _flip_max_epoch(sketch_dir: str, epoch_id: int) -> None:

@@ -408,3 +408,77 @@ def test_sketch_compaction_idempotent_and_pre_pointer_fallback(spark, sf_dir, tm
     again = compact_sketch(spark, sketch)  # idempotent re-compaction
     assert again == {"n_epochs_before": 1, "n_epochs_after": 1, "max_epoch": 1}
     assert_equals_oneshot()
+
+
+def test_sketch_wipe_replay_two_phase_never_overcounts(spark, sf_dir, tmp_path):
+    """r10 verdict #7: the wipe-replay transient-overcount window is CLOSED.
+    Build a 3-epoch history (pointer=2), then land the replay's epoch 0 via
+    land_sketch_epoch and assert the read at EVERY phase boundary is a
+    consistent view — the full pre-wipe sum before the flip, the pre-wipe
+    epoch-0 prefix between flip and swap, the replayed full sum after —
+    never the replayed-plus-stale mix the old in-place overwrite allowed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_crypto_data_pipeline_public_spark.operators.sketch import count_min_table
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+    from stock_crypto_data_pipeline_public_spark.streaming.pipeline import (
+        file_stream,
+        land_sketch_epoch,
+        read_sketch,
+        run_sketch_sink,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+    landing, sketch, ckpt = (
+        str(tmp_path / "landing"),
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def drain():
+        q = run_sketch_sink(
+            file_stream(spark, landing, ev.schema), sketch, "user_id", ckpt
+        )
+        q.awaitTermination()
+
+    def merged_cells():
+        return {
+            (r.r, r.c): r.cnt for r in read_sketch(spark, sketch).collect()
+        }
+
+    def oneshot_cells(sl):
+        return {(r.r, r.c): r.cnt for r in count_min_table(sl, "user_id").collect()}
+
+    # three drains of one file each → epochs 0, 1, 2; pointer = 2
+    for m in (0, 1, 2):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        drain()
+    pre_wipe_full = merged_cells()
+    assert pre_wipe_full == oneshot_cells(ev)
+    epoch0_prefix = oneshot_cells(ev.filter(F.col("event_id") % 3 == 0))
+
+    # the replay's first epoch compresses ALL files into one batch
+    seen = []
+
+    def on_phase(phase):
+        got = merged_cells()
+        if phase == "staged":  # old pointer, staging invisible → full pre-wipe
+            assert got == pre_wipe_full, "staging leaked into reads"
+        else:  # "flipped": pointer=0, old epoch-0 content → pre-wipe prefix
+            assert got == epoch0_prefix, "flip exposed replayed+stale mix"
+        seen.append(phase)
+
+    land_sketch_epoch(count_min_table(ev, "user_id"), sketch, 0, on_phase=on_phase)
+    assert seen == ["staged", "flipped"]
+    assert merged_cells() == oneshot_cells(ev)  # replayed full view
+    # stale partitions still on disk — excluded by the pointer, as before
+    assert os.path.isdir(os.path.join(sketch, "epoch=1"))
+    assert os.path.isdir(os.path.join(sketch, "epoch=2"))
