@@ -69,6 +69,8 @@ EXPECTED_NESTED_LOOP = {
     "t10_tfidf_top_terms",
     # BM25 corpus stats: the same broadcast 1-row scalar shape (N, Σdl)
     "t47_bm25_scoring",
+    # PSI drift: broadcast 1-row totals cross join (same scalar shape)
+    "e12_value_drift_psi",
     # hybrid RRF: t47's 1-row stats shape on the text side + the x01-style
     # broadcast single-query-vector cosine scan on the vector side
     "x23_hybrid_rrf_fusion",

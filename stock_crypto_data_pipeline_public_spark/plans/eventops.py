@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.numeric import dec, iavg, money_sum, money_sum_e2, rnd
+from ..functions.numeric import dec, iavg, money_sum, money_sum_e2, oracle_rnd, rnd
 from ..functions.timeops import epoch_us
 from .registry import query
 
@@ -615,4 +615,117 @@ def e11_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_active",
         "cohort_size",
         rnd(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias("retention"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e12 — DISTRIBUTION DRIFT via Population Stability Index: the standard
+# data-quality monitor for a long-running ingestion pipeline ("did this
+# week's data shift against last week's?"). The corpus is split at its
+# integer-µs midpoint (s05's cut idiom), event values are quantized to
+# exact cents (the money policy) and bucketed by FIXED literal cent edges
+# ($5/$10/$20/$50/$100/$200/$500 — data-independent, so the binning is a
+# pure integer CASE both engines fold identically), and each bin emits its
+# add-one-smoothed PSI contribution (p−q)·ln(p/q). Per-bin p, q are
+# integer-ratio double divisions on exact counts; no order-sensitive SUM
+# is emitted anywhere (the total PSI is the reader's 8-term sum) — the
+# gate hashes counts + floor-rounded per-bin contributions.
+# Scale: one conditional-aggregation scan (map-side partials, 8×2
+# counters), an 8-row broadcast join against the literal bin spine (empty
+# bins must exist for smoothing), and a broadcast 1-row totals cross join
+# (the q17 scalar shape — explain_audit BNLJ allowlist). The cut is a
+# bounded 1-row pull.
+# --------------------------------------------------------------------------
+_E12_EDGES = (500, 1000, 2000, 5000, 10000, 20000, 50000)  # cents
+
+
+def _e12_bin_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(_E12_EDGES)
+    )
+    return f"CASE {whens} ELSE {len(_E12_EDGES)} END"
+
+
+@query(
+    "e12_value_drift_psi",
+    oracle=f"""
+    WITH cut AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS us FROM events
+    ),
+    e AS (
+        SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_e2,
+               CASE WHEN epoch_us(ts) <= (SELECT us FROM cut)
+                    THEN 0 ELSE 1 END AS sl
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    b AS (SELECT {_e12_bin_sql('v_e2')} AS bin_id, sl FROM e),
+    c AS (
+        SELECT bin_id,
+               CAST(count(*) FILTER (sl = 0) AS BIGINT) AS n_first,
+               CAST(count(*) FILTER (sl = 1) AS BIGINT) AS n_second
+        FROM b GROUP BY 1
+    ),
+    bins(bin_id) AS (VALUES {", ".join(f"({i})" for i in range(len(_E12_EDGES) + 1))}),
+    filled AS (
+        SELECT CAST(bins.bin_id AS BIGINT) AS bin_id,
+               CAST(coalesce(c.n_first, 0) AS BIGINT)  AS n_first,
+               CAST(coalesce(c.n_second, 0) AS BIGINT) AS n_second
+        FROM bins LEFT JOIN c USING (bin_id)
+    ),
+    tot AS (
+        SELECT CAST(sum(n_first) AS BIGINT)  AS t1,
+               CAST(sum(n_second) AS BIGINT) AS t2,
+               CAST(count(*) AS BIGINT)      AS nb
+        FROM filled
+    )
+    SELECT bin_id, n_first, n_second,
+           {oracle_rnd(
+               "((n_first + 1) / (t1 + nb) - (n_second + 1) / (t2 + nb))"
+               " * ln(((n_first + 1) / (t1 + nb)) / ((n_second + 1) / (t2 + nb)))",
+               6,
+           )} AS psi_contrib
+    FROM filled CROSS JOIN tot
+    """,
+)
+def e12_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("value", "ts")
+    )
+    mn_us, mx_us = ev.agg(
+        F.min(epoch_us("ts")), F.max(epoch_us("ts"))
+    ).first()  # bounded 1-row pull (the s05 cut idiom)
+    cut_us = (mn_us + mx_us) // 2
+    v_e2 = (dec("value") * 100).cast("bigint")
+    bin_col = F.lit(len(_E12_EDGES))
+    for i in range(len(_E12_EDGES) - 1, -1, -1):
+        bin_col = F.when(v_e2 < _E12_EDGES[i], i).otherwise(bin_col)
+    sl = F.when(epoch_us("ts") <= F.lit(cut_us), 0).otherwise(1)
+    counts = (
+        ev.select(bin_col.cast("bigint").alias("bin_id"), sl.alias("sl"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("sl") == 0, 1).otherwise(0)).alias("n_first"),
+            F.sum(F.when(F.col("sl") == 1, 1).otherwise(0)).alias("n_second"),
+        )
+    )
+    bins = spark.range(len(_E12_EDGES) + 1).select(F.col("id").alias("bin_id"))
+    filled = bins.join(F.broadcast(counts), "bin_id", "left").select(
+        "bin_id",
+        F.coalesce("n_first", F.lit(0)).cast("bigint").alias("n_first"),
+        F.coalesce("n_second", F.lit(0)).cast("bigint").alias("n_second"),
+    )
+    tot = filled.agg(
+        F.sum("n_first").alias("t1"),
+        F.sum("n_second").alias("t2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = (F.col("n_first") + 1) / (F.col("t1") + F.col("nb"))
+    q = (F.col("n_second") + 1) / (F.col("t2") + F.col("nb"))
+    return filled.crossJoin(F.broadcast(tot)).select(
+        "bin_id",
+        "n_first",
+        "n_second",
+        rnd((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
