@@ -74,6 +74,7 @@ EAGER = {
     "s14_idle_timeout_eviction",
     "q38_cobucketed_join_rollup",  # bucketed-table writes run in the call
     "q39_compaction_roundtrip",  # fragment + compact runs in the call
+    "q44_manifest_time_travel",  # two manifest merge-commits run in the call
 }
 
 

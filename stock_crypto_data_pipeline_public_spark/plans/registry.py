@@ -79,12 +79,14 @@ def query(name: str, oracle: str | None = None):
 #:    BM25 keyword scoring (operators/retrieval.py); x23 — hybrid
 #:    retrieval with reciprocal-rank fusion (BM25 ⊕ cosine top-50s);
 #:    e12 — PSI distribution-drift monitor (exact cent bins, smoothed
-#:    per-bin contributions, no order-sensitive sums).
+#:    per-bin contributions, no order-sensitive sums); q44 — manifest
+#:    time travel (generation-0 read vs current, hash-gated §2.11
+#:    write-path coverage).
 #: 2. Freshness, oldest driver row first (the r10 verdict's queue,
 #:    verbatim): the r5-era remainder (12), then q33 (r7, displaced by
-#:    t46 in round 10), then the r6 era (33 of 34 — x19 defers one round
-#:    to make room for e12) — after this window no code-stable query's
-#:    newest driver row is older than round 7 except x19 (r6).
+#:    t46 in round 10), then the r6 era (32 of 34 — x03/x19 defer one
+#:    round to make room for e12/q44) — after this window no code-stable
+#:    query's newest driver row is older than round 7 except x03/x19 (r6).
 #:
 #: The r8-r10 q40 probe saga is CLOSED (rule 7 PROVEN by r10's
 #: q40g-GREEN/q40h-RED pattern): q40/q40g/q40h stay registered as
@@ -95,21 +97,20 @@ def query(name: str, oracle: str | None = None):
 #: relational.py).
 _GATE_PRIORITY = (
     # new operators (never gated)
-    ["s14", "t47", "x23", "e12"]                                # (4)
+    ["s14", "t47", "x23", "e12", "q44"]                         # (5)
     # freshness: the r5-era remainder, complete
     + ["f07", "f09", "f10", "f11", "f12", "f14", "m13", "m16",
-       "x06", "x15", "x16", "x17"]                              # (16)
+       "x06", "x15", "x16", "x17"]                              # (17)
     # freshness: q33 (r7, displaced from the r10 window by t46)
-    + ["q33"]                                                   # (17)
-    # freshness: the r6 era (all but x19, which defers to r12)
+    + ["q33"]                                                   # (18)
+    # freshness: the r6 era (all but x03/x19, which defer to r12)
     + ["e11", "g01", "g02", "g03", "m02", "m03", "q31", "t01",
        "t02", "t03", "t04", "t06", "t07", "t08", "t09", "t10",
        "t13", "t14", "t15", "t16", "t19", "t20", "t21", "t22",
-       "t24", "t26", "t41", "t42", "v13", "v14", "x01", "x02",
-       "x03"]                                                   # (50)
+       "t24", "t26", "t41", "t42", "v13", "v14", "x01", "x02"]  # (50)
 )
-#: Next-round rotation candidates (oldest first): x19 (r6, deferred for
-#: e12), then the r7 remainder
+#: Next-round rotation candidates (oldest first): x03/x19 (r6, deferred
+#: for e12/q44), then the r7 remainder
 #: (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18, t43-t45), then the r8 era
 #: (q26/q28, m19/m20, m04, s08-s12, x05/x07/x08/x11/x18, t25, t27,
 #: v01-v05/v08/v09, q05-q09/q12-q16, e03/e05/e09, f01/f17), then r9

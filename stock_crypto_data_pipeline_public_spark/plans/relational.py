@@ -2033,3 +2033,102 @@ def q43_scd2_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n(check_exactly_one_current(corrupt), "current_violations_corrupted"))
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# q44 — MANIFEST TIME TRAVEL, driver-gated (operators/manifest.py §2.11:
+# the pointer-file generation protocol was proven by unit tests only —
+# this row makes "read an older committed generation" a hash-hard number).
+# The query seeds a manifest table from orders with every o_orderkey%7==0
+# price DELIBERATELY zeroed (generation 0, version 0), then merge_upserts
+# the corrections (true prices, version 1 → generation 1), and aggregates
+# BOTH the time-traveled generation-0 read and the current read per
+# status. The oracle states both in closed form over orders, so:
+#   - a read_table(generation=first) that resolved to the wrong
+#     generation (or leaked corrected rows) breaks sum_e2_gen0;
+#   - a merge that dropped/duplicated keys breaks n_orders/sum_e2_current;
+#   - a history() that lost a commit breaks n_generations.
+# 100 TB: time travel is a pointer lookup + a plain parquet scan of the
+# retained generation — zero read amplification vs the live table; the
+# merge is the M1 last-wins shape (one key shuffle), and the commit is
+# one small-file PUT (manifest.py's object-store argument).
+# --------------------------------------------------------------------------
+@query(
+    "q44_manifest_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                         ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    END) AS BIGINT)                               AS sum_e2_gen0,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT)                                        AS sum_e2_current,
+           CAST(count(*) FILTER (o_orderkey % 7 = 0) AS BIGINT)   AS n_corrected,
+           CAST(2 AS BIGINT)                                      AS n_generations
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q44_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import merge_upsert
+    from ..operators.manifest import history, read_table
+
+    base_dir = tempfile.mkdtemp(prefix="q44_manifest_")
+    tbl = f"{base_dir}/orders_scd"
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        stale = orders.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(0.0)).otherwise(
+                F.col("o_totalprice")
+            ),
+        ).withColumn("version", F.lit(0))
+        corrections = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "version", F.lit(1)
+        )
+        merge_upsert(
+            spark, stale, tbl, keys=["o_orderkey"], version_col="version",
+            commit="manifest",
+        )  # generation 0
+        merge_upsert(
+            spark, corrections, tbl, keys=["o_orderkey"], version_col="version",
+            commit="manifest",
+        )  # generation 1 (current)
+        commits = history(tbl)  # newest first; generation ids start at 1
+        n_gens = len(commits)
+        first_gen = min(h["generation"] for h in commits)
+
+        def rollup(df: DataFrame, alias: str) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{alias}"),
+                money_sum_e2("o_totalprice").alias(f"sum_e2_{alias}"),
+            )
+
+        g0 = rollup(read_table(spark, tbl, generation=first_gen), "gen0")
+        cur = rollup(read_table(spark, tbl), "current")
+        corrected = (
+            read_table(spark, tbl)
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_corrected"))
+        )
+        out = (
+            cur.join(g0, "o_orderstatus")
+            .join(corrected, "o_orderstatus", "left")
+            .select(
+                "o_orderstatus",
+                F.col("n_current").alias("n_orders"),
+                "sum_e2_gen0",
+                "sum_e2_current",
+                F.coalesce("n_corrected", F.lit(0)).cast("bigint").alias("n_corrected"),
+                F.lit(n_gens).cast("bigint").alias("n_generations"),
+            )
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)

@@ -840,3 +840,43 @@ def test_iavg_raises_past_int64_quotient_like_the_oracle(spark, total, n, shift)
     con.execute(f"CREATE VIEW v AS SELECT CAST({total} AS BIGINT) AS t, CAST({n} AS BIGINT) AS n")
     with pytest.raises(Exception):
         con.execute(f"SELECT {oracle_iavg('t', 'n', shift)} FROM v").fetchone()
+
+
+def test_e12_psi_zero_on_identical_halves_and_nonnegative(spark, tmp_path):
+    """PSI invariants through the actual e12 query: (a) per-bin
+    contribution (p−q)·ln(p/q) is ≥ 0 ALWAYS (sign(p−q) = sign(ln(p/q))),
+    so a negative emitted contribution is a formula bug, and (b) when the
+    two corpus halves carry the identical value multiset every smoothed
+    contribution is exactly 0.0 — drift of nothing is nothing."""
+    import pandas as pd
+
+    from stock_crypto_data_pipeline_public_spark.plans import registry
+
+    registry.load_all()
+    values = [1.00, 7.50, 12.00, 25.00, 60.00, 150.00, 300.00, 600.00] * 3
+    rows = []
+    for i, v in enumerate(values):  # same multiset on both sides of the cut
+        rows.append((2 * i, pd.Timestamp("2024-01-01 00:00:00"), 1, "view", v, "{}"))
+        rows.append((2 * i + 1, pd.Timestamp("2024-01-02 00:00:00"), 1, "view", v, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    out = registry.QUERIES["e12_value_drift_psi"](spark, sf_dir).collect()
+    assert len(out) == 8  # every bin exists, even empty ones
+    for r in out:
+        assert r.n_first == r.n_second
+        assert r.psi_contrib == 0.0
+
+    # skew one half hard: contributions must stay non-negative and the
+    # drifted bins must light up
+    skew = pdf.copy()
+    second = skew["ts"] == pd.Timestamp("2024-01-02 00:00:00")
+    skew.loc[second, "value"] = 0.50  # everything collapses into bin 0
+    sf2 = str(tmp_path / "skewed")
+    spark.createDataFrame(skew).coalesce(1).write.parquet(f"{sf2}/events.parquet")
+    out2 = registry.QUERIES["e12_value_drift_psi"](spark, sf2).collect()
+    assert all(r.psi_contrib >= 0.0 for r in out2)
+    assert sum(r.psi_contrib for r in out2) > 0.5  # a real shift registers
