@@ -53,54 +53,64 @@ def bm25_scores(docs: DataFrame, terms: Sequence[str]) -> DataFrame:
     """documents(doc_id, text) × fixed query terms → one row per document
     matching ≥1 term: (doc_id, n_matched_terms, bm25 double UNROUNDED —
     callers round with rnd() at the emission edge per registry rule 2).
-    """
+
+    Plan shape (r11 rework — ONE shuffle, no join chain): the exploded
+    token relation aggregates ONCE by doc_id into (dl, tf_0..tf_k) — dl is
+    count(*), each tf_i a conditional count for query term i (map-side
+    partials, the fixed-term pivot IS the aggregation). Document
+    frequencies and corpus stats re-aggregate that per-doc table into a
+    SINGLE 1-row broadcast (df_i = count of docs with tf_i > 0; N; Σdl) —
+    no (doc, term) shuffle and no dl⋈tf⋈dfreq join chain. The lazy plan
+    still tokenizes twice (the 1-row scalar branch re-derives per_doc —
+    Spark has no cross-consumer CSE); in production ``per_doc`` — one
+    (k+2)-int row per DOCUMENT, ≪ the corpus — is the thing to persist,
+    making the stats branch a small-relation read. Every quantity stays
+    the same exact integer either way, so the double formula below is
+    value-identical to the oracle CTE's."""
     toks = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("term"),
     )
-    # per-doc length + corpus totals: exact integers, one narrow pass
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-    )
-    # term frequencies restricted to the query terms (broadcast-sized IN
-    # filter pushed into the scan side of the aggregation)
-    tf = (
-        toks.filter(F.col("term").isin(list(terms)))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # document frequency re-aggregates tf (one row per distinct doc×term)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    # b·dl/avgdl as (b·dl·N)/total_tokens: one division on exact integers
-    norm_len = (B * F.col("dl") * F.col("n_docs")) / F.col("total_tokens")
-    term_score = idf * (
-        F.col("tf") * (K1 + 1.0) / (F.col("tf") + K1 * (1.0 - B + norm_len))
-    )
-    # pivot per-term scores out, then add in FIXED literal term order —
-    # order-independent exact double arithmetic (a SUM aggregate's input
-    # order is engine-dependent; ≤|terms| pivot columns cost nothing)
-    pivoted = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_matched_terms"),
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
         *[
-            F.max(F.when(F.col("term") == t, term_score)).alias(f"_s_{i}")
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_tf_{i}")
             for i, t in enumerate(terms)
         ],
     )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0)).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf = F.col(f"_tf_{i}")
+        df = F.col(f"_df_{i}")
+        idf = F.log(
+            1.0 + (F.col("n_docs") - df + 0.5) / (df + 0.5)
+        )
+        # b·dl/avgdl as (b·dl·N)/total_tokens: one division on exact ints
+        norm_len = (B * F.col("dl") * F.col("n_docs")) / F.col("total_tokens")
+        s = idf * (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + norm_len)))
+        return F.when(tf > 0, s).otherwise(F.lit(0.0))
+
+    # fixed literal term order — order-independent exact double arithmetic
+    # (a SUM aggregate's input order is engine-dependent; k adds are free)
     total = F.lit(0.0)
+    n_matched = F.lit(0)
     for i in range(len(terms)):
-        total = total + F.coalesce(F.col(f"_s_{i}"), F.lit(0.0))
-    return pivoted.select("doc_id", "n_matched_terms", total.alias("bm25"))
+        total = total + term_score(i)
+        n_matched = n_matched + F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0)
+    return scored.select(
+        "doc_id",
+        n_matched.cast("bigint").alias("n_matched_terms"),
+        total.alias("bm25"),
+    ).filter(F.col("n_matched_terms") > 0)
 
 
 def bm25_oracle_ctes(terms: Sequence[str], docs_rel: str = "documents") -> str:
