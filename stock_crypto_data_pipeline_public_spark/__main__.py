@@ -322,6 +322,36 @@ def cmd_drift(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_psi(args, spark: SparkSession) -> int:
+    """Distribution-drift alert (operators/drift.py): PSI between two
+    tables — or two SQL-predicate slices of one table — over a numeric
+    column with caller-fixed bin edges. Exit 0 below --threshold, exit 2
+    at/above it (the conventional >=0.2 "shifted" alert level), so a
+    scheduler can gate a retrain/backfill on the return code."""
+    import json as _json
+
+    from .operators.drift import psi
+
+    a = spark.read.parquet(args.a)
+    b = spark.read.parquet(args.b) if args.b else spark.read.parquet(args.a)
+    if args.where_a:
+        a = a.filter(args.where_a)
+    if args.where_b:
+        b = b.filter(args.where_b)
+    if args.b is None and not (args.where_a or args.where_b):
+        print("psi: with a single --a table, give --where-a/--where-b slices")
+        return 1
+    edges = [float(x) for x in args.edges.split(",")]
+    if edges != sorted(edges):
+        print("psi: --edges must be ascending")
+        return 1
+    rep = psi(a, b, args.col, edges)
+    rep["threshold"] = args.threshold
+    rep["shifted"] = rep["psi"] >= args.threshold
+    print(_json.dumps(rep))
+    return 2 if rep["shifted"] else 0
+
+
 def cmd_history(args, spark: SparkSession | None = None) -> int:
     """Commit history of a manifest table (operators/manifest.py): one line
     per commit, newest first, flagged retained/vacuumed — retained
@@ -491,6 +521,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     hi.add_argument("--path", required=True)
 
+    ps = sub.add_parser(
+        "psi",
+        help="PSI distribution drift between two tables (or two --where "
+        "slices of one); exit 2 at/above --threshold",
+    )
+    ps.add_argument("--a", required=True, help="baseline parquet table")
+    ps.add_argument("--b", default=None, help="comparison parquet table (default: --a)")
+    ps.add_argument("--col", required=True, help="numeric column")
+    ps.add_argument("--edges", required=True,
+                    help="ascending bin edges, comma-separated (fixed ruler)")
+    ps.add_argument("--where-a", default=None, help="SQL predicate slicing side A")
+    ps.add_argument("--where-b", default=None, help="SQL predicate slicing side B")
+    ps.add_argument("--threshold", type=float, default=0.2,
+                    help="alert level (exit 2 when psi >= threshold)")
+
     dr = sub.add_parser(
         "drift", help="ANN index drift check: does a batch still fit the geometry?"
     )
@@ -558,6 +603,7 @@ def main(argv: list[str] | None = None) -> int:
         "delete": cmd_delete,
         "profile": cmd_profile,
         "drift": cmd_drift,
+        "psi": cmd_psi,
         "media-features": cmd_media_features,
         "shuffle-manifest": cmd_shuffle_manifest,
         "lifecycle": cmd_lifecycle,

@@ -339,3 +339,38 @@ def test_cli_lifecycle_smoke(spark, tmp_path, capsys):
                               "CAST(1 AS BIGINT) AS ver").write.parquet(live)
     path2 = str(tmp_path / "fresh")
     assert cmd_lifecycle(_A(path=path2), spark) == 0  # fresh path still green
+
+
+def test_cli_psi_drift_alert(spark, tmp_path):
+    """`psi` (operators/drift.py): identical slices exit 0 with psi ~0;
+    a hard shift exits 2 at the default 0.2 threshold; single-table mode
+    requires --where slices."""
+    import json
+
+    from stock_crypto_data_pipeline_public_spark.__main__ import main
+
+    base = str(tmp_path / "vals")
+    spark.range(2000).selectExpr(
+        "id", "CAST(id % 100 AS DOUBLE) AS v", "id % 2 AS half"
+    ).write.parquet(base)
+
+    # identical distributions on both halves (id%100 independent of id%2)
+    rc = main([
+        "--cpus", "4", "psi", "--a", base, "--col", "v",
+        "--edges", "10,25,50,75",
+        "--where-a", "half = 0", "--where-b", "half = 1",
+    ])
+    assert rc == 0
+
+    # shifted comparison table: everything lands in the top bin
+    shifted = str(tmp_path / "shifted")
+    spark.range(2000).selectExpr("CAST(90 AS DOUBLE) AS v").write.parquet(shifted)
+    rc = main([
+        "--cpus", "4", "psi", "--a", base, "--b", shifted,
+        "--col", "v", "--edges", "10,25,50,75",
+    ])
+    assert rc == 2
+
+    # single table without slices is a usage error
+    rc = main(["--cpus", "4", "psi", "--a", base, "--col", "v", "--edges", "10"])
+    assert rc == 1
