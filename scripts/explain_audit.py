@@ -44,6 +44,10 @@ EXPECTED_NESTED_LOOP = {
     "x15_sq8_rerank_search",
     "x16_sq8_recall",
     "x04_cosine_pair_histogram",
+    # exact MIPS baseline + the Matryoshka prefix recall contract: the
+    # same 10-query broadcast non-equi scan as x01 (x25 ranks both ways)
+    "x24_mips_topk",
+    "x25_matryoshka_recall",
     "x11_sampled_pair_histogram",
     "t08_simhash_hamming",
     # PIT spine: hub keys × the broadcast weekly snapshot calendar — a

@@ -109,7 +109,10 @@ _GATE_PRIORITY = (
        "t13", "t14", "t15", "t16", "t19", "t20", "t21", "t22",
        "t24", "t26", "t41", "t42", "v13", "v14", "x01", "x02"]  # (50)
 )
-#: Next-round rotation candidates (oldest first): x03/x19 (r6, deferred
+#: Next-round rotation candidates: FIRST the r11 late entrants x24 (exact
+#: MIPS baseline) and x25 (Matryoshka prefix recall contract) — built
+#: after the r11 window was sealed, never gated, so they enter the r12
+#: window ahead of freshness per convention — then x03/x19 (r6, deferred
 #: for e12/q44), then the r7 remainder
 #: (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18, t43-t45), then the r8 era
 #: (q26/q28, m19/m20, m04, s08-s12, x05/x07/x08/x11/x18, t25, t27,

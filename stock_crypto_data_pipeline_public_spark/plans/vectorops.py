@@ -2665,3 +2665,180 @@ def x23_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("rrf_raw"), 6).alias("rrf"),
         "fused_rank",
     )
+
+
+# --------------------------------------------------------------------------
+# x24 — exact MAXIMUM INNER-PRODUCT search (MIPS): top-5 by raw dot
+# product, per query, NO normalization — the retrieval objective for
+# recommender/two-tower embeddings whose magnitudes are meaningful
+# (cosine's x01 deliberately destroys exactly the signal MIPS keeps).
+# Brute broadcast scan = the exactness baseline, x01's machinery minus
+# the norm division; ranking by the floor-rounded score with an id
+# tiebreak is the engine-identical quantized order.
+# 100 TB: MIPS is not metric (no triangle inequality), so the standard
+# scale path is norm augmentation (Bachrach et al. RecSys'14 / ALSH):
+# append sqrt(M² − |v|²) to each corpus vector and 0 to the query —
+# inner product becomes cosine on the augmented space and the ENTIRE
+# existing ANN stack (IVF x05/x07, BQ x20, SQ8 x15, PQ x09) applies
+# unchanged. This row pins the exact answer that augmented pipeline must
+# reproduce.
+# --------------------------------------------------------------------------
+@query(
+    "x24_mips_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               {oracle_rnd(S.oracle_dot('q.qe', 'e.embedding'), 4)} AS ip_score
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, ip_score, rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY ip_score DESC, neighbor_id ASC
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 5
+    """,
+)
+def x24_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            rnd(S.dot("qe", "embedding", EMB_DIM), 4).alias("ip_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("ip_score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+# --------------------------------------------------------------------------
+# x25 — MATRYOSHKA PREFIX-DIMENSION recall contract (x21's pattern for the
+# dimensionality tier): modern embedding models (MRL, Kusupati et al.
+# NeurIPS'22) are trained so a PREFIX of the vector is itself a usable
+# embedding — the cheap tier ranks by the first 16 of 64 dims (4x less
+# compute/IO), the exact tier reranks. This row gates whether the exact
+# full-width cosine top-5 survives inside the prefix-cosine top-50
+# candidate window, as an e4 BIGINT recall — the number that justifies
+# (or vetoes) prefix-truncation on THIS corpus, the way x21 justifies the
+# sign-bit tier and x19 justifies nprobe. (The synthetic embeddings are
+# not MRL-trained, so the gated value doubles as the honest baseline a
+# real MRL model must beat.)
+# 100 TB: the prefix scan reads 4x fewer bytes per vector (columnar
+# layouts can store the prefix as its own column/file), composes with
+# IVF partition pruning, and the rerank touches R rows per query.
+# --------------------------------------------------------------------------
+_X25_P = 16   # prefix width (dims)
+_X25_R = 50   # prefix-tier candidate window
+_X25_K = 5    # exact top-k that must survive
+
+
+@query(
+    "x25_matryoshka_recall",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {{pcos}} DESC, e.vec_id ASC
+               ) AS rk_p,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {{fcos}} DESC, e.vec_id ASC
+               ) AS rk_e
+        FROM embeddings q JOIN embeddings e
+          ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+    ),
+    per_q AS (
+        SELECT query_id,
+               CAST(count(*) FILTER (WHERE rk_p <= {_X25_R}) AS BIGINT) AS hits
+        FROM ranked WHERE rk_e <= {_X25_K}
+        GROUP BY 1
+    )
+    SELECT count(*)                                        AS n_queries,
+           CAST(count(*) * {_X25_K} AS BIGINT)             AS n_expected,
+           CAST(sum(hits) AS BIGINT)                       AS n_hits,
+           CAST((2 * sum(hits) * 10000 + count(*) * {_X25_K})
+                // (2 * count(*) * {_X25_K}) AS BIGINT)    AS recall_e4,
+           CAST(min(hits) AS BIGINT)                       AS min_hits_per_query
+    FROM per_q
+    """.format(
+        pcos=oracle_rnd(
+            S.oracle_cosine(
+                f"q.embedding[1:{_X25_P}]", f"e.embedding[1:{_X25_P}]"
+            ),
+            4,
+        ),
+        fcos=oracle_rnd(S.oracle_cosine("q.embedding", "e.embedding"), 4),
+    ),
+)
+def x25_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    c = emb.select(
+        "vec_id", "embedding",
+        S.norm("embedding", EMB_DIM).alias("nrm"),
+        S.norm("embedding", _X25_P).alias("pnrm"),
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    q = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("pnrm").alias("qpnrm"),
+    )
+    full_cos = rnd(
+        S.dot("qe", "embedding", EMB_DIM)
+        / F.nullif(F.col("qnrm") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    prefix_cos = rnd(
+        S.dot("qe", "embedding", _X25_P)
+        / F.nullif(F.col("qpnrm") * F.col("pnrm"), F.lit(0.0)),
+        4,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            prefix_cos.alias("prefix_cos"),
+            full_cos.alias("full_cos"),
+        )
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("prefix_cos"), F.asc("neighbor_id"))
+    we = W.partitionBy("query_id").orderBy(F.desc("full_cos"), F.asc("neighbor_id"))
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(wp).alias("rk_p"),
+        F.row_number().over(we).alias("rk_e"),
+    )
+    per_q = (
+        ranked.filter(F.col("rk_e") <= _X25_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("rk_p") <= _X25_R, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits")
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.count(F.lit(1)) * _X25_K).cast("bigint").alias("n_expected"),
+        F.sum("hits").cast("bigint").alias("n_hits"),
+        F.expr(
+            f"CAST((2 * sum(hits) * 10000 + count(*) * {_X25_K})"
+            f" div (2 * count(*) * {_X25_K}) AS BIGINT)"
+        ).alias("recall_e4"),
+        F.min("hits").cast("bigint").alias("min_hits_per_query"),
+    )
