@@ -950,3 +950,46 @@ def m20_jpeg_glyph_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("ocr_text"),
         "n_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# m21 — IMAGE near-dup via perceptual hashing (operators/phash.py dHash —
+# the multimodal member of the dedup family: byte-level digests miss
+# re-encoded/re-lit copies; the gradient-sign hash catches them). The
+# corpus is synthesized THROUGH the real PNG codec with a known cluster
+# structure: the 64-bit dHash is a pure function of doc_id % 8 while a
+# per-doc brightness jitter varies the bytes inside each group (dHash is
+# brightness-invariant: a global offset moves both neighbors of every
+# comparison). The query decodes every image (chunk walk, CRC, inflate,
+# all five row filters), hashes the reconstructed rasters, and clusters
+# by exact hash — t01's groupBy shape on an 8-byte key. The oracle states
+# the cluster structure in closed form over doc_id arithmetic: any decode
+# slip, sign error, or packing bug re-clusters the corpus and flips the
+# hash (a collapsed pattern even changes the row count).
+# 100 TB: hashing is decode-speed mapInPandas (no shuffle, one int64 per
+# image); clustering is one groupBy on the key; Hamming-near matching
+# composes with dedup.py's SimHash band machinery unchanged.
+# --------------------------------------------------------------------------
+@query(
+    "m21_dhash_near_dup",
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT)    AS n_members
+    FROM documents
+    GROUP BY doc_id % 8
+    """,
+)
+def m21_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import phash as P
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    hashed = P.dhash64(P.synthesize_dhash_png(docs))
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .select("keep_doc_id", "n_members")
+    )

@@ -110,10 +110,10 @@ _GATE_PRIORITY = (
        "t24", "t26", "t41", "t42", "v13", "v14", "x01", "x02"]  # (50)
 )
 #: Next-round rotation candidates: FIRST the r11 late entrants x24 (exact
-#: MIPS baseline) and x25 (Matryoshka prefix recall contract) — built
-#: after the r11 window was sealed, never gated, so they enter the r12
-#: window ahead of freshness per convention — then x03/x19 (r6, deferred
-#: for e12/q44), then the r7 remainder
+#: MIPS baseline), x25 (Matryoshka prefix recall contract) and m21 (dHash
+#: image near-dup) — built after the r11 window was sealed, never gated,
+#: so they enter the r12 window ahead of freshness per convention — then
+#: x03/x19 (r6, deferred for e12/q44), then the r7 remainder
 #: (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18, t43-t45), then the r8 era
 #: (q26/q28, m19/m20, m04, s08-s12, x05/x07/x08/x11/x18, t25, t27,
 #: v01-v05/v08/v09, q05-q09/q12-q16, e03/e05/e09, f01/f17), then r9

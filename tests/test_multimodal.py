@@ -678,3 +678,33 @@ def test_resample_audio_decimates_stereo_frames_aligned(spark):
 def test_resample_audio_rejects_bad_factor(spark):
     with pytest.raises(ValueError, match="factor"):
         M.resample_audio(None, factor=0)
+
+
+def test_dhash_brightness_invariant_and_patterns_distinct(spark):
+    """operators/phash.py: (a) uniformly re-lit copies of the same group
+    hash identically (the near-dup property byte digests lack), (b) the 8
+    synthesis groups produce 8 distinct hashes, (c) a non-grid image is
+    rejected loudly rather than mis-hashed."""
+    import pytest
+    from pyspark.sql import Row
+
+    from stock_crypto_data_pipeline_public_spark.operators import phash as P
+
+    # doc_ids 0..23: each group g appears with jitter 0, 10 and 20
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(24)])
+    hashed = {
+        r.doc_id: r.dhash
+        for r in P.dhash64(P.synthesize_dhash_png(docs)).collect()
+    }
+    by_group = {}
+    for doc_id, h in hashed.items():
+        by_group.setdefault(doc_id % P.N_GROUPS, set()).add(h)
+    assert all(len(hs) == 1 for hs in by_group.values())  # jitter-invariant
+    assert len({hs.pop() for hs in by_group.values()}) == P.N_GROUPS
+
+    # wrong-size input raises instead of silently hashing garbage
+    from stock_crypto_data_pipeline_public_spark.operators.multimodal import synthesize_png
+
+    full = spark.createDataFrame([Row(doc_id=1, text="abcdef")])
+    with pytest.raises(Exception, match="downsample"):
+        P.dhash64(synthesize_png(full)).collect()
