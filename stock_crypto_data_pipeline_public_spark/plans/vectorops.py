@@ -2842,3 +2842,130 @@ def x25_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_e4"),
         F.min("hits").cast("bigint").alias("min_hits_per_query"),
     )
+
+
+# --------------------------------------------------------------------------
+# x26 — METADATA-FILTERED k-NN (the vector-DB "filtered search" problem:
+# top-k among ONLY the rows satisfying a structured predicate — here,
+# neighbors sharing the query's label, the "similar items in the same
+# category" shape every production retrieval stack needs). Two strategies
+# exist and this row pins BOTH sides of the tradeoff:
+#   PRE-filter (the gated answer): apply the predicate before scoring.
+#     Exact by construction — the top-5 window runs over the filtered
+#     candidate set, so it always delivers k results when the category
+#     has k members. In Spark the label predicate becomes the JOIN KEY:
+#     broadcast-hash join on label instead of x01's nested-loop scan, so
+#     only same-label rows are ever scored.
+#   POST-filter (the measured shortfall): take the UNFILTERED top-R and
+#     keep the ones that pass the predicate — the strategy an
+#     unpartitioned ANN index forces — which silently under-delivers
+#     whenever fewer than k of the global top-R share the label.
+#     postfilter_hits_r20 is that per-query count (<=20); with 10 labels,
+#     expectation is ~2 of 20, far short of k=5 — the number that
+#     justifies label-aware index layout rather than post-hoc filtering.
+# 100 TB: the pre-filter path composes with partition-by-label layout —
+# the predicate prunes at the FILE level (only matching-label partitions
+# are read) and within a partition the ANN tiers (IVF x07, BQ x20, SQ8
+# x15) apply unchanged; the post-filter path cannot prune and pays the
+# full-corpus scan for a worse answer. Reference analog: SURVEY §2.2
+# filters + the ANN family; filtered search per Wang et al. (Milvus,
+# SIGMOD'21 §4.3).
+# --------------------------------------------------------------------------
+_X26_R = 20  # post-filter candidate window
+
+
+@query(
+    "x26_filtered_knn",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+        FROM embeddings WHERE vec_id < 10
+    ),
+    pairs AS (
+        SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+               {oracle_rnd(S.oracle_cosine('q.qe', 'e.embedding'), 4)} AS cosine_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rk_all
+        FROM pairs
+    ),
+    post AS (
+        SELECT query_id,
+               CAST(count(*) FILTER (WHERE nlabel = qlabel) AS BIGINT)
+                   AS postfilter_hits_r{_X26_R}
+        FROM ranked WHERE rk_all <= {_X26_R}
+        GROUP BY 1
+    ),
+    fil AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+               ) AS rk
+        FROM pairs WHERE nlabel = qlabel
+    )
+    SELECT f.query_id, f.neighbor_id, f.cosine_sim, f.rk,
+           p.postfilter_hits_r{_X26_R}
+    FROM fil f JOIN post p USING (query_id)
+    WHERE f.rk <= 5
+    """,
+)
+def x26_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("qlabel"),
+    )
+    sim = rnd(
+        S.dot("qe", "embedding", EMB_DIM)
+        / F.nullif(F.col("qnrm") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    # PRE-filter branch: label is an EQUI-join key (broadcast hash join —
+    # only same-label rows are scored), not a post-hoc predicate.
+    fil = (
+        F.broadcast(q)
+        .join(
+            emb,
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    top5 = fil.withColumn("rk", F.row_number().over(wf)).filter(F.col("rk") <= 5)
+    # POST-filter branch: unfiltered top-R, count the survivors — the
+    # shortfall an unpartitioned index would silently deliver.
+    allp = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            sim.alias("cosine_sim"),
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("label") == F.col("qlabel")).alias("hit"),
+        )
+    )
+    wa = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    post = (
+        allp.withColumn("rk_all", F.row_number().over(wa))
+        .filter(F.col("rk_all") <= _X26_R)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("hit").cast("int"))
+            .cast("bigint")
+            .alias(f"postfilter_hits_r{_X26_R}")
+        )
+    )
+    return top5.join(F.broadcast(post), "query_id").select(
+        "query_id", "neighbor_id", "cosine_sim", "rk", f"postfilter_hits_r{_X26_R}"
+    )
