@@ -3205,3 +3205,131 @@ def t46_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t47_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = R.bm25_scores(_docs(spark, sf_dir), R.BM25_QUERY_TERMS)
     return scored.select("doc_id", "n_matched_terms", R.bm25_rounded(4).alias("bm25"))
+
+
+# --------------------------------------------------------------------------
+# t48 — TEMPERATURE-weighted corpus mixing (the multilingual data-mixing
+# pass from XLM-R/mT5: sample language i with probability proportional to
+# n_i^alpha, alpha<1 flattening the raw distribution so high-resource
+# languages stop drowning low-resource ones; here alpha=1/2). Distinct
+# from t15's fixed per-language QUOTA: the quotas here are DERIVED from
+# the corpus histogram by the temperature formula, which is what a real
+# mixing config does when the corpus grows.
+# Exactness across engines: the only irrational quantity, sqrt(n_i), is
+# quantized ONCE to an e6 integer (IEEE sqrt is correctly rounded in both
+# engines, and the +0.5-floor sits ~1e6 ULPs from any tie); everything
+# downstream — the normalizer S=Σs_i, the per-doc acceptance test, the
+# reported rates — is pure BIGINT arithmetic. A doc is accepted iff
+#   u24 · S · n_i < T · s_i · 2^24
+# where u24 is the first 24 md5 bits of (seed || doc_id): deterministic,
+# retry-stable, engine-identical (contrast rand(): re-draws on every
+# Spark task retry). min(1,·) capping is implicit in the inequality.
+# 100 TB: one tiny histogram agg (|langs| rows, broadcast back as the
+# 1-row-per-lang decision table), then a MAP-ONLY acceptance pass — no
+# shuffle touches the corpus, no global sort, and the sampled set is
+# identical under any partitioning/cluster size. Products are bounded by
+# u24·S·n < 2^24·(1e6·√n_max·L)·n_max — at petabyte row counts widen the
+# comparison to DECIMAL(38,0) (the iavg/HUGEIT idiom) before it can wrap.
+# Output: one row per language — raw vs temperature-flattened shares,
+# the exact acceptance rate, realized sample count, and the id-sum
+# fingerprint that flips if ANY single acceptance decision flips.
+# --------------------------------------------------------------------------
+_T48_SEED = "mix:7:"
+_T48_U24 = "".join(
+    ["("]
+    + [
+        " + " * (p > 1)
+        + f"(instr('0123456789abcdef', substr(h, {p}, 1)) - 1) * {16 ** (6 - p)}"
+        for p in range(1, 7)
+    ]
+    + [")"]
+)
+
+
+@query(
+    "t48_temperature_mixing",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    weighted AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s_e6
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT)    AS big_n,
+               CAST(sum(n) // 2 AS BIGINT) AS t_target,
+               CAST(sum(s_e6) AS BIGINT) AS s_sum
+        FROM weighted
+    ),
+    keyed AS (
+        SELECT d.doc_id, d.lang,
+               {_T48_U24.replace('h', "md5('" + _T48_SEED + "' || CAST(d.doc_id AS VARCHAR))")} AS u24
+        FROM documents d
+    ),
+    accepted AS (
+        SELECT k.doc_id, k.lang
+        FROM keyed k JOIN weighted w ON k.lang = w.lang, tot t
+        WHERE k.u24 * t.s_sum * w.n < t.t_target * w.s_e6 * 16777216
+    )
+    SELECT w.lang,
+           w.n                                              AS n_docs,
+           w.n * 1000000 // t.big_n                         AS raw_share_e6,
+           w.s_e6 * 1000000 // t.s_sum                      AS target_share_e6,
+           least(1000000,
+                 t.t_target * w.s_e6 * 1000000 // (t.s_sum * w.n)) AS rate_e6,
+           CAST(count(a.doc_id) AS BIGINT)                  AS n_sampled,
+           CAST(coalesce(sum(a.doc_id), 0) AS BIGINT)       AS sampled_id_sum
+    FROM weighted w CROSS JOIN tot t
+    LEFT JOIN accepted a ON a.lang = w.lang
+    GROUP BY w.lang, w.n, w.s_e6, t.big_n, t.s_sum, t.t_target
+    """,
+)
+def t48_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    weighted = counts.withColumn(
+        "s_e6",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    # 1-row normalizer, broadcast onto the |langs|-row table (q17 scalar shape)
+    tot = weighted.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.expr("CAST(sum(n) div 2 AS BIGINT)").alias("t_target"),
+        F.sum("s_e6").cast("long").alias("s_sum"),
+    )
+    decision = weighted.crossJoin(F.broadcast(tot))
+    # map-only acceptance: corpus never shuffles — the decision table joins
+    # in as a broadcast hash join on lang
+    u24 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_T48_SEED), F.col("doc_id").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select("doc_id", "lang", u24.alias("u24"))
+    accepted = keyed.join(F.broadcast(decision), "lang").filter(
+        F.col("u24") * F.col("s_sum") * F.col("n")
+        < F.col("t_target") * F.col("s_e6") * F.lit(16777216)
+    )
+    samp = accepted.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sampled_id_sum"),
+    )
+    return (
+        decision.join(F.broadcast(samp), "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.expr("n * 1000000 div big_n").alias("raw_share_e6"),
+            F.expr("s_e6 * 1000000 div s_sum").alias("target_share_e6"),
+            F.expr(
+                "least(CAST(1000000 AS BIGINT),"
+                " t_target * s_e6 * 1000000 div (s_sum * n))"
+            ).alias("rate_e6"),
+            F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+            F.coalesce(F.col("sampled_id_sum"), F.lit(0).cast("long")).alias(
+                "sampled_id_sum"
+            ),
+        )
+    )

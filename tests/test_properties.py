@@ -880,3 +880,33 @@ def test_e12_psi_zero_on_identical_halves_and_nonnegative(spark, tmp_path):
     out2 = registry.QUERIES["e12_value_drift_psi"](spark, sf2).collect()
     assert all(r.psi_contrib >= 0.0 for r in out2)
     assert sum(r.psi_contrib for r in out2) > 0.5  # a real shift registers
+
+
+def test_t48_temperature_mixing_flattens_without_reordering(spark, sf_dir):
+    """Invariants of the alpha=1/2 mixing row: target shares are a genuine
+    flattening of the raw distribution (same ordering, strictly smaller
+    spread, sum ~ 1e6), acceptance rates never exceed 1, and the realized
+    sample lands near the configured half-corpus target."""
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        t48_temperature_mixing,
+    )
+
+    rows = t48_temperature_mixing(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    raw = {r.lang: r.raw_share_e6 for r in rows}
+    tgt = {r.lang: r.target_share_e6 for r in rows}
+    # flattening never reorders languages (sqrt is monotone)
+    assert sorted(raw, key=raw.get) == sorted(tgt, key=tgt.get)
+    # ...but strictly shrinks the spread
+    assert max(tgt.values()) - min(tgt.values()) < max(raw.values()) - min(raw.values())
+    # shares each sum to 1e6 up to |langs| floor-rounding
+    for shares in (raw, tgt):
+        assert 1_000_000 - len(rows) <= sum(shares.values()) <= 1_000_000
+    for r in rows:
+        assert 0 <= r.rate_e6 <= 1_000_000
+        assert 0 <= r.n_sampled <= r.n_docs
+    total = sum(r.n_docs for r in rows)
+    sampled = sum(r.n_sampled for r in rows)
+    # deterministic md5 acceptance is binomial around T = total//2; the
+    # fixed test corpora sit comfortably inside +/-20%
+    assert abs(sampled - total // 2) <= total // 10
