@@ -729,3 +729,66 @@ def e12_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_second",
         rnd((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+# --------------------------------------------------------------------------
+# e13 — EVENT-TYPE TRANSITION MATRIX (first-order Markov chain over each
+# user's clickstream: the "what follows what" model behind next-action
+# prediction, anomaly scoring of improbable paths, and funnel discovery —
+# e03 checks ONE hand-picked path; this estimates the transition structure
+# those paths are drawn from). Per user, consecutive event pairs come from
+# one lag window ordered by (ts, event_id) — the SAME per-user exchange
+# every sessionization query already pays, so the marginal cost is a hash
+# aggregation on a |types|² key space (25 cells here; bounded by the event
+# vocabulary, never by corpus size). Row-normalized probabilities are
+# integer e6 quotients (engine-exact, no float summation anywhere): the
+# window-sum denominator runs over the TINY matrix, not the events.
+# 100 TB: shuffle by user_id (AQE-skew-safe compound of the corpus's
+# natural key), map-side-combinable count agg, then a 25-row window —
+# nothing downstream of the first exchange scales with data volume.
+# --------------------------------------------------------------------------
+@query(
+    "e13_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions * 1000000
+               // sum(n_transitions) OVER (PARTITION BY prev_type)
+             AS BIGINT) AS p_e6
+    FROM trans
+    """,
+)
+def e13_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wrow = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000").alias("_num"),
+        F.sum("n_transitions").over(wrow).alias("_den"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr("_num div _den").alias("p_e6"),
+    )

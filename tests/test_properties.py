@@ -910,3 +910,24 @@ def test_t48_temperature_mixing_flattens_without_reordering(spark, sf_dir):
     # deterministic md5 acceptance is binomial around T = total//2; the
     # fixed test corpora sit comfortably inside +/-20%
     assert abs(sampled - total // 2) <= total // 10
+
+
+def test_e13_transition_rows_are_probability_distributions(spark, sf_dir):
+    """Each prev_type's outgoing p_e6 cells form a floor-rounded probability
+    row: they sum to 1e6 up to fan-out rounding, and counts reconcile with
+    the raw pair totals."""
+    from stock_crypto_data_pipeline_public_spark.plans.eventops import (
+        e13_markov_transitions,
+    )
+
+    rows = e13_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        assert r.n_transitions > 0 and 0 < r.p_e6 <= 1_000_000
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        total = sum(r.n_transitions for r in rs)
+        assert 1_000_000 - len(rs) <= sum(r.p_e6 for r in rs) <= 1_000_000
+        for r in rs:
+            assert r.p_e6 == r.n_transitions * 1_000_000 // total
