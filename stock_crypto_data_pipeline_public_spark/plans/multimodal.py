@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import audiofp as AFP
 from ..operators import multimodal as M
 from ..sources.tables import load_table
 from .registry import query
@@ -992,4 +993,50 @@ def m21_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
         )
         .select("keep_doc_id", "n_members")
+    )
+
+
+# --------------------------------------------------------------------------
+# m22 — AUDIO near-dup via acoustic fingerprinting (operators/audiofp.py —
+# the audio member of the dedup family: byte digests miss re-encoded or
+# re-gained copies; the Haitsma-Kalker band-energy-sign fingerprint
+# catches them, because a global gain scales every band energy by g² and
+# moves no sign). The corpus is synthesized THROUGH the real stdlib wave
+# codec with a known cluster structure: the 8-bit fingerprint is a pure
+# function of doc_id % 8 (each frame's bin-centered tone lands in the low
+# or high band per the group's cyclic pattern) while a per-doc gain
+# jitter varies the bytes inside each group. The query decodes every
+# clip, frames it, runs the per-frame rFFT, compares band energies, and
+# clusters by the packed fingerprint — m21's groupBy shape, but the gate
+# here also pins the fingerprint VALUE per cluster, which the oracle
+# states in closed form over doc_id arithmetic: any decode slip, band
+# boundary error, sign flip, or packing bug changes the emitted
+# fingerprints (and a collapsed pattern changes the row count).
+# 100 TB: fingerprinting is decode-speed mapInPandas (one vectorized
+# 8x64 rFFT per clip, no shuffle); clustering is one groupBy on an 8-byte
+# key; Hamming-near matching composes with dedup.py's SimHash bands.
+# --------------------------------------------------------------------------
+@query(
+    "m22_audio_fp_near_dup",
+    oracle=f"""
+    SELECT CAST(CASE doc_id % {AFP.N_GROUPS}
+        {' '.join(f'WHEN {g} THEN {AFP.group_fingerprint(g)}' for g in range(8))}
+           END AS BIGINT)             AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT)    AS n_members
+    FROM documents
+    GROUP BY doc_id % {AFP.N_GROUPS}
+    """,
+)
+def m22_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    fps = AFP.audio_fingerprint(AFP.synthesize_afp_wav(docs))
+    return (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .select("fingerprint", "keep_doc_id", "n_members")
     )
