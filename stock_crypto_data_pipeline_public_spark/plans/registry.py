@@ -110,8 +110,11 @@ _GATE_PRIORITY = (
        "t24", "t26", "t41", "t42", "v13", "v14", "x01", "x02"]  # (50)
 )
 #: Next-round rotation candidates: FIRST the r11 late entrants x24 (exact
-#: MIPS baseline), x25 (Matryoshka prefix recall contract) and m21 (dHash
-#: image near-dup) — built after the r11 window was sealed, never gated,
+#: MIPS baseline), x25 (Matryoshka prefix recall contract), m21 (dHash
+#: image near-dup), x26 (metadata-filtered k-NN, pre- vs post-filter),
+#: t48 (temperature-weighted corpus mixing), e13 (event-type Markov
+#: transition matrix) and m22 (acoustic-fingerprint audio near-dup) —
+#: built after the r11 window was sealed, never gated,
 #: so they enter the r12 window ahead of freshness per convention — then
 #: x03/x19 (r6, deferred for e12/q44), then the r7 remainder
 #: (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18, t43-t45), then the r8 era
