@@ -2969,3 +2969,195 @@ def x26_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top5.join(F.broadcast(post), "query_id").select(
         "query_id", "neighbor_id", "cosine_sim", "rk", f"postfilter_hits_r{_X26_R}"
     )
+
+
+# --------------------------------------------------------------------------
+# x27 — MIPS-via-ANN recall contract: x24's docstring names the standard
+# scale path for maximum-inner-product search (norm augmentation, Bachrach
+# et al. RecSys'14: append sqrt(M²−|v|²) to every corpus vector and 0 to
+# the query, turning inner-product order into cosine order on the
+# augmented space so the whole ANN stack applies) — this row makes that
+# path REAL and gates its quality. The corpus is augmented (M² = max |v|²,
+# one tiny agg broadcast back), IVF-assigned in the augmented space
+# (assignment score = dot + aug_v·aug_c; the /M² denominator is constant,
+# so it never needs computing), queries probe their top-P cells by plain
+# dot (their augmented coordinate is 0), and the candidates are ranked by
+# the TRUE inner product. The gated number is x25's contract shape: how
+# much of the exact MIPS top-5 (x24's answer, recomputed inline) survives
+# the augmented-IVF tier, as an e4 recall plus the per-query minimum.
+# 100 TB: augmentation is map-only; assignment/probe are the x07 broadcast
+# shapes (work ∝ probed cells, centroid_id is the write-time partition
+# key); the exact arm exists only to SCORE the tier and is dropped in
+# production — the contract is what licenses that drop.
+# --------------------------------------------------------------------------
+_X27_P = 2  # probes
+
+
+@query(
+    "x27_mips_ann_recall",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               {S.oracle_dot('embedding', 'embedding')} AS n2
+        FROM embeddings
+    ),
+    m AS (SELECT max(n2) AS m2 FROM base),
+    aug AS (
+        SELECT b.vec_id, b.embedding, sqrt(m.m2 - b.n2) AS a
+        FROM base b, m
+    ),
+    seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce, a AS ca
+        FROM aug WHERE vec_id < {IVF_K}
+    ),
+    assigned AS (
+        SELECT g.vec_id, g.embedding, s.centroid_id
+        FROM aug g JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY g.vec_id
+            ORDER BY ({S.oracle_dot('g.embedding', 's.ce')} + g.a * s.ca) DESC,
+                     s.centroid_id ASC
+        ) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    probes AS (
+        SELECT q.query_id, q.qe, s.centroid_id FROM q
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {S.oracle_dot('q.qe', 's.ce')} DESC, s.centroid_id ASC
+        ) <= {_X27_P}
+    ),
+    ivf5 AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {oracle_rnd(S.oracle_dot('p.qe', 'a.embedding'), 4)} DESC,
+                                a.vec_id ASC
+                   ) AS rk
+            FROM probes p JOIN assigned a
+              ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+        )
+        WHERE rk <= 5
+    ),
+    exact5 AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {oracle_rnd(S.oracle_dot('q.qe', 'e.embedding'), 4)} DESC,
+                                e.vec_id ASC
+                   ) AS rk_e
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        )
+        WHERE rk_e <= 5
+    ),
+    pairhits AS (
+        SELECT x.query_id, count(*) AS h
+        FROM exact5 x JOIN ivf5 i
+          ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+        GROUP BY 1
+    ),
+    perq AS (
+        SELECT q.query_id, coalesce(p.h, 0) AS hits
+        FROM q LEFT JOIN pairhits p ON p.query_id = q.query_id
+    )
+    SELECT count(*)                                     AS n_queries,
+           CAST(count(*) * 5 AS BIGINT)                 AS n_expected,
+           CAST(sum(hits) AS BIGINT)                    AS n_hits,
+           CAST((2 * sum(hits) * 10000 + count(*) * 5)
+                // (2 * count(*) * 5) AS BIGINT)        AS recall_e4,
+           CAST(min(hits) AS BIGINT)                    AS min_hits_per_query
+    FROM perq
+    """,
+)
+def x27_mips_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mips_ann_recall(spark, sf_dir, _X27_P)
+
+
+def _mips_ann_recall(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """x27 body with the probe width exposed: nprobe = IVF_K probes every
+    cell, so the augmented tier must reproduce the exact MIPS top-5 and
+    recall_e4 must be exactly 10000 — the property test that proves the
+    norm-augmentation order math (tests/test_properties.py)."""
+    emb = _emb(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    base = emb.select("vec_id", "embedding", S.dot("embedding", "embedding", EMB_DIM).alias("n2"))
+    m = base.agg(F.max("n2").alias("m2"))
+    # map-only augmentation: the 1-row max broadcasts (q17 scalar shape)
+    aug = base.crossJoin(F.broadcast(m)).select(
+        "vec_id", "embedding", F.sqrt(F.col("m2") - F.col("n2")).alias("a")
+    )
+    seeds = aug.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("a").alias("ca"),
+    )
+    # corpus → nearest augmented centroid (x07's broadcast scoring; the
+    # /M² cosine denominator is constant, so rank by the augmented dot)
+    a_score = S.dot("embedding", "ce", EMB_DIM) + F.col("a") * F.col("ca")
+    aw = W.partitionBy("vec_id").orderBy(F.desc("a_score"), F.asc("centroid_id"))
+    assigned = (
+        aug.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "centroid_id", a_score.alias("a_score"))
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .drop("a_score", "rk")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # queries probe by plain dot (their augmented coordinate is 0)
+    p_score = S.dot("qe", "ce", EMB_DIM)
+    pw = W.partitionBy("query_id").orderBy(F.desc("p_score"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("query_id", "qe", "centroid_id", p_score.alias("p_score"))
+        .withColumn("rk", F.row_number().over(pw))
+        .filter(F.col("rk") <= nprobe)
+        .drop("p_score", "rk")
+    )
+    ip = rnd(S.dot("qe", "embedding", EMB_DIM), 4)
+    wq = W.partitionBy("query_id")
+    ivf5 = (
+        assigned.join(F.broadcast(probes), ["centroid_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), ip.alias("ip_score"))
+        .withColumn(
+            "rk",
+            F.row_number().over(wq.orderBy(F.desc("ip_score"), F.asc("neighbor_id"))),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    exact5 = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), ip.alias("ip_score"))
+        .withColumn(
+            "rk",
+            F.row_number().over(wq.orderBy(F.desc("ip_score"), F.asc("neighbor_id"))),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    pairhits = exact5.join(ivf5, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    perq = q.select("query_id").join(F.broadcast(pairhits), "query_id", "left").select(
+        "query_id", F.coalesce(F.col("h"), F.lit(0)).alias("hits")
+    )
+    return perq.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.count(F.lit(1)) * 5).cast("bigint").alias("n_expected"),
+        F.sum("hits").cast("bigint").alias("n_hits"),
+        F.expr(
+            "CAST((2 * sum(hits) * 10000 + count(*) * 5)"
+            " div (2 * count(*) * 5) AS BIGINT)"
+        ).alias("recall_e4"),
+        F.min("hits").cast("bigint").alias("min_hits_per_query"),
+    )

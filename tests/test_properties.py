@@ -931,3 +931,19 @@ def test_e13_transition_rows_are_probability_distributions(spark, sf_dir):
         assert 1_000_000 - len(rs) <= sum(r.p_e6 for r in rs) <= 1_000_000
         for r in rs:
             assert r.p_e6 == r.n_transitions * 1_000_000 // total
+
+
+def test_x27_norm_augmentation_is_order_preserving(spark, sf_dir):
+    """Probing EVERY IVF cell makes the augmented-space tier exhaustive, so
+    if the norm-augmentation math (Bachrach et al.: append sqrt(M^2-|v|^2),
+    rank by augmented dot) preserves inner-product order, recall against
+    the exact MIPS top-5 must be exactly 1 — not approximately."""
+    from stock_crypto_data_pipeline_public_spark.plans.vectorops import (
+        IVF_K,
+        _mips_ann_recall,
+    )
+
+    row = _mips_ann_recall(spark, sf_dir, nprobe=IVF_K).collect()[0]
+    assert row.recall_e4 == 10000
+    assert row.min_hits_per_query == 5
+    assert row.n_hits == row.n_expected
