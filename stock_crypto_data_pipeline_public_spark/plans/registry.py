@@ -113,7 +113,9 @@ _GATE_PRIORITY = (
 #: MIPS baseline), x25 (Matryoshka prefix recall contract), m21 (dHash
 #: image near-dup), x26 (metadata-filtered k-NN, pre- vs post-filter),
 #: t48 (temperature-weighted corpus mixing), e13 (event-type Markov
-#: transition matrix) and m22 (acoustic-fingerprint audio near-dup) —
+#: transition matrix), m22 (acoustic-fingerprint audio near-dup) and
+#: x27 (MIPS-via-ANN recall contract: norm augmentation over the IVF
+#: tier, making x24's named scale path real) —
 #: built after the r11 window was sealed, never gated,
 #: so they enter the r12 window ahead of freshness per convention — then
 #: x03/x19 (r6, deferred for e12/q44), then the r7 remainder
