@@ -792,3 +792,119 @@ def e13_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.expr("_num div _den").alias("p_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# e14 — TIME-CONSTRAINED funnel (the product-analytics "funnel with
+# conversion window", and the complement of e03's lifetime-firsts funnel):
+# a user converts iff some view is followed by a click within 12 h AND that
+# click by a purchase within 48 h — an ordered-sequence EXISTS over the raw
+# event stream, not an aggregate of first timestamps (e03 credits a user
+# whose only qualifying click predates a week-later view; this one doesn't).
+# Shape: two stage-wise LEFT SEMI joins, each equi-keyed on user_id with the
+# range predicate as a residual — candidate pairs are per-user view×click
+# products (bounded by per-user activity, never corpus×corpus), and each
+# semi-join keeps one copy of the surviving stage rows. 100 TB: both joins
+# shuffle on user_id only; AQE reuses the exchange across stages, and a
+# salted variant (operators/skew.py) drops in if one user dominates.
+# --------------------------------------------------------------------------
+_E14_VC_US = 12 * 3600 * 1_000_000  # view→click window
+_E14_CP_US = 48 * 3600 * 1_000_000  # click→purchase window
+
+
+@query(
+    "e14_windowed_funnel",
+    oracle=f"""
+    WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+    qc AS (
+        SELECT * FROM c
+        WHERE EXISTS (SELECT 1 FROM v
+                      WHERE v.user_id = c.user_id
+                        AND v.t < c.t AND c.t <= v.t + {_E14_VC_US})
+    ),
+    qp AS (
+        SELECT * FROM p
+        WHERE EXISTS (SELECT 1 FROM qc
+                      WHERE qc.user_id = p.user_id
+                        AND qc.t < p.t AND p.t <= qc.t + {_E14_CP_US})
+    ),
+    stages AS (
+        SELECT (SELECT count(DISTINCT user_id) FROM v)  AS n_users_view,
+               (SELECT count(DISTINCT user_id) FROM qc) AS n_users_click_in_window,
+               (SELECT count(DISTINCT user_id) FROM qp) AS n_users_converted
+    )
+    SELECT CAST(n_users_view AS BIGINT)            AS n_users_view,
+           CAST(n_users_click_in_window AS BIGINT) AS n_users_click_in_window,
+           CAST(n_users_converted AS BIGINT)       AS n_users_converted,
+           CAST((n_users_click_in_window * 10000) // n_users_view
+                AS BIGINT)                         AS conv_click_e4,
+           CAST((n_users_converted * 10000) // n_users_view
+                AS BIGINT)                         AS conv_full_e4
+    FROM stages
+    """,
+)
+def e14_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(kind: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == kind).select(
+            "user_id", epoch_us("ts").alias("t")
+        )
+
+    return windowed_funnel(
+        stage("view"), stage("click"), stage("purchase"), _E14_VC_US, _E14_CP_US
+    )
+
+
+def windowed_funnel(
+    v: DataFrame, c: DataFrame, p: DataFrame, vc_us: int, cp_us: int
+) -> DataFrame:
+    """e14's engine over arbitrary (user_id, t) stage relations — unit tests
+    drive synthetic chains through it to pin the sequence semantics (a click
+    outside its view's window must NOT advance the funnel)."""
+    qc = c.alias("c").join(
+        v.alias("v"),
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("v.t") < F.col("c.t"))
+        & (F.col("c.t") <= F.col("v.t") + F.lit(vc_us)),
+        "left_semi",
+    )
+    qp = p.alias("p").join(
+        qc.alias("qc"),
+        (F.col("qc.user_id") == F.col("p.user_id"))
+        & (F.col("qc.t") < F.col("p.t"))
+        & (F.col("p.t") <= F.col("qc.t") + F.lit(cp_us)),
+        "left_semi",
+    )
+    counts = (
+        v.agg(F.countDistinct("user_id").cast("bigint").alias("n_users_view"))
+        .crossJoin(
+            F.broadcast(
+                qc.agg(
+                    F.countDistinct("user_id")
+                    .cast("bigint")
+                    .alias("n_users_click_in_window")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                qp.agg(
+                    F.countDistinct("user_id").cast("bigint").alias("n_users_converted")
+                )
+            )
+        )
+    )
+    return counts.select(
+        "n_users_view",
+        "n_users_click_in_window",
+        "n_users_converted",
+        F.expr(
+            "CAST((n_users_click_in_window * 10000) div n_users_view AS BIGINT)"
+        ).alias("conv_click_e4"),
+        F.expr(
+            "CAST((n_users_converted * 10000) div n_users_view AS BIGINT)"
+        ).alias("conv_full_e4"),
+    )

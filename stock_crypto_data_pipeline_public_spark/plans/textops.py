@@ -3333,3 +3333,114 @@ def t48_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t49 — hashed-linear classifier inference (the fastText-style quality
+# filter every production curation pipeline runs between heuristics and
+# dedup: CCNet/LLaMA wiki-vs-crawl filtering, Joulin et al. EACL'17).
+# The model is a linear scorer over HASHED bag-of-words features — no
+# vocabulary table, the feature transform IS the hash — so inference is a
+# pure map-side expression: tokenize, hash each token to a bucket, sum the
+# bucket weights, threshold. Weights here are synthesized deterministically
+# from the bucket id itself (the container ships no model artifact; a real
+# deployment broadcasts a weights array and swaps ONE sub-expression — the
+# plumbing, hashing, tf-weighted summation and thresholding are the real
+# shape, and the e3-integer weights mirror how quantized fastText ships).
+# 100 TB: zero shuffles, zero UDFs — the whole classifier lives inside one
+# whole-stage-codegen'd higher-order aggregate over the token array; scoring
+# throughput is scan throughput. A property test proves the md5-nibble
+# weight derivation against a pure-Python twin and the scorer's linearity
+# (score(text ‖ ' ' ‖ text) = 2·score(text)).
+# --------------------------------------------------------------------------
+_T49_BUCKETS_MOD = 2001  # weights in [-1000, 1000] e3-units via h48 % 2001
+
+
+def _t49_weight_sql(str_t: str) -> str:
+    """Integer e3 weight of one token ``t``: 48-bit md5 prefix mod 2001,
+    shifted to be zero-mean over the bucket space."""
+    return f"(({_hex48_sql(str_t, 't')} % {_T49_BUCKETS_MOD}) - 1000)"
+
+
+@query(
+    "t49_classifier_inference",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(list_sum(list_transform(
+                   toks, t -> {_t49_weight_sql('VARCHAR')})), 0) AS BIGINT)
+                   AS score_e3
+        FROM feats
+    )
+    SELECT doc_id, lang, n_tokens, score_e3,
+           CAST(score_e3 >= 0 AS INT) AS kept
+    FROM scored
+    """,
+)
+def t49_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    score = (
+        f"aggregate({toks}, CAST(0 AS BIGINT),"
+        f" (acc, t) -> acc + CAST({_t49_weight_sql('STRING')} AS BIGINT))"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"coalesce({score}, CAST(0 AS BIGINT))").alias("score_e3"),
+    ).withColumn("kept", (F.col("score_e3") >= 0).cast("int"))
+
+
+# --------------------------------------------------------------------------
+# t50 — n-gram novelty: what fraction of each document's distinct word
+# 3-grams appears HERE FIRST (corpus order = doc_id)? The incremental-crawl
+# economics number: dedup-adjusted token yield of a new batch is its novelty
+# mass, and near-zero novelty is the cheap first-pass signal for boilerplate
+# and templated spam (the t05/t11 near-dup machinery then confirms). Exact
+# and integer end to end: one shuffle of the shingle stream to attribute
+# each shingle to its min doc_id, one shingle-keyed join back (co-partitioned
+# with the agg's exchange), one doc_id rollup. 100 TB: identical shape to
+# t05's candidate stream — work ∝ shingle count, never pairs; a hot shingle
+# costs one combiner cell, not a bucket explosion.
+# --------------------------------------------------------------------------
+@query(
+    "t50_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest({D.oracle_shingles('text')}) AS shingle
+        FROM documents
+    ),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT)        AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT)                 AS n_first_here,
+           CAST((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 10000) // count(*) AS BIGINT) AS novelty_e4
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY 1
+    """,
+)
+def t50_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    first_here = F.sum(
+        (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+    ).alias("n_first_here")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"), first_here)
+        .withColumn(
+            "novelty_e4",
+            F.expr("CAST((n_first_here * 10000) div n_shingles AS BIGINT)"),
+        )
+    )

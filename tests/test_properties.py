@@ -947,3 +947,107 @@ def test_x27_norm_augmentation_is_order_preserving(spark, sf_dir):
     assert row.recall_e4 == 10000
     assert row.min_hits_per_query == 5
     assert row.n_hits == row.n_expected
+
+
+def test_t49_weights_match_pure_python_twin_and_scorer_is_linear(spark, sf_dir):
+    """The hashed-linear classifier's md5-nibble weight derivation must match
+    an independent pure-Python implementation token for token, and the scorer
+    must be linear in the bag of words: score(text + ' ' + text) is exactly
+    2 * score(text)."""
+    import hashlib
+    import re
+
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        _T49_BUCKETS_MOD,
+        t49_classifier_inference,
+    )
+
+    def py_weight(tok: str) -> int:
+        h48 = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+        return (h48 % _T49_BUCKETS_MOD) - 1000
+
+    rows = t49_classifier_inference(spark, sf_dir).orderBy("doc_id").limit(25).collect()
+    import pyarrow.parquet as pq
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    }
+    assert len(rows) == 25
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", texts[r.doc_id].lower())
+        assert r.n_tokens == len(toks)
+        assert r.score_e3 == sum(py_weight(t) for t in toks)
+        assert r.kept == int(r.score_e3 >= 0)
+
+    doubled = spark.createDataFrame(
+        [(d, t + " " + t) for d, t in list(texts.items())[:10]], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    toks_sql = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    from stock_crypto_data_pipeline_public_spark.plans.textops import _t49_weight_sql
+
+    score = (
+        f"aggregate({toks_sql}, CAST(0 AS BIGINT),"
+        f" (acc, t) -> acc + CAST({_t49_weight_sql('STRING')} AS BIGINT))"
+    )
+    got = {
+        r.doc_id: r.s2
+        for r in doubled.select("doc_id", F.expr(score).alias("s2")).collect()
+    }
+    for d, t in list(texts.items())[:10]:
+        single = sum(py_weight(x) for x in re.findall(r"[a-z0-9]+", t.lower()))
+        assert got[d] == 2 * single
+
+
+def test_t50_novelty_conservation_and_bounds(spark, sf_dir):
+    """Every distinct shingle is first-seen exactly once, so the per-doc
+    n_first_here must sum to the corpus's distinct-shingle count; the
+    earliest doc carrying shingles is all-novel; novelty_e4 stays in
+    [0, 10000]."""
+    from stock_crypto_data_pipeline_public_spark.operators import dedup as D
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        _docs,
+        t50_ngram_novelty,
+    )
+
+    out = t50_ngram_novelty(spark, sf_dir).collect()
+    assert out, "no docs carried shingles"
+    n_distinct = (
+        D.exploded_shingles(_docs(spark, sf_dir), "doc_id", "text", 3)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_first_here for r in out) == n_distinct
+    first_doc = min(out, key=lambda r: r.doc_id)
+    assert first_doc.novelty_e4 == 10000
+    assert first_doc.n_first_here == first_doc.n_shingles
+    for r in out:
+        assert 0 <= r.novelty_e4 <= 10000
+        assert 0 <= r.n_first_here <= r.n_shingles
+
+
+def test_e14_windowed_funnel_sequence_semantics(spark):
+    """Synthetic chains pin the windowed-funnel semantics: only a click
+    inside its view's window advances the funnel, and only a purchase inside
+    a QUALIFYING click's window converts — order and window both matter."""
+    from stock_crypto_data_pipeline_public_spark.plans.eventops import windowed_funnel
+
+    H = 3600 * 1_000_000
+    mk = lambda rows: spark.createDataFrame(rows, "user_id long, t long")
+    # A: click 13h after view (window 12h) → stalls at view.
+    # B: click in window, purchase 50h after click (window 48h) → stalls at click.
+    # C: full chain in-window → converts.
+    # D: purchase BEFORE the qualifying click (order violation) → stalls at click.
+    # E: click first, view later (order violation at stage 1) → stalls at view.
+    v = mk([(1, 0), (2, 0), (3, 0), (4, 0), (5, 10 * H)])
+    c = mk([(1, 13 * H), (2, 1 * H), (3, 1 * H), (4, 6 * H), (5, 2 * H)])
+    p = mk([(2, 51 * H), (3, 20 * H), (4, 2 * H)])
+    row = windowed_funnel(v, c, p, 12 * H, 48 * H).collect()[0]
+    assert row.n_users_view == 5
+    assert row.n_users_click_in_window == 3  # B, C, D
+    assert row.n_users_converted == 1  # C only
+    assert row.conv_click_e4 == 3 * 10000 // 5
+    assert row.conv_full_e4 == 1 * 10000 // 5
