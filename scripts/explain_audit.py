@@ -112,6 +112,24 @@ EXPECTED_NESTED_LOOP = {
     # MG heavy hitters: the corpus-total threshold is a broadcast 1-row
     # aggregate crossed into the (candidate-sized) recount — t41's shape
     "t46_mg_heavy_hitters",
+    # temperature mixing: the |langs|-row acceptance decision table (and
+    # its 1-row total) broadcast-crossed into the map-only corpus pass —
+    # the x05 tiny-broadcast shape
+    "t48_temperature_mixing",
+    # filtered k-NN: the 10-query block is a broadcast non-equi scan for
+    # the unfiltered top-R postfilter CONTRAST arm (x01's deliberate
+    # baseline); the pre-filter arm itself is a broadcast hash equi-join
+    # on (label, query)
+    "x26_filtered_knn",
+    # windowed funnel: the three stage counts are broadcast 1-row
+    # aggregates cross-combined into the single report row — t34's shape
+    # (the funnel's data-sized joins are the user_id-keyed LEFT SEMIs)
+    "e14_windowed_funnel",
+    # MIPS-via-ANN recall: the 1-row max-norm broadcast (augmentation),
+    # the K-row augmented-centroid broadcast scorings (x05/x07's shape),
+    # and the bounded 10-query exact-MIPS block (x01's deliberate
+    # exactness baseline the contract scores against)
+    "x27_mips_ann_recall",
 }
 
 
