@@ -125,6 +125,10 @@ EXPECTED_NESTED_LOOP = {
     # aggregates cross-combined into the single report row — t34's shape
     # (the funnel's data-sized joins are the user_id-keyed LEFT SEMIs)
     "e14_windowed_funnel",
+    # tombstoned ANN search: the K-row centroid broadcast scorings
+    # (x05/x07's shape); the delete set and the candidate exclusion are
+    # broadcast hash anti-joins, not nested loops
+    "x28_tombstoned_ann_search",
     # MIPS-via-ANN recall: the 1-row max-norm broadcast (augmentation),
     # the K-row augmented-centroid broadcast scorings (x05/x07's shape),
     # and the bounded 10-query exact-MIPS block (x01's deliberate

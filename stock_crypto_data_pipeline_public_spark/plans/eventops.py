@@ -908,3 +908,95 @@ def windowed_funnel(
             "CAST((n_users_converted * 10000) div n_users_view AS BIGINT)"
         ).alias("conv_full_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# e15 — top user journeys (session path mining): the ordered first-3
+# event-type path of every e01 session, ranked by frequency — the product
+# question e13's one-step Markov matrix cannot answer (a transition matrix
+# marginalizes paths; "view>click>purchase vs view>view>view" needs the
+# sequence itself). Path extraction is three conditional firsts over the
+# per-session rank (no collect_list — its order is partition-dependent),
+# so the whole query is e01's one user_id window plus one hash agg on the
+# (bounded: |types|³) path space. 100 TB: the only data-sized exchange is
+# the user_id window e01 already pays; everything after is tiny.
+# --------------------------------------------------------------------------
+@query(
+    "e15_top_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts ASC, event_id ASC
+               ) AS rn
+        FROM sessions
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               concat_ws('>',
+                   max(CASE WHEN rn = 1 THEN event_type END),
+                   max(CASE WHEN rn = 2 THEN event_type END),
+                   max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT)                AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+)
+def e15_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", new_sess).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sw = W.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    ranked = sessions.withColumn("rn", F.row_number().over(sw)).filter(
+        F.col("rn") <= 3
+    )
+
+    def slot(i: int):
+        return F.max(F.when(F.col("rn") == i, F.col("event_type")))
+
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.concat_ws(">", slot(1), slot(2), slot(3)).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )

@@ -3161,3 +3161,147 @@ def _mips_ann_recall(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame
         ).alias("recall_e4"),
         F.min("hits").cast("bigint").alias("min_hits_per_query"),
     )
+
+
+# --------------------------------------------------------------------------
+# x28 — tombstoned ANN search (the vector-store DELETE path: right-to-be-
+# forgotten erasure, retracted docs, stale embeddings). Production indexes
+# don't rebuild per delete — they carry a tombstone set and EXCLUDE at
+# query time, compacting later (s09's drift/rebuild machinery is the
+# compaction side; this row gates the query-time semantics). Deletes here
+# are vec_id % 17 == 3 (~6% of the corpus, deterministic); the IVF probe
+# tier (x07's shape: broadcast seeds, per-query top-P cells) generates
+# candidates from the UNCHANGED index, a broadcast LEFT ANTI join against
+# the delete relation drops tombstones before ranking, and the gated
+# answer is the post-delete top-5 per query plus n_evicted — how many of
+# the PRE-delete top-5 the erasure removed (the user-visible churn).
+# Deleted ids can never appear (anti-join, not score fudging), and because
+# per-vector cell assignment is independent of other vectors, the
+# tombstone path is provably IDENTICAL to a fresh index built on the
+# reduced corpus with the same centroids — the property test pins that
+# equivalence, which is what licenses deferred compaction at 100 TB.
+# Scale: the delete set is broadcast (≪ corpus, the realistic regime);
+# everything else is x07's probed-cells-only scan.
+# --------------------------------------------------------------------------
+_X28_MOD, _X28_RES = 17, 3
+
+
+def _x28_paths(spark: SparkSession, sf_dir: str):
+    """(pre-delete candidates, post-delete candidates, queries) for the
+    tombstoned search — shared by the gated query and the equivalence
+    property test."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    sim = S.cosine("embedding", "ce", EMB_DIM)
+    aw = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", "centroid_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .drop("sim", "rk")
+    )
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qsim = S.cosine("qe", "ce", EMB_DIM)
+    pw = W.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("query_id", "qe", "centroid_id", qsim.alias("qsim"))
+        .withColumn("rk", F.row_number().over(pw))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .drop("qsim", "rk")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), ["centroid_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            rnd(S.cosine("qe", "embedding", EMB_DIM), 4).alias("cosine_sim"),
+        )
+    )
+    dels = emb.filter(F.col("vec_id") % _X28_MOD == _X28_RES).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    post = cand.join(F.broadcast(dels), "neighbor_id", "left_anti")
+    return cand, post, q
+
+
+def _top5(cand: DataFrame) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "x28_tombstoned_ann_search",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, s.centroid_id FROM embeddings e
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {S.oracle_cosine('e.embedding', 's.ce')} DESC, s.centroid_id ASC
+        ) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 110),
+    probes AS (
+        SELECT q.query_id, q.qe, s.centroid_id FROM q
+        JOIN seeds s ON true
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {S.oracle_cosine('q.qe', 's.ce')} DESC, s.centroid_id ASC
+        ) <= {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {oracle_rnd(S.oracle_cosine('p.qe', 'a.embedding'), 4)} AS cosine_sim
+        FROM probes p JOIN assigned a
+          ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+    ),
+    pre5 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+            ) AS rk FROM cand
+        ) WHERE rk <= 5
+    ),
+    post5 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+            ) AS rk
+            FROM cand WHERE neighbor_id % {_X28_MOD} <> {_X28_RES}
+        ) WHERE rk <= 5
+    ),
+    evicted AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN neighbor_id % {_X28_MOD} = {_X28_RES}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_evicted
+        FROM pre5 GROUP BY query_id
+    )
+    SELECT p.query_id, p.neighbor_id, p.cosine_sim, p.rk, e.n_evicted
+    FROM post5 p JOIN evicted e USING (query_id)
+    """,
+)
+def x28_tombstoned_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, post, _q = _x28_paths(spark, sf_dir)
+    pre5 = _top5(cand)
+    post5 = _top5(post)
+    evicted = pre5.groupBy("query_id").agg(
+        F.sum(
+            (F.col("neighbor_id") % _X28_MOD == _X28_RES).cast("bigint")
+        ).alias("n_evicted")
+    )
+    return post5.join(F.broadcast(evicted), "query_id").select(
+        "query_id", "neighbor_id", "cosine_sim", "rk", "n_evicted"
+    )

@@ -1051,3 +1051,85 @@ def test_e14_windowed_funnel_sequence_semantics(spark):
     assert row.n_users_converted == 1  # C only
     assert row.conv_click_e4 == 3 * 10000 // 5
     assert row.conv_full_e4 == 1 * 10000 // 5
+
+
+def test_e15_paths_are_wellformed_and_consistent_with_e01(spark, sf_dir):
+    """Every mined path is at most 3 known event types; path session counts
+    never exceed the corpus's total session count (e01's number); user
+    counts never exceed session counts."""
+    from stock_crypto_data_pipeline_public_spark.plans.eventops import (
+        e01_sessionization,
+        e15_top_paths,
+    )
+
+    out = e15_top_paths(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    types = {"view", "click", "purchase", "signup", "error"}
+    total_sessions = sum(
+        r.n_sessions for r in e01_sessionization(spark, sf_dir).collect()
+    )
+    seen = set()
+    for r in out:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 3 and set(steps) <= types
+        assert 0 < r.n_users <= r.n_sessions <= total_sessions
+        assert r.path not in seen
+        seen.add(r.path)
+    counts = [r.n_sessions for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_x28_tombstone_path_equals_fresh_reduced_index(spark, sf_dir):
+    """Query-time tombstone exclusion must be indistinguishable from a fresh
+    index built on the reduced corpus with the same centroids — per-vector
+    cell assignment is independent, so the two candidate sets are identical.
+    This equivalence is what licenses deferred compaction. Also: no deleted
+    id may ever surface."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from stock_crypto_data_pipeline_public_spark.plans.vectorops import (
+        _X28_MOD,
+        _X28_RES,
+        _top5,
+        _x28_paths,
+        x28_tombstoned_ann_search,
+    )
+
+    out = x28_tombstoned_ann_search(spark, sf_dir).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.neighbor_id % _X28_MOD != _X28_RES
+
+    _cand, post, _q = _x28_paths(spark, sf_dir)
+    via_tombstone = {
+        (r.query_id, r.rk): r.neighbor_id for r in _top5(post).collect()
+    }
+    # fresh "index" on the reduced corpus: filter BEFORE assignment — the
+    # candidate generation then runs on reduced data with the same seeds
+    from stock_crypto_data_pipeline_public_spark.plans import vectorops as V
+
+    orig_emb = V._emb
+
+    def reduced_emb(spark_, sf_dir_):
+        emb = orig_emb(spark_, sf_dir_)
+        # queries and seeds must survive: only non-seed, non-query corpus
+        # rows are deletable in this fixture (seeds are centroids, not data;
+        # the 10 query ids are < 17*7 and none ≡ 3 mod 17 anyway)
+        return emb.filter(
+            (F.col("vec_id") % _X28_MOD != _X28_RES)
+            | (F.col("vec_id") < V.IVF_K)
+            | ((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+        )
+
+    V._emb = reduced_emb
+    try:
+        fresh_cand, _post, _q2 = _x28_paths(spark, sf_dir)
+        fresh_cand = fresh_cand.filter(
+            F.col("neighbor_id") % _X28_MOD != _X28_RES
+        )
+        via_fresh = {
+            (r.query_id, r.rk): r.neighbor_id for r in _top5(fresh_cand).collect()
+        }
+    finally:
+        V._emb = orig_emb
+    assert via_tombstone == via_fresh
