@@ -117,8 +117,9 @@ _GATE_PRIORITY = (
 #: x27 (MIPS-via-ANN recall contract: norm augmentation over the IVF
 #: tier, making x24's named scale path real), t49 (fastText-style
 #: hashed-linear classifier inference, map-only), t50 (n-gram novelty
-#: via first-occurrence attribution) and e14 (time-constrained funnel,
-#: stage-wise semi-joins) —
+#: via first-occurrence attribution), e14 (time-constrained funnel,
+#: stage-wise semi-joins), e15 (session path mining) and x28
+#: (tombstoned ANN search — the vector-store DELETE path) —
 #: built after the r11 window was sealed, never gated,
 #: so they enter the r12 window ahead of freshness per convention — then
 #: x03/x19 (r6, deferred for e12/q44), then the r7 remainder
