@@ -3444,3 +3444,123 @@ def t50_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((n_first_here * 10000) div n_shingles AS BIGINT)"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t51 — DSIR-style importance weighting (Data Selection via Importance
+# Resampling, Xie et al. NeurIPS'23): score every raw document by how much
+# its hashed-bigram distribution looks like a TARGET domain (here the 'en'
+# slice), then keep the top-k — the standard recipe for tilting a 100 TB
+# crawl toward a curated domain without training a model. Features are
+# hashed bigrams (multiplicity kept — this is a unigram-of-bigrams LM, not
+# a set); per-bucket weights are add-one-smoothed target/raw likelihood
+# ratios quantized ONCE to integer e6 (DSIR's log-ratio sum is replaced by
+# an integer-quantized ratio sum so every downstream aggregate is exact
+# BIGINT arithmetic — same bucket ordering intent, zero float drift; the
+# e12 PSI row covers the log-family variant). 100 TB: corpus statistics
+# collapse to a |buckets|-row table broadcast back (two passes over the
+# bigram stream: one |buckets|-key agg, one (doc,bucket) agg) — no
+# data-sized join anywhere.
+# --------------------------------------------------------------------------
+_T51_BUCKETS = 1024
+_T51_TARGET_LANG = "en"
+_T51_K = 25
+
+
+def _t51_bigrams_sql(engine: str) -> str:
+    """Bigram list WITH multiplicity over the [a-z0-9]+ token stream."""
+    if engine == "spark":
+        toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+        return (
+            f"CASE WHEN size({toks}) >= 2 THEN "
+            f"transform(sequence(0, size({toks}) - 2),"
+            f" i -> concat(element_at({toks}, i + 1), ' ',"
+            f" element_at({toks}, i + 2)))"
+            f" ELSE array() END"
+        )
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return (
+        f"list_transform(range(greatest(len({toks}) - 1, 0)),"
+        f" i -> {toks}[i + 1] || ' ' || {toks}[i + 2])"
+    )
+
+
+@query(
+    "t51_dsir_importance",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               {_hex48_sql('VARCHAR', 'bigram')} % {_T51_BUCKETS} AS bucket
+        FROM (
+            SELECT doc_id, lang, unnest({_t51_bigrams_sql('duckdb')}) AS bigram
+            FROM documents
+        )
+    ),
+    raw_c AS (SELECT bucket, count(*) AS c_r FROM b GROUP BY 1),
+    tgt_c AS (SELECT bucket, count(*) AS c_t FROM b
+              WHERE lang = '{_T51_TARGET_LANG}' GROUP BY 1),
+    w AS (
+        SELECT r.bucket,
+               CAST(((coalesce(t.c_t, 0) + 1) * 1000000)
+                    // (r.c_r + 1) AS BIGINT) AS w_e6
+        FROM raw_c r LEFT JOIN tgt_c t USING (bucket)
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, bucket, count(*) AS cnt
+        FROM b GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT p.doc_id, p.lang,
+               CAST(sum(p.cnt) AS BIGINT)            AS n_bigrams,
+               CAST(sum(p.cnt * w.w_e6) AS BIGINT)   AS importance_e6
+        FROM per_doc p JOIN w USING (bucket)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_bigrams, importance_e6,
+           CAST(importance_e6 // n_bigrams AS BIGINT) AS per_bigram_e6
+    FROM scored
+    ORDER BY per_bigram_e6 DESC, doc_id ASC
+    LIMIT {_T51_K}
+    """,
+)
+def t51_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    b = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_t51_bigrams_sql("spark"))).alias("bigram")
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"{_hex48_sql('STRING', 'bigram')} % {_T51_BUCKETS}").alias("bucket"),
+    )
+    raw_c = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt_c = (
+        b.filter(F.col("lang") == _T51_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    w = raw_c.join(tgt_c, "bucket", "left").select(
+        "bucket",
+        F.expr(
+            "CAST(((coalesce(c_t, CAST(0 AS BIGINT)) + 1) * 1000000)"
+            " div (c_r + 1) AS BIGINT)"
+        ).alias("w_e6"),
+    )
+    per_doc = b.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = (
+        per_doc.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("w_e6")).cast("bigint").alias("importance_e6"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "per_bigram_e6",
+            F.expr("CAST(importance_e6 div n_bigrams AS BIGINT)"),
+        )
+        .orderBy(F.desc("per_bigram_e6"), F.asc("doc_id"))
+        .limit(_T51_K)
+    )

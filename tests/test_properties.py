@@ -1133,3 +1133,30 @@ def test_x28_tombstone_path_equals_fresh_reduced_index(spark, sf_dir):
     finally:
         V._emb = orig_emb
     assert via_tombstone == via_fresh
+
+
+def test_t51_importance_selects_target_domain_and_weights_are_bounded(spark, sf_dir):
+    """The importance sampler must actually tilt toward the target domain:
+    the top-k 'en' share must crush the corpus base rate (≥80% of the
+    selection vs ~39% of the corpus). And since the target bigram stream is
+    a subset of the raw stream, every smoothed ratio weight — and therefore
+    every per-bigram average — is bounded by 1e6."""
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        _T51_K,
+        _docs,
+        t51_dsir_importance,
+    )
+
+    out = t51_dsir_importance(spark, sf_dir).collect()
+    assert len(out) == _T51_K
+    n_en = sum(1 for r in out if r.lang == "en")
+    docs = _docs(spark, sf_dir)
+    base_rate = docs.filter("lang = 'en'").count() / docs.count()
+    assert n_en >= 0.8 * _T51_K
+    assert n_en / _T51_K > base_rate
+    for r in out:
+        assert 0 < r.per_bigram_e6 <= 1_000_000
+        assert r.importance_e6 >= r.per_bigram_e6 * r.n_bigrams  # floor div
+        assert r.n_bigrams > 0
+    scores = [r.per_bigram_e6 for r in out]
+    assert scores == sorted(scores, reverse=True)
