@@ -118,8 +118,9 @@ _GATE_PRIORITY = (
 #: tier, making x24's named scale path real), t49 (fastText-style
 #: hashed-linear classifier inference, map-only), t50 (n-gram novelty
 #: via first-occurrence attribution), e14 (time-constrained funnel,
-#: stage-wise semi-joins), e15 (session path mining) and x28
-#: (tombstoned ANN search — the vector-store DELETE path) —
+#: stage-wise semi-joins), e15 (session path mining), x28 (tombstoned
+#: ANN search — the vector-store DELETE path) and t51 (DSIR
+#: importance-resampling selection) —
 #: built after the r11 window was sealed, never gated,
 #: so they enter the r12 window ahead of freshness per convention — then
 #: x03/x19 (r6, deferred for e12/q44), then the r7 remainder
