@@ -3457,10 +3457,14 @@ def t50_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratios quantized ONCE to integer e6 (DSIR's log-ratio sum is replaced by
 # an integer-quantized ratio sum so every downstream aggregate is exact
 # BIGINT arithmetic — same bucket ordering intent, zero float drift; the
-# e12 PSI row covers the log-family variant). 100 TB: corpus statistics
-# collapse to a |buckets|-row table broadcast back (two passes over the
-# bigram stream: one |buckets|-key agg, one (doc,bucket) agg) — no
-# data-sized join anywhere.
+# e12 PSI row covers the log-family variant). 100 TB: ONE pass over the
+# bigram stream (the expensive part: explode + the 12-nibble portable
+# hash) into (doc, bucket) counts; the corpus statistics c_r/c_t are then
+# bucket-partitioned window sums over that already-reduced relation —
+# deriving them from the same lineage instead of re-scanning keeps the
+# hash pass single (the naive 3-consumer plan re-exploded the corpus
+# three times and measured ~4x slower at sf0.1) and adds no data-sized
+# join anywhere.
 # --------------------------------------------------------------------------
 _T51_BUCKETS = 1024
 _T51_TARGET_LANG = "en"
@@ -3468,15 +3472,18 @@ _T51_K = 25
 
 
 def _t51_bigrams_sql(engine: str) -> str:
-    """Bigram list WITH multiplicity over the [a-z0-9]+ token stream."""
+    """Bigram list WITH multiplicity over the [a-z0-9]+ token stream.
+
+    The Spark form expects the token array ALREADY materialized as a
+    column named ``toks`` — inlining the regexp inside the transform
+    lambda re-evaluates it per element (O(len²) regex calls per doc;
+    measured ~10x slower at sf0.1 before the split)."""
     if engine == "spark":
-        toks = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
         return (
-            f"CASE WHEN size({toks}) >= 2 THEN "
-            f"transform(sequence(0, size({toks}) - 2),"
-            f" i -> concat(element_at({toks}, i + 1), ' ',"
-            f" element_at({toks}, i + 2)))"
-            f" ELSE array() END"
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))"
+            " ELSE array() END"
         )
     toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     return (
@@ -3526,35 +3533,38 @@ def _t51_bigrams_sql(engine: str) -> str:
 def t51_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     b = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("toks"),
+    ).select(
         "doc_id", "lang", F.explode(F.expr(_t51_bigrams_sql("spark"))).alias("bigram")
     ).select(
         "doc_id",
         "lang",
         F.expr(f"{_hex48_sql('STRING', 'bigram')} % {_T51_BUCKETS}").alias("bucket"),
     )
-    raw_c = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
-    tgt_c = (
-        b.filter(F.col("lang") == _T51_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
-    )
-    w = raw_c.join(tgt_c, "bucket", "left").select(
-        "bucket",
-        F.expr(
-            "CAST(((coalesce(c_t, CAST(0 AS BIGINT)) + 1) * 1000000)"
-            " div (c_r + 1) AS BIGINT)"
-        ).alias("w_e6"),
-    )
     per_doc = b.groupBy("doc_id", "lang", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    scored = (
-        per_doc.join(F.broadcast(w), "bucket")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_bigrams"),
-            F.sum(F.col("cnt") * F.col("w_e6")).cast("bigint").alias("importance_e6"),
+    bw = W.partitionBy("bucket")
+    weighted = (
+        per_doc.withColumn("c_r", F.sum("cnt").over(bw))
+        .withColumn(
+            "c_t",
+            F.sum(
+                F.when(F.col("lang") == _T51_TARGET_LANG, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).over(bw),
         )
+        .withColumn(
+            "w_e6",
+            F.expr("CAST(((c_t + 1) * 1000000) div (c_r + 1) AS BIGINT)"),
+        )
+    )
+    scored = weighted.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("cnt") * F.col("w_e6")).cast("bigint").alias("importance_e6"),
     )
     return (
         scored.withColumn(
