@@ -861,6 +861,51 @@ def synthesize_mp4(docs: DataFrame, n_frames: int = 6) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthesize_mp4_scenes(docs: DataFrame, n_frames: int = 6, jump: int = 20) -> DataFrame:
+    """synthesize_mp4 with SCENE CUTS: real Motion-JPEG-in-MP4 clips whose
+    per-frame offset jumps by ``jump`` at every cut frame, where the cut
+    set is the closed form {f in 1..n_frames-1 : (f + doc_id) % 3 == 0}
+    (1 or 2 cuts per doc at n_frames=6). Frame f's block (bx, by) carries
+    2*(bx + 2*by + doc_id % 40 + f + jump*cuts_before_or_at(f)) — every
+    term stays < 256 and even, so after the REAL demux + JPEG decode the
+    frame-to-frame per-pixel |delta| is exactly 2 off a cut and
+    2*(1 + jump) on one: a scene-cut detector thresholding mean pixel
+    change is SQL-predictable end to end through both codec layers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .jpegcodec import encode_jpeg
+        from .mp4codec import encode_mp4
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "media": [], "media_type": [], "n_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bw = int(2 + doc_id % 4)
+                bh = int(2 + len(text or "") % 4)
+                k = int(doc_id) % 40
+                cuts = [f for f in range(1, n_frames) if (f + doc_id) % 3 == 0]
+                bx = np.arange(bw)[None, :]
+                by = np.arange(bh)[:, None]
+                ones = np.ones((8, 8), dtype=np.uint8)
+                frames = []
+                for f in range(n_frames):
+                    off = f + jump * sum(1 for c in cuts if c <= f)
+                    frames.append(
+                        encode_jpeg(
+                            np.kron((2 * (bx + 2 * by + k + off)).astype(np.uint8), ones)
+                        )
+                    )
+                b = encode_mp4(frames, 8 * bw, 8 * bh, frame_duration_ms=100)
+                out["doc_id"].append(doc_id)
+                out["media"].append(b)
+                out["media_type"].append("video/mp4")
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def synthesize_animated_gif(docs: DataFrame, n_frames: int = 6) -> DataFrame:
     """Deterministic REAL animated GIF87a clips, one per document:
     width = 4 + doc_id % 12, height = 4 + (len(text) % 12), frame f pixel

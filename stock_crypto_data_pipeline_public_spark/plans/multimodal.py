@@ -1040,3 +1040,47 @@ def m22_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("fingerprint", "keep_doc_id", "n_members")
     )
+
+
+# --------------------------------------------------------------------------
+# m23 — scene-cut detection (shot segmentation): the video-curation
+# primitive above m14's raw frame deltas — a training pipeline samples
+# ONE frame per shot, so the shot structure IS the sampling plan. The
+# corpus is synthesize_mp4_scenes: real Motion-JPEG-in-MP4 whose pixel
+# offset jumps at the closed-form cut set {f : (f + doc_id) % 3 == 0},
+# so after the REAL demux + JPEG decode a cut is exactly "mean per-pixel
+# |delta| > 10" (2 off-cut vs 42 on-cut) and the oracle can state every
+# doc's shot count, first cut and cut-frame fingerprint from doc_id
+# arithmetic alone — any decode slip, frame mis-order or threshold drift
+# flips the hash. 100 TB: sample_frames emits each doc's frames
+# contiguously, frame_deltas diffs them ZERO-SHUFFLE (assume_grouped),
+# and the detector is one filter + one doc_id hash agg.
+# --------------------------------------------------------------------------
+@query(
+    "m23_scene_cut_rollup",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, CAST(gf.f AS BIGINT) AS cut_frame
+        FROM documents, unnest(range(1, 6)) AS gf(f)
+        WHERE (gf.f + doc_id) % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_shots,
+           CAST(min(cut_frame) AS BIGINT) AS first_cut_frame,
+           CAST(sum(cut_frame) AS BIGINT) AS cut_frame_sum
+    FROM f
+    GROUP BY doc_id
+    """,
+)
+def m23_scene_cut_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = M.synthesize_mp4_scenes(docs, n_frames=6)
+    frames = M.sample_frames(media, n_frames=6)  # all frames, REAL demux
+    deltas = M.frame_deltas(frames, assume_grouped=True)
+    cuts = deltas.filter(F.col("abs_delta") > 10 * F.col("changed_pixels"))
+    return cuts.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_shots"),
+        F.min("frame_idx").cast("bigint").alias("first_cut_frame"),
+        F.sum("frame_idx").cast("bigint").alias("cut_frame_sum"),
+    )

@@ -3574,3 +3574,100 @@ def t51_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("per_bigram_e6"), F.asc("doc_id"))
         .limit(_T51_K)
     )
+
+
+# --------------------------------------------------------------------------
+# t52 — token-budget allocation (quality-budgeted curation): every
+# pretraining run ends with "spend at most B tokens per language, best
+# docs first" — distinct from t15 (count quotas), t40 (weighted priority
+# sample) and t48 (temperature acceptance): the budget is a MASS cap and
+# the selection greedy by quality rank. Per language: cap = half the
+# language's char mass; docs ranked by the t17 quality score (rnd4
+# quantized → engine-identical total order, doc_id tiebreak); a doc is
+# taken iff the mass already taken BEFORE it is under the cap (so the
+# boundary doc may overshoot — the standard greedy knapsack relaxation,
+# stated in the contract). Gated per language with an id-sum fingerprint
+# that flips on any single selection change. 100 TB: one lang-partitioned
+# window (ranking + running mass in the same exchange) — the same shape
+# as every SCD/dedup window; no joins, no driver state.
+# --------------------------------------------------------------------------
+@query(
+    "t52_quality_budget_selection",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang, n_chars,
+               len(regexp_extract_all(text, '[a-z0-9]+'))    AS n_tokens,
+               len(regexp_extract_all(text, '{_STOP_RE}'))   AS stop_hits,
+               len(regexp_extract_all(text, '[a-z]'))        AS alpha_chars,
+               length(text) AS len_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_chars,
+               coalesce({oracle_rnd(
+                   "0.5 * (stop_hits * 1.0 / nullif(n_tokens, 0))"
+                   " + 0.3 * (least(n_tokens, 100) / 100.0)"
+                   " + 0.2 * (alpha_chars * 1.0 / nullif(len_chars, 0))", 4)},
+                   -1.0) AS q
+        FROM feats
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_chars, q,
+               sum(n_chars) OVER (PARTITION BY lang)        AS lang_mass,
+               coalesce(sum(n_chars) OVER (
+                   PARTITION BY lang ORDER BY q DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0)                                        AS mass_before
+        FROM scored
+    ),
+    sel AS (
+        SELECT *, lang_mass // 2 AS cap_chars,
+               CASE WHEN mass_before < lang_mass // 2 THEN 1 ELSE 0 END AS taken
+        FROM ranked
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                          AS n_docs,
+           CAST(max(cap_chars) AS BIGINT)                    AS cap_chars,
+           CAST(sum(taken) AS BIGINT)                        AS n_selected,
+           CAST(sum(taken * n_chars) AS BIGINT)              AS chars_selected,
+           CAST((sum(taken * n_chars) * 10000) // max(cap_chars)
+                AS BIGINT)                                   AS utilization_e4,
+           CAST(sum(taken * doc_id) AS BIGINT)               AS sel_id_sum
+    FROM sel
+    GROUP BY lang
+    """,
+)
+def t52_quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    scored = _quality_scored(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    lw = W.partitionBy("lang")
+    gw = lw.orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(lw).alias("lang_mass"),
+        F.coalesce(
+            F.sum("n_chars").over(gw.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("mass_before"),
+    )
+    sel = ranked.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.expr("lang_mass div 2").alias("cap_chars"),
+        (F.col("mass_before") < F.expr("lang_mass div 2")).cast("bigint").alias("taken"),
+    )
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("cap_chars").cast("bigint").alias("cap_chars"),
+        F.sum("taken").cast("bigint").alias("n_selected"),
+        F.sum(F.col("taken") * F.col("n_chars")).cast("bigint").alias("chars_selected"),
+        F.expr(
+            "CAST((sum(taken * n_chars) * 10000) div max(cap_chars) AS BIGINT)"
+        ).alias("utilization_e4"),
+        F.sum(F.col("taken") * F.col("doc_id")).cast("bigint").alias("sel_id_sum"),
+    )

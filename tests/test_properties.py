@@ -1160,3 +1160,72 @@ def test_t51_importance_selects_target_domain_and_weights_are_bounded(spark, sf_
         assert r.n_bigrams > 0
     scores = [r.per_bigram_e6 for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_t52_budget_selection_matches_greedy_twin(spark, sf_dir):
+    """A pure-Python greedy twin (sort by quality desc, take while the mass
+    already taken is under the cap) must reproduce n_selected and the id-sum
+    fingerprint for every language; greedy always reaches the cap (the
+    boundary doc may overshoot), so utilization_e4 >= 10000."""
+    from stock_crypto_data_pipeline_public_spark.plans.textops import (
+        _docs,
+        _quality_scored,
+        t52_quality_budget_selection,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scored = {
+        r.doc_id: r
+        for r in _quality_scored(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .collect()
+    }
+    out = {r.lang: r for r in t52_quality_budget_selection(spark, sf_dir).collect()}
+    langs = {r.lang for r in scored.values()}
+    assert set(out) == langs
+    for lang in langs:
+        rows = sorted(
+            (r for r in scored.values() if r.lang == lang),
+            key=lambda r: (-r.q, r.doc_id),
+        )
+        cap = sum(r.n_chars for r in rows) // 2
+        taken, mass = [], 0
+        for r in rows:
+            if mass < cap:
+                taken.append(r)
+                mass += r.n_chars
+        o = out[lang]
+        assert o.cap_chars == cap
+        assert o.n_selected == len(taken)
+        assert o.chars_selected == mass
+        assert o.sel_id_sum == sum(r.doc_id for r in taken)
+        assert o.utilization_e4 >= 10000
+        assert o.n_selected < o.n_docs
+
+
+def test_m23_real_decode_deltas_are_exactly_bimodal(spark, sf_dir):
+    """Through the REAL mp4 demux + JPEG decode, every frame delta of the
+    scene corpus is exactly 2 per pixel off a cut and exactly 42 per pixel
+    on one — no third mode, no drift, every pixel changes every frame. The
+    detector's threshold (mean |delta| > 10) therefore has margin on both
+    sides, and n_shots is 2 or 3 by the cut-set closed form."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from stock_crypto_data_pipeline_public_spark.operators import multimodal as M
+    from stock_crypto_data_pipeline_public_spark.plans.multimodal import (
+        m23_scene_cut_rollup,
+    )
+    from stock_crypto_data_pipeline_public_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = M.synthesize_mp4_scenes(docs, n_frames=6)
+    frames = M.sample_frames(media, n_frames=6)
+    deltas = M.frame_deltas(frames, assume_grouped=True).collect()
+    assert deltas
+    for r in deltas:
+        assert r.abs_delta in (2 * r.changed_pixels, 42 * r.changed_pixels)
+    out = m23_scene_cut_rollup(spark, sf_dir).collect()
+    assert len(out) == 500
+    for r in out:
+        assert r.n_shots in (2, 3)
+        assert 1 <= r.first_cut_frame <= 5
