@@ -119,8 +119,9 @@ _GATE_PRIORITY = (
 #: hashed-linear classifier inference, map-only), t50 (n-gram novelty
 #: via first-occurrence attribution), e14 (time-constrained funnel,
 #: stage-wise semi-joins), e15 (session path mining), x28 (tombstoned
-#: ANN search — the vector-store DELETE path) and t51 (DSIR
-#: importance-resampling selection) —
+#: ANN search — the vector-store DELETE path), t51 (DSIR
+#: importance-resampling selection), t52 (quality-budgeted token-mass
+#: selection) and m23 (video scene-cut detection over real decodes) —
 #: built after the r11 window was sealed, never gated,
 #: so they enter the r12 window ahead of freshness per convention — then
 #: x03/x19 (r6, deferred for e12/q44), then the r7 remainder
