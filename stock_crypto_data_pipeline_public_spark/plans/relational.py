@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..scratch import mkscratch
 from ..sources.tables import load_table
 from ..functions.numeric import (
     RATE,
@@ -1691,11 +1692,10 @@ def q37_recursive_org_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q38_cobucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from .. import catalog
 
-    base = tempfile.mkdtemp(prefix="q38_bucketed_")
+    base = mkscratch("q38_bucketed_")
     try:
         orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
         li = _t(spark, sf_dir, "lineitem").select(
@@ -1759,11 +1759,10 @@ def q38_cobucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q39_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..operators.maintenance import compact_table
 
-    base = tempfile.mkdtemp(prefix="q39_compact_")
+    base = mkscratch("q39_compact_")
     tbl = f"{base}/events"
     try:
         ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
@@ -2071,12 +2070,11 @@ def q43_scd2_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q44_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..operators.incremental import merge_upsert
     from ..operators.manifest import history, read_table
 
-    base_dir = tempfile.mkdtemp(prefix="q44_manifest_")
+    base_dir = mkscratch("q44_manifest_")
     tbl = f"{base_dir}/orders_scd"
     try:
         orders = _t(spark, sf_dir, "orders").select(

@@ -16,18 +16,21 @@ downstream pipeline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as _W
 from pyspark.sql import functions as F
 
 from contextlib import contextmanager
 
 from ..functions.numeric import dec, money_sum, money_sum_e2, oracle_money_sum, oracle_money_sum_e2, oracle_rnd, rnd
+from ..scratch import mkscratch
 from ..sources.tables import load_table
 from .registry import query
 
 
 @contextmanager
-def _drain_shuffle(spark: SparkSession, n: int = 8):
+def _drain_shuffle(spark: SparkSession, n: int | None = None):
     """Pin ``spark.sql.shuffle.partitions`` for a streaming drain.
 
     The stateful operators (windowed agg, stream-stream join, dedup,
@@ -38,7 +41,17 @@ def _drain_shuffle(spark: SparkSession, n: int = 8):
     15.1 → 10.2 s steady-state at sf0.1). Production sizes this to the
     cluster (state store count = parallelism); the checkpoint pins it at
     first start, so the value is also what makes the gated end states
-    environment-independent. Restores the session value on exit."""
+    environment-independent. Restores the session value on exit.
+
+    ``$SPARK_GRAFT_DRAIN_PARTITIONS`` overrides the default (production:
+    set it to the cluster's target state-store parallelism; the gated end
+    states are partition-count-independent aggregates, verified by the
+    oracle gate at any setting). r11 re-measure on the gate volumes:
+    2 partitions beats 8 by ~10-28% best-of-4 (s02 12.7→11.1, s07
+    13.8→12.4, s14 21.8→15.7 on the r11 box) — same rationale as the
+    original 32→8 cut, taken one step further now that it is measured."""
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS", "2"))
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, str(n))
@@ -88,14 +101,13 @@ def _drain_shuffle(spark: SparkSession, n: int = 8):
 )
 def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..streaming.pipeline import file_stream, run_incremental_sink
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    base = tempfile.mkdtemp(prefix="s01_stream_")
+    base = mkscratch("s01_stream_")
     landing = f"{base}/landing"
     plain_tgt, vault_tgt = f"{base}/raw_plain", f"{base}/raw_vault"
 
@@ -209,14 +221,13 @@ def s01_streaming_ingest_end_state(spark: SparkSession, sf_dir: str) -> DataFram
 def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
     import shutil
-    import tempfile
 
     from ..streaming.pipeline import file_stream, windowed_counts
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "ts"
     )
-    base = tempfile.mkdtemp(prefix="s02_stream_")
+    base = mkscratch("s02_stream_")
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
@@ -307,7 +318,6 @@ def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataF
 def s03_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from ..streaming.pipeline import attribution_join, file_stream
 
@@ -320,7 +330,7 @@ def s03_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),
     )
-    base = tempfile.mkdtemp(prefix="s03_stream_")
+    base = mkscratch("s03_stream_")
     landing_c, landing_p = f"{base}/clicks", f"{base}/purchases"
     sink, ckpt = f"{base}/sink", f"{base}/ckpt"
     os.makedirs(landing_p, exist_ok=True)  # drain 1: purchase side exists, empty
@@ -426,7 +436,6 @@ def s03_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def s04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..streaming.pipeline import file_stream
     from ..streaming.stateful import sessionize_stream
@@ -436,7 +445,7 @@ def s04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts")
     )
-    base = tempfile.mkdtemp(prefix="s04_stream_")
+    base = mkscratch("s04_stream_")
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
@@ -508,7 +517,6 @@ def s04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..streaming.pipeline import enrich_stream, file_stream
 
@@ -520,7 +528,7 @@ def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     dim_v2 = dim_v1.withColumn("segment", F.concat(F.lit("POST:"), F.col("segment")))
-    base = tempfile.mkdtemp(prefix="s05_stream_")
+    base = mkscratch("s05_stream_")
     landing, dim_dir = f"{base}/landing", f"{base}/dim"
     sink, ckpt = f"{base}/sink", f"{base}/ckpt"
 
@@ -595,14 +603,13 @@ def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s06_streaming_dedup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..streaming.pipeline import dedup_stream, file_stream
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "ts"
     )
-    base = tempfile.mkdtemp(prefix="s06_stream_")
+    base = mkscratch("s06_stream_")
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
@@ -676,14 +683,13 @@ def s06_streaming_dedup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame
 def s07_streaming_ohlcv_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
     import shutil
-    import tempfile
 
     from ..streaming.pipeline import file_stream, windowed_ohlcv
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "props", "ts"
     )
-    base = tempfile.mkdtemp(prefix="s07_stream_")
+    base = mkscratch("s07_stream_")
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
@@ -772,13 +778,12 @@ from ..operators import dedup as _D  # noqa: E402
 )
 def s08_streaming_neardup_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..operators.dedup import read_neardup_edges
     from ..streaming.pipeline import file_stream, run_neardup_sink
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="s08_stream_")
+    base = mkscratch("s08_stream_")
     landing = f"{base}/landing"
     index_dir, edges, ckpt = f"{base}/index", f"{base}/edges", f"{base}/ckpt"
 
@@ -864,7 +869,6 @@ from ..functions.numeric import oracle_rnd as _oracle_rnd  # noqa: E402
 )
 def s09_streaming_ann_index_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..operators.annindex import build_ann_index, query_ann_index
     from ..streaming.pipeline import file_stream, run_ann_index_sink
@@ -882,7 +886,7 @@ def s09_streaming_ann_index_end_state(spark: SparkSession, sf_dir: str) -> DataF
     centroids = [small[i] for i in range(IVF_K)]
     queries = {qid: small[qid] for qid in range(100, 110)}
 
-    base = tempfile.mkdtemp(prefix="s09_stream_")
+    base = mkscratch("s09_stream_")
     index_dir, landing, ckpt = f"{base}/index", f"{base}/landing", f"{base}/ckpt"
 
     def drain() -> None:
@@ -958,13 +962,12 @@ def s09_streaming_ann_index_end_state(spark: SparkSession, sf_dir: str) -> DataF
 )
 def s10_streaming_cdc_merge_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..operators.manifest import read_table
     from ..streaming.pipeline import file_stream, run_manifest_merge_sink
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    base = tempfile.mkdtemp(prefix="s10_stream_")
+    base = mkscratch("s10_stream_")
     landing, table, ckpt = f"{base}/landing", f"{base}/table", f"{base}/ckpt"
 
     v1 = ev.withColumn("version", F.lit(1).cast("int"))
@@ -1045,14 +1048,13 @@ def s11_streaming_media_features_end_state(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..operators import multimodal as M
     from ..streaming.pipeline import file_stream, run_media_feature_sink
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     media = M.synthesize_wav(docs)
-    base = tempfile.mkdtemp(prefix="s11_stream_")
+    base = mkscratch("s11_stream_")
     landing, feats, ckpt = f"{base}/landing", f"{base}/features", f"{base}/ckpt"
 
     def drain() -> None:
@@ -1148,12 +1150,11 @@ def s12_streaming_shuffle_manifest_end_state(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..streaming.pipeline import file_stream, run_shuffle_manifest_sink
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    base = tempfile.mkdtemp(prefix="s12_stream_")
+    base = mkscratch("s12_stream_")
     landing, manifest, ckpt = f"{base}/landing", f"{base}/manifest", f"{base}/ckpt"
 
     def drain() -> None:
@@ -1228,7 +1229,6 @@ def s12_streaming_shuffle_manifest_end_state(
 )
 def s13_streaming_sketch_end_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..operators.sketch import cms_estimate, count_min_table
     from ..streaming.pipeline import file_stream, read_sketch, run_sketch_sink
@@ -1239,7 +1239,7 @@ def s13_streaming_sketch_end_state(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("user_id").isNotNull())
         .select("event_id", "user_id")
     )
-    base = tempfile.mkdtemp(prefix="s13_stream_")
+    base = mkscratch("s13_stream_")
     landing, sketch, ckpt = f"{base}/landing", f"{base}/sketch", f"{base}/ckpt"
 
     def drain() -> None:
@@ -1368,7 +1368,6 @@ def s13_streaming_sketch_end_state(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def s14_idle_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
     import time
 
     from ..streaming.stateful import sessionize_stream
@@ -1378,7 +1377,7 @@ def s14_idle_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "ts")
     )
-    base = tempfile.mkdtemp(prefix="s14_stream_")
+    base = mkscratch("s14_stream_")
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     # expected = total session count, the closed form of "every session

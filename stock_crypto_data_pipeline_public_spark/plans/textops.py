@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import oracle_rnd, rnd
 from ..operators import dedup as D
 from ..operators import retrieval as R
+from ..scratch import mkscratch
 from ..sources.tables import load_table
 from .registry import query
 
@@ -1731,13 +1732,12 @@ T31_BILLING: dict = {}
 )
 def t31_incremental_vs_batch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
     import time
 
     from ..operators.dedup import incremental_neardup
 
     docs = _docs(spark, sf_dir)
-    index_dir = tempfile.mkdtemp(prefix="neardup_idx_")
+    index_dir = mkscratch("neardup_idx_")
     try:
         t0 = time.perf_counter()
         e1 = incremental_neardup(

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import iavg, oracle_rnd, rnd
 from ..operators import retrieval as RETR
 from ..operators import similarity as S
+from ..scratch import mkscratch
 from ..sources.tables import load_table
 from .registry import query
 
@@ -1238,7 +1239,6 @@ def x13_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only the probed partitions (PartitionFilters +
     input_file_name proof in test_annindex)."""
     import shutil
-    import tempfile
 
     from ..operators.annindex import build_ann_index, query_ann_index
 
@@ -1252,7 +1252,7 @@ def x13_persisted_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     centroids = [small[i] for i in range(IVF_K)]
     queries = {qid: small[qid] for qid in range(100, 110)}
-    index_dir = tempfile.mkdtemp(prefix="ann_idx_")
+    index_dir = mkscratch("ann_idx_")
     try:
         import time
 

@@ -59,6 +59,18 @@ def get_spark(
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"),
         )
     )
+    # shuffle/spill/broadcast scratch on the fastest local storage (guide
+    # §6): production clusters point spark.local.dir / SPARK_LOCAL_DIRS at
+    # node-local NVMe; locally scratch.scratch_base() prefers the RAM-backed
+    # tmpfs. Env (SPARK_LOCAL_DIRS) and explicit conf still win.
+    if "SPARK_LOCAL_DIRS" not in os.environ and not (extra_conf or {}).get(
+        "spark.local.dir"
+    ):
+        from .scratch import scratch_base
+
+        local_dir = os.path.join(scratch_base(), "spark-local")
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if "SPARK_MASTER" not in os.environ and not os.environ.get("MASTER"):
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
