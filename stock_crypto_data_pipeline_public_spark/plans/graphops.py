@@ -100,7 +100,14 @@ def g01_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation would re-execute per iteration (measured 6.5 -> ~2.5 s at
     # sf0.1); at real scale this is a persisted edge table anyway
     edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    # deg is read by every iteration's weight join plus the init ranks —
+    # LAZY checkpoint so the degree aggregation runs once inside the
+    # single output action instead of once per consumer (r11 round)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     # scalar node count as a broadcast 1-row relation (the repo's standard
     # broadcast-scalar pattern — no collect, no literal baked at plan time)
     n = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -114,10 +121,18 @@ def g01_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2.4x SLOWER than letting the shuffle join pipeline);
     # the shuffle join stays.
     for _ in range(_ITERS):
-        contrib = (
-            edges.join(ranks, ranks.node == edges.src)
-            .join(deg.withColumnRenamed("node", "dnode"), F.col("dnode") == edges.src)
-            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("w"))
+        # r11 optimization: join ranks⋈deg FIRST (two node-sized relations
+        # co-keyed on node — one cheap exchange pair), then hit the edge
+        # list ONCE with the combined rank/deg weight. The previous shape
+        # joined edges against ranks AND deg separately — two edge-sized
+        # join probes per iteration for the same per-src weight (w values
+        # identical: rank/deg computed from the same floats either way).
+        weights = ranks.join(deg, "node").select(
+            F.col("node").alias("src_node"),
+            (F.col("rank") / F.col("deg")).alias("w"),
+        )
+        contrib = edges.join(weights, F.col("src_node") == edges.src).select(
+            F.col("dst"), F.col("w")
         )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))

@@ -764,14 +764,25 @@ def t11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t12_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # r11 optimization: the token and bigram relations each had multiple
+    # consumers (c12/scored read the bigram stream, v reads the token
+    # stream), so the corpus regexp tokenize ran 3x and the bigram explode
+    # 2x per execution. LAZY local checkpoints materialize each once
+    # inside the single output action — the t51 "materialize the token
+    # column once" lesson applied to this query's plan (values unchanged:
+    # same deterministic expressions, just not recomputed).
     toks = docs.select(
         "doc_id", F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0).alias("tk")
-    )
-    bg = toks.filter(F.size("tk") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))")
-        ).alias("bigram"),
+    ).localCheckpoint(eager=False)
+    bg = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))")
+            ).alias("bigram"),
+        )
+        .localCheckpoint(eager=False)
     )
     c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
     # context counts re-aggregate the bigram counts (sum of c12 per w1 ==

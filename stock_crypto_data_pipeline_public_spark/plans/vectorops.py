@@ -1740,12 +1740,19 @@ def x17_hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x18 — MMR diversity re-rank (maximal marginal relevance, Carbonell &
 # Goldstein '98): from each query's top-10 cosine candidates, greedily
 # select 5 maximizing λ·relevance − μ·(max similarity to the already-
-# selected set). The greedy loop is FIVE bounded DataFrame rounds — each
-# round one anti-join (remaining), one join+max agg (similarity to the
-# selected set), one partitioned rank-1 pick — nothing collects to the
-# driver; all relations are (queries × ≤10) rows after the candidate cut,
-# so every round is broadcast-cheap at any corpus size. The oracle runs
-# the SAME greedy policy as a recursive CTE with a LATERAL argmax step.
+# selected set). Candidate scoring (the corpus-wide part) is a
+# distributed Spark broadcast join; the greedy — including the ≤90 pool
+# pair similarities, reproduced bit-identically in float64 — runs as ONE
+# Arrow-grouped pass per query_id (applyInPandas over the ≤10-row pool,
+# O(K·pool²) integer work per query), so the whole query is a single
+# action with no iterative jobs and nothing collects to the driver.
+# (r11 optimization: the previous 5-round DataFrame loop ran ~11
+# sequential eager jobs whose fixed latency dominated — see
+# OPTIMIZATION_r11.md; per-query work and results are unchanged.)
+# At 100 TB the pool stays 10 rows per query, queries partition across
+# the cluster, and the greedy cost is independent of corpus size. The
+# oracle runs the SAME greedy policy as a recursive CTE with a LATERAL
+# argmax step.
 # NUMERIC DOMAIN (round 8, q26/q28's insurance pattern): the raw cosines
 # are bit-deterministic (identical fold order both sides — the x01
 # contract), and everything AFTER them is exact int64: rel and pair sims
@@ -1823,8 +1830,11 @@ _MMR_K = 5
 )
 def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam, mu = _MMR_LAM_TENTHS, _MMR_MU_TENTHS
+    # No pre-repartition: the scan's own partitioning parallelizes the
+    # broadcast scoring join at any real corpus size; the explicit
+    # 32-way exchange of a tiny corpus only added a shuffle and 32-task
+    # stages to every downstream job (r11 optimization round)
     emb = _emb(spark, sf_dir).withColumn("nrm", S.norm("embedding", EMB_DIM))
-    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -1845,93 +1855,69 @@ def x18_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
-    # ONE checkpoint, placed so the corpus-wide scoring join runs exactly
-    # once: the pool (≤ queries × 10 rows, embeddings included) is
-    # materialized first, and pairs derive from the checkpointed pool — a
-    # ≤ 90-pairs-per-query self-join cheap enough to recompute per greedy
-    # round without a second materialization job
-    pool_ck = (
+    pool = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MMR_POOL)
         .drop("rk")
-        .localCheckpoint(eager=True)
     )
-    a, b = pool_ck.alias("a"), pool_ck.alias("b")
-    psim = S.dot("a.ce", "b.ce", EMB_DIM) / F.nullif(
-        F.col("a.cnrm") * F.col("b.cnrm"), F.lit(0.0)
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.query_id"))
-            & (F.col("a.cid") != F.col("b.cid")),
-        )
-        .select(
-            F.col("a.query_id").alias("query_id"),
-            F.col("a.cid").alias("ia"),
-            F.col("b.cid").alias("ib"),
-            F.floor(psim * 10000 + 0.5).alias("s"),
-        )
-    )
-    # pairs also checkpoint — a ≤ 90-rows-per-query job off the pool leaf —
-    # so every greedy round reads two flat leaves instead of re-embedding
-    # the join subplan (plan DEPTH, not data volume, is the cost driver
-    # here: without flattening, round k's plan contains every previous
-    # round's, and optimizer + task-binary overhead dominates)
-    pairs = pairs.localCheckpoint(eager=True)
-    pool = pool_ck.select("query_id", "cid", "rel")
 
-    sel = (
-        pool.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            F.lit(1).alias("k"),
-            "cid",
-            (F.lit(lam) * F.col("rel")).alias("score"),
-        )
-    )
-    selected = sel.select("query_id", "cid")
-    for k in range(2, _MMR_K + 1):
-        remaining = pool.join(selected, ["query_id", "cid"], "left_anti")
-        maxsim = (
-            pairs.join(
-                selected.select("query_id", F.col("cid").alias("ib")),
-                ["query_id", "ib"],
-            )
-            .groupBy("query_id", F.col("ia").alias("cid"))
-            .agg(F.max("s").alias("maxsim"))
-        )
-        pick = (
-            remaining.join(maxsim, ["query_id", "cid"])
-            .select(
-                "query_id",
-                "cid",
-                (F.lit(lam) * F.col("rel") - F.lit(mu) * F.col("maxsim")).alias(
-                    "score"
-                ),
-            )
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    W.partitionBy("query_id").orderBy(
-                        F.desc("score"), F.asc("cid")
-                    )
-                ),
-            )
-            .filter(F.col("rk") == 1)
-            .select("query_id", F.lit(k).alias("k"), "cid", "score")
-            # one row per query: flatten the round into a leaf so the next
-            # round's plan doesn't nest this one (see the pairs note above)
-            .localCheckpoint(eager=True)
-        )
-        sel = sel.unionByName(pick)
-        selected = selected.unionByName(pick.select("query_id", "cid"))
-    return sel.select(
-        "query_id",
-        F.col("k").cast("int").alias("k"),
-        F.col("cid").alias("neighbor_id"),
-        F.col("score").alias("mmr_score_e5"),
+    # Per-query greedy as ONE Arrow-grouped pass over the ≤10-row pool.
+    # Pool pair similarities are computed INSIDE the pass with the exact
+    # IEEE operation sequence the retired Spark self-join used — S.dot's
+    # left-to-right fold acc = acc + float64(a[i])·float64(b[i]), then
+    # dot/nullif(cnrm_a·cnrm_b), ×10000, +0.5, floor — every op a float64
+    # primitive Python reproduces bit-identically, so `s` is the same
+    # BIGINT either way (float32→float64 per-element casts are exact).
+    # Everything downstream is exact int64 (rel/s are e4 BIGINTs, λ/μ
+    # integer tenths) with identical tie-breaks (score DESC, cid ASC).
+    # Mirrors the previous INNER maxsim join: a candidate whose pair sim
+    # is NULL (zero-norm guard) is not pickable that round.
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        import pandas as pd
+
+        cols = ["query_id", "k", "neighbor_id", "mmr_score_e5"]
+        if pdf.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        qid = int(pdf["query_id"].iloc[0])
+        rel, ce, cn = {}, {}, {}
+        for c, r, e, n in zip(pdf["cid"], pdf["rel"], pdf["ce"], pdf["cnrm"]):
+            c = int(c)
+            rel[c], ce[c], cn[c] = int(r), e, float(n)
+
+        def s_e4(ia: int, ib: int) -> int | None:
+            prod = cn[ia] * cn[ib]
+            if prod == 0.0:
+                return None
+            acc = 0.0
+            for x, y in zip(ce[ia], ce[ib]):
+                acc = acc + float(x) * float(y)
+            return math.floor(acc / prod * 10000 + 0.5)
+
+        first = min(rel, key=lambda c: (-rel[c], c))
+        selected = [first]
+        rows = [(qid, 1, first, lam * rel[first])]
+        for k in range(2, _MMR_K + 1):
+            best = None
+            for c in rel:
+                if c in selected:
+                    continue
+                sims = [s for s in (s_e4(c, b) for b in selected) if s is not None]
+                if not sims:
+                    continue
+                score = lam * rel[c] - mu * max(sims)
+                if best is None or (-score, c) < (-best[1], best[0]):
+                    best = (c, score)
+            if best is None:
+                break
+            selected.append(best[0])
+            rows.append((qid, k, best[0], best[1]))
+        out = pd.DataFrame(rows, columns=cols)
+        return out.astype({c: "int64" for c in cols})
+
+    return pool.groupby("query_id").applyInPandas(
+        _greedy, "query_id long, k int, neighbor_id long, mmr_score_e5 long"
     )
 
 
@@ -3223,6 +3209,13 @@ def _x28_paths(spark: SparkSession, sf_dir: str):
             F.col("vec_id").alias("neighbor_id"),
             rnd(S.cosine("qe", "embedding", EMB_DIM), 4).alias("cosine_sim"),
         )
+        # LAZY checkpoint: pre- and post-tombstone rankings both consume
+        # this candidate relation — without the checkpoint each consumer
+        # re-ran the whole assignment + probe + scoring lineage (the
+        # corpus-sized part of the query) and x28 paid it twice (r11
+        # optimization round; the checkpointed relation is only
+        # (query_id, neighbor_id, cosine_sim) — probe-candidate-sized)
+        .localCheckpoint(eager=False)
     )
     dels = emb.filter(F.col("vec_id") % _X28_MOD == _X28_RES).select(
         F.col("vec_id").alias("neighbor_id")
