@@ -390,6 +390,10 @@ def t07_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t34_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # (r11 note: a lazy checkpoint of this exploded stream was measured —
+    # cache write+read ≈ the recompute cost of the three consumers at the
+    # shingle volume here, best-of-4 2.77 s vs 3.00 s — so the recompute
+    # stays; contrast t42, where the same move wins 27%.)
     sh = D.exploded_shingles(docs, "doc_id", "text", 3)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     exact = (
@@ -2851,7 +2855,14 @@ def t42_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
 
     def exploded(cond) -> DataFrame:
-        return D.exploded_shingles(docs.filter(cond), "doc_id", "text", 3)
+        # LAZY checkpoint (r11): each stream feeds its signature agg, its
+        # per-doc count AND the shared-shingle intersection join — one
+        # tokenize+explode per stream instead of three (this caches the
+        # exploded ROWS; the 37x note above is about inlining the array
+        # column, a different failure)
+        return D.exploded_shingles(docs.filter(cond), "doc_id", "text", 3).localCheckpoint(
+            eager=False
+        )
 
     bench_sh = exploded(F.col("source") == "src0")
     cand_sh = exploded(F.col("source") != "src0")
