@@ -266,8 +266,11 @@ def g02_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     # global top-K with a total-order tiebreak → Spark plans a TakeOrdered,
-    # never a full sort; the kept-edge subgraph bounds everything downstream
-    e = top_edges(co, _TOP_EDGES)
+    # never a full sort; the kept-edge subgraph bounds everything downstream.
+    # LAZY checkpoint (r11): the wedge join reads e three ways and deg once
+    # more — without it each consumer re-ran the os⋈os co-trade aggregation
+    # plus the top-K (measured ~5 executions per action)
+    e = top_edges(co, _TOP_EDGES).localCheckpoint(eager=False)
     # K rows: broadcast both probe sides of the wedge join
     e1, e2, e3 = e.alias("e1"), F.broadcast(e.alias("e2")), F.broadcast(e.alias("e3"))
     tri = (
@@ -282,15 +285,14 @@ def g02_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.s2").alias("c"),
         )
     )
-    pertri = (
-        tri.select(F.col("a").alias("s"))
-        .unionByName(tri.select(F.col("b").alias("s")))
-        .unionByName(tri.select(F.col("c").alias("s")))
+    # one pass over tri (the 3-way union re-executed the whole wedge join
+    # per branch); explode emits the same (s) multiset — r11 round
+    pertri = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("s")
     )
     tcount = pertri.groupBy("s").agg(F.count(F.lit(1)).alias("tri"))
     deg = (
-        e.select(F.col("s1").alias("s"))
-        .unionByName(e.select(F.col("s2").alias("s")))
+        e.select(F.explode(F.array(F.col("s1"), F.col("s2"))).alias("s"))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
