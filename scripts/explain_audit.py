@@ -134,6 +134,12 @@ EXPECTED_NESTED_LOOP = {
     # and the bounded 10-query exact-MIPS block (x01's deliberate
     # exactness baseline the contract scores against)
     "x27_mips_ann_recall",
+    # MMR re-rank: the bounded 10-query broadcast scoring block (x01's
+    # shape, query != candidate non-equi). The join was ALWAYS executed;
+    # before the r11 single-pass greedy rework it hid behind an eager
+    # localCheckpoint (the audit saw a LogicalRDD), now the lineage is
+    # visible end-to-end in the static plan
+    "x18_mmr_rerank",
 }
 
 
