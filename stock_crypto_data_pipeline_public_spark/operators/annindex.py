@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.numeric import rnd
+from ..sources.tables import local_rows
 from . import similarity as S
 
 
@@ -62,7 +63,8 @@ def _assign_to_centroids(
             acc = acc + x * x
         return acc ** 0.5
 
-    seeds = spark.createDataFrame(
+    seeds = local_rows(
+        spark,
         [(i, [float(x) for x in c], _nrm(c)) for i, c in enumerate(centroids)],
         "centroid_id int, ce array<double>, cnrm double",
     )
@@ -245,7 +247,8 @@ def query_ann_index(
     probed_all = sorted({c for cs in probes.values() for c in cs})
     # one row per (query, probed centroid): the probe join below is then a
     # broadcast EQUI-join on centroid_id (hash relation, no nested loop)
-    q = spark.createDataFrame(
+    q = local_rows(
+        spark,
         [
             (int(qid), [float(x) for x in qv], c)
             for qid, qv in queries.items()

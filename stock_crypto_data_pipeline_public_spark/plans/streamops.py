@@ -25,7 +25,7 @@ from contextlib import contextmanager
 
 from ..functions.numeric import dec, money_sum, money_sum_e2, oracle_money_sum, oracle_money_sum_e2, oracle_rnd, rnd
 from ..scratch import mkscratch
-from ..sources.tables import load_table
+from ..sources.tables import load_table, local_rows
 from .registry import query
 
 
@@ -257,8 +257,11 @@ def s02_streaming_watermark_end_state(spark: SparkSession, sf_dir: str) -> DataF
         on_time.coalesce(1).write.mode("append").parquet(landing)
         drain()
         mx = ev.agg(F.max("ts")).first()[0]  # bounded 1-row pull
-        sentinel = spark.createDataFrame(
-            [(-1, "sentinel", 0.0, mx + datetime.timedelta(days=30))], ev.schema
+        # single-slice local relation: the multi-slice default made the
+        # coalesce(1) landing write pay ~32 sequential Python round-trips
+        # (~5.5 s for this ONE row — see sources.tables.local_rows)
+        sentinel = local_rows(
+            spark, [(-1, "sentinel", 0.0, mx + datetime.timedelta(days=30))], ev.schema
         )
         late.unionByName(sentinel).coalesce(1).write.mode("append").parquet(landing)
         drain()
@@ -715,7 +718,10 @@ def s07_streaming_ohlcv_end_state(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.coalesce(1).write.mode("append").parquet(landing)
         drain()
         mx = ev.agg(F.max("ts")).first()[0]  # bounded 1-row pull
-        sentinel = spark.createDataFrame(
+        # single-slice local relation (see s02 / sources.tables.local_rows:
+        # the coalesce(1) write of the multi-slice form cost ~5.5 s alone)
+        sentinel = local_rows(
+            spark,
             [(-1, "sentinel", 0.0, None, mx + datetime.timedelta(days=30))],
             ev.schema,
         )

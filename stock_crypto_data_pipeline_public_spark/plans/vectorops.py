@@ -31,7 +31,7 @@ from ..functions.numeric import iavg, oracle_rnd, rnd
 from ..operators import retrieval as RETR
 from ..operators import similarity as S
 from ..scratch import mkscratch
-from ..sources.tables import load_table
+from ..sources.tables import load_table, local_rows
 from .registry import query
 
 
@@ -951,7 +951,8 @@ def x10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + x * x
         return acc ** 0.5
 
-    seeds = spark.createDataFrame(
+    seeds = local_rows(
+        spark,
         [(c, small[c], _nrm(small[c])) for c in range(IVF_K)],
         "centroid_id int, ce array<double>, cnrm double",
     )
@@ -984,7 +985,8 @@ def x10_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage degenerates badly (measured 60×: the generated method blows the
     # JIT size limit and runs interpreted). The 8-sub-row broadcast hash
     # join + filtered min_by collapse keeps each codegen stage small.
-    cb = spark.createDataFrame(
+    cb = local_rows(
+        spark,
         [(m, k, cw[(m, k)]) for m in range(PQ_M) for k in range(PQ_K)],
         "m int, k int, cw array<double>",
     )
@@ -1117,7 +1119,8 @@ def x12_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     # seed centroids as true constants (collected once — K rows; float32 →
     # float64 widening is exact, same contract as x09's codebook)
-    seeds = spark.createDataFrame(
+    seeds = local_rows(
+        spark,
         [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])
             for r in emb.filter(F.col("vec_id") < KM_K).collect()

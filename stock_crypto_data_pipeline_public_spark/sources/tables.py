@@ -37,6 +37,25 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
+def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Single-partition local relation for a BOUNDED driver-side row list
+    (seed centroids, query vectors, sentinels, codebooks — ≤ a few k rows).
+
+    ``spark.createDataFrame(list)`` parallelizes into
+    ``defaultParallelism`` Python-RDD slices (32 locally), and every
+    consumer then pays one JVM→Python worker round-trip PER SLICE — worst
+    when a ``coalesce(1)`` write funnels all slices through one task,
+    which pays the ~32 round-trips SEQUENTIALLY (measured 5.8-6.9 s for a
+    ONE-ROW sentinel write at r11; thread dump showed the write task
+    parked in ``PythonRunner.ReaderInputStream.read`` the whole time).
+    One slice = one round-trip, and downstream stages get one healthy
+    partition instead of 32 near-empty ones (guide §4.1 — control how
+    often the Python boundary is crossed; §2.4 — don't fan out rows you
+    will immediately re-funnel). Values are identical to the multi-slice
+    form — same verifier, same conversion path, only the slicing changes."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Plain ``spark.read.parquet`` — no inference, no
     collect; pushdown-capable scan.

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..operators.incremental import idempotent_append
+from ..sources.tables import local_rows
 
 
 def kafka_stream(
@@ -174,7 +175,8 @@ def run_ann_index_sink(
         if drift_log is None or not stats["n_added"]:
             return
         v = drift_verdict(index_dir, stats["n_added"], stats["mean_assign_sim"])
-        batch.sparkSession.createDataFrame(
+        local_rows(
+            batch.sparkSession,
             [(
                 int(epoch_id),
                 int(v["n"]),
