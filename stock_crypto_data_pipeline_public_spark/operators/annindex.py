@@ -195,12 +195,16 @@ def add_to_ann_index(
         )
         new = new.join(seen, id_col, "left_anti")
     assigned = _assign_to_centroids(spark, new, centroids, dim, id_col, vec_col)
-    # count once while materialized; the append reuses the checkpointed rows
+    # one stats job while materialized (count + avg together — r12: the
+    # split count()/agg() form paid one extra job per micro-batch); the
+    # append reuses the checkpointed rows
     assigned = assigned.localCheckpoint(eager=True)
-    n_added = assigned.count()
-    mean_sim = None
+    row = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("assign_sim").alias("mean_sim")
+    ).first()
+    n_added = row["n"]
+    mean_sim = row["mean_sim"] if n_added else None
     if n_added:
-        mean_sim = assigned.agg(F.avg("assign_sim")).first()[0]
         assigned.drop("assign_sim").write.mode("append").partitionBy(
             "centroid_id"
         ).parquet(_vectors_path(index_dir))

@@ -25,12 +25,22 @@ def dot(a: str, b: str, dim: int | None = None) -> Column:
     chain — plain codegen arithmetic, no lambda interpretation and no
     intermediate array allocation — in the SAME left-to-right IEEE order as
     the fold, so results are bit-identical to the HOF path and the oracle.
+
+    The chain is built as ONE ``F.expr`` SQL string rather than a Python
+    loop of Column operators: each overloaded ``+``/``*``/``getItem`` is a
+    py4j round-trip, and the loop form cost ~1.2 s of DRIVER time per
+    constructed expression (measured r12, guide §1/§7.3 — the x-series and
+    ANN drains construct these dozens of times per query). The string form
+    is one JVM parse; SQL ``+`` is left-associative, ``*`` binds tighter,
+    and ``a[i]`` is the same GetArrayItem, so the parsed tree — and hence
+    every IEEE rounding step — is identical to the old loop's.
     """
     if dim is not None:
-        acc = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + F.col(a).getItem(i).cast("double") * F.col(b).getItem(i).cast("double")
-        return acc
+        terms = " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        return F.expr(f"0.0D + {terms}")
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -40,11 +50,12 @@ def dot(a: str, b: str, dim: int | None = None) -> Column:
 
 def norm(a: str, dim: int | None = None) -> Column:
     if dim is not None:
-        acc = F.lit(0.0)
-        for i in range(dim):
-            x = F.col(a).getItem(i).cast("double")
-            acc = acc + x * x
-        return F.sqrt(acc)
+        # one-expr flat chain (see dot); x*x keeps the single-multiply shape
+        terms = " + ".join(
+            f"(CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))"
+            for i in range(dim)
+        )
+        return F.expr(f"sqrt(0.0D + {terms})")
     return F.sqrt(
         F.aggregate(
             F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
@@ -62,12 +73,14 @@ def l2sq_slice(vec: str, off_expr: str, cw: str, sub: int) -> Column:
     """Squared L2 distance between an inline slice of ``vec`` (elements
     ``off_expr + 0 .. off_expr + sub - 1``, 0-based) and a materialized
     subvector column ``cw`` — a flat ``sub``-term chain in the same
-    left-to-right IEEE order as :func:`oracle_l2sq_slice`."""
-    acc = F.lit(0.0)
-    for j in range(sub):
-        x = F.expr(f"CAST({vec}[{off_expr} + {j}] AS DOUBLE)") - F.col(cw).getItem(j)
-        acc = acc + x * x
-    return acc
+    left-to-right IEEE order as :func:`oracle_l2sq_slice`. Built as one
+    ``F.expr`` string for the same driver-time reason as :func:`dot`."""
+    terms = " + ".join(
+        f"((CAST({vec}[{off_expr} + {j}] AS DOUBLE) - {cw}[{j}])"
+        f" * (CAST({vec}[{off_expr} + {j}] AS DOUBLE) - {cw}[{j}]))"
+        for j in range(sub)
+    )
+    return F.expr(f"0.0D + {terms}")
 
 
 def oracle_l2sq_slice(vec: str, off_expr: str, cw: str, sub: int) -> str:

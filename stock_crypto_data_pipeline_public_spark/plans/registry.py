@@ -70,23 +70,20 @@ def query(name: str, oracle: str | None = None):
 
 #: Queries promoted to the FRONT of registration order. The round driver
 #: hash-gates only the FIRST 50 registered queries, so this list IS the
-#: round-11 gate window, ranked by "code changed since last driver hash
-#: row":
-#: 1. NEW this round, never gated (always enters ahead of freshness):
-#:    s14 — the idle-timeout eviction path (streaming/stateful.py's
-#:    ProcessingTimeTimeout, r10 verdict #4: a driver row whose oracle
-#:    distinguishes closed_by='timeout' from 'gap' per row); t47 — Okapi
-#:    BM25 keyword scoring (operators/retrieval.py); x23 — hybrid
-#:    retrieval with reciprocal-rank fusion (BM25 ⊕ cosine top-50s);
-#:    e12 — PSI distribution-drift monitor (exact cent bins, smoothed
-#:    per-bin contributions, no order-sensitive sums); q44 — manifest
-#:    time travel (generation-0 read vs current, hash-gated §2.11
-#:    write-path coverage).
-#: 2. Freshness, oldest driver row first (the r10 verdict's queue,
-#:    verbatim): the r5-era remainder (12), then q33 (r7, displaced by
-#:    t46 in round 10), then the r6 era (32 of 34 — x03/x19 defer one
-#:    round to make room for e12/q44) — after this window no code-stable
-#:    query's newest driver row is older than round 7 except x03/x19 (r6).
+#: round-12 gate window, ranked by "code changed since last driver hash
+#: row" (the r11 verdict's item 1, executed verbatim):
+#: 1. REWORKED in r11 but never driver-gated since (the verdict's risk
+#:    list, front of the queue): x18 (single-pass Arrow MMR), t12 (lazy
+#:    checkpoints + single tokenize), x28 (lazy candidate checkpoint),
+#:    x22/x27/x19 (shared-projection materialization).
+#: 2. NEW in r11, never gated: x24, x25, m21, x26, t48, e13, m22, t49,
+#:    t50, e14, e15, t51, t52, m23 (x27/x28 already above).
+#: 3. TOUCHED by r12 optimization work, so their driver rows must re-prove
+#:    the optimized code: s09 (streaming ANN drain), s08 (near-dup sink),
+#:    g03 (BFS), s04 (regression watch), t30/v13/v14 (shared-stage DAGs).
+#: 4. Freshness, oldest driver row first: x03 (r6, deferred twice), the
+#:    r7 remainder (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18, t43-t45),
+#:    then the r8 era head (q26/q28, m19/m20, m04, s10-s12, x05).
 #:
 #: The r8-r10 q40 probe saga is CLOSED (rule 7 PROVEN by r10's
 #: q40g-GREEN/q40h-RED pattern): q40/q40g/q40h stay registered as
@@ -96,41 +93,27 @@ def query(name: str, oracle: str | None = None):
 #: q41/q42 are retired from the registry entirely (settled history,
 #: relational.py).
 _GATE_PRIORITY = (
-    # new operators (never gated)
-    ["s14", "t47", "x23", "e12", "q44"]                         # (5)
-    # freshness: the r5-era remainder, complete
-    + ["f07", "f09", "f10", "f11", "f12", "f14", "m13", "m16",
-       "x06", "x15", "x16", "x17"]                              # (17)
-    # freshness: q33 (r7, displaced from the r10 window by t46)
-    + ["q33"]                                                   # (18)
-    # freshness: the r6 era (all but x03/x19, which defer to r12)
-    + ["e11", "g01", "g02", "g03", "m02", "m03", "q31", "t01",
-       "t02", "t03", "t04", "t06", "t07", "t08", "t09", "t10",
-       "t13", "t14", "t15", "t16", "t19", "t20", "t21", "t22",
-       "t24", "t26", "t41", "t42", "v13", "v14", "x01", "x02"]  # (50)
+    # r11-reworked, never driver-gated since (verdict item 1)
+    ["x18", "t12", "x28", "x22", "x27", "x19"]                  # (6)
+    # r11 late entrants, never gated
+    + ["x24", "x25", "m21", "x26", "t48", "e13", "m22", "t49",
+       "t50", "e14", "e15", "t51", "t52", "m23"]                # (20)
+    # touched by r12 optimization work
+    + ["s09", "s08", "g03", "s04", "t30", "v13", "v14"]         # (27)
+    # freshness: x03 (r6, deferred twice), then the r7 remainder
+    + ["x03"]                                                   # (28)
+    + ["s07", "m05", "m07", "m08", "m11", "m12", "m14", "m15",
+       "m17", "m18", "t43", "t44", "t45"]                       # (41)
+    # freshness: the r8 era head
+    + ["q26", "q28", "m19", "m20", "m04", "s10", "s11", "s12",
+       "x05"]                                                   # (50)
 )
-#: Next-round rotation candidates: FIRST the r11 late entrants x24 (exact
-#: MIPS baseline), x25 (Matryoshka prefix recall contract), m21 (dHash
-#: image near-dup), x26 (metadata-filtered k-NN, pre- vs post-filter),
-#: t48 (temperature-weighted corpus mixing), e13 (event-type Markov
-#: transition matrix), m22 (acoustic-fingerprint audio near-dup) and
-#: x27 (MIPS-via-ANN recall contract: norm augmentation over the IVF
-#: tier, making x24's named scale path real), t49 (fastText-style
-#: hashed-linear classifier inference, map-only), t50 (n-gram novelty
-#: via first-occurrence attribution), e14 (time-constrained funnel,
-#: stage-wise semi-joins), e15 (session path mining), x28 (tombstoned
-#: ANN search — the vector-store DELETE path), t51 (DSIR
-#: importance-resampling selection), t52 (quality-budgeted token-mass
-#: selection) and m23 (video scene-cut detection over real decodes) —
-#: built after the r11 window was sealed, never gated,
-#: so they enter the r12 window ahead of freshness per convention — then
-#: x03/x19 (r6, deferred for e12/q44), then the r7 remainder
-#: (s07, m05/m07/m08/m11/m12/m14/m15/m17/m18, t43-t45), then the r8 era
-#: (q26/q28, m19/m20, m04, s08-s12, x05/x07/x08/x11/x18, t25, t27,
-#: v01-v05/v08/v09, q05-q09/q12-q16, e03/e05/e09, f01/f17), then r9
-#: (q02-q04, q10/q11, q17/q19, q21/q22, q27/q29/q30, q34-q36, q38/q39,
-#: q43, e02/e04/e06/e08, f05/f15/f16, m06, s01/s02/s13, t05/t11/t40,
-#: v06/v07, x20/x22) by age.
+#: Next-round rotation candidates: the r8-era remainder (x07/x08/x11,
+#: t25, t27, v01-v05/v08/v09, q05-q09/q12-q16, e03/e05/e09, f01/f17),
+#: then r9 (q02-q04, q10/q11, q17/q19, q21/q22, q27/q29/q30, q34-q36,
+#: q38/q39, q43, e02/e04/e06/e08, f05/f15/f16, m06, s01/s02/s13,
+#: t05/t11/t40, v06/v07, x20) by age, then the r11 window (s14, t47,
+#: x23, e12, q44, the r5/r6 freshness set) as it ages.
 
 #: Rows-only-BY-DESIGN sketches: t28 (HLL), t29 (GK quantiles) and t39
 #: (DataSketches HLL union) have no oracle on purpose (approximate

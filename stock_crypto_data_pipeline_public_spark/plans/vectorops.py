@@ -1407,11 +1407,11 @@ _X15_K = 5      # final neighbors kept
 
 def _int_dot(a: str, b: str, dim: int):
     """Flat integer dot-product chain over two array<long> code columns —
-    pure codegen arithmetic, exact (≤ 64·127² per term sum)."""
-    acc = F.lit(0).cast("long")
-    for i in range(dim):
-        acc = acc + F.col(a).getItem(i) * F.col(b).getItem(i)
-    return acc
+    pure codegen arithmetic, exact (≤ 64·127² per term sum). One F.expr
+    string, not a Column-operator loop (similarity.dot's rationale: the
+    loop form cost ~1 s of driver py4j time per constructed expression)."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
 
 def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
