@@ -201,6 +201,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25)
     both = both.localCheckpoint(eager=True)
     labels = nodes.select(F.col("id"), F.col("id").alias("component_id"))
     labels = labels.localCheckpoint(eager=True)
+    id_type = labels.schema["component_id"].dataType
     for _ in range(max_iter):
         cand = both.join(labels, both["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "component_id"
@@ -211,30 +212,35 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 25)
             .join(labels.alias("l2"), F.col("l1.component_id") == F.col("l2.id"))
             .select(F.col("l1.id").alias("id"), F.col("l2.component_id"))
         )
+        # Carry each id's PREVIOUS label through the aggregate (non-null
+        # only on the labels branch, so min() recovers it; an id first
+        # introduced THIS round — an edge endpoint absent from `nodes` —
+        # aggregates to NULL and counts as changed, the case the previous
+        # full_outer-join test existed for). The convergence probe then
+        # reads the just-checkpointed result instead of paying a second
+        # shuffle join per round (r12: one exchange job per round saved
+        # across every CC consumer — t11/t23/t30/t32/x14).
+        nulltyped = F.lit(None).cast(id_type)
         new_labels = (
-            labels.unionByName(cand)
-            .unionByName(jump)
+            labels.withColumn("__old", F.col("component_id"))
+            .unionByName(cand.withColumn("__old", nulltyped))
+            .unionByName(jump.withColumn("__old", nulltyped))
             .groupBy("id")
-            .agg(F.min("component_id").alias("component_id"))
+            .agg(
+                F.min("component_id").alias("component_id"),
+                F.min("__old").alias("__old"),
+            )
             .localCheckpoint(eager=True)
         )
-        # full_outer, not inner: an id first introduced THIS round (an edge
-        # endpoint absent from `nodes`) has no old-label row, and with an
-        # inner join it would be invisible to the changed count — if it were
-        # the round's only delta the loop would break one round early with
-        # its neighbors unconverged
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"), "full_outer")
-            .filter(
-                F.col("o.id").isNull()
-                | F.col("n.id").isNull()
-                | ~F.col("n.component_id").eqNullSafe(F.col("o.component_id"))
+            new_labels.filter(
+                F.col("__old").isNull()
+                | ~F.col("component_id").eqNullSafe(F.col("__old"))
             )
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("__old")
         if changed == 0:
             break
     return labels

@@ -377,30 +377,45 @@ def g03_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
+    # distinct on the RAW integer pair before the string projection: the
+    # dedup exchange then carries two BIGINTs instead of two built strings
+    # (guide §2.3 narrower types through the shuffle), and the c:/s: labels
+    # are minted once per surviving pair
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    # every level probes the edge list; materialize it once (g01's lesson)
-    edges = edges.localCheckpoint(eager=True)
+    # The trade graph is strictly BIPARTITE (customer ↔ supplier), and the
+    # seeds are all supplier nodes, so each BFS level's frontier is single-
+    # sided: s-type at even hops, c-type at odd. Materializing only the
+    # HALF-edge pair list and alternating the probe column per level scans
+    # half the bytes per level and skips the symmetrizing union outright
+    # (r12; the generic bfs_expand keeps the symmetrized form for graphs
+    # without this structure). Same discovered set, level for level.
+    pairs = pairs.localCheckpoint(eager=True)
     seed_nodes = sup.filter(F.col("s_suppkey") % _SEED_MOD == 0).select(
         F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("node")
     )
     # seeds restricted to nodes that exist in the graph (a supplier with no
     # line items is not a node; the oracle's IN (SELECT src...) mirrors this)
     frontier = seed_nodes.join(
-        edges.select(F.col("src").alias("node")).distinct(), "node", "semi"
+        pairs.select(F.col("s").alias("node")).distinct(), "node", "semi"
     ).localCheckpoint(eager=True)
     visited = frontier.select("node", F.lit(0).cast("int").alias("hops"))
     for k in range(1, _HOPS + 1):
-        nxt = bfs_expand(edges, frontier, visited).localCheckpoint(eager=True)
+        src, dst = ("s", "c") if k % 2 == 1 else ("c", "s")
+        nxt = (
+            pairs.join(F.broadcast(frontier), frontier["node"] == pairs[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
         visited = visited.unionByName(
             nxt.select("node", F.lit(k).cast("int").alias("hops"))
         )

@@ -947,24 +947,26 @@ def t15_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranking: Spark sorts NULLs first, DuckDB last, so NULL scores (docs with
 # zero ASCII tokens) would silently permute ranks between engines.
 # --------------------------------------------------------------------------
+def _quality_q(text_col: str = "text"):
+    """The t17/t29 per-doc quality score as a single Column over the raw
+    text — a pure per-row expression, so consumers that already carry the
+    text can attach it without the join-back _quality_scored's feats
+    detour implies (t30 uses this; r12, §2.4)."""
+    n_chars = F.length(text_col)
+    n_tokens = F.size(F.regexp_extract_all(text_col, F.lit("[a-z0-9]+"), 0))
+    stop_hits = F.size(F.regexp_extract_all(text_col, F.lit(_STOP_RE), 0))
+    alpha_chars = F.size(F.regexp_extract_all(text_col, F.lit("[a-z]"), 0))
+    score = (
+        0.5 * (stop_hits * 1.0 / F.nullif(n_tokens, F.lit(0)))
+        + 0.3 * (F.least(n_tokens, F.lit(100)) / 100.0)
+        + 0.2 * (alpha_chars * 1.0 / F.nullif(n_chars, F.lit(0)))
+    )
+    return F.coalesce(rnd(score, 4), F.lit(-1.0))
+
+
 def _quality_scored(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, q): the t17/t29 shared per-doc quality score."""
-    feats = docs.select(
-        "doc_id",
-        "lang",
-        F.length("text").alias("n_chars"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_STOP_RE), 0)).alias("stop_hits"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]"), 0)).alias("alpha_chars"),
-    )
-    score = (
-        0.5 * (F.col("stop_hits") * 1.0 / F.nullif(F.col("n_tokens"), F.lit(0)))
-        + 0.3 * (F.least(F.col("n_tokens"), F.lit(100)) / 100.0)
-        + 0.2 * (F.col("alpha_chars") * 1.0 / F.nullif(F.col("n_chars"), F.lit(0)))
-    )
-    return feats.select(
-        "doc_id", "lang", F.coalesce(rnd(score, 4), F.lit(-1.0)).alias("q")
-    )
+    return docs.select("doc_id", "lang", _quality_q("text").alias("q"))
 
 
 @query(
@@ -1677,16 +1679,26 @@ def t30_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("predicted_lang") != "unknown")
         .drop("c_en", "c_de", "c_es", "c_fr")
     )
-    # 3. quality floor (t17's score)
-    s3 = s2.join(
-        _quality_scored(s2).select("doc_id", "q"), "doc_id"
-    ).filter(F.col("q") >= CURATE_Q_MIN)
+    # 3. quality floor (t17's score). The oracle states this as a self-join
+    #    of s2 against its own per-doc score, but doc_id is unique in s2 and
+    #    the score is a pure per-row function of text — so the join is a
+    #    1:1 column attach. Computing q inline drops the join AND the second
+    #    execution of s2's window + regex subtree it forced (r12, §2.4).
+    s3 = s2.withColumn("q", _quality_q("text")).filter(
+        F.col("q") >= CURATE_Q_MIN
+    )
     # 4. near-dup cluster keeper: component_id is the min member label, so
     #    keeper ≡ doc_id == component_id (t23's convention)
     comp = _dup_components(s3)
     s4 = s3.join(comp, "doc_id").filter(
         F.col("doc_id") == F.col("component_id")
     )
+    # s4 feeds both the decontamination probe and the final anti-join; a
+    # checkpoint was measured (r12) and REJECTED: under AQE, .rdd-backed
+    # materialization runs the shuffle stages at plan-build time — shifting
+    # billed work out of the bench region without making the total faster —
+    # and a persist() showed no net win at this fan-out (two consumers of a
+    # ~0.9 s subtree). The recompute stands, documented like t34's.
     # 5. decontamination vs the src0 benchmark 5-gram shingle set (t20)
     bench = (
         D.exploded_shingles(

@@ -1361,8 +1361,22 @@ def x14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("a_sim", "rk")
     )
+    # both sides of the pair join consume the assignment; materialize once
+    # (the CC below is eager at build anyway — x14 is EAGER-billed)
+    assigned = assigned.localCheckpoint(eager=True)
 
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # Salt the within-cluster all-pairs join (guide §2.5): the join key has
+    # only IVF_K distinct values and the 2 000-row inputs are byte-tiny, so
+    # AQE coalesces the exchange to ONE partition — and the n² pair
+    # EXPANSION plus the cosine filter then run single-threaded (measured
+    # 8 s). Salting the a-side by vec_id and exploding the b-side K_SALT
+    # ways spreads the pair generation across the cluster; the pair set is
+    # unchanged (every (a, b) meets exactly one salt).
+    _SALT = 32
+    a = assigned.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(_SALT))).alias("a")
+    b = assigned.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+    ).alias("b")
     sim = S.dot("a.embedding", "b.embedding", EMB_DIM) / F.nullif(
         F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
     )
@@ -1370,6 +1384,7 @@ def x14_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(rnd(sim, 4) >= SEMDEDUP_THRESHOLD)
@@ -1406,12 +1421,15 @@ _X15_K = 5      # final neighbors kept
 
 
 def _int_dot(a: str, b: str, dim: int):
-    """Flat integer dot-product chain over two array<long> code columns —
-    pure codegen arithmetic, exact (≤ 64·127² per term sum). One F.expr
-    string, not a Column-operator loop (similarity.dot's rationale: the
-    loop form cost ~1 s of driver py4j time per constructed expression)."""
-    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
-    return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+    """Integer dot product over two array<long> code columns — exact
+    (≤ 64·127² per term sum, and integer addition is order-independent).
+    HOF fold, not an unrolled chain: the flat 64-term chain exceeds the
+    JIT's method limit and runs interpreted (similarity.dot's r12 note),
+    and the loop form cost ~1 s of driver py4j time per expression."""
+    return F.expr(
+        f"aggregate(zip_with(slice({a}, 1, {dim}), slice({b}, 1, {dim}), "
+        f"(x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
 
 
 def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
