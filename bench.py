@@ -58,6 +58,32 @@ EAGER = {
     "g03_bfs_trade_hops",
     "m05_ppm_real_resize_rollup",  # r7: eager localCheckpoint of the
     # synthesized media (two consumers, no cross-consumer CSE in Spark)
+    # r12 MEASUREMENT FIX (OPTIMIZATION_r12.md "billing correction"):
+    # every query below runs real work at DataFrame-construction time and
+    # was billed noop-only. The connected-components family (t11/t23/t30/
+    # t32/x14) has ALWAYS driven its eager per-round checkpoints at build —
+    # the same shape that put g01/g03/x18/m05 in this set — and the r11
+    # shared-projection queries' localCheckpoint(eager=False) turned out to
+    # execute all upstream SHUFFLE STAGES at .rdd-creation time under AQE
+    # (verified r12: a lazy checkpoint call on a shuffle plan ran the
+    # exchange, 1.08 s at call vs 0.38 s at first action), so their r11
+    # "billed in-region" claim was wrong in practice. Whole-call billing
+    # restores honesty; old noop-only numbers are kept in
+    # OPTIMIZATION_r12.md for round-over-round comparison.
+    "t11_dup_clusters",
+    "t23_curated_corpus",
+    "t30_curation_pipeline",
+    "t32_cluster_split",
+    "x14_semantic_dedup",
+    "t12_bigram_lm_score",
+    "t42_fuzzy_decontamination",
+    "g02_supplier_triangles",
+    "x15_sq8_rerank_search",
+    "x16_sq8_recall",
+    "x19_ivf_recall_sweep",
+    "x22_ivf_bq_probe_search",
+    "x27_mips_ann_recall",
+    "x28_tombstoned_ann_search",
     "s01_streaming_ingest_end_state",  # streaming drains run in the call
     "s02_streaming_watermark_end_state",
     "s03_stream_stream_attribution",

@@ -1421,14 +1421,19 @@ def s14_idle_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .option("maxFilesPerTrigger", 1)
                     .parquet(landing),
                     gap_minutes=360,
-                    idle_timeout_ms=1000,
+                    # the end state is invariant to WHEN timers fire (see
+                    # family comment), so the timeout/trigger cadence is
+                    # pure drain latency: 1 s/500 ms cost ~2.5 s of idle
+                    # waiting per bench run (r12) — tightened to the
+                    # shortest cadence the poll loop resolves
+                    idle_timeout_ms=300,
                     emit_close_reason=True,
                 )
                 .writeStream.format("parquet")
                 .option("path", sink)
                 .option("checkpointLocation", ckpt)
                 .outputMode("append")
-                .trigger(processingTime="500 milliseconds")
+                .trigger(processingTime="200 milliseconds")
                 .start()
             )
             try:
@@ -1444,7 +1449,7 @@ def s14_idle_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "s14: idle-timeout eviction never flushed all "
                             f"sessions ({sink_count()}/{expected})"
                         )
-                    time.sleep(0.5)
+                    time.sleep(0.15)
             finally:
                 q.stop()
                 q.awaitTermination()
