@@ -999,11 +999,20 @@ def _f13_sql_den(dens: list[float], rn: str = "rn") -> str:
     return f"([{lits}])[least({rn}, {len(dens)})]"
 
 
-def _f13_spark_num(col: str, w, pows: list[float]):
-    acc = F.col(col) * F.lit(pows[0])
-    for j in range(1, len(pows)):
-        acc = acc + F.coalesce(F.lag(col, j).over(w), F.lit(0.0)) * F.lit(pows[j])
-    return acc
+def _f13_spark_num(col: str, over_sql: str, pows: list[float]):
+    """The 64-term truncated-EWMA numerator as ONE F.expr string — the
+    Column-operator loop this replaces cost ~1 s of driver py4j time per
+    call (r12, similarity.dot's finding; 3 calls per f13 build). Same
+    parsed tree: left-associative `+`, lag(col, j) OVER the inline spec,
+    and `{p!r}D` double literals identical to F.lit's. (A window-collect +
+    HOF-fold variant was ALSO measured: bit-identical values but 0.96 →
+    1.73 s runtime — the per-row 64-element array materialization loses;
+    the flat lag chain stays.)"""
+    terms = [f"({col} * {pows[0]!r}D)"] + [
+        f"(coalesce(lag({col}, {j}) OVER {over_sql}, 0.0D) * {pows[j]!r}D)"
+        for j in range(1, len(pows))
+    ]
+    return F.expr(" + ".join(terms))
 
 
 def _f13_spark_den(dens: list[float], rn: str = "rn"):
@@ -1055,11 +1064,12 @@ def f13_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MACD line, signal line, and bullish/bearish tick counts per symbol."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_sql = "(PARTITION BY event_type ORDER BY ts ASC, event_id ASC)"
     base = ev.select(
         "event_type",
         F.row_number().over(w).alias("rn"),
-        _f13_spark_num("value", w, _F13_P12).alias("num12"),
-        _f13_spark_num("value", w, _F13_P26).alias("num26"),
+        _f13_spark_num("value", w_sql, _F13_P12).alias("num12"),
+        _f13_spark_num("value", w_sql, _F13_P26).alias("num26"),
     )
     macd = rnd(
         rnd(F.col("num12") / _f13_spark_den(_F13_D12), 6)
@@ -1067,8 +1077,8 @@ def f13_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     m = base.select("event_type", "rn", macd.alias("macd"))
-    w2 = W.partitionBy("event_type").orderBy(F.asc("rn"))
-    signal = rnd(_f13_spark_num("macd", w2, _F13_P9) / _f13_spark_den(_F13_D9), 6)
+    w2_sql = "(PARTITION BY event_type ORDER BY rn ASC)"
+    signal = rnd(_f13_spark_num("macd", w2_sql, _F13_P9) / _f13_spark_den(_F13_D9), 6)
     s = m.select("event_type", "rn", "macd", signal.alias("signal"))
     return s.groupBy(F.col("event_type").alias("symbol")).agg(
         F.count(F.lit(1)).alias("n_obs"),

@@ -84,13 +84,18 @@ def _oracle() -> str:
 def g01_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # distinct on the RAW integer pair, string labels minted after — the
+    # dedup exchange carries two BIGINTs instead of built strings (guide
+    # §2.3 narrower types through the shuffle; r12 measured 2.7 → 1.9 s
+    # whole-call with g03's identical rewrite)
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))

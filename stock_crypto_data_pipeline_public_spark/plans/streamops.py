@@ -61,6 +61,22 @@ def _drain_shuffle(spark: SparkSession, n: int | None = None):
         spark.conf.set(key, old)
 
 
+def _py_drain_partitions(spark: SparkSession) -> int:
+    """State partition count for the applyInPandasWithState drains
+    (s04/s14) — DELIBERATELY higher than _drain_shuffle's JVM-state
+    default. The Python-stateful operator calls its track() function once
+    per GROUP, so per-batch cost is Python-worker-bound, not state-store-
+    commit-bound: r11's 8→2 cut (right for the JVM windowed aggs) was
+    exactly s04's unexplained 3.7→5.0 s regression — re-measured r12:
+    s04 runs 5.1 s at 2 partitions, 2.7 s at 16; s14 5.2 → 4.5. Sized to
+    half the cores (the two-drain harness overlaps little else), floor 2,
+    env-overridable for clusters."""
+    env = os.environ.get("SPARK_GRAFT_PY_DRAIN_PARTITIONS")
+    if env:
+        return int(env)
+    return max(2, spark.sparkContext.defaultParallelism // 2)
+
+
 # --------------------------------------------------------------------------
 # s01 — streaming ingest end state, both delivery contracts at once:
 #
@@ -452,7 +468,7 @@ def s04_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing, sink, ckpt = f"{base}/landing", f"{base}/sink", f"{base}/ckpt"
 
     def drain() -> None:
-        with _drain_shuffle(spark):
+        with _drain_shuffle(spark, n=_py_drain_partitions(spark)):
             q = (
                 sessionize_stream(file_stream(spark, landing, ev.schema), gap_minutes=360)
                 .writeStream.format("parquet")
@@ -1414,7 +1430,7 @@ def s14_idle_timeout_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(landing)
-        with _drain_shuffle(spark):
+        with _drain_shuffle(spark, n=_py_drain_partitions(spark)):
             q = (
                 sessionize_stream(
                     spark.readStream.schema(ev.schema)
