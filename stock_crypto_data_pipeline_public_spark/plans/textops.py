@@ -12,6 +12,8 @@ normalization step of t01.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -23,8 +25,31 @@ from ..sources.tables import load_table
 from .registry import query
 
 
+#: source bytes per task for the document-corpus fan-out; env override for
+#: corpora whose per-byte tokenize/regex cost differs
+_DOCS_PART_BYTES = int(os.environ.get("SPARK_GRAFT_DOCS_PART_BYTES", 32 * 1024))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """The documents corpus, fanned out for the text pipelines.
+
+    The gate corpora are ONE single-row-group parquet file, so every scan
+    is one task — and nearly every t-query's first stage runs heavy
+    per-row work there (tokenize, shingle, regex batteries): the whole
+    stage was single-threaded (r12 measured: t49 1.9 s → 0.40 s, t34
+    2.6 → 1.3, t42 2.0 → 1.2, t51 1.5 → 0.78 at 16-way; the cheap
+    queries move ±0.1 s). Partition count derives from the input's
+    plan-stat bytes (~32 KiB of source text per task, env-tunable),
+    capped at defaultParallelism — a multi-file production corpus already
+    scans parallel and takes the cap (guide §2: partitioning from input
+    size, not a constant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    size = int(str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    n = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, size // _DOCS_PART_BYTES + 1),
+    )
+    return docs.repartition(n)
 
 
 # --------------------------------------------------------------------------
