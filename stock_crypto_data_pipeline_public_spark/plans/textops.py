@@ -686,8 +686,11 @@ def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _dup_components(docs: DataFrame) -> DataFrame:
     """(doc_id, component_id) over the trigram-Jaccard ≥ 1/2 near-dup graph
-    (the shared spine of t11 and t23)."""
-    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    (the shared spine of t11 and t23). The exploded shingle stream feeds
+    both the per-doc counts and the pair generation — materialized once
+    (r12; every consumer is whole-call-billed in bench.py's EAGER set, so
+    the checkpoint is inside the timed region; measured t11 2.8 → 2.3 s)."""
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = D.copair_counts(sh, "doc_id", "shingle")
     edges = (
@@ -1712,18 +1715,23 @@ def t30_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.withColumn("q", _quality_q("text")).filter(
         F.col("q") >= CURATE_Q_MIN
     )
+    # s3 feeds FOUR executions across the pipeline (the component spine's
+    # shingle stream and node set at build, then both sides of the
+    # decontamination in the output action) — materialize it once. t30 is
+    # whole-call-billed in bench.py's EAGER set, so the eager checkpoint
+    # is inside the timed region (r12 measured: 6.5 → 4.5 s whole-call,
+    # rows identical).
+    s3 = s3.localCheckpoint(eager=True)
     # 4. near-dup cluster keeper: component_id is the min member label, so
     #    keeper ≡ doc_id == component_id (t23's convention)
     comp = _dup_components(s3)
     s4 = s3.join(comp, "doc_id").filter(
         F.col("doc_id") == F.col("component_id")
     )
-    # s4 feeds both the decontamination probe and the final anti-join; a
-    # checkpoint was measured (r12) and REJECTED: under AQE, .rdd-backed
-    # materialization runs the shuffle stages at plan-build time — shifting
-    # billed work out of the bench region without making the total faster —
-    # and a persist() showed no net win at this fan-out (two consumers of a
-    # ~0.9 s subtree). The recompute stands, documented like t34's.
+    # s4's own fan-out (decontamination probe + final anti-join) rides the
+    # s3 checkpoint above — each consumer re-runs only the cheap comp join.
+    # A separate s4 checkpoint and a persist() were both measured (r12) and
+    # showed no further win over the materialized s3.
     # 5. decontamination vs the src0 benchmark 5-gram shingle set (t20)
     bench = (
         D.exploded_shingles(

@@ -739,15 +739,22 @@ def x09_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def _dist_sql(m: int, k: int) -> str:
-        acc = "0.0D"
-        for j in range(PQ_SUB):
-            x = f"(e{m * PQ_SUB + j} - {cw[(m, k)][j]!r}D)"
-            acc = f"({acc} + ({x} * {x}))"
-        return acc
-
+    # Distances are a data-driven HOF fold over the codebook held as a
+    # LITERAL array-of-arrays, not 16 unrolled 8-term chains per subspace:
+    # the unrolled form put ~1k flat terms in one codegen method — past the
+    # JIT's bytecode limit, so it ran interpreted (similarity.dot's r12
+    # finding; measured here 0.79 → 0.22 s, codes identical). The fold is
+    # the same left-to-right (x−c)² accumulation as _l2sq and the oracle.
     def _code_sql(m: int) -> str:
-        darr = "array(" + ", ".join(_dist_sql(m, k) for k in range(PQ_K)) + ")"
+        cbs = "array(" + ", ".join(
+            "array(" + ", ".join(f"{v!r}D" for v in cw[(m, k)]) + ")"
+            for k in range(PQ_K)
+        ) + ")"
+        sub = "array(" + ", ".join(f"e{m * PQ_SUB + j}" for j in range(PQ_SUB)) + ")"
+        darr = (
+            f"transform({cbs}, cwv -> aggregate(zip_with({sub}, cwv, "
+            f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, v) -> acc + v))"
+        )
         return f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)"
 
     codes = comps.select(
