@@ -52,7 +52,16 @@ def local_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
     partition instead of 32 near-empty ones (guide §4.1 — control how
     often the Python boundary is crossed; §2.4 — don't fan out rows you
     will immediately re-funnel). Values are identical to the multi-slice
-    form — same verifier, same conversion path, only the slicing changes."""
+    form — same verifier, same conversion path, only the slicing changes.
+
+    Failure-mode note (r11 ADVICE): routing rows through ``parallelize``
+    means schema verification that ``createDataFrame(list)`` performed
+    eagerly on the driver happens lazily on executors — a malformed row
+    (wrong type in a sentinel tuple) surfaces as a Py4J job failure at
+    ACTION time, not an immediate TypeError at construction. Accepted for
+    these bounded literal call sites, whose rows are built adjacent to
+    the schema they must match; if a call site ever takes externally
+    shaped rows, pre-verify on the driver before passing them here."""
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
